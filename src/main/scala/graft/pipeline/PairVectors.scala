@@ -1,0 +1,173 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.porter_stem
+
+/** Reference Step 4: gold-standard join + 24-dimensional similarity vectors,
+  * re-planned as broadcast join → pivot aggregation → wide aggregation.
+  *
+  * The reference implements this as ~300 lines of MR machinery: a
+  * replicated hash join where every mapper re-reads the gold file from S3
+  * (`Step4.java:84-124`), a secondary sort (CompositeKey + three
+  * comparators/partitioner, `Step4.java:20-68,378-409`), and a stateful
+  * reducer that walks a feature-sorted stream pairing adjacent rows with
+  * zero-padding and 24 mutable accumulators (`Step4.java:178-376`).
+  *
+  * Spark-first equivalents, in plan order:
+  *   - gold file → `broadcast()` hint: one torrent broadcast instead of one
+  *     S3 read per map task;
+  *   - the two-sided fan-out (each gold pair listens on both words,
+  *     `Step4.java:113-114`) → a union of the two orientations, deduped as
+  *     the reference's per-key HashSet does;
+  *   - the feature-sorted merge with ZEROS padding (`Step4.java:209-247`)
+  *     → ONE hash aggregation pivoting the ≤2 side-rows per (pair, feature)
+  *     into `v1`/`v2` columns with `coalesce(_, 0)` — no ordering, no
+  *     full-outer self-join (which would shuffle the fan-out twice);
+  *   - the 24 accumulators (`Step4.java:308-363`) → built-in partial
+  *     aggregates (`sum(abs(a-b))`, `sum(a*b)`, `sum(least/greatest)` …),
+  *     finalized by column arithmetic with the reference's exact
+  *     NaN/Infinity policy (`Step4.java:250-295`).
+  *
+  * Quirk modes (SURVEY §7.4), default `faithful = false`:
+  *   - "Euclidean" accumulates `(v1 + v2)^2` in the reference
+  *     (`Step4.java:332`); corrected mode uses `(v1 - v2)^2`.
+  *   - The Jensen-Shannon both-zero case *assigns* 0, clobbering prior
+  *     accumulation in feature-sort order (`Step4.java:355-359`); faithful
+  *     mode reproduces this with a per-pair window (contributions count
+  *     only after the last both-zero feature), corrected mode treats
+  *     both-zero as contributing nothing.
+  */
+object PairVectors {
+
+  /** Short measure names, in reference matrix row order (freq, prob, PMI,
+    * t-test — `Step4.java:188-194`).
+    */
+  val measureShort: Seq[String] = Seq("freq", "prob", "pmi", "ttest")
+
+  /** Metric names in reference matrix column order (`Step4.java:250-295`). */
+  val metricNames: Seq[String] =
+    Seq("manhattan", "euclidean", "cosine", "jaccard", "dice", "js")
+
+  /** The 24 output columns, in the reference's flatten order
+    * (`Step4.java:298-300`): measure-major, metric-minor.
+    */
+  val vectorColumns: Seq[String] =
+    for (m <- measureShort; t <- metricNames) yield s"${m}_$t"
+
+  /** Gold-standard text lines → `(w1, w2, related)` with both words
+    * Porter-stemmed (`Step4.java:104-110`). Malformed lines (field count
+    * != 3 after whitespace split) are dropped (`Step4.java:100-101`);
+    * label parsing is `Boolean.parseBoolean` semantics
+    * (case-insensitive "true", `Step5.java:112`).
+    */
+  def parseGold(goldLines: DataFrame): DataFrame =
+    goldLines
+      .select(split(col("value"), "\\s+").as("p"))
+      .where(size(col("p")) === 3)
+      .select(
+        porter_stem(element_at(col("p"), 1)).as("w1"),
+        porter_stem(element_at(col("p"), 2)).as("w2"),
+        (lower(element_at(col("p"), 3)) === "true").as("related"))
+
+  /** Association rows ⋈ gold pairs → one 24-dim similarity vector per gold
+    * pair that has at least one matching association row (pairs with no
+    * data never appear, matching the reference: 14,547 gold pairs → 14,337
+    * instances).
+    *
+    * Output: `w1, w2, related` + [[vectorColumns]].
+    */
+  def vectors(assoc: DataFrame, gold: DataFrame, faithful: Boolean = false): DataFrame = {
+    // Both orientations of every gold pair, keyed by the word whose feature
+    // rows they consume; distinct = the reference's per-key HashSet dedup.
+    val sides = gold
+      .select(col("w1").as("word"), col("w2").as("partner"),
+        lit(true).as("isw1"), col("related"))
+      .unionByName(gold.select(col("w2").as("word"), col("w1").as("partner"),
+        lit(false).as("isw1"), col("related")))
+      .distinct()
+
+    val matched = assoc
+      .join(broadcast(sides), col("lexeme") === col("word"))
+      .select(
+        when(col("isw1"), col("word")).otherwise(col("partner")).as("w1"),
+        when(col("isw1"), col("partner")).otherwise(col("word")).as("w2"),
+        col("related"), col("feature"), col("isw1"),
+        col("assoc_freq"), col("assoc_prob"), col("assoc_pmi"), col("assoc_ttest"))
+
+    // Pivot the <=2 side-rows per (pair, feature) into v1/v2 columns —
+    // (lexeme, feature) is unique upstream, so max() picks the single row.
+    val pivotAggs = measureShort.zip(Associate.measureNames).flatMap { case (s, m) =>
+      Seq(
+        coalesce(max(when(col("isw1"), col(m))), lit(0.0)).as(s"${s}_1"),
+        coalesce(max(when(!col("isw1"), col(m))), lit(0.0)).as(s"${s}_2"))
+    }
+    val perFeature = matched
+      .groupBy("w1", "w2", "related", "feature")
+      .agg(pivotAggs.head, pivotAggs.tail: _*)
+
+    // Faithful JS reset: find the last both-zero feature per pair and
+    // measure; only later features contribute. Window and the following
+    // aggregation share the (w1, w2, related) hash partitioning, so this
+    // adds no extra shuffle.
+    val withReset =
+      if (!faithful) perFeature
+      else {
+        val w = Window.partitionBy("w1", "w2", "related")
+        measureShort.foldLeft(perFeature) { (df, s) =>
+          df.withColumn(s"${s}_rf",
+            max(when(col(s"${s}_1") === 0.0 && col(s"${s}_2") === 0.0,
+              col("feature"))).over(w))
+        }
+      }
+
+    val aggs = measureShort.flatMap { s =>
+      val v1 = col(s"${s}_1")
+      val v2 = col(s"${s}_2")
+      val mean = (v1 + v2) / lit(2.0)
+      val eucTerm = if (faithful) (v1 + v2) * (v1 + v2) else (v1 - v2) * (v1 - v2)
+      val live: Column =
+        if (faithful) col("feature") > coalesce(col(s"${s}_rf"), lit("")) else lit(true)
+      Seq(
+        sum(abs(v1 - v2)).as(s"${s}_man"),
+        sum(eucTerm).as(s"${s}_euc"),
+        sum(v1 * v2).as(s"${s}_dot"),
+        sum(v1 * v1).as(s"${s}_n1"),
+        sum(v2 * v2).as(s"${s}_n2"),
+        sum(least(v1, v2)).as(s"${s}_min"),
+        sum(greatest(v1, v2)).as(s"${s}_max"),
+        sum(v1 + v2).as(s"${s}_sum"),
+        sum(when(live && v1 > 0.0 && mean > 0.0, v1 * log(v1 / mean))
+          .otherwise(0.0)).as(s"${s}_js1"),
+        sum(when(live && v2 > 0.0 && mean > 0.0, v2 * log(v2 / mean))
+          .otherwise(0.0)).as(s"${s}_js2"))
+    }
+
+    val inf = lit(Double.PositiveInfinity)
+    val finalCols: Seq[Column] = measureShort.flatMap { s =>
+      val man = col(s"${s}_man")
+      val euc = col(s"${s}_euc")
+      val cosRaw = col(s"${s}_dot") / (sqrt(col(s"${s}_n1")) * sqrt(col(s"${s}_n2")))
+      val jacRaw = col(s"${s}_min") / col(s"${s}_max")
+      val diceRaw = lit(2.0) * col(s"${s}_min") / col(s"${s}_sum")
+      val js = col(s"${s}_js1") + col(s"${s}_js2")
+      Seq(
+        when(isnan(man), inf).otherwise(man).as(s"${s}_manhattan"),
+        when(euc < 0.0 || isnan(euc), inf).otherwise(sqrt(euc)).as(s"${s}_euclidean"),
+        when(col(s"${s}_n1") <= 0.0 || col(s"${s}_n2") <= 0.0 || isnan(cosRaw),
+          lit(0.0)).otherwise(cosRaw).as(s"${s}_cosine"),
+        when(col(s"${s}_max") === 0.0 || isnan(jacRaw), lit(0.0))
+          .otherwise(jacRaw).as(s"${s}_jaccard"),
+        when(col(s"${s}_sum") === 0.0 || isnan(diceRaw), lit(0.0))
+          .otherwise(diceRaw).as(s"${s}_dice"),
+        when(isnan(js), inf).otherwise(js).as(s"${s}_js"))
+    }
+
+    withReset
+      .groupBy("w1", "w2", "related")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("w1") +: col("w2") +: col("related") +: finalCols: _*)
+  }
+}
