@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: run each oracle SQL in
+DuckDB over the test tables and compare (rows, schema-by-name, values) with
+the parquet results Verify.scala dumped.
+
+Usage: python3 tools/check_oracles.py <sfDir> <verifyOutDir>
+"""
+import sys, json, glob, math
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].apply(
+                lambda v: tuple(v) if isinstance(v, (list, tuple)) or
+                type(v).__name__ == "ndarray" else v)
+    return df.reset_index(drop=True)
+
+
+def cmp_frames(name, spark_df, duck_df):
+    a, b = norm(spark_df), norm(duck_df)
+    if list(a.columns) != list(b.columns):
+        return f"SCHEMA: spark={list(a.columns)} duck={list(b.columns)}"
+    if len(a) != len(b):
+        return f"ROWS: spark={len(a)} duck={len(b)}"
+    for c in a.columns:
+        av, bv = a[c].tolist(), b[c].tolist()
+        for i, (x, y) in enumerate(zip(av, bv)):
+            if x is None and y is None:
+                continue
+            if isinstance(x, float) and isinstance(y, float):
+                if math.isnan(x) and math.isnan(y):
+                    continue
+                if x != y and abs(x - y) > 1e-9 * max(1, abs(x), abs(y)):
+                    return f"VALUE col={c} row={i}: spark={x!r} duck={y!r}"
+            elif str(x) != str(y):
+                return f"VALUE col={c} row={i}: spark={x!r} duck={y!r}"
+    return None
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * "
+                    f"FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    results = {}
+    for name in sorted(oracles):
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            results[name] = "NO SPARK OUTPUT"
+            continue
+        spark_df = pd.concat([pd.read_parquet(f) for f in sorted(files)])
+        try:
+            duck_df = con.execute(oracles[name]).fetchdf()
+        except Exception as e:
+            results[name] = f"DUCKDB ERROR: {e}"
+            continue
+        results[name] = cmp_frames(name, spark_df, duck_df) or "OK"
+    # rows-only queries (no oracle)
+    for d in sorted(glob.glob(f"{out_dir}/q*")):
+        name = d.split("/")[-1]
+        if name not in oracles:
+            n = len(pd.concat([pd.read_parquet(f)
+                               for f in glob.glob(f"{d}/*.parquet")]))
+            results[name] = f"ROWS-ONLY n={n}" + ("" if n > 0 else " !!EMPTY")
+    ok = sum(1 for v in results.values() if v == "OK")
+    for k, v in results.items():
+        mark = "PASS" if v == "OK" or v.startswith("ROWS-ONLY n=") else "FAIL"
+        print(f"{mark} {k}: {v}")
+    print(f"\n{ok}/{len(oracles)} oracle matches")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
