@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * Scale design: exact dedup and MinHash-LSH are the 100 TB paths (one
+  * shuffle each on content-hash / band keys, partial aggregation
+  * everywhere); the exact pairwise-Jaccard operator is the *validation*
+  * path — quadratic within shingle buckets — used to calibrate/verify the
+  * probabilistic ones at small scale. All hashes are md5-derived column
+  * expressions: deterministic, portable across engines (so the DuckDB
+  * oracle can replay them), and codegen-friendly (no UDFs).
+  */
+object Dedup {
+
+  /** Exact duplicate groups by full-content hash: one shuffle keyed on
+    * md5(text), canonical row = min id. */
+  def exactGroups(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
+
+  /** Distinct word n-gram shingles per document (narrow stage, no UDF). */
+  def shingles(docs: DataFrame, n: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("id"), split(col(textCol), " ").as("l"))
+      .where(size(col("l")) >= n)
+      .select(col("id"), explode(expr(
+        s"transform(sequence(1, size(l) - ${n - 1}), i -> concat_ws(' ', slice(l, i, $n)))"))
+        .as("shingle"))
+      .distinct()
+
+  /** Exact pairwise n-gram Jaccard similarity >= `minJaccard`.
+    * Quadratic in co-shingle document pairs — the small-scale oracle for
+    * [[minhashCandidates]]; at 100 TB run MinHash first and feed the
+    * candidate pairs through this for exact re-scoring.
+    */
+  def jaccardPairs(docs: DataFrame, n: Int, minJaccard: Double): DataFrame = {
+    val sh = shingles(docs, n)
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.select(col("id").as("id1"), col("n_sh").as("n1")), "id1")
+      .join(sizes.select(col("id").as("id2"), col("n_sh").as("n2")), "id2")
+      .select(col("id1"), col("id2"),
+        (col("n_common").cast("double") /
+          (col("n1") + col("n2") - col("n_common"))).as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+  }
+
+  /** Portable MinHash signatures: hash slot h of a document is the
+    * lexicographic minimum of `md5(h || ':' || shingle)` over its shingles
+    * (a string-valued minwise hash family — same estimator guarantees,
+    * reproducible in any engine with md5).
+    */
+  def minhashSignatures(docs: DataFrame, n: Int, numHashes: Int): DataFrame =
+    shingles(docs, n)
+      .select(col("id"), col("shingle"),
+        explode(expr(s"sequence(0, ${numHashes - 1})")).as("h"))
+      .groupBy("id", "h")
+      .agg(min(md5(concat(col("h").cast("string"), lit(":"), col("shingle"))))
+        .as("mh"))
+
+  /** Banded LSH candidate pairs: signatures are split into bands of
+    * `rowsPerBand` hash slots; a pair is a candidate iff some band key
+    * matches. One shuffle on (band, bandKey); the quadratic step runs only
+    * inside hash buckets, which is what makes near-dup detection feasible
+    * at 100 TB.
+    */
+  def minhashCandidates(docs: DataFrame, n: Int, numHashes: Int,
+      rowsPerBand: Int): DataFrame = {
+    val bandKeys = minhashSignatures(docs, n, numHashes)
+      .withColumn("band", expr(s"h div $rowsPerBand"))
+      .groupBy("id", "band")
+      // canonical band key: slot-sorted "hh=minhash" strings, hashed
+      .agg(md5(concat_ws("|",
+        sort_array(collect_list(concat(lpad(col("h").cast("string"), 2, "0"),
+          lit("="), col("mh")))))).as("band_key"))
+    bandKeys.as("a")
+      .join(bandKeys.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_key") === col("b.band_key") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+  }
+
+  /** 32-bit frequency-weighted SimHash: every token *occurrence* votes on
+    * each bit (bit b of a token = bit (3 - b mod 4) of hex digit b/4 of its
+    * md5), so documents with the same vocabulary but different frequency
+    * profiles still separate. Near-dup pairs = Hamming distance <=
+    * `maxHamming` (xor + bit_count; at scale, pre-bucket by simhash bands
+    * instead of the all-pairs join used for small-scale validation).
+    */
+  def simhash(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("tok"))
+      .withColumn("hex", substring(md5(col("tok")), 1, 8))
+    val bits = toks.select(col("id"),
+      explode(expr("sequence(0, 31)")).as("b"),
+      col("hex"))
+      .withColumn("digit", substring(col("hex"),
+        (col("b") / 4).cast("int") + 1, lit(1)))
+      .withColumn("dval",
+        expr("instr('0123456789abcdef', digit) - 1"))
+      .withColumn("bit", expr("(dval >> (3 - b % 4)) & 1"))
+      .withColumn("vote", col("bit") * 2 - 1)
+    bits.groupBy("id", "b").agg(sum("vote").as("votes"))
+      .groupBy("id")
+      .agg(sum(when(col("votes") > 0,
+        expr("shiftleft(1L, cast(31 - b AS INT))")).otherwise(0L))
+        .as("simhash"))
+  }
+
+  /** SimHash near-dup candidate pairs (validation-scale all-pairs join). */
+  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val sh = simhash(docs)
+    sh.as("a").join(sh.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        expr("bit_count(a.simhash ^ b.simhash)").cast("int").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an `embedding: array<float>` column.
+  *
+  * Two tiers: [[cosineTopK]] is the exact brute-force baseline (queries ×
+  * candidates, one broadcast); [[lshBuckets]]/[[lshTopK]] is the scale path
+  * — deterministic random-hyperplane signatures bucket the corpus so the
+  * quadratic scoring runs only within buckets. All arithmetic is
+  * cast-to-double-then-sum in array order, which is bit-identical across
+  * engines (the DuckDB oracle replays it exactly).
+  */
+object Similarity {
+
+  /** Exact dot product of two float-array columns as pure column
+    * expressions (zip_with + aggregate fold — stays in codegen).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k cosine neighbors for each query vector (self excluded).
+    * `queries` must be a subset projection of `corpus` with columns
+    * (vec_id, embedding). Brute force: |queries| × |corpus| scored pairs —
+    * broadcast the queries, never the corpus.
+    */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qv"))
+    val scored = corpus.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qv"), col("embedding")).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane p, dim i):
+    * a value in [-1, 1] derived from one md5 hex digit — portable to any
+    * engine with md5/instr.
+    */
+  def planeComponent(p: Column, i: Column): Column =
+    (expr(s"instr('0123456789abcdef', substring(md5(concat(p, '-', i)), 1, 1))")
+      .cast("double") - 1.0 - 7.5) / 7.5
+
+  /** Sign-bucket each vector with `numPlanes` hyperplanes: bucket =
+    * Σ_p (dot(plane_p, v) > 0) << p. One narrow pass (posexplode + small
+    * broadcast plane join + two re-aggregations of already-small data).
+    */
+  def lshBuckets(corpus: DataFrame, numPlanes: Int, dims: Int): DataFrame = {
+    val planes = (0 until numPlanes).flatMap { p =>
+      (0 until dims).map(i => (p, i))
+    }.toSeq
+    val s2 = corpus.sparkSession; import s2.implicits._
+    val planeDf = planes.toDF("p", "i")
+      .select(col("p"), col("i"),
+        planeComponent(col("p"), col("i")).as("w"))
+    corpus.select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .join(broadcast(planeDf), "i")
+      .groupBy("vec_id", "p")
+      .agg(sum(col("x").cast("double") * col("w")).as("proj"))
+      .groupBy("vec_id")
+      .agg(sum(when(col("proj") > 0,
+        expr("shiftleft(1L, cast(p AS INT))")).otherwise(0L)).as("bucket"))
+  }
+
+  /** Approximate top-k: exact cosine ranking restricted to same-bucket
+    * candidates. Recall trades off against `numPlanes`; the bucket join is
+    * an equi-shuffle, so cost is Σ bucket² not corpus².
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      numPlanes: Int, dims: Int): DataFrame = {
+    val buckets = lshBuckets(corpus, numPlanes, dims)
+    val corpusB = corpus.join(buckets, "vec_id")
+    val queryB = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qv"))
+      .join(buckets.select(col("vec_id").as("query_id"),
+        col("bucket").as("qbucket")), "query_id")
+    val scored = corpusB.join(broadcast(queryB),
+      col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qv"), col("embedding")).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+  }
+
+  /** All corpus pairs with cosine >= `minCos` (embedding near-dup sweep;
+    * validation-scale all-pairs — at 100 TB gate through [[lshBuckets]]
+    * first).
+    */
+  def nearDupPairs(corpus: DataFrame, minCos: Double): DataFrame = {
+    val a = corpus.select(col("vec_id").as("id1"), col("embedding").as("e1"))
+    val b = corpus.select(col("vec_id").as("id2"), col("embedding").as("e2"))
+    a.join(b, col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), cosine(col("e1"), col("e2")).as("cos"))
+      .where(col("cos") >= minCos)
+  }
+}

@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: language ID,
+  * quality scoring, token statistics, document fingerprinting. All pure
+  * column expressions — per-document narrow stages plus one aggregation,
+  * so they pipeline with scans at 100 TB.
+  */
+object TextAnalysis {
+
+  /** Tiny demonstration lexicons (real deployments plug in full ones). */
+  val defaultLexicons: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu", "den"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "des"))
+
+  /** Stopword-hit-ratio language ID: score(lang) = |tokens ∩ lexicon| /
+    * |tokens|; winner by (score desc, lang asc). Docs matching no lexicon
+    * get score 0 for every language and fall to the alphabetic tie-break —
+    * callers should treat score 0 as "unknown".
+    */
+  def langId(docs: DataFrame,
+      lexicons: Map[String, Seq[String]] = defaultLexicons): DataFrame = {
+    val s2 = docs.sparkSession; import s2.implicits._
+    val lex = lexicons.toSeq.flatMap { case (l, ws) => ws.map(l -> _) }
+      .toDF("lang", "word")
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("word"))
+    val totals = toks.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
+    val langs = lexicons.keys.toSeq.sorted.toDF("lang")
+    val hits = toks.join(broadcast(lex), Seq("word"))
+      .groupBy("doc_id", "lang").agg(count(lit(1)).as("n_hit"))
+    val scored = totals.crossJoin(broadcast(langs))
+      .join(hits, Seq("doc_id", "lang"), "left")
+      .select(col("doc_id"), col("lang"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_tok"))
+          .as("score"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("lang").asc)
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+      .select(col("doc_id"), col("lang").as("pred_lang"), col("score"))
+  }
+
+  /** Per-document quality features + a composite score in [0, 1]:
+    * token count (capped), type-token ratio, stopword ratio, average token
+    * length (capped) — the standard cheap pre-filters for corpus curation.
+    */
+  def quality(docs: DataFrame,
+      stopwords: Seq[String] = defaultLexicons("en")): DataFrame = {
+    val toks = split(col("text"), " ")
+    val stopArr = array(stopwords.map(lit): _*)
+    docs.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_uniq"),
+      (size(filter(toks, t => array_contains(stopArr, t))).cast("double") /
+        size(toks)).as("stop_ratio"))
+      .withColumn("ttr", col("n_uniq").cast("double") / col("n_tokens"))
+      .withColumn("avg_token_len",
+        (col("n_chars") - (col("n_tokens") - 1)).cast("double") / col("n_tokens"))
+      .withColumn("quality",
+        least(col("n_tokens").cast("double") / 100.0, lit(1.0)) * 0.3 +
+          col("stop_ratio") * 0.2 + col("ttr") * 0.2 +
+          least(col("avg_token_len") / 10.0, lit(1.0)) * 0.3)
+  }
+
+  /** Token counting: whitespace tokens plus a BPE-ish regex segmentation
+    * (letter runs | digit runs | single other non-space).
+    */
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+      size(regexp_extract_all(col("text"),
+        lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long").as("re_tokens"),
+      size(array_distinct(split(col("text"), " "))).cast("long").as("uniq_tokens"))
+
+  /** Content fingerprint: md5 of the sorted distinct token set — an
+    * order-insensitive document identity for fuzzy grouping (a rolling
+    * hash over sorted vocabulary).
+    */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      md5(concat_ws(" ", sort_array(array_distinct(split(col("text"), " ")))))
+        .as("fingerprint"))
+}

@@ -1,0 +1,273 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import QueryDef.table
+
+/** Training-data pipeline operators as oracle-checked queries: dedup
+  * (exact, n-gram Jaccard, MinHash-LSH, SimHash), similarity search
+  * (brute-force + LSH-bucketed), text analysis (lang-ID, quality, tokens,
+  * fingerprints), multimodal plumbing. All probabilistic structures use
+  * md5-derived hashes so DuckDB replays them exactly.
+  */
+object TrainingOps {
+
+  private val dot64 =
+    "(SELECT SUM(CAST(x.xa AS DOUBLE) * CAST(x.xb AS DOUBLE)) " +
+      "FROM (SELECT UNNEST(%s.embedding) xa, UNNEST(%s.embedding) xb) x)"
+  private def norm2(t: String) =
+    s"(SELECT SUM(CAST(x.v AS DOUBLE) * CAST(x.v AS DOUBLE)) " +
+      s"FROM (SELECT UNNEST($t.embedding) v) x)"
+
+  private val simhashSigSql =
+    """toks AS (SELECT doc_id id, UNNEST(string_split(text, ' ')) tok
+      |         FROM documents),
+      |hx AS (SELECT id, substr(md5(tok), 1, 8) hex FROM toks),
+      |bits AS (SELECT id, b,
+      |    strpos('0123456789abcdef', substr(hex, CAST(b // 4 AS INT) + 1, 1)) - 1 AS dval
+      |  FROM hx, UNNEST(generate_series(0, 31)) t(b)),
+      |votes AS (SELECT id, b,
+      |    SUM(2 * ((dval >> CAST(3 - b % 4 AS INT)) & 1) - 1) AS v
+      |  FROM bits GROUP BY 1, 2),
+      |sig AS (SELECT id,
+      |    CAST(SUM(CASE WHEN v > 0
+      |      THEN (CAST(1 AS BIGINT) << CAST(31 - b AS INT)) ELSE 0 END) AS BIGINT)
+      |      AS simhash
+      |  FROM votes GROUP BY 1)""".stripMargin
+
+  private val shinglesSql =
+    """toks AS (SELECT doc_id id, string_split(text, ' ') l FROM documents
+      |          WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (SELECT DISTINCT id, array_to_string(l[i:i+2], ' ') AS shingle
+      |       FROM toks, UNNEST(generate_series(1, len(l) - 2)) t(i))""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+
+    QueryDef("q40_dedup_exact",
+      (s, d) => Dedup.exactGroups(table(s, d, "documents"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum("n_copies").as("n_docs"),
+          sum(when(col("n_copies") > 1, 1L).otherwise(0L)).as("n_dup_groups"),
+          max("n_copies").as("max_copies")),
+      Some("""SELECT COUNT(*) AS n_groups,
+             |  CAST(SUM(c) AS BIGINT) AS n_docs,
+             |  CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+             |  MAX(c) AS max_copies
+             |FROM (SELECT md5(text) h, COUNT(*) c FROM documents GROUP BY 1) g"""
+        .stripMargin)),
+
+    QueryDef("q41_dedup_jaccard",
+      (s, d) => Dedup.jaccardPairs(table(s, d, "documents"), 3, 0.8)
+        .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("id1", "id2"),
+      Some(s"""WITH $shinglesSql,
+              |sizes AS (SELECT id, COUNT(*) n_sh FROM sh GROUP BY 1),
+              |inter AS (SELECT a.id id1, b.id id2, COUNT(*) n_common
+              |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+              |          GROUP BY 1, 2)
+              |SELECT id1, id2,
+              |  ROUND(CAST(n_common AS DOUBLE) / (na.n_sh + nb.n_sh - n_common), 4)
+              |    AS jaccard
+              |FROM inter
+              |JOIN sizes na ON na.id = id1 JOIN sizes nb ON nb.id = id2
+              |WHERE CAST(n_common AS DOUBLE) / (na.n_sh + nb.n_sh - n_common) >= 0.8
+              |ORDER BY 1, 2""".stripMargin)),
+
+    QueryDef("q42_dedup_minhash_lsh",
+      (s, d) => Dedup.minhashCandidates(table(s, d, "documents"), 3, 8, 2)
+        .orderBy("id1", "id2"),
+      Some(s"""WITH $shinglesSql,
+              |sigs AS (SELECT id, h,
+              |    MIN(md5(CAST(h AS VARCHAR) || ':' || shingle)) AS mh
+              |  FROM sh, UNNEST(generate_series(0, 7)) t(h) GROUP BY 1, 2),
+              |bands AS (SELECT id, h // 2 AS band,
+              |    md5(array_to_string(list_sort(
+              |      list(lpad(CAST(h AS VARCHAR), 2, '0') || '=' || mh)), '|'))
+              |      AS band_key
+              |  FROM sigs GROUP BY 1, 2)
+              |SELECT DISTINCT a.id AS id1, b.id AS id2
+              |FROM bands a JOIN bands b
+              |  ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
+              |ORDER BY 1, 2""".stripMargin)),
+
+    QueryDef("q43_dedup_simhash",
+      (s, d) => Dedup.simhashPairs(table(s, d, "documents"), 3)
+        .orderBy("id1", "id2"),
+      Some(s"""WITH $simhashSigSql
+              |SELECT a.id AS id1, b.id AS id2,
+              |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+              |FROM sig a JOIN sig b ON a.id < b.id
+              |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+              |ORDER BY 1, 2""".stripMargin)),
+
+    QueryDef("q44_embed_neardup",
+      (s, d) => Similarity.nearDupPairs(table(s, d, "embeddings"), 0.33)
+        .select(col("id1"), col("id2"), round(col("cos"), 5).as("cos"))
+        .orderBy("id1", "id2"),
+      Some(s"""WITH p AS (SELECT a.vec_id id1, b.vec_id id2,
+              |    ${dot64.format("a", "b")} AS dot,
+              |    ${norm2("a")} AS na2, ${norm2("b")} AS nb2
+              |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+              |SELECT id1, id2, ROUND(dot / (SQRT(na2) * SQRT(nb2)), 5) AS cos
+              |FROM p WHERE dot / (SQRT(na2) * SQRT(nb2)) >= 0.33
+              |ORDER BY 1, 2""".stripMargin)),
+
+    QueryDef("q45_sim_topk",
+      (s, d) => {
+        val emb = table(s, d, "embeddings")
+        Similarity.cosineTopK(emb, emb.where(col("vec_id") % 50 === 0), 5)
+          .select(col("query_id"), col("rk"), col("neighbor_id"),
+            round(col("cos"), 5).as("cos"))
+          .orderBy("query_id", "rk")
+      },
+      Some(s"""WITH q AS (SELECT vec_id query_id, embedding FROM embeddings
+              |           WHERE vec_id % 50 = 0),
+              |scored AS (SELECT q.query_id, e.vec_id neighbor_id,
+              |    ${dot64.format("q", "e")} /
+              |      (SQRT(${norm2("q")}) * SQRT(${norm2("e")})) AS cos
+              |  FROM embeddings e JOIN q ON e.vec_id <> q.query_id),
+              |r AS (SELECT query_id, neighbor_id, cos,
+              |    ROW_NUMBER() OVER (PARTITION BY query_id
+              |      ORDER BY cos DESC, neighbor_id ASC) AS rk
+              |  FROM scored)
+              |SELECT query_id, rk, neighbor_id, ROUND(cos, 5) AS cos
+              |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin)),
+
+    QueryDef("q46_sim_lsh_buckets",
+      (s, d) => {
+        val emb = table(s, d, "embeddings")
+        val buckets = Similarity.lshBuckets(emb, 6, 64)
+        val q = buckets.where(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("query_id"), col("bucket").as("qbucket"))
+        q.join(buckets.as("b"),
+            col("b.bucket") === col("qbucket") && col("b.vec_id") =!= col("query_id"),
+            "left")
+          .groupBy(col("query_id"), col("qbucket").as("bucket"))
+          .agg(count(col("b.vec_id")).as("n_mates"))
+          .orderBy("query_id")
+      },
+      Some("""WITH planes AS (SELECT p, i,
+             |    (strpos('0123456789abcdef',
+             |       substr(md5(CAST(p AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 1))
+             |     - 1 - 7.5) / 7.5 AS w
+             |  FROM UNNEST(generate_series(0, 5)) tp(p),
+             |       UNNEST(generate_series(0, 63)) ti(i)),
+             |comps AS (SELECT vec_id, i - 1 AS i, CAST(e AS DOUBLE) AS x
+             |  FROM (SELECT vec_id, UNNEST(embedding) e,
+             |          generate_subscripts(embedding, 1) i FROM embeddings) t),
+             |proj AS (SELECT vec_id, p, SUM(x * w) AS proj
+             |  FROM comps JOIN planes USING (i) GROUP BY 1, 2),
+             |bucket AS (SELECT vec_id,
+             |    CAST(SUM(CASE WHEN proj > 0
+             |      THEN (CAST(1 AS BIGINT) << CAST(p AS INT)) ELSE 0 END) AS BIGINT)
+             |      AS bucket
+             |  FROM proj GROUP BY 1)
+             |SELECT q.vec_id AS query_id, q.bucket,
+             |  CAST(COUNT(b.vec_id) AS BIGINT) AS n_mates
+             |FROM bucket q LEFT JOIN bucket b
+             |  ON b.bucket = q.bucket AND b.vec_id <> q.vec_id
+             |WHERE q.vec_id % 50 = 0
+             |GROUP BY 1, 2 ORDER BY 1""".stripMargin)),
+
+    QueryDef("q47_text_langid",
+      (s, d) => TextAnalysis.langId(table(s, d, "documents"))
+        .groupBy("pred_lang")
+        .agg(count(lit(1)).as("n_docs"), round(avg("score"), 4).as("avg_score"))
+        .orderBy("pred_lang"),
+      Some("""WITH toks AS (SELECT doc_id, UNNEST(string_split(text, ' ')) word
+             |              FROM documents),
+             |totals AS (SELECT doc_id, COUNT(*) n_tok FROM toks GROUP BY 1),
+             |lex(lang, word) AS (VALUES
+             |  ('en','the'),('en','a'),('en','of'),('en','and'),('en','to'),
+             |  ('en','in'),('en','is'),('en','it'),
+             |  ('de','der'),('de','die'),('de','das'),('de','und'),('de','ist'),
+             |  ('de','ein'),('de','zu'),('de','den'),
+             |  ('fr','le'),('fr','la'),('fr','les'),('fr','et'),('fr','est'),
+             |  ('fr','un'),('fr','une'),('fr','des')),
+             |langs AS (SELECT DISTINCT lang FROM lex),
+             |hits AS (SELECT doc_id, lang, COUNT(*) n_hit
+             |         FROM toks JOIN lex USING (word) GROUP BY 1, 2),
+             |scored AS (SELECT t.doc_id, l.lang,
+             |    COALESCE(h.n_hit, 0) * 1.0 / t.n_tok AS score
+             |  FROM totals t CROSS JOIN langs l
+             |  LEFT JOIN hits h ON h.doc_id = t.doc_id AND h.lang = l.lang),
+             |best AS (SELECT doc_id, lang, score,
+             |    ROW_NUMBER() OVER (PARTITION BY doc_id
+             |      ORDER BY score DESC, lang ASC) rk
+             |  FROM scored)
+             |SELECT lang AS pred_lang, COUNT(*) AS n_docs,
+             |  ROUND(AVG(score), 4) AS avg_score
+             |FROM best WHERE rk = 1 GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    QueryDef("q48_text_quality",
+      (s, d) => TextAnalysis.quality(table(s, d, "documents"))
+        .select(col("doc_id"), col("n_chars"), col("n_tokens"), col("n_uniq"),
+          round(col("stop_ratio"), 6).as("stop_ratio"),
+          round(col("ttr"), 6).as("ttr"),
+          round(col("avg_token_len"), 6).as("avg_token_len"),
+          round(col("quality"), 6).as("quality"))
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id,
+             |    CAST(LENGTH(text) AS BIGINT) AS n_chars,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq,
+             |    CAST(len(list_filter(string_split(text, ' '),
+             |      x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+             |      / len(string_split(text, ' ')) AS stop_ratio
+             |  FROM documents),
+             |f AS (SELECT doc_id, n_chars, n_tokens, n_uniq, stop_ratio,
+             |    CAST(n_uniq AS DOUBLE) / n_tokens AS ttr,
+             |    CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_token_len
+             |  FROM t)
+             |SELECT doc_id, n_chars, n_tokens, n_uniq,
+             |  ROUND(stop_ratio, 6) AS stop_ratio,
+             |  ROUND(ttr, 6) AS ttr,
+             |  ROUND(avg_token_len, 6) AS avg_token_len,
+             |  ROUND(LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.3
+             |    + stop_ratio * 0.2 + ttr * 0.2
+             |    + LEAST(avg_token_len / 10.0, 1.0) * 0.3, 6) AS quality
+             |FROM f ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("q49_text_token_stats",
+      (s, d) => TextAnalysis.tokenStats(table(s, d, "documents"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+             |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+             |    AS BIGINT) AS re_tokens,
+             |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+             |    AS uniq_tokens
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("q50_text_fingerprint",
+      (s, d) => TextAnalysis.fingerprint(table(s, d, "documents"))
+        .groupBy("fingerprint")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"))
+        .orderBy("fingerprint"),
+      Some("""SELECT md5(array_to_string(
+             |    list_sort(list_distinct(string_split(text, ' '))), ' '))
+             |    AS fingerprint,
+             |  COUNT(*) AS n_docs, MIN(doc_id) AS min_doc
+             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // multimodal plumbing: stubbed decode, real Spark pipeline shape
+    QueryDef("q51_multimodal_decode",
+      (s, d) => Multimodal.decodeFeatures(
+        Multimodal.asMedia(table(s, d, "documents"))).toDF()
+        .select(col("doc_id"), col("n_bytes"), col("content_sha"),
+          col("width"), col("height"),
+          round(element_at(col("histogram"), 1), 6).as("hist_0"),
+          round(element_at(col("histogram"), 2), 6).as("hist_1"))
+        .orderBy("doc_id"),
+      None),
+
+    QueryDef("q52_multimodal_frames",
+      (s, d) => Multimodal.sampleFrames(
+        Multimodal.asMedia(table(s, d, "documents")), 64, 2)
+        .groupBy("doc_id").agg(count(lit(1)).as("n_frames"),
+          sum(length(col("frame_bytes"))).as("total_bytes"))
+        .orderBy("doc_id"),
+      None),
+  )
+}

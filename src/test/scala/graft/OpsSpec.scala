@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops._
+
+/** Cross-operator invariants for the training-data ops on sf0.001 (the
+  * DuckDB oracle pins exact values; these pin the *relationships* between
+  * the exact and probabilistic operators).
+  */
+class OpsSpec extends AnyFunSuite with SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$dir/documents.parquet")
+  private lazy val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+
+  test("minhash-LSH candidates cover all high-Jaccard pairs") {
+    val exact = Dedup.jaccardPairs(docs, 3, 0.9)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = Dedup.minhashCandidates(docs, 3, 8, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "test corpus should contain planted near-dups")
+    assert(exact.subsetOf(cand),
+      s"missed by LSH: ${exact -- cand}")
+  }
+
+  test("near-identical docs have near-identical simhash") {
+    val nearDups = Dedup.jaccardPairs(docs, 3, 0.95)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(nearDups.nonEmpty)
+    val hams = Dedup.simhashPairs(docs, 32) // no filter: all pairs
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    nearDups.foreach { p =>
+      assert(hams(p) <= 6, s"pair $p hamming ${hams(p)} too far for a near-dup")
+    }
+  }
+
+  test("exact dedup groups partition the corpus") {
+    val n = docs.count()
+    val groups = Dedup.exactGroups(docs)
+    assert(groups.agg(sum("n_copies")).head.getLong(0) == n)
+  }
+
+  test("brute-force top-k is a valid ranking; lsh candidates respect buckets") {
+    val queries = emb.where(col("vec_id") % 50 === 0)
+    val topk = Similarity.cosineTopK(emb, queries, 5)
+    val rows = topk.collect()
+    assert(rows.nonEmpty)
+    // per query: ranks 1..5, cosine non-increasing, no self matches
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rk"))
+      assert(sorted.map(_.getAs[Int]("rk")).toSeq == (1 to sorted.length))
+      val cs = sorted.map(_.getAs[Double]("cos"))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+      assert(!rs.exists(_.getAs[Long]("neighbor_id") == q))
+    }
+    // lsh top-k results only pair vectors from the same bucket
+    val buckets = Similarity.lshBuckets(emb, 6, 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Similarity.lshTopK(emb, queries, 3, 6, 64).collect().foreach { r =>
+      assert(buckets(r.getAs[Long]("query_id")) ==
+        buckets(r.getAs[Long]("neighbor_id")))
+    }
+  }
+
+  test("stubbed multimodal decode is deterministic and shape-correct") {
+    val f1 = Multimodal.decodeFeatures(Multimodal.asMedia(docs)).collect()
+    val f2 = Multimodal.decodeFeatures(Multimodal.asMedia(docs)).collect()
+    assert(f1.map(_.content_sha).sorted.sameElements(f2.map(_.content_sha).sorted))
+    f1.foreach { m =>
+      assert(m.histogram.length == 4)
+      assert(math.abs(m.histogram.sum - 1.0) < 1e-9)
+      assert(m.width >= 64 && m.width < 256 && m.height >= 64 && m.height < 256)
+    }
+  }
+
+  test("language id prefers the language whose stopwords appear") {
+    val withThe = docs.where(col("text").contains(" the "))
+    val preds = TextAnalysis.langId(withThe).collect()
+    assert(preds.nonEmpty)
+    preds.foreach(r => assert(r.getAs[String]("pred_lang") == "en"))
+  }
+}
