@@ -13,11 +13,17 @@ package object functions {
   /** Porter-stem a string column (lowercases; non-`[a-z]+` pass through). */
   def porter_stem(c: Column): Column = toColumn(PorterStem(toExpr(c)))
 
+  /** Native codegen'd dot product of two `array<float>` columns. */
+  def float_dot(a: Column, b: Column): Column =
+    toColumn(FloatDot(toExpr(a), toExpr(b)))
+
   /** Register graft SQL functions on a session (idempotent), enabling
     * `SELECT porter_stem(col)` in `spark.sql`.
     */
   def registerAll(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "porter_stem", exprs => PorterStem(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "float_dot", exprs => FloatDot(exprs(0), exprs(1)), "scala_udf")
   }
 }

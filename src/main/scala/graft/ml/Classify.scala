@@ -1,0 +1,111 @@
+package graft.ml
+
+import org.apache.spark.ml.classification.RandomForestClassifier
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.PairVectors
+
+/** Reference Step 5 / WekaModel re-expressed on spark.ml: 24-dim similarity
+  * vectors → RandomForest → 10-fold cross-validated evaluation report
+  * (accuracy, per-class precision/recall/F1, confusion matrix).
+  *
+  * Weka ↔ MLlib forests are different algorithms (SURVEY §7.4): parameters
+  * are pinned toward Weka's defaults (numTrees=100 like Weka's iteration
+  * count, maxDepth=30 = MLlib's cap standing in for Weka's unlimited,
+  * featureSubsetStrategy="sqrt" ≈ Weka's log2+1), folds are seeded with 42
+  * like the reference (`Step5.java:133-148`), and acceptance is a metric
+  * band, not bit equality.
+  */
+object Classify {
+
+  final case class Report(
+      nInstances: Long,
+      accuracy: Double,
+      precisionSimilar: Double,
+      recallSimilar: Double,
+      f1Similar: Double,
+      tp: Long, fn: Long, fp: Long, tn: Long) {
+
+    /** Free-text rendering in the spirit of the reference's Weka report
+      * (`Step5.java:150-167`).
+      */
+    def render: String =
+      f"""=== 10-fold cross-validation ===
+         |Correctly classified:   ${(accuracy * nInstances).round}%d / $nInstances%d  (${accuracy * 100}%.4f %%)
+         |
+         |=== Class "similar" ===
+         |Precision: $precisionSimilar%.3f  Recall: $recallSimilar%.3f  F1: $f1Similar%.3f
+         |
+         |=== Confusion matrix ===
+         |              predicted
+         |actual     similar  not-similar
+         |similar    $tp%8d  $fn%11d
+         |not-sim    $fp%8d  $tn%11d""".stripMargin
+  }
+
+  /** Vectors DF (`related: Boolean` + the 24 [[PairVectors.vectorColumns]])
+    * → out-of-fold predictions for every instance, via seeded 10-fold CV.
+    * Non-finite features (the reference's Infinity sentinels surviving in
+    * faithful mode) are clipped to ±1e15 — MLlib trees reject NaN/Inf.
+    */
+  def crossValPredictions(vectors: DataFrame, folds: Int = 10,
+      seed: Long = 42L, numTrees: Int = 100): DataFrame = {
+    val cols = PairVectors.vectorColumns
+    val clipped = cols.foldLeft(vectors) { (df, c) =>
+      df.withColumn(c,
+        when(isnan(col(c)), 0.0)
+          .when(col(c) > 1e15, 1e15)
+          .when(col(c) < -1e15, -1e15)
+          .otherwise(col(c)))
+    }
+    // Stratified fold assignment (as Weka's CV does): within each label,
+    // spread rows round-robin over folds in a seeded random order — no
+    // fold can end up without train data even on tiny inputs.
+    val byLabel = org.apache.spark.sql.expressions.Window
+      .partitionBy("label").orderBy(rand(seed))
+    val labeled = clipped
+      .withColumn("label", col("related").cast("double"))
+      .withColumn("fold", (row_number().over(byLabel) % folds).cast("int"))
+      .cache()
+    val assembler = new VectorAssembler()
+      .setInputCols(cols.toArray).setOutputCol("features")
+    val rf = new RandomForestClassifier()
+      .setNumTrees(numTrees).setMaxDepth(30)
+      .setFeatureSubsetStrategy("sqrt").setSeed(seed)
+      .setLabelCol("label").setFeaturesCol("features")
+    val preds = (0 until folds).map { k =>
+      val train = assembler.transform(labeled.where(col("fold") =!= k))
+      val test = assembler.transform(labeled.where(col("fold") === k))
+      if (train.isEmpty || test.isEmpty) test.select(col("label"), col("label").as("prediction")).limit(0)
+      else rf.fit(train).transform(test).select("label", "prediction")
+    }
+    preds.reduce(_ unionByName _)
+  }
+
+  /** Confusion-matrix evaluation of out-of-fold predictions ("similar" =
+    * the positive class, as in `README.md:150-154`).
+    */
+  def evaluate(predictions: DataFrame): Report = {
+    val counts = predictions
+      .groupBy(col("label"), col("prediction")).count()
+      .collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)) -> r.getLong(2)).toMap
+      .withDefaultValue(0L)
+    val tp = counts((1.0, 1.0)); val fn = counts((1.0, 0.0))
+    val fp = counts((0.0, 1.0)); val tn = counts((0.0, 0.0))
+    val n = tp + fn + fp + tn
+    val prec = if (tp + fp == 0) 0.0 else tp.toDouble / (tp + fp)
+    val rec = if (tp + fn == 0) 0.0 else tp.toDouble / (tp + fn)
+    val f1 = if (prec + rec == 0) 0.0 else 2 * prec * rec / (prec + rec)
+    Report(n, if (n == 0) 0.0 else (tp + tn).toDouble / n, prec, rec, f1,
+      tp, fn, fp, tn)
+  }
+
+  /** End-to-end: vectors → CV → report (the engine's `classify` entry,
+    * reference entry point 3, `WekaModel.java:176-207`).
+    */
+  def run(vectors: DataFrame, folds: Int = 10, seed: Long = 42L): Report =
+    evaluate(crossValPredictions(vectors, folds, seed))
+}

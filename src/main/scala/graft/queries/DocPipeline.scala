@@ -48,6 +48,9 @@ object DocPipeline {
     * join (no driver action — the query form of [[graft.pipeline.Associate]],
     * same operand shapes/order).
     */
+  private[queries] def docAssocPublic(s: SparkSession, d: String): DataFrame =
+    docAssoc(s, d)
+
   private def docAssoc(s: SparkSession, d: String): DataFrame = {
     val pairs = edges(s, d).groupBy("lexeme", "feature")
       .agg(count(lit(1)).as("lf"))

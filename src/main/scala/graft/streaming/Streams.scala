@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface of the engine. The reference is strictly
+  * batch (SURVEY §2.10) — these are the engine-inherited streaming
+  * operators, shaped to mirror the batch event queries (q20/q21) so
+  * stream/batch parity is testable: the same transformation applied via
+  * `readStream` must agree with the batch result once all data is
+  * processed.
+  */
+object Streams {
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp,
+      user_id: Long, event_type: String, value: Double)
+
+  final case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Tumbling event-time window with watermarked late-data handling
+    * (streaming analog of q21_events_hourly).
+    */
+  def tumblingCounts(events: DataFrame, windowLen: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"), col("total_value"))
+
+  /** Gap-based session aggregation via the built-in session window
+    * (streaming analog of q20_events_sessionize).
+    */
+  def sessionAggs(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n_events"), col("total_value"))
+
+  /** Custom keyed state: running per-user totals via mapGroupsWithState —
+    * the engine's arbitrary-stateful-processing surface
+    * (`KeyValueGroupedDataset.mapGroupsWithState`).
+    */
+  def runningUserTotals(events: Dataset[Event]): Dataset[UserTotal] = {
+    val s2 = events.sparkSession; import s2.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserTotal, UserTotal](GroupStateTimeout.NoTimeout) {
+        (user, batch, state: GroupState[UserTotal]) =>
+          val prev = state.getOption.getOrElse(UserTotal(user, 0L, 0.0))
+          val (n, v) = batch.foldLeft((prev.n_events, prev.total_value)) {
+            case ((cn, cv), e) => (cn + 1, cv + e.value)
+          }
+          val next = UserTotal(user, n, v)
+          state.update(next)
+          next
+      }
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ml.Classify
+import graft.pipeline.{PairVectors, SemanticPipeline}
+
+class ClassifySpec extends AnyFunSuite with SparkTestBase {
+
+  /** Deterministic synthetic 24-dim vectors: related pairs get
+    * high-similarity / low-distance profiles, unrelated the opposite, with
+    * id-derived pseudo-noise — separable, so CV accuracy must be high.
+    */
+  private def syntheticVectors(n: Int) = {
+    val base = spark.range(n.toLong).toDF("id")
+      .withColumn("related", col("id") % 4 === 0)
+      .withColumn("noise", sin(col("id").cast("double")) * 0.05)
+    PairVectors.vectorColumns.zipWithIndex.foldLeft(
+      base.withColumn("w1", concat(lit("a"), col("id")))
+        .withColumn("w2", concat(lit("b"), col("id")))) {
+      case (df, (c, i)) =>
+        val sim = c.endsWith("cosine") || c.endsWith("jaccard") || c.endsWith("dice")
+        val high = when(col("related"), lit(if (sim) 0.9 else 2.0))
+          .otherwise(lit(if (sim) 0.1 else 40.0))
+        df.withColumn(c, high + col("noise") * (i + 1))
+    }
+  }
+
+  test("cross-validated RF separates a separable problem") {
+    val report = Classify.evaluate(
+      Classify.crossValPredictions(syntheticVectors(800), folds = 5,
+        seed = 42L, numTrees = 20))
+    assert(report.nInstances == 800)
+    assert(report.accuracy > 0.95, s"accuracy ${report.accuracy}")
+    assert(report.tp + report.fn == 200) // positives preserved
+    assert(report.tp + report.fn + report.fp + report.tn == 800)
+    assert(report.f1Similar > 0.9)
+    assert(report.render.contains("Confusion matrix"))
+  }
+
+  test("seeded CV is reproducible") {
+    val v = syntheticVectors(200)
+    val r1 = Classify.evaluate(Classify.crossValPredictions(v, 3, 7L, 10))
+    val r2 = Classify.evaluate(Classify.crossValPredictions(v, 3, 7L, 10))
+    assert(r1 == r2)
+  }
+
+  test("end-to-end on the reference fixtures (smoke: tiny gold standard)") {
+    val vecs = SemanticPipeline.vectors(spark,
+      "/root/reference/small-sample.txt",
+      "/root/reference/test_gold_standard.txt")
+    val report = Classify.run(vecs, folds = 2)
+    assert(report.nInstances == 4)
+    assert(report.tp + report.fn == 1) // one related pair (about, us)
+  }
+}

@@ -1,0 +1,115 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Streams
+import graft.streaming.Streams.Event
+
+class StreamingSpec extends AnyFunSuite with SparkTestBase {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def ev(id: Long, t: String, user: Long, value: Double = 1.0) =
+    Event(id, ts(t), user, "a", value)
+
+  test("tumbling window with watermark finalizes windows and drops late data") {
+    val s2 = spark; import s2.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = Streams.tumblingCounts(input.toDF, "1 hour", "30 minutes")
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        ev(1, "2024-01-01 10:00:00", 1), ev(2, "2024-01-01 10:10:00", 1),
+        ev(3, "2024-01-01 10:05:00", 2), ev(4, "2024-01-01 11:00:00", 1))
+      q.processAllAvailable()
+      // advance watermark beyond 12:00 so both windows finalize
+      input.addData(ev(5, "2024-01-01 14:00:00", 1))
+      q.processAllAvailable()
+      // late event for the already-finalized 10:00 window: must be dropped
+      input.addData(ev(6, "2024-01-01 10:20:00", 1))
+      input.addData(ev(7, "2024-01-01 15:00:00", 1)) // push watermark again
+      q.processAllAvailable()
+      val rows = spark.table("tumbling")
+        .select("window_start", "n").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rows("2024-01-01 10:00:00") == 3L, s"got $rows") // late ev(6) dropped
+      assert(rows("2024-01-01 11:00:00") == 1L)
+    } finally q.stop()
+  }
+
+  test("session windows merge events within the gap") {
+    val s2 = spark; import s2.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = Streams.sessionAggs(input.toDF, "30 minutes", "30 minutes")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        ev(1, "2024-01-01 10:00:00", 1), ev(2, "2024-01-01 10:10:00", 1),
+        ev(3, "2024-01-01 11:00:00", 1), // 50 min gap -> new session
+        ev(4, "2024-01-01 10:05:00", 2))
+      q.processAllAvailable()
+      input.addData(ev(5, "2024-01-01 14:00:00", 3)) // advance watermark
+      q.processAllAvailable()
+      val rows = spark.table("sessions")
+        .select("user_id", "session_start", "n_events").collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(rows((1L, "2024-01-01 10:00:00")) == 2L, s"got $rows")
+      assert(rows((1L, "2024-01-01 11:00:00")) == 1L)
+      assert(rows((2L, "2024-01-01 10:05:00")) == 1L)
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState accumulates running user totals across batches") {
+    val s2 = spark; import s2.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = Streams.runningUserTotals(input.toDS)
+      .writeStream.format("memory").queryName("totals")
+      .outputMode("update").start()
+    try {
+      input.addData(ev(1, "2024-01-01 10:00:00", 1, 2.0),
+        ev(2, "2024-01-01 10:01:00", 1, 3.0))
+      q.processAllAvailable()
+      input.addData(ev(3, "2024-01-01 10:02:00", 1, 5.0),
+        ev(4, "2024-01-01 10:03:00", 2, 7.0))
+      q.processAllAvailable()
+      val latest = spark.table("totals")
+        .groupBy("user_id").agg(max("n_events").as("n"), max("total_value").as("v"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(latest(1L) == ((3L, 10.0)), s"got $latest")
+      assert(latest(2L) == ((1L, 7.0)))
+    } finally q.stop()
+  }
+
+  test("stream/batch parity: same transformation, same result on bounded data") {
+    val s2 = spark; import s2.implicits._
+    val staticEvents = Seq(
+      ev(1, "2024-01-01 10:00:00", 1), ev(2, "2024-01-01 10:10:00", 1),
+      ev(3, "2024-01-01 11:00:00", 1), ev(4, "2024-01-01 10:05:00", 2))
+    val batch = Streams.tumblingCounts(staticEvents.toDF, "1 hour", "30 minutes")
+      .select("window_start", "event_type", "n").collect().toSet
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = Streams.tumblingCounts(input.toDF, "1 hour", "30 minutes")
+      .writeStream.format("memory").queryName("parity")
+      .outputMode("append").start()
+    try {
+      input.addData(staticEvents: _*)
+      q.processAllAvailable()
+      input.addData(ev(9, "2024-01-01 23:00:00", 9)) // finalize everything
+      q.processAllAvailable()
+      val streamed = spark.table("parity")
+        .where(col("window_start") < "2024-01-01 22:00:00")
+        .select("window_start", "event_type", "n").collect().toSet
+      assert(streamed == batch, s"stream=$streamed batch=$batch")
+    } finally q.stop()
+  }
+}
