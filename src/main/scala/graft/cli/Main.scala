@@ -1,0 +1,118 @@
+package graft.cli
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.io.{ArffSink, FaithfulText}
+import graft.ml.Classify
+import graft.pipeline._
+
+/** Per-stage command-line entry points — reference §3.2 parity: each
+  * pipeline stage is independently runnable against materialized inputs,
+  * so partial reruns work like the reference's per-step jars, and §3.3's
+  * standalone classification rerun is `classify`.
+  *
+  * {{{
+  * graft.cli.Main counts    --corpus F --out D [--format parquet|text]
+  * graft.cli.Main associate --corpus F --out D [--format parquet|text]
+  * graft.cli.Main vectors   --corpus F --gold F --out D
+  *                          [--faithful] [--format parquet|text|arff]
+  * graft.cli.Main classify  --vectors D --report F [--folds N]
+  * graft.cli.Main pipeline  --corpus F --gold F --out D --report F
+  * }}}
+  */
+object Main {
+
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) { System.err.println(usage); sys.exit(2) }
+    val cmd = args.head
+    val opts = parseOpts(args.tail)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName(s"graft-$cmd")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(cmd, opts, spark)
+    catch {
+      case e: IllegalArgumentException =>
+        System.err.println(s"error: ${e.getMessage}\n$usage"); sys.exit(2)
+    } finally spark.stop()
+  }
+
+  private def run(cmd: String, opts: Map[String, String],
+      spark: SparkSession): Unit = cmd match {
+    case "counts" =>
+      val c = Counts.fromEdges(Biarcs.readEdges(spark, req(opts, "corpus")))
+      write(Counts.taggedUnion(c), c.pairs, opts)
+    case "associate" =>
+      val assoc = SemanticPipeline.associations(spark, req(opts, "corpus"))
+      write(FaithfulText.assocLines(assoc), assoc, opts)
+    case "vectors" =>
+      val vecs = SemanticPipeline.vectors(spark, req(opts, "corpus"),
+        req(opts, "gold"), opts.contains("faithful"))
+      opts.getOrElse("format", "parquet") match {
+        case "arff" => ArffSink.writeLocal(vecs, req(opts, "out"))
+        case "text" =>
+          FaithfulText.vectorLines(vecs).write.mode("overwrite")
+            .text(req(opts, "out"))
+        case _ => vecs.write.mode("overwrite").parquet(req(opts, "out"))
+      }
+    case "classify" =>
+      val vecs = spark.read.parquet(req(opts, "vectors"))
+      val report = Classify.run(vecs,
+        folds = opts.getOrElse("folds", "10").toInt)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(req(opts, "report")), report.render + "\n")
+      println(report.render)
+    case "pipeline" =>
+      val vecs = SemanticPipeline.vectors(spark, req(opts, "corpus"),
+        req(opts, "gold"), opts.contains("faithful"))
+      vecs.write.mode("overwrite").parquet(req(opts, "out"))
+      val report = Classify.run(spark.read.parquet(req(opts, "out")),
+        folds = opts.getOrElse("folds", "10").toInt)
+      opts.get("report").foreach(p => java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(p), report.render + "\n"))
+      println(report.render)
+    case other =>
+      throw new IllegalArgumentException(s"unknown command '$other'")
+  }
+
+  private def write(textForm: DataFrame, parquetForm: DataFrame,
+      opts: Map[String, String]): Unit =
+    opts.getOrElse("format", "parquet") match {
+      case "text" => textForm.write.mode("overwrite").text(req(opts, "out"))
+      case _ => parquetForm.write.mode("overwrite").parquet(req(opts, "out"))
+    }
+
+  private def req(opts: Map[String, String], k: String): String =
+    opts.getOrElse(k,
+      throw new IllegalArgumentException(s"missing required option --$k"))
+
+  private def parseOpts(args: Array[String]): Map[String, String] = {
+    val it = args.iterator
+    val m = Map.newBuilder[String, String]
+    while (it.hasNext) {
+      val a = it.next()
+      if (!a.startsWith("--"))
+        throw new IllegalArgumentException(s"unexpected argument '$a'")
+      val k = a.stripPrefix("--")
+      if (k == "faithful") m += k -> "true"
+      else if (it.hasNext) m += k -> it.next()
+      else throw new IllegalArgumentException(s"option --$k needs a value")
+    }
+    m.result()
+  }
+
+  private val usage: String =
+    """usage: graft.cli.Main <counts|associate|vectors|classify|pipeline> [options]
+      |  counts    --corpus FILE --out DIR [--format parquet|text]
+      |  associate --corpus FILE --out DIR [--format parquet|text]
+      |  vectors   --corpus FILE --gold FILE --out DIR [--faithful]
+      |            [--format parquet|text|arff]
+      |  classify  --vectors DIR --report FILE [--folds N]
+      |  pipeline  --corpus FILE --gold FILE --out DIR [--report FILE]
+      |            [--faithful] [--folds N]""".stripMargin
+}

@@ -19,6 +19,22 @@ object FaithfulText {
 
   private def d(c: Column): Column = format_string("%s", c)
 
+  /** Step-2 output lines: two rows per pair, `<lexeme> <feature>\tlf=<c>
+    * l=<cl>` and `<lexeme> <feature>\tlf=<c> f=<cf>` (`Step2.java:76-78`) —
+    * the enriched-pairs relation the engine never materializes (it is the
+    * intermediate shape of the 3-way join).
+    */
+  def enrichedPairLines(counts: graft.pipeline.CorpusCounts): DataFrame = {
+    val key = concat_ws(" ", col("lexeme"), col("feature"))
+    val lRows = counts.pairs.join(counts.lexemes, "lexeme")
+      .select(concat_ws("\t", key,
+        format_string("lf=%s l=%s", col("lf"), col("l"))).as("value"))
+    val fRows = counts.pairs.join(counts.features, "feature")
+      .select(concat_ws("\t", key,
+        format_string("lf=%s f=%s", col("lf"), col("f"))).as("value"))
+    lRows.unionByName(fRows)
+  }
+
   /** Step-3 output lines: `<lexeme> <feature>\tassoc_freq=_ assoc_prob=_
     * assoc_PMI=_ assoc_t_test=_` (`Step3.java:96-98`).
     */

@@ -21,22 +21,32 @@ import graft.pipeline.PairVectors
 object Classify {
 
   final case class Report(
+      folds: Int,
       nInstances: Long,
       accuracy: Double,
+      kappa: Double,
+      aucSimilar: Double,
       precisionSimilar: Double,
       recallSimilar: Double,
       f1Similar: Double,
+      weightedPrecision: Double,
+      weightedRecall: Double,
+      weightedF1: Double,
       tp: Long, fn: Long, fp: Long, tn: Long) {
 
     /** Free-text rendering in the spirit of the reference's Weka report
-      * (`Step5.java:150-167`).
+      * (`Step5.java:150-167`, `README.md:111-132`).
       */
     def render: String =
-      f"""=== 10-fold cross-validation ===
+      f"""=== $folds%d-fold cross-validation ===
          |Correctly classified:   ${(accuracy * nInstances).round}%d / $nInstances%d  (${accuracy * 100}%.4f %%)
+         |Kappa statistic:        $kappa%.4f
+         |ROC area (similar):     $aucSimilar%.4f
          |
          |=== Class "similar" ===
          |Precision: $precisionSimilar%.3f  Recall: $recallSimilar%.3f  F1: $f1Similar%.3f
+         |=== Weighted avg ===
+         |Precision: $weightedPrecision%.3f  Recall: $weightedRecall%.3f  F1: $weightedF1%.3f
          |
          |=== Confusion matrix ===
          |              predicted
@@ -78,8 +88,19 @@ object Classify {
     val preds = (0 until folds).map { k =>
       val train = assembler.transform(labeled.where(col("fold") =!= k))
       val test = assembler.transform(labeled.where(col("fold") === k))
-      if (train.isEmpty || test.isEmpty) test.select(col("label"), col("label").as("prediction")).limit(0)
-      else rf.fit(train).transform(test).select("label", "prediction")
+      if (train.isEmpty || test.isEmpty)
+        test.select(col("label"), col("label").as("prediction"),
+          col("label").as("p_similar")).limit(0)
+      else {
+        // a fold trained on a single class yields a 1-element probability
+        // vector; recover P(similar) from the lone class's probability
+        val arr = org.apache.spark.ml.functions.vector_to_array(col("probability"))
+        rf.fit(train).transform(test)
+          .select(col("label"), col("prediction"),
+            when(size(arr) === 2, element_at(arr, 2))
+              .otherwise(when(col("prediction") === 1.0, element_at(arr, 1))
+                .otherwise(lit(1.0) - element_at(arr, 1))).as("p_similar"))
+      }
     }
     preds.reduce(_ unionByName _)
   }
@@ -87,7 +108,7 @@ object Classify {
   /** Confusion-matrix evaluation of out-of-fold predictions ("similar" =
     * the positive class, as in `README.md:150-154`).
     */
-  def evaluate(predictions: DataFrame): Report = {
+  def evaluate(predictions: DataFrame, folds: Int = 10): Report = {
     val counts = predictions
       .groupBy(col("label"), col("prediction")).count()
       .collect()
@@ -99,13 +120,51 @@ object Classify {
     val prec = if (tp + fp == 0) 0.0 else tp.toDouble / (tp + fp)
     val rec = if (tp + fn == 0) 0.0 else tp.toDouble / (tp + fn)
     val f1 = if (prec + rec == 0) 0.0 else 2 * prec * rec / (prec + rec)
-    Report(n, if (n == 0) 0.0 else (tp + tn).toDouble / n, prec, rec, f1,
+    val accuracy = if (n == 0) 0.0 else (tp + tn).toDouble / n
+    // Cohen's kappa: observed vs chance agreement from the margins
+    val pe = if (n == 0) 0.0
+      else ((tp + fn).toDouble * (tp + fp) + (tn + fp).toDouble * (tn + fn)) /
+        (n.toDouble * n)
+    val kappa = if (pe == 1.0) 0.0 else (accuracy - pe) / (1 - pe)
+    // negative-class and weighted one-vs-rest metrics (Weka's summary rows)
+    val precN = if (tn + fn == 0) 0.0 else tn.toDouble / (tn + fn)
+    val recN = if (tn + fp == 0) 0.0 else tn.toDouble / (tn + fp)
+    val f1N = if (precN + recN == 0) 0.0 else 2 * precN * recN / (precN + recN)
+    val wPos = (tp + fn).toDouble / math.max(1L, n)
+    val wNeg = (tn + fp).toDouble / math.max(1L, n)
+    Report(folds, n, accuracy, kappa, aucFromScores(predictions),
+      prec, rec, f1,
+      wPos * prec + wNeg * precN, wPos * rec + wNeg * recN,
+      wPos * f1 + wNeg * f1N,
       tp, fn, fp, tn)
+  }
+
+  /** ROC area for the positive class via the Mann-Whitney rank statistic
+    * over P(similar), with average ranks for ties — computed distributed
+    * (one window over the score order, no driver collect of scores).
+    */
+  private def aucFromScores(predictions: DataFrame): Double = {
+    if (!predictions.columns.contains("p_similar")) return 0.0
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("p_similar"))
+    val ranked = predictions
+      .withColumn("r_min", rank().over(w))
+      .withColumn("ties", count(lit(1)).over(
+        Window.partitionBy(col("p_similar"))))
+      .withColumn("r_avg", col("r_min") + (col("ties") - 1) / 2.0)
+    val agg = ranked.agg(
+      sum(when(col("label") === 1.0, col("r_avg"))).as("posRankSum"),
+      sum(when(col("label") === 1.0, 1L).otherwise(0L)).as("npos"),
+      sum(when(col("label") === 0.0, 1L).otherwise(0L)).as("nneg")).head
+    val npos = agg.getLong(1); val nneg = agg.getLong(2)
+    if (npos == 0 || nneg == 0) 0.0
+    else (agg.getDouble(0) - npos.toDouble * (npos + 1) / 2) /
+      (npos.toDouble * nneg)
   }
 
   /** End-to-end: vectors → CV → report (the engine's `classify` entry,
     * reference entry point 3, `WekaModel.java:176-207`).
     */
   def run(vectors: DataFrame, folds: Int = 10, seed: Long = 42L): Report =
-    evaluate(crossValPredictions(vectors, folds, seed))
+    evaluate(crossValPredictions(vectors, folds, seed), folds)
 }

@@ -27,12 +27,15 @@ object MlQueries {
         }
         val vecs = PairVectors.vectors(DocPipelineAccess.assoc(s, d), gold)
         val r = Classify.evaluate(
-          Classify.crossValPredictions(vecs, folds = 4, seed = 42L, numTrees = 25))
+          Classify.crossValPredictions(vecs, folds = 4, seed = 42L, numTrees = 25),
+          folds = 4)
         val s2 = s; import s2.implicits._
-        Seq((r.nInstances, r.accuracy, r.precisionSimilar, r.recallSimilar,
-          r.f1Similar, r.tp, r.fn, r.fp, r.tn))
-          .toDF("n_instances", "accuracy", "precision_similar",
-            "recall_similar", "f1_similar", "tp", "fn", "fp", "tn")
+        Seq((r.nInstances, r.accuracy, r.kappa, r.aucSimilar,
+          r.precisionSimilar, r.recallSimilar, r.f1Similar,
+          r.tp, r.fn, r.fp, r.tn))
+          .toDF("n_instances", "accuracy", "kappa", "auc_similar",
+            "precision_similar", "recall_similar", "f1_similar",
+            "tp", "fn", "fp", "tn")
       },
       None),
 

@@ -36,6 +36,9 @@ class ClassifySpec extends AnyFunSuite with SparkTestBase {
     assert(report.tp + report.fn == 200) // positives preserved
     assert(report.tp + report.fn + report.fp + report.tn == 800)
     assert(report.f1Similar > 0.9)
+    assert(report.kappa > 0.85, s"kappa ${report.kappa}")
+    assert(report.aucSimilar > 0.95, s"auc ${report.aucSimilar}")
+    assert(report.weightedF1 > 0.9)
     assert(report.render.contains("Confusion matrix"))
   }
 
