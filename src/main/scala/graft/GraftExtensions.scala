@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{FloatDot, PorterStem}
+
+/** Session-extension registration: makes graft's native expressions
+  * available to pure-SQL users at session construction, with no code call —
+  * {{{
+  * spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  * // or: SparkSession.builder().withExtensions(new GraftExtensions) ...
+  * }}}
+  * (Programmatic alternative: `graft.functions.registerAll(spark)`.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("porter_stem"),
+      new ExpressionInfo(classOf[PorterStem].getName, "porter_stem"),
+      (exprs: Seq[Expression]) => graft.functions.buildPorterStem(exprs)))
+    e.injectFunction((
+      FunctionIdentifier("float_dot"),
+      new ExpressionInfo(classOf[FloatDot].getName, "float_dot"),
+      (exprs: Seq[Expression]) => graft.functions.buildFloatDot(exprs)))
+  }
+}

@@ -11,7 +11,8 @@ object SparkEntry {
     * optional DuckDB oracle.
     */
   def defs: Seq[QueryDef] =
-    Core.all ++ DocPipeline.all ++ TrainingOps.all ++ MlQueries.all
+    Core.all ++ Analytics.all ++ DocPipeline.all ++ TrainingOps.all ++
+      MlQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full semantic-similarity pair-vector pipeline re-expressed over the

@@ -22,8 +22,20 @@ package object functions {
     */
   def registerAll(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "porter_stem", exprs => PorterStem(exprs.head), "scala_udf")
+      "porter_stem", exprs => buildPorterStem(exprs), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "float_dot", exprs => FloatDot(exprs(0), exprs(1)), "scala_udf")
+      "float_dot", exprs => buildFloatDot(exprs), "scala_udf")
+  }
+
+  private[graft] def buildPorterStem(exprs: Seq[Expression]): PorterStem = {
+    require(exprs.length == 1,
+      s"porter_stem requires exactly 1 argument, got ${exprs.length}")
+    PorterStem(exprs.head)
+  }
+
+  private[graft] def buildFloatDot(exprs: Seq[Expression]): FloatDot = {
+    require(exprs.length == 2,
+      s"float_dot requires exactly 2 arguments, got ${exprs.length}")
+    FloatDot(exprs(0), exprs(1))
   }
 }

@@ -79,7 +79,12 @@ object PairVectors {
     *
     * Output: `w1, w2, related` + [[vectorColumns]].
     */
-  def vectors(assoc: DataFrame, gold: DataFrame, faithful: Boolean = false): DataFrame = {
+  /** The pivot stage alone: gold-matched association rows pivoted to one
+    * row per (pair, feature) with `<measure>_1` / `<measure>_2` columns —
+    * the input shape shared by the wide-agg ([[vectors]]) and single-UDAF
+    * ([[vectorsViaAggregator]]) finishers.
+    */
+  def perFeature(assoc: DataFrame, gold: DataFrame): DataFrame = {
     // Both orientations of every gold pair, keyed by the word whose feature
     // rows they consume; distinct = the reference's per-key HashSet dedup.
     val sides = gold
@@ -104,19 +109,29 @@ object PairVectors {
         coalesce(max(when(col("isw1"), col(m))), lit(0.0)).as(s"${s}_1"),
         coalesce(max(when(!col("isw1"), col(m))), lit(0.0)).as(s"${s}_2"))
     }
-    val perFeature = matched
+    matched
       .groupBy("w1", "w2", "related", "feature")
       .agg(pivotAggs.head, pivotAggs.tail: _*)
+  }
+
+  /** The 24-dim aggregation via the single-buffer typed UDAF (corrected
+    * mode only — see [[Vector24Aggregator]]).
+    */
+  def vectorsViaAggregator(assoc: DataFrame, gold: DataFrame): DataFrame =
+    Vector24Aggregator.aggregate(perFeature(assoc, gold))
+
+  def vectors(assoc: DataFrame, gold: DataFrame, faithful: Boolean = false): DataFrame = {
+    val pf = perFeature(assoc, gold)
 
     // Faithful JS reset: find the last both-zero feature per pair and
     // measure; only later features contribute. Window and the following
     // aggregation share the (w1, w2, related) hash partitioning, so this
     // adds no extra shuffle.
     val withReset =
-      if (!faithful) perFeature
+      if (!faithful) pf
       else {
         val w = Window.partitionBy("w1", "w2", "related")
-        measureShort.foldLeft(perFeature) { (df, s) =>
+        measureShort.foldLeft(pf) { (df, s) =>
           df.withColumn(s"${s}_rf",
             max(when(col(s"${s}_1") === 0.0 && col(s"${s}_2") === 0.0,
               col("feature"))).over(w))

@@ -1,0 +1,132 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import QueryDef.table
+
+/** Analytic extensions of the battery: distribution window functions,
+  * pivot, exact percentiles, bag semantics, correlated aggregation, range
+  * frames — Spark-inherited surfaces (SURVEY §2.5/§2.7/§2.8 "absent in the
+  * reference, engine gets them free") exercised against the oracle.
+  */
+object Analytics {
+
+  val all: Seq[QueryDef] = Seq(
+
+    QueryDef("q23_window_analytic",
+      (s, d) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        table(s, d, "orders")
+          .withColumn("bucket4", ntile(4).over(w))
+          .withColumn("pr", round(percent_rank().over(w), 6))
+          .withColumn("cd", round(cume_dist().over(w), 6))
+          .withColumn("cheapest", first(col("o_totalprice")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+          .withColumn("priciest", last(col("o_totalprice")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+          .where(col("o_orderkey") % 101 === 0)
+          .select("o_orderkey", "o_orderpriority", "bucket4", "pr", "cd",
+            "cheapest", "priciest")
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderpriority, bucket4, pr, cd, cheapest, priciest
+             |FROM (
+             |  SELECT o_orderkey, o_orderpriority,
+             |    NTILE(4) OVER w AS bucket4,
+             |    ROUND(PERCENT_RANK() OVER w, 6) AS pr,
+             |    ROUND(CUME_DIST() OVER w, 6) AS cd,
+             |    FIRST_VALUE(o_totalprice) OVER
+             |      (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             |      AS cheapest,
+             |    LAST_VALUE(o_totalprice) OVER
+             |      (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             |      AS priciest
+             |  FROM orders
+             |  WINDOW w AS (PARTITION BY o_orderpriority
+             |               ORDER BY o_totalprice, o_orderkey)) t
+             |WHERE o_orderkey % 101 = 0 ORDER BY o_orderkey""".stripMargin)),
+
+    QueryDef("q24_pivot",
+      (s, d) => table(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+             |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+             |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+             |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    QueryDef("q25_percentiles",
+      (s, d) => table(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
+          round(expr("percentile(l_quantity, 0.9)"), 6).as("p90_qty"),
+          round(expr("percentile(l_extendedprice, 0.25)"), 6).as("p25_price"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  ROUND(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+             |  ROUND(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+             |  ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS p25_price
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // bag (UNION ALL) vs set semantics in one result
+    QueryDef("q26_union_all_bag",
+      (s, d) => {
+        val a = table(s, d, "orders").select(col("o_custkey").as("k"))
+        val b = table(s, d, "customer").select(col("c_custkey").as("k"))
+        val bag = a.unionAll(b)
+        bag.agg(count(lit(1)).as("bag_rows"),
+          countDistinct(col("k")).as("set_rows"))
+      },
+      Some("""SELECT COUNT(*) AS bag_rows, COUNT(DISTINCT k) AS set_rows
+             |FROM (SELECT o_custkey AS k FROM orders
+             |      UNION ALL SELECT c_custkey FROM customer) t""".stripMargin)),
+
+    // correlated aggregate: customers whose order revenue exceeds 8x acctbal
+    QueryDef("q27_correlated_agg",
+      (s, d) => {
+        val totals = table(s, d, "orders")
+          .groupBy(col("o_custkey")).agg(sum("o_totalprice").as("rev"))
+        table(s, d, "customer")
+          .join(totals, col("c_custkey") === col("o_custkey"))
+          .where(col("rev") > col("c_acctbal") * 8 && col("c_acctbal") > 0)
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("n_big_spenders"))
+          .orderBy("c_nationkey")
+      },
+      Some("""SELECT c_nationkey, COUNT(*) AS n_big_spenders
+             |FROM customer
+             |WHERE c_acctbal > 0 AND
+             |  (SELECT SUM(o_totalprice) FROM orders WHERE o_custkey = c_custkey)
+             |    > c_acctbal * 8
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // event-time range frame: trailing 7-day quantity per supplier
+    QueryDef("q28_range_frame",
+      (s, d) => {
+        val li = table(s, d, "lineitem").where(col("l_suppkey") <= 3)
+          .withColumn("us", unix_micros(col("l_shipdate").cast("timestamp")))
+        val w = Window.partitionBy("l_suppkey").orderBy(col("us"))
+          .rangeBetween(-7L * 86400L * 1000000L, 0L)
+        li.withColumn("qty_7d", round(sum("l_quantity").over(w), 4))
+          .select("l_suppkey", "l_orderkey", "l_linenumber", "qty_7d")
+          .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
+             |  ROUND(SUM(l_quantity) OVER (PARTITION BY l_suppkey
+             |    ORDER BY epoch_us(l_shipdate)
+             |    RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW), 4)
+             |    AS qty_7d
+             |FROM lineitem WHERE l_suppkey <= 3
+             |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin)),
+  )
+}

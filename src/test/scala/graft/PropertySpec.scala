@@ -1,0 +1,113 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.text.PorterStemmer
+
+/** Property-based checks (SURVEY §5.2): parser totality, aggregation
+  * associativity, similarity identities — pure-Scala properties on the
+  * oracle model (the distributed implementation is pinned to it by
+  * PipelineSpec/ByteParitySpec, so properties proved here transfer).
+  */
+class PropertySpec extends AnyFunSuite {
+
+  /** Run a ScalaCheck property under ScalaTest (the scalatestplus bridge
+    * is not in the offline cache).
+    */
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(60), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private def forAll[A](g: Gen[A])(f: A => Unit): Prop =
+    Prop.forAll(g) { a => f(a); true }
+
+  private def forAll[A, B](g1: Gen[A], g2: Gen[B])(f: (A, B) => Unit): Prop =
+    Prop.forAll(g1, g2) { (a, b) => f(a, b); true }
+
+  private val token: Gen[String] = for {
+    w <- Gen.oneOf(Gen.alphaLowerStr.map(_.take(8)), Gen.const("run"),
+      Gen.const("#"), Gen.const(""))
+    pos <- Gen.oneOf("NN", "VB", "JJ", "#")
+    dep <- Gen.oneOf("dobj", "nsubj", "dep", "prep")
+    idx <- Gen.chooseNum(-2, 12)
+  } yield s"$w/$pos/$dep/$idx"
+
+  private val corpusLine: Gen[String] = for {
+    head <- Gen.alphaLowerStr.map(w => if (w.isEmpty) "x" else w.take(6))
+    toks <- Gen.listOfN(5, token)
+    cnt <- Gen.chooseNum(-3L, 500L)
+    junk <- Gen.oneOf("1999,1", "", "\t2000,2")
+  } yield s"$head\t${toks.mkString(" ")}\t$cnt\t$junk"
+
+  test("parser is total: never throws, every edge is well-formed") {
+    check(forAll(Gen.listOf(Gen.oneOf(corpusLine, Gen.asciiPrintableStr))) { lines =>
+      val edges = NaiveSemanticOracle.edges(lines)
+      edges.foreach { e =>
+        assert(e.cnt >= -3L)
+        assert(e.feat.contains("-"))
+      }
+    })
+  }
+
+  test("count aggregation is partition-invariant (partial agg ≡ single agg)") {
+    check(forAll(Gen.listOf(corpusLine), Gen.chooseNum(1, 7)) { (lines, nSplits) =>
+      val whole = NaiveSemanticOracle.edges(lines)
+        .groupMapReduce(e => (e.lex, e.feat))(_.cnt)(_ + _)
+      // split edges arbitrarily, partially aggregate, then merge
+      val parts = NaiveSemanticOracle.edges(lines).zipWithIndex
+        .groupBy(_._2 % nSplits).values
+        .map(_.map(_._1).groupMapReduce(e => (e.lex, e.feat))(_.cnt)(_ + _))
+      val merged = parts.foldLeft(Map.empty[(String, String), Long]) {
+        (acc, m) => m.foldLeft(acc) { case (a, (k, v)) =>
+          a.updated(k, a.getOrElse(k, 0L) + v) }
+      }
+      assert(merged == whole)
+    })
+  }
+
+  test("self-similarity identities: cosine=1, jaccard=1, dice=1, js=0, dist=0") {
+    val posVec = Gen.nonEmptyListOf(Gen.chooseNum(1e-6, 1e6))
+    check(forAll(posVec) { v =>
+      val feats = v.indices.map(i => s"f$i")
+      // corrected-mode accumulators over identical vectors
+      var (man, dot, n1, n2, mn, mx, sm, js) = (0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+      feats.zip(v).foreach { case (_, x) =>
+        man += math.abs(x - x); dot += x * x; n1 += x * x; n2 += x * x
+        mn += math.min(x, x); mx += math.max(x, x); sm += 2 * x
+        val mean = x
+        js += x * math.log(x / mean) + x * math.log(x / mean)
+      }
+      assert(man == 0.0)
+      assert(math.abs(dot / (math.sqrt(n1) * math.sqrt(n2)) - 1.0) < 1e-12)
+      assert(math.abs(mn / mx - 1.0) < 1e-12)
+      assert(math.abs(2 * mn / sm - 1.0) < 1e-12)
+      assert(math.abs(js) < 1e-9)
+    })
+  }
+
+  test("stemmer is idempotent-safe on its contract and never lengthens words") {
+    check(forAll(Gen.alphaLowerStr.map(_.take(20))) { w =>
+      val s = PorterStemmer.stem(w)
+      assert(s.length <= math.max(w.length, 2))
+      assert(s == s.toLowerCase)
+      // non-alphabetic passthrough
+      assert(PorterStemmer.stem(w + "9") == (w + "9"))
+    })
+  }
+
+  test("gold parser keeps exactly 3-field lines, label case-insensitively") {
+    check(forAll(Gen.listOf(Gen.oneOf(
+      Gen.const("alpha beta True"), Gen.const("a  b FALSE"),
+      Gen.const("too many fields here x"), Gen.const("short one"),
+      Gen.asciiPrintableStr))) { lines =>
+      val parsed = NaiveSemanticOracle.gold(lines)
+      assert(parsed.forall { case (w1, w2, _) => w1.nonEmpty && w2.nonEmpty })
+      val wellFormed = lines.count(l => l.split("\\s+").length == 3)
+      assert(parsed.size <= wellFormed + lines.count(
+        _.trim.split("\\s+").length == 3))
+    })
+  }
+}
