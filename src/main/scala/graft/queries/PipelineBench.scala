@@ -1,0 +1,86 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.pipeline._
+import QueryDef.table
+
+/** The REAL biarcs pipeline under load: a deterministic synthetic corpus
+  * (md5-driven, Zipf-ish word draws over a suffixed vocabulary so Porter
+  * stemming collapses key families exactly like real text) generated as
+  * pure column expressions — no files, no RNG-partitioning dependence —
+  * then Steps 1-4 end-to-end. This is the bench entry that measures the
+  * engine's own hot paths (stemmer codegen, one-scan counts, 3-way join,
+  * broadcast gold join, pivot + wide agg) rather than Spark's built-ins.
+  */
+object PipelineBench {
+
+  /** 40 stem bases × 10 suffix forms = 400 surface words whose stems
+    * collapse to the 40 bases.
+    */
+  private val vocab: Seq[String] = {
+    val bases = Seq("run", "jump", "walk", "talk", "work", "play", "read",
+      "write", "sing", "dance", "cook", "clean", "build", "break", "start",
+      "stop", "open", "close", "move", "turn", "help", "call", "ask",
+      "answer", "learn", "teach", "show", "watch", "listen", "speak",
+      "count", "measure", "relate", "connect", "compute", "process",
+      "filter", "sort", "merge", "join")
+    val suffixes = Seq("", "s", "ing", "ed", "er", "ly", "ness", "ation",
+      "ful", "ious")
+    for (b <- bases; s <- suffixes) yield b + s
+  }
+
+  private val deps = Seq("dobj", "nsubj", "amod", "prep", "pobj", "conj")
+
+  /** `lines` corpus lines, `k` tokens each. Word draw: idx =
+    * floor(u^3 * |vocab|) over a uniform u from md5 — a Zipf-ish skew
+    * (the hot words appear ~30× the median), deterministic everywhere.
+    */
+  def syntheticCorpus(spark: SparkSession, lines: Long, k: Int): DataFrame = {
+    val vocabArr = array(vocab.map(lit): _*)
+    val depsArr = array(deps.map(lit): _*)
+    def u(j: Int) = // uniform in [0,1) from 4 md5 hex digits
+      expr(s"conv(substring(md5(concat(id, '-', $j)), 1, 4), 16, 10)")
+        .cast("double") / 65536.0
+    def word(j: Int) =
+      element_at(vocabArr, (pow(u(j), 3.0) * vocab.size).cast("int") + 1)
+    def dep(j: Int) =
+      element_at(depsArr, (u(j + 100) * deps.size).cast("int") + 1)
+    def head(j: Int) = // 0 = root for token 1; others point anywhere
+      (u(j + 200) * k).cast("int")
+    val tokens = (1 to k).map(j =>
+      concat_ws("/", word(j), lit("NN"), dep(j), head(j).cast("string")))
+    spark.range(lines).select(
+      concat_ws("\t",
+        word(0),
+        concat_ws(" ", tokens: _*),
+        ((u(300) * 99).cast("int") + 1).cast("string"),
+        lit("2000,1")).as("value"))
+  }
+
+  private val gold: Seq[(String, String, Boolean)] = Seq(
+    ("run", "walk", true), ("jump", "dance", true), ("read", "write", true),
+    ("merge", "join", true), ("count", "measure", true),
+    ("cook", "compute", false), ("sing", "filter", false),
+    ("open", "close", false), ("teach", "process", false),
+    ("help", "sort", false))
+
+  val all: Seq[QueryDef] = Seq(
+    // rows-only: the oracle for these semantics is the golden/differential
+    // suite; this entry exists to be BENCHED at scale
+    QueryDef("q62_pipeline_synthetic",
+      (s, d) => {
+        // scale with the harness SF: ~200 corpus lines per document row
+        val lines = table(s, d, "documents").count() * 200L
+        val corpus = syntheticCorpus(s, lines, 8)
+        val counts = Counts.fromEdges(Biarcs.edges(corpus))
+        val assoc = Associate.associate(counts)
+        val s2 = s; import s2.implicits._
+        val goldDf = gold.toDF("w1", "w2", "related")
+        PairVectors.vectors(assoc, goldDf)
+          .orderBy("w1", "w2")
+      },
+      None),
+  )
+}
