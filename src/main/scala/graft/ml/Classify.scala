@@ -75,9 +75,20 @@ object Classify {
     // fold can end up without train data even on tiny inputs.
     val byLabel = org.apache.spark.sql.expressions.Window
       .partitionBy("label").orderBy(rand(seed))
-    val labeled = clipped
+    val prepared = clipped
       .withColumn("label", col("related").cast("double"))
+      .cache()
+    // MLlib tree fitting launches dozens of jobs per forest; leaving a
+    // small training set scattered over shuffle-partition-count mostly-empty
+    // partitions multiplies task-scheduling overhead ~20x (observed: 63s →
+    // 3s for the battery's 8-row smoke). Size partitions to the data.
+    val n = prepared.count()
+    val parts = math.max(1, math.min(
+      vectors.sparkSession.sparkContext.defaultParallelism,
+      (n / 5000L).toInt + 1))
+    val labeled = prepared
       .withColumn("fold", (row_number().over(byLabel) % folds).cast("int"))
+      .repartition(parts)
       .cache()
     val assembler = new VectorAssembler()
       .setInputCols(cols.toArray).setOutputCol("features")

@@ -27,7 +27,7 @@ object MlQueries {
         }
         val vecs = PairVectors.vectors(DocPipelineAccess.assoc(s, d), gold)
         val r = Classify.evaluate(
-          Classify.crossValPredictions(vecs, folds = 4, seed = 42L, numTrees = 25),
+          Classify.crossValPredictions(vecs, folds = 4, seed = 42L, numTrees = 10),
           folds = 4)
         val s2 = s; import s2.implicits._
         Seq((r.nInstances, r.accuracy, r.kappa, r.aucSimilar,

@@ -36,27 +36,34 @@ object PipelineBench {
   /** `lines` corpus lines, `k` tokens each. Word draw: idx =
     * floor(u^3 * |vocab|) over a uniform u from md5 — a Zipf-ish skew
     * (the hot words appear ~30× the median), deterministic everywhere.
+    *
+    * The token array is built with a `transform` lambda over a single
+    * vocabulary column: inlining the 400-literal array once per token (the
+    * first version did) explodes the generated method past janino's limits
+    * and silently drops the whole stage to interpreted mode.
     */
   def syntheticCorpus(spark: SparkSession, lines: Long, k: Int): DataFrame = {
-    val vocabArr = array(vocab.map(lit): _*)
-    val depsArr = array(deps.map(lit): _*)
-    def u(j: Int) = // uniform in [0,1) from 4 md5 hex digits
-      expr(s"conv(substring(md5(concat(id, '-', $j)), 1, 4), 16, 10)")
-        .cast("double") / 65536.0
-    def word(j: Int) =
-      element_at(vocabArr, (pow(u(j), 3.0) * vocab.size).cast("int") + 1)
-    def dep(j: Int) =
-      element_at(depsArr, (u(j + 100) * deps.size).cast("int") + 1)
-    def head(j: Int) = // 0 = root for token 1; others point anywhere
-      (u(j + 200) * k).cast("int")
-    val tokens = (1 to k).map(j =>
-      concat_ws("/", word(j), lit("NN"), dep(j), head(j).cast("string")))
-    spark.range(lines).select(
-      concat_ws("\t",
-        word(0),
-        concat_ws(" ", tokens: _*),
-        ((u(300) * 99).cast("int") + 1).cast("string"),
-        lit("2000,1")).as("value"))
+    // uniform in [0,1) from xxhash64 — a few ns per draw; an earlier
+    // md5-hex version made corpus *generation* dominate the whole benchmark
+    def u(salt: Int, j: String) =
+      s"pmod(xxhash64(id, $salt, $j), 65536) / 65536.0"
+    def zipfWord(salt: Int, j: String) =
+      s"element_at(v, cast(pow(${u(salt, j)}, 3.0) * ${vocab.size} AS INT) + 1)"
+    spark.range(lines)
+      .select(col("id"),
+        array(vocab.map(lit): _*).as("v"),
+        array(deps.map(lit): _*).as("dp"))
+      .select(expr(
+        s"""concat_ws('\t',
+           |  ${zipfWord(1, "0")},
+           |  concat_ws(' ', transform(sequence(1, $k), j ->
+           |    concat_ws('/',
+           |      ${zipfWord(1, "j")},
+           |      'NN',
+           |      element_at(dp, cast(${u(2, "j")} * ${deps.size} AS INT) + 1),
+           |      cast(cast(${u(3, "j")} * $k AS INT) AS STRING)))),
+           |  cast(cast(${u(4, "300")} * 99 AS INT) + 1 AS STRING),
+           |  '2000,1')""".stripMargin).as("value"))
   }
 
   private val gold: Seq[(String, String, Boolean)] = Seq(

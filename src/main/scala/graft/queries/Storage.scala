@@ -1,0 +1,51 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import QueryDef.table
+
+/** Storage/sketch surfaces: approximate distinct (HLL) self-validated
+  * against exact, and a CSV sink→source roundtrip whose aggregates the
+  * oracle can compute directly from the source table.
+  */
+object Storage {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // approx_count_distinct: the oracle pins the exact count and the
+    // claim "approx landed within 5%" (TRUE on both sides iff it did)
+    QueryDef("q63_approx_distinct",
+      (s, d) => table(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct("l_partkey").as("exact_nd"),
+          (abs(approx_count_distinct("l_partkey", 0.02) -
+            countDistinct("l_partkey")) <=
+            countDistinct("l_partkey") * 0.05).as("approx_ok"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  COUNT(DISTINCT l_partkey) AS exact_nd,
+             |  TRUE AS approx_ok
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // CSV sink + schema-inferred source roundtrip; aggregates must equal
+    // the direct-from-parquet oracle
+    QueryDef("q64_csv_roundtrip",
+      (s, d) => {
+        val docs = table(s, d, "documents")
+          .select("doc_id", "lang", "source", "n_chars")
+        val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+        docs.write.mode("overwrite").option("header", "true").csv(tmp)
+        s.read.option("header", "true").option("inferSchema", "true").csv(tmp)
+          .agg(count(lit(1)).as("n"),
+            sum("n_chars").cast("long").as("total_chars"),
+            countDistinct("lang").as("n_langs"),
+            countDistinct("source").as("n_sources"))
+      },
+      Some("""SELECT COUNT(*) AS n,
+             |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             |  COUNT(DISTINCT lang) AS n_langs,
+             |  COUNT(DISTINCT source) AS n_sources
+             |FROM documents""".stripMargin)),
+  )
+}
