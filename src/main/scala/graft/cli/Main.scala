@@ -51,8 +51,16 @@ object Main {
       val assoc = SemanticPipeline.associations(spark, req(opts, "corpus"))
       write(FaithfulText.assocLines(assoc), assoc, opts)
     case "vectors" =>
-      val vecs = SemanticPipeline.vectors(spark, req(opts, "corpus"),
-        req(opts, "gold"), opts.contains("faithful"))
+      // faithful mode routes through the order-preserving aggregation so
+      // the text rendering is byte-identical to the reference's output
+      val vecs =
+        if (opts.contains("faithful")) {
+          val assoc = SemanticPipeline.associations(spark, req(opts, "corpus"))
+          val gold = PairVectors.parseGold(
+            spark.read.text(req(opts, "gold")))
+          PairVectors.vectorsOrdered(assoc, gold, faithful = true)
+        } else SemanticPipeline.vectors(spark, req(opts, "corpus"),
+          req(opts, "gold"))
       opts.getOrElse("format", "parquet") match {
         case "arff" => ArffSink.writeLocal(vecs, req(opts, "out"))
         case "text" =>

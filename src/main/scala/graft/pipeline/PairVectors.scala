@@ -120,6 +120,77 @@ object PairVectors {
   def vectorsViaAggregator(assoc: DataFrame, gold: DataFrame): DataFrame =
     Vector24Aggregator.aggregate(perFeature(assoc, gold))
 
+  /** Order-preserving aggregation path: per pair, features are consumed in
+    * sorted order (`flatMapSortedGroups`), so every floating-point sum
+    * accumulates in exactly the reference reducer's order
+    * (`Step4.java:211-247` walks a feature-sorted stream) — the resulting
+    * doubles are BIT-IDENTICAL to the reference, not just within tolerance,
+    * and the faithful JS both-zero reset falls out naturally. One extra
+    * sort inside the existing shuffle; use when byte-parity text output
+    * matters more than raw throughput.
+    */
+  def vectorsOrdered(assoc: DataFrame, gold: DataFrame,
+      faithful: Boolean = false): DataFrame = {
+    val pf = perFeature(assoc, gold)
+    val s2 = pf.sparkSession
+    import s2.implicits._
+    val typed = pf.select(
+      col("w1"), col("w2"), col("related"), col("feature"),
+      col("freq_1"), col("freq_2"), col("prob_1"), col("prob_2"),
+      col("pmi_1"), col("pmi_2"), col("ttest_1"), col("ttest_2"))
+      .as[(String, String, Boolean, String,
+        Double, Double, Double, Double, Double, Double, Double, Double)]
+    val out = typed
+      .groupByKey(r => (r._1, r._2, r._3))
+      .flatMapSortedGroups(col("feature")) { case ((w1, w2, related), rows) =>
+        val man, euc, dot, n1, n2, mn, mx, sm, js1, js2 = new Array[Double](4)
+        rows.foreach { r =>
+          val vs = Array(r._5, r._6, r._7, r._8, r._9, r._10, r._11, r._12)
+          var m = 0
+          while (m < 4) {
+            val v1 = vs(2 * m); val v2 = vs(2 * m + 1)
+            man(m) += math.abs(v1 - v2)
+            euc(m) += (if (faithful) (v1 + v2) * (v1 + v2)
+                       else (v1 - v2) * (v1 - v2))
+            dot(m) += v1 * v2; n1(m) += v1 * v1; n2(m) += v2 * v2
+            mn(m) += math.min(v1, v2); mx(m) += math.max(v1, v2)
+            sm(m) += v1 + v2
+            val mean = (v1 + v2) / 2.0
+            if (faithful && v1 == 0.0 && v2 == 0.0) {
+              js1(m) = 0.0; js2(m) = 0.0
+            } else {
+              if (v1 > 0 && mean > 0) js1(m) += v1 * math.log(v1 / mean)
+              if (v2 > 0 && mean > 0) js2(m) += v2 * math.log(v2 / mean)
+            }
+            m += 1
+          }
+        }
+        val v = new Array[Double](24)
+        var m = 0
+        while (m < 4) {
+          v(m * 6) = if (man(m).isNaN) Double.PositiveInfinity else man(m)
+          v(m * 6 + 1) =
+            if (euc(m) < 0 || euc(m).isNaN) Double.PositiveInfinity
+            else math.sqrt(euc(m))
+          val cos = dot(m) / (math.sqrt(n1(m)) * math.sqrt(n2(m)))
+          v(m * 6 + 2) = if (n1(m) <= 0 || n2(m) <= 0 || cos.isNaN) 0.0 else cos
+          val jac = mn(m) / mx(m)
+          v(m * 6 + 3) = if (mx(m) == 0 || jac.isNaN) 0.0 else jac
+          val dice = 2 * mn(m) / sm(m)
+          v(m * 6 + 4) = if (sm(m) == 0 || dice.isNaN) 0.0 else dice
+          val js = js1(m) + js2(m)
+          v(m * 6 + 5) = if (js.isNaN) Double.PositiveInfinity else js
+          m += 1
+        }
+        Iterator((w1, w2, related, v))
+      }
+      .toDF("w1", "w2", "related", "vec")
+    val named = vectorColumns.zipWithIndex.map { case (c, i) =>
+      element_at(col("vec"), i + 1).as(c)
+    }
+    out.select(col("w1") +: col("w2") +: col("related") +: named: _*)
+  }
+
   def vectors(assoc: DataFrame, gold: DataFrame, faithful: Boolean = false): DataFrame = {
     val pf = perFeature(assoc, gold)
 

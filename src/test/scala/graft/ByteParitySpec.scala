@@ -62,6 +62,17 @@ class ByteParitySpec extends AnyFunSuite with SparkTestBase {
     got.zip(want).foreach { case (g, w) => assert(g == w) }
   }
 
+  test("Step-4 vectors: BYTE parity via the order-preserving path (faithful)") {
+    val assoc = Associate.associate(counts)
+    val gold = PairVectors.parseGold(spark.read.text(goldFile))
+    val got = FaithfulText.vectorLines(
+      PairVectors.vectorsOrdered(assoc, gold, faithful = true))
+      .collect().map(_.getString(0)).sorted
+    val want = golden("step4.txt").sorted
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) => assert(g == w) }
+  }
+
   test("Step-4 vectors: numeric parity at 1e-9 (faithful mode)") {
     def parse(line: String): ((String, String, String), Array[Double]) = {
       val Array(key, arr) = line.split("\t")
