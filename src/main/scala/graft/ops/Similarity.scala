@@ -97,6 +97,59 @@ object Similarity {
     scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
   }
 
+  /** IVF (inverted-file) index: a k-means coarse quantizer over the
+    * embeddings; each vector belongs to its nearest centroid's list.
+    * Returns (centroids as (cid, centroid: array<float>), assignments as
+    * corpus + cid). The third similarity tier next to brute force and
+    * hyperplane LSH: recall is tunable via `nprobe` at query time, and the
+    * quadratic scoring is confined to the probed lists.
+    */
+  def ivfIndex(corpus: DataFrame, nlist: Int, seed: Long = 42L)
+      : (DataFrame, DataFrame) = {
+    val s2 = corpus.sparkSession; import s2.implicits._
+    val featured = corpus.withColumn("features",
+      org.apache.spark.ml.functions.array_to_vector(col("embedding")))
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nlist).setSeed(seed).setFeaturesCol("features")
+      .fit(featured)
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.map(_.toFloat))
+    }.toSeq.toDF("cid", "centroid")
+    val assigned = model.transform(featured)
+      .withColumnRenamed("prediction", "cid")
+      .drop("features")
+    (centroids, assigned)
+  }
+
+  /** Approximate top-k through the IVF index: each query probes its
+    * `nprobe` nearest centroid lists (by exact cosine to the centroids,
+    * computed against the broadcast centroid table), then ranks exact
+    * cosine within the probed lists. `nprobe == nlist` degenerates to the
+    * exact brute-force ranking.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int, nprobe: Int, seed: Long = 42L): DataFrame = {
+    val (centroids, assigned) = ivfIndex(corpus, nlist, seed)
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("ccos",
+        dot(col("qv"), col("centroid")) / (col("qn") * norm(col("centroid"))))
+      .withColumn("crk", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("ccos").desc, col("cid").asc)))
+      .where(col("crk") <= nprobe)
+      .select("query_id", "qv", "qn", "cid")
+    val cand = assigned.withColumn("cn", norm(col("embedding")))
+    val scored = cand.join(broadcast(probes),
+      cand("cid") === probes("cid") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("qv"), col("embedding")) / (col("qn") * col("cn"))).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+  }
+
   /** All corpus pairs with cosine >= `minCos` (embedding near-dup sweep;
     * validation-scale all-pairs — at 100 TB gate through [[lshBuckets]]
     * first).

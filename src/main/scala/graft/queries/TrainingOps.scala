@@ -170,6 +170,20 @@ object TrainingOps {
              |WHERE q.vec_id % 50 = 0
              |GROUP BY 1, 2 ORDER BY 1""".stripMargin)),
 
+    // IVF ANN (KMeans coarse quantizer): rows-only — clustering assignment
+    // is partitioning-dependent, but the (query × k) output shape and the
+    // nprobe==nlist ≡ brute-force law (OpsSpec) pin the semantics
+    QueryDef("q66_sim_ivf",
+      (s, d) => {
+        val emb = table(s, d, "embeddings")
+        Similarity.ivfTopK(emb, emb.where(col("vec_id") % 50 === 0), 5,
+          nlist = 8, nprobe = 3)
+          .select(col("query_id"), col("rk"), col("neighbor_id"),
+            round(col("cos"), 5).as("cos"))
+          .orderBy("query_id", "rk")
+      },
+      None),
+
     QueryDef("q47_text_langid",
       (s, d) => TextAnalysis.langId(table(s, d, "documents"))
         .groupBy("pred_lang")

@@ -43,6 +43,16 @@ object Streams {
         date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
         col("n_events"), col("total_value"))
 
+  /** Streaming deduplication by event id, with state bounded by the
+    * watermark (the streaming form of exact dedup for at-least-once
+    * sources — duplicates arriving within the watermark horizon are
+    * dropped, state for expired ids is evicted).
+    */
+  def dedupedEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Custom keyed state: running per-user totals via mapGroupsWithState —
     * the engine's arbitrary-stateful-processing surface
     * (`KeyValueGroupedDataset.mapGroupsWithState`).

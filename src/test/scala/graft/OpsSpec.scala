@@ -64,6 +64,25 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("IVF with nprobe == nlist equals exact brute-force ranking") {
+    val queries = emb.where(col("vec_id") % 100 === 0)
+    val exact = Similarity.cosineTopK(emb, queries, 5)
+      .select("query_id", "rk", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val ivfFull = Similarity.ivfTopK(emb, queries, 5, nlist = 4, nprobe = 4)
+      .select("query_id", "rk", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(ivfFull == exact)
+    // restricted probing returns a subset ranking drawn from probed lists
+    val ivf1 = Similarity.ivfTopK(emb, queries, 5, nlist = 4, nprobe = 2)
+    assert(ivf1.count() > 0)
+    val recall = ivf1.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .count(p2 => exact.exists { case ((q, _), n) => q == p2._1 && n == p2._2 })
+      .toDouble / exact.size
+    assert(recall >= 0.3, s"ivf nprobe=2/4 recall $recall")
+  }
+
   test("stubbed multimodal decode is deterministic and shape-correct") {
     val f1 = Multimodal.decodeFeatures(Multimodal.asMedia(docs)).collect()
     val f2 = Multimodal.decodeFeatures(Multimodal.asMedia(docs)).collect()

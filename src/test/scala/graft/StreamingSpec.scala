@@ -89,6 +89,24 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming dedup drops duplicate ids within the watermark") {
+    val s2 = spark; import s2.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = Streams.dedupedEvents(input.toDF, "1 hour")
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      input.addData(ev(1, "2024-01-01 10:00:00", 1), ev(1, "2024-01-01 10:00:01", 1))
+      q.processAllAvailable()
+      input.addData(ev(1, "2024-01-01 10:05:00", 1), // dup across batches
+        ev(2, "2024-01-01 10:06:00", 2))
+      q.processAllAvailable()
+      val ids = spark.table("dedup").select("event_id").collect().map(_.getLong(0)).sorted
+      assert(ids.sameElements(Array(1L, 2L)), s"got ${ids.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("stream/batch parity: same transformation, same result on bounded data") {
     val s2 = spark; import s2.implicits._
     val staticEvents = Seq(
