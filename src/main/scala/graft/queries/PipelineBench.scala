@@ -16,19 +16,20 @@ import QueryDef.table
   */
 object PipelineBench {
 
-  /** 40 stem bases × 10 suffix forms = 400 surface words whose stems
-    * collapse to the 40 bases.
+  /** 40 stem bases × 10 suffix forms = 400 surface words (base-major
+    * order, so consecutive 10-word runs share a base family).
     */
+  private val stemBases = Seq("run", "jump", "walk", "talk", "work", "play",
+    "read", "write", "sing", "dance", "cook", "clean", "build", "break",
+    "start", "stop", "open", "close", "move", "turn", "help", "call", "ask",
+    "answer", "learn", "teach", "show", "watch", "listen", "speak",
+    "count", "measure", "relate", "connect", "compute", "process",
+    "filter", "sort", "merge", "join")
+
   private val vocab: Seq[String] = {
-    val bases = Seq("run", "jump", "walk", "talk", "work", "play", "read",
-      "write", "sing", "dance", "cook", "clean", "build", "break", "start",
-      "stop", "open", "close", "move", "turn", "help", "call", "ask",
-      "answer", "learn", "teach", "show", "watch", "listen", "speak",
-      "count", "measure", "relate", "connect", "compute", "process",
-      "filter", "sort", "merge", "join")
     val suffixes = Seq("", "s", "ing", "ed", "er", "ly", "ness", "ation",
       "ful", "ious")
-    for (b <- bases; s <- suffixes) yield b + s
+    for (b <- stemBases; s <- suffixes) yield b + s
   }
 
   private val deps = Seq("dobj", "nsubj", "amod", "prep", "pobj", "conj")
@@ -64,6 +65,63 @@ object PipelineBench {
            |      cast(cast(${u(3, "j")} * $k AS INT) AS STRING)))),
            |  cast(cast(${u(4, "300")} * 99 AS INT) + 1 AS STRING),
            |  '2000,1')""".stripMargin).as("value"))
+  }
+
+  /** Topic-structured variant: each line draws a topic; 70% of its word
+    * draws come from that topic's slice of the vocabulary, the rest from
+    * the global Zipf. Words in the same slice therefore share
+    * distributional contexts — so gold pairs labeled related=same-slice
+    * give the downstream classifier a REAL signal to learn from the
+    * pipeline's 24-dim vectors (the end-to-end ML validation the
+    * reference's 93.4% baseline plays on its corpus).
+    */
+  def structuredCorpus(spark: SparkSession, lines: Long, k: Int,
+      topics: Int): DataFrame = {
+    val slice = vocab.size / topics
+    def u(salt: Int, j: String) =
+      s"pmod(xxhash64(id, $salt, $j), 65536) / 65536.0"
+    // topic of the line, then per-word: topic slice with p=0.7 else global
+    val topicIdx = s"cast(${u(9, "0")} * $topics AS INT)"
+    def word(j: String) =
+      s"""element_at(v, CASE WHEN ${u(5, j)} < 0.7
+         |  THEN $topicIdx * $slice + cast(${u(6, j)} * $slice AS INT) + 1
+         |  ELSE cast(pow(${u(1, j)}, 3.0) * ${vocab.size} AS INT) + 1 END)"""
+        .stripMargin
+    spark.range(lines)
+      .select(col("id"),
+        array(vocab.map(lit): _*).as("v"),
+        array(deps.map(lit): _*).as("dp"))
+      .select(expr(
+        s"""concat_ws('\t',
+           |  ${word("0")},
+           |  concat_ws(' ', transform(sequence(1, $k), j ->
+           |    concat_ws('/',
+           |      ${word("j")},
+           |      'NN',
+           |      element_at(dp, cast(${u(2, "j")} * ${deps.size} AS INT) + 1),
+           |      cast(cast(${u(3, "j")} * $k AS INT) AS STRING)))),
+           |  cast(cast(${u(4, "300")} * 99 AS INT) + 1 AS STRING),
+           |  '2000,1')""".stripMargin).as("value"))
+  }
+
+  /** Gold pairs over the structured corpus, expressed as STEMS (the assoc
+    * relation's lexemes are Porter stems): related = two different base
+    * families from the same topic slice, unrelated = cross-topic.
+    */
+  def structuredGold(topics: Int): Seq[(String, String, Boolean)] = {
+    val per = stemBases.size / topics
+    val byTopic = (0 until topics).map(t =>
+      stemBases.slice(t * per, (t + 1) * per)
+        .map(graft.text.PorterStemmer.stem))
+    val related = for {
+      t <- 0 until topics
+      pair <- byTopic(t).grouped(2).toSeq if pair.size == 2 && pair(0) != pair(1)
+    } yield (pair(0), pair(1), true)
+    val unrelated = for {
+      t <- 0 until topics
+      i <- 0 until math.min(2, per)
+    } yield (byTopic(t)(i), byTopic((t + 1) % topics)((i + per / 2) % per), false)
+    (related ++ unrelated).distinct
   }
 
   private val gold: Seq[(String, String, Boolean)] = Seq(
