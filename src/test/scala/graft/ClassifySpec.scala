@@ -42,6 +42,21 @@ class ClassifySpec extends AnyFunSuite with SparkTestBase {
     assert(report.render.contains("Confusion matrix"))
   }
 
+  test("hand-rolled metrics agree with spark.ml's MulticlassClassificationEvaluator") {
+    import org.apache.spark.ml.evaluation.MulticlassClassificationEvaluator
+    val preds = Classify.crossValPredictions(syntheticVectors(400), folds = 4,
+      seed = 11L, numTrees = 15).cache()
+    val report = Classify.evaluate(preds, 4)
+    def ev(metric: String) = new MulticlassClassificationEvaluator()
+      .setLabelCol("label").setPredictionCol("prediction")
+      .setMetricName(metric).evaluate(preds)
+    assert(math.abs(report.accuracy - ev("accuracy")) < 1e-12)
+    assert(math.abs(report.weightedPrecision - ev("weightedPrecision")) < 1e-12)
+    assert(math.abs(report.weightedRecall - ev("weightedRecall")) < 1e-12)
+    assert(math.abs(report.weightedF1 - ev("weightedFMeasure")) < 1e-9)
+    preds.unpersist()
+  }
+
   test("seeded CV is reproducible") {
     val v = syntheticVectors(200)
     val r1 = Classify.evaluate(Classify.crossValPredictions(v, 3, 7L, 10))
