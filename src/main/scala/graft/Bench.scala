@@ -27,17 +27,28 @@ object Bench {
 
     val results = SparkEntry.defs.sortBy(_.name).map { q =>
       val t0 = System.nanoTime()
-      try q.query(spark, sfDir).count()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
-      }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { q.query(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+          false
+        }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Session hygiene between entries: any relation a query persisted and
+      // failed to release must not distort the NEXT entries' timings
+      // (round-1 lesson: leaked caches inflated q62 by 8×).
+      spark.catalog.clearCache()
+      (q.name, if (ok) dt else -1.0, ok)
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
+    // failed queries are reported as -1.0 and excluded from the total, plus
+    // listed in "failed" so a partially-broken run can't pass as a fast one
+    val qs = results.map { case (k, v, _) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v, true) => v }.sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

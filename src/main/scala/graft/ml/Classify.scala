@@ -32,6 +32,8 @@ object Classify {
       weightedPrecision: Double,
       weightedRecall: Double,
       weightedF1: Double,
+      mae: Double,
+      rmse: Double,
       tp: Long, fn: Long, fp: Long, tn: Long) {
 
     /** Free-text rendering in the spirit of the reference's Weka report
@@ -41,6 +43,8 @@ object Classify {
       f"""=== $folds%d-fold cross-validation ===
          |Correctly classified:   ${(accuracy * nInstances).round}%d / $nInstances%d  (${accuracy * 100}%.4f %%)
          |Kappa statistic:        $kappa%.4f
+         |Mean absolute error:    $mae%.4f
+         |Root mean squared error: $rmse%.4f
          |ROC area (similar):     $aucSimilar%.4f
          |
          |=== Class "similar" ===
@@ -113,7 +117,16 @@ object Classify {
                 .otherwise(lit(1.0) - element_at(arr, 1))).as("p_similar"))
       }
     }
-    preds.reduce(_ unionByName _)
+    // Materialize the out-of-fold predictions (gold-bounded: one row per
+    // labeled pair) while the fold caches are still warm, then release
+    // them — otherwise every battery/bench run leaks two cached relations
+    // for the session's lifetime. Callers that keep the result past one
+    // evaluation should unpersist it (run() does).
+    val out = preds.reduce(_ unionByName _).cache()
+    out.count()
+    prepared.unpersist()
+    labeled.unpersist()
+    out
   }
 
   /** Confusion-matrix evaluation of out-of-fold predictions ("similar" =
@@ -143,39 +156,87 @@ object Classify {
     val f1N = if (precN + recN == 0) 0.0 else 2 * precN * recN / (precN + recN)
     val wPos = (tp + fn).toDouble / math.max(1L, n)
     val wNeg = (tn + fp).toDouble / math.max(1L, n)
+    val (mae, rmse) = errorMetrics(predictions)
     Report(folds, n, accuracy, kappa, aucFromScores(predictions),
       prec, rec, f1,
       wPos * prec + wNeg * precN, wPos * rec + wNeg * recN,
       wPos * f1 + wNeg * f1N,
+      mae, rmse,
       tp, fn, fp, tn)
+  }
+
+  /** Weka's MAE/RMSE for a classifier (`README.md:114-115,143-144` of the
+    * reference; Weka `Evaluation.updateNumericScores`): per instance, the
+    * class-probability vector is compared against the 0/1 indicator vector
+    * and the per-class differences are averaged. For two classes both
+    * differences have the same magnitude |P(similar) − label|, so
+    * MAE = mean |p − y| and RMSE = sqrt(mean (p − y)²) over the
+    * out-of-fold P(similar).
+    */
+  private def errorMetrics(predictions: DataFrame): (Double, Double) = {
+    if (!predictions.columns.contains("p_similar")) return (0.0, 0.0)
+    val d = col("p_similar") - col("label")
+    val r = predictions.agg(
+      avg(abs(d)).as("mae"), sqrt(avg(d * d)).as("rmse")).head
+    (if (r.isNullAt(0)) 0.0 else r.getDouble(0),
+      if (r.isNullAt(1)) 0.0 else r.getDouble(1))
   }
 
   /** ROC area for the positive class via the Mann-Whitney rank statistic
     * over P(similar), with average ranks for ties — computed distributed
-    * (one window over the score order, no driver collect of scores).
+    * with NO single-partition global window (the textbook scale-killer):
+    * a range-partitioned sort puts every tie group wholly inside one
+    * partition, pass 1 collects per-partition row counts (tiny: one long
+    * per partition), pass 2 turns those into rank offsets and accumulates
+    * the positive-class rank sum per partition.
     */
   private def aucFromScores(predictions: DataFrame): Double = {
     if (!predictions.columns.contains("p_similar")) return 0.0
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col("p_similar"))
-    val ranked = predictions
-      .withColumn("r_min", rank().over(w))
-      .withColumn("ties", count(lit(1)).over(
-        Window.partitionBy(col("p_similar"))))
-      .withColumn("r_avg", col("r_min") + (col("ties") - 1) / 2.0)
-    val agg = ranked.agg(
-      sum(when(col("label") === 1.0, col("r_avg"))).as("posRankSum"),
-      sum(when(col("label") === 1.0, 1L).otherwise(0L)).as("npos"),
-      sum(when(col("label") === 0.0, 1L).otherwise(0L)).as("nneg")).head
-    val npos = agg.getLong(1); val nneg = agg.getLong(2)
-    if (npos == 0 || nneg == 0) 0.0
-    else (agg.getDouble(0) - npos.toDouble * (npos + 1) / 2) /
-      (npos.toDouble * nneg)
+    val sc = predictions.sparkSession.sparkContext
+    val scored = predictions
+      .select(col("p_similar").cast("double"), col("label").cast("double"))
+      .rdd.map(r => (r.getDouble(0), r.getDouble(1) == 1.0))
+    if (scored.isEmpty()) return 0.0
+    // RangePartitioner keeps equal keys in one partition, so tie groups
+    // never straddle a boundary and average ranks stay exact.
+    val sorted = scored.sortByKey(ascending = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sizes = sorted
+        .mapPartitionsWithIndex((pid, it) => Iterator((pid, it.size.toLong)),
+          preservesPartitioning = true)
+        .collect().sortBy(_._1).map(_._2)
+      val offsets = sc.broadcast(sizes.scanLeft(0L)(_ + _))
+      val (posRankSum, npos, nneg) = sorted.mapPartitionsWithIndex {
+        (pid, it) =>
+          var rank = offsets.value(pid) // rows in partitions before this one
+          var prs = 0.0; var np = 0L; var nn = 0L
+          val buf = it.buffered
+          while (buf.hasNext) {
+            val s = buf.head._1
+            var cnt = 0L; var pos = 0L
+            while (buf.hasNext && buf.head._1 == s) {
+              if (buf.next()._2) pos += 1
+              cnt += 1
+            }
+            // ranks rank+1 .. rank+cnt share the average rank
+            prs += pos * (rank + (cnt + 1) / 2.0)
+            np += pos; nn += cnt - pos
+            rank += cnt
+          }
+          Iterator((prs, np, nn))
+      }.reduce((a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3))
+      if (npos == 0 || nneg == 0) 0.0
+      else (posRankSum - npos.toDouble * (npos + 1) / 2) /
+        (npos.toDouble * nneg)
+    } finally sorted.unpersist(blocking = false)
   }
 
   /** End-to-end: vectors → CV → report (the engine's `classify` entry,
     * reference entry point 3, `WekaModel.java:176-207`).
     */
-  def run(vectors: DataFrame, folds: Int = 10, seed: Long = 42L): Report =
-    evaluate(crossValPredictions(vectors, folds, seed), folds)
+  def run(vectors: DataFrame, folds: Int = 10, seed: Long = 42L): Report = {
+    val preds = crossValPredictions(vectors, folds, seed)
+    try evaluate(preds, folds) finally preds.unpersist()
+  }
 }

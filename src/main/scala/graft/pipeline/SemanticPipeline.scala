@@ -13,18 +13,39 @@ object SemanticPipeline {
 
   /** corpus text path + gold text path → 24-dim similarity vectors
     * (`w1, w2, related` + [[PairVectors.vectorColumns]]).
+    *
+    * The result is gold-bounded (one row per gold pair — gold standards are
+    * human-curated, thousands of rows at most), so it is materialized here
+    * and the corpus-sized pair cache released before returning; the heavy
+    * plan runs exactly once regardless of how callers reuse the result.
     */
   def vectors(
       spark: SparkSession,
       corpusPath: String,
       goldPath: String,
       faithful: Boolean = false): DataFrame = {
-    val assoc = associations(spark, corpusPath)
+    val (assoc, counts) = associationsManaged(spark, corpusPath)
     val gold = PairVectors.parseGold(spark.read.text(goldPath))
-    PairVectors.vectors(assoc, gold, faithful)
+    val res = PairVectors.vectors(assoc, gold, faithful)
+    val rows = res.collect()
+    counts.unpersist()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
   }
 
-  /** corpus text path → association-measure relation (Steps 1-3). */
+  /** corpus text path → association-measure relation (Steps 1-3). The
+    * relation is corpus-sized (stays lazy/distributed); the returned
+    * [[CorpusCounts]] handle owns the persisted pair relation backing it —
+    * call `unpersist()` once downstream plans have executed.
+    */
+  def associationsManaged(spark: SparkSession,
+      corpusPath: String): (DataFrame, CorpusCounts) = {
+    val counts = Counts.fromEdges(Biarcs.readEdges(spark, corpusPath))
+    (Associate.associate(counts), counts)
+  }
+
+  /** [[associationsManaged]] without the cache handle — the persisted pair
+    * relation then lives until the session ends (or `clearCache()`).
+    */
   def associations(spark: SparkSession, corpusPath: String): DataFrame =
-    Associate.associate(Counts.fromEdges(Biarcs.readEdges(spark, corpusPath)))
+    associationsManaged(spark, corpusPath)._1
 }

@@ -26,15 +26,17 @@ object MlQueries {
             .toDF("w1", "w2", "related")
         }
         val vecs = PairVectors.vectors(DocPipelineAccess.assoc(s, d), gold)
-        val r = Classify.evaluate(
-          Classify.crossValPredictions(vecs, folds = 4, seed = 42L, numTrees = 10),
-          folds = 4)
+        val preds = Classify.crossValPredictions(vecs, folds = 4, seed = 42L,
+          numTrees = 10)
+        val r = try Classify.evaluate(preds, folds = 4)
+          finally preds.unpersist()
         val s2 = s; import s2.implicits._
         Seq((r.nInstances, r.accuracy, r.kappa, r.aucSimilar,
-          r.precisionSimilar, r.recallSimilar, r.f1Similar,
+          r.precisionSimilar, r.recallSimilar, r.f1Similar, r.mae, r.rmse,
           r.tp, r.fn, r.fp, r.tn))
           .toDF("n_instances", "accuracy", "kappa", "auc_similar",
             "precision_similar", "recall_similar", "f1_similar",
+            "mae", "rmse",
             "tp", "fn", "fp", "tn")
       },
       None),

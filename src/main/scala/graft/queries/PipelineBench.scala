@@ -143,8 +143,14 @@ object PipelineBench {
         val assoc = Associate.associate(counts)
         val s2 = s; import s2.implicits._
         val goldDf = gold.toDF("w1", "w2", "related")
-        PairVectors.vectors(assoc, goldDf)
-          .orderBy("w1", "w2")
+        val res = PairVectors.vectors(assoc, goldDf).orderBy("w1", "w2")
+        // The result is gold-bounded (|gold| rows × 26 cols): run the heavy
+        // plan now, keep the rows locally, and release the persisted pair
+        // relation — leaving it cached leaked a corpus-sized relation into
+        // every later battery entry (the round-1 8× bench inflation).
+        val rows = res.collect()
+        counts.unpersist()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
       },
       None),
   )

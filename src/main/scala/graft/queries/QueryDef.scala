@@ -25,4 +25,18 @@ object QueryDef {
   /** Read one of the driver-generated test tables. */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Delete a staging directory a query created under java.io.tmpdir —
+    * repeated battery/bench runs must not accumulate staged files.
+    */
+  def deleteRecursively(dir: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    if (Files.exists(dir)) {
+      val walk = Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
 }

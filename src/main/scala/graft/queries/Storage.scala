@@ -34,13 +34,20 @@ object Storage {
       (s, d) => {
         val docs = table(s, d, "documents")
           .select("doc_id", "lang", "source", "n_chars")
-        val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
-        docs.write.mode("overwrite").option("header", "true").csv(tmp)
-        s.read.option("header", "true").option("inferSchema", "true").csv(tmp)
+        val tmp = java.nio.file.Files.createTempDirectory("graft_csv")
+        docs.write.mode("overwrite").option("header", "true")
+          .csv(tmp.toString)
+        val res = s.read.option("header", "true")
+          .option("inferSchema", "true").csv(tmp.toString)
           .agg(count(lit(1)).as("n"),
             sum("n_chars").cast("long").as("total_chars"),
             countDistinct("lang").as("n_langs"),
             countDistinct("source").as("n_sources"))
+        // one-row result: materialize it so the staged CSV dir can be
+        // deleted instead of accumulating across battery/bench runs
+        val rows = res.collect()
+        QueryDef.deleteRecursively(tmp)
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
       },
       Some("""SELECT COUNT(*) AS n,
              |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,

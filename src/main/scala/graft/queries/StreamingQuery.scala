@@ -31,10 +31,17 @@ object StreamingQuery {
           .writeStream.format("memory").queryName(name)
           .outputMode("append").start()
         try q.processAllAvailable() finally q.stop()
-        s.table(name)
+        // Materialize the sink rows, then drop the memory-sink table and
+        // the staged directory — leaving them registered leaked the full
+        // sink contents into the session for every later battery entry.
+        val res = s.table(name)
           .select(col("window_start"), col("event_type"), col("n"),
             round(col("total_value"), 4).as("total_value"))
           .orderBy("window_start", "event_type")
+        val rows = res.collect()
+        s.catalog.dropTempView(name)
+        QueryDef.deleteRecursively(dir)
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
       },
       // append-mode emission: window emitted iff watermark (max event time
       // minus 30 min) reached its end — reproduce that cutoff exactly

@@ -57,6 +57,29 @@ class ClassifySpec extends AnyFunSuite with SparkTestBase {
     preds.unpersist()
   }
 
+  test("distributed AUC matches BinaryClassificationEvaluator; MAE/RMSE match hand-computed") {
+    import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
+    val preds = Classify.crossValPredictions(syntheticVectors(400), folds = 4,
+      seed = 11L, numTrees = 15).cache()
+    val report = Classify.evaluate(preds, 4)
+    // trapezoid AUC over score thresholds == Mann-Whitney with average ranks
+    val auc = new BinaryClassificationEvaluator()
+      .setLabelCol("label").setRawPredictionCol("p_similar")
+      .setMetricName("areaUnderROC").evaluate(preds)
+    assert(math.abs(report.aucSimilar - auc) < 1e-9,
+      s"auc ${report.aucSimilar} vs evaluator $auc")
+    // Weka binary-case MAE/RMSE on out-of-fold P(similar)
+    val rows = preds.select("p_similar", "label").collect()
+    val diffs = rows.map(r => r.getDouble(0) - r.getDouble(1))
+    val mae = diffs.map(math.abs).sum / diffs.length
+    val rmse = math.sqrt(diffs.map(d => d * d).sum / diffs.length)
+    assert(math.abs(report.mae - mae) < 1e-9, s"mae ${report.mae} vs $mae")
+    assert(math.abs(report.rmse - rmse) < 1e-9,
+      s"rmse ${report.rmse} vs $rmse")
+    assert(report.render.contains("Mean absolute error"))
+    preds.unpersist()
+  }
+
   test("seeded CV is reproducible") {
     val v = syntheticVectors(200)
     val r1 = Classify.evaluate(Classify.crossValPredictions(v, 3, 7L, 10))
