@@ -94,8 +94,8 @@ object Dedup {
     * each bit (bit b of a token = bit (3 - b mod 4) of hex digit b/4 of its
     * md5), so documents with the same vocabulary but different frequency
     * profiles still separate. Near-dup pairs = Hamming distance <=
-    * `maxHamming` (xor + bit_count; at scale, pre-bucket by simhash bands
-    * instead of the all-pairs join used for small-scale validation).
+    * `maxHamming`: [[simhashCandidates]] is the banded scale path,
+    * [[simhashPairs]] the all-pairs validation tier.
     */
   def simhash(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
@@ -125,5 +125,45 @@ object Dedup {
       .select(col("a.id").as("id1"), col("b.id").as("id2"),
         expr("bit_count(a.simhash ^ b.simhash)").cast("int").as("hamming"))
       .where(col("hamming") <= maxHamming)
+  }
+
+  /** Per-document band keys: the 32-bit signature split into `numBands`
+    * contiguous bit slices (numBands must divide 32). Narrow stage over
+    * [[simhash]] output.
+    */
+  def simhashBands(docs: DataFrame, numBands: Int): DataFrame = {
+    require(32 % numBands == 0, s"numBands=$numBands must divide 32")
+    val width = 32 / numBands
+    simhash(docs)
+      .select(col("id"), col("simhash"),
+        explode(expr(s"sequence(0, ${numBands - 1})")).as("band"))
+      .withColumn("band_bits", expr(
+        s"(simhash >> ((${numBands - 1} - band) * $width)) & ${(1L << width) - 1}"))
+  }
+
+  /** SimHash near-dup pairs via pigeonhole banding — the 100 TB scale path
+    * (mirror of [[minhashCandidates]]): if two signatures differ in at most
+    * `maxHamming` bits and there are more than `maxHamming` bands, at least
+    * one band is bit-identical, so candidate generation is ONE shuffle on
+    * `(band, band_bits)` and the quadratic step runs only inside equal-band
+    * buckets. Candidates are then re-scored with the exact Hamming
+    * distance, making the output EXACTLY the Hamming <= `maxHamming` pair
+    * set of [[simhashPairs]] — banding changes the plan shape, never the
+    * result (OpsSpec pins the equivalence).
+    */
+  def simhashCandidates(docs: DataFrame, maxHamming: Int,
+      numBands: Int = 4): DataFrame = {
+    require(numBands > maxHamming,
+      s"pigeonhole cover needs numBands=$numBands > maxHamming=$maxHamming")
+    val bands = simhashBands(docs, numBands)
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_bits") === col("b.band_bits") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        expr("bit_count(a.simhash ^ b.simhash)").cast("int").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
   }
 }

@@ -88,8 +88,9 @@ object DocPipeline {
        |  CROSS JOIN tot)""".stripMargin
 
   // ---- q32 oracle: the full 24-dim vector computation in portable SQL ----
+  // (shared with q67's end-to-end pipeline oracle via pairVectorsSql)
 
-  private def aggSqlFor(m: String): String = {
+  private[queries] def aggSqlFor(m: String): String = {
     val v1 = s"${m}_1"; val v2 = s"${m}_2"
     s"""    SUM(ABS($v1 - $v2)) AS ${m}_man,
        |    SUM(($v1 - $v2) * ($v1 - $v2)) AS ${m}_euc,
@@ -105,7 +106,7 @@ object DocPipeline {
        |        THEN $v2 * LN($v2 / (($v1 + $v2) / 2)) ELSE 0 END) AS ${m}_js2""".stripMargin
   }
 
-  private def finalizeSqlFor(m: String): String =
+  private[queries] def finalizeSqlFor(m: String): String =
     s"""    ROUND(${m}_man, 6) AS ${m}_manhattan,
        |    ROUND(SQRT(${m}_euc), 6) AS ${m}_euclidean,
        |    ROUND(CASE WHEN ${m}_n1 <= 0 OR ${m}_n2 <= 0 THEN 0
@@ -119,14 +120,22 @@ object DocPipeline {
   private val goldValuesSql = goldPairs
     .map { case (a, b, r) => s"('$a', '$b', $r)" }.mkString(", ")
 
-  private val vectorsSql = {
+  /** Full 24-dim pair-vector oracle query: given WITH clauses ending in an
+    * `assoc(lexeme, feature, assoc_freq, assoc_prob, assoc_pmi, assoc_ttest)`
+    * CTE, joins a literal gold list on both sides, full-outer merges the
+    * per-feature measure vectors with zero padding, and computes the 24
+    * distance/similarity metrics — the independent SQL re-derivation of
+    * [[graft.pipeline.PairVectors.vectors]].
+    */
+  private[queries] def pairVectorsSql(withClauses: String,
+      goldValues: String): String = {
     val side1 = ms.map(m => s"a.assoc_$m AS ${m}_1").mkString(", ")
     val side2 = ms.map(m => s"a.assoc_$m AS ${m}_2").mkString(", ")
     val coal = ms.flatMap(m => Seq(
       s"COALESCE(${m}_1, 0) AS ${m}_1", s"COALESCE(${m}_2, 0) AS ${m}_2"))
       .mkString(",\n    ")
-    s"""WITH $assocSql,
-       |gold(w1, w2, related) AS (VALUES $goldValuesSql),
+    s"""WITH $withClauses,
+       |gold(w1, w2, related) AS (VALUES $goldValues),
        |m1 AS (SELECT g.w1, g.w2, g.related, a.feature, $side1
        |       FROM gold g JOIN assoc a ON a.lexeme = g.w1),
        |m2 AS (SELECT g.w1, g.w2, g.related, a.feature, $side2
@@ -144,6 +153,8 @@ object DocPipeline {
        |${ms.map(finalizeSqlFor).mkString(",\n")}
        |FROM agg ORDER BY w1, w2""".stripMargin
   }
+
+  private val vectorsSql = pairVectorsSql(assocSql, goldValuesSql)
 
   val all: Seq[QueryDef] = Seq(
 

@@ -20,9 +20,9 @@ object TrainingOps {
     s"(SELECT SUM(CAST(x.v AS DOUBLE) * CAST(x.v AS DOUBLE)) " +
       s"FROM (SELECT UNNEST($t.embedding) v) x)"
 
-  private val simhashSigSql =
-    """toks AS (SELECT doc_id id, UNNEST(string_split(text, ' ')) tok
-      |         FROM documents),
+  private def simhashSigSql(cond: String = "TRUE") =
+    s"""toks AS (SELECT doc_id id, UNNEST(string_split(text, ' ')) tok
+      |         FROM documents WHERE $cond),
       |hx AS (SELECT id, substr(md5(tok), 1, 8) hex FROM toks),
       |bits AS (SELECT id, b,
       |    strpos('0123456789abcdef', substr(hex, CAST(b // 4 AS INT) + 1, 1)) - 1 AS dval
@@ -36,9 +36,9 @@ object TrainingOps {
       |      AS simhash
       |  FROM votes GROUP BY 1)""".stripMargin
 
-  private val shinglesSql =
-    """toks AS (SELECT doc_id id, string_split(text, ' ') l FROM documents
-      |          WHERE len(string_split(text, ' ')) >= 3),
+  private def shinglesSql(cond: String = "TRUE") =
+    s"""toks AS (SELECT doc_id id, string_split(text, ' ') l FROM documents
+      |          WHERE $cond AND len(string_split(text, ' ')) >= 3),
       |sh AS (SELECT DISTINCT id, array_to_string(l[i:i+2], ' ') AS shingle
       |       FROM toks, UNNEST(generate_series(1, len(l) - 2)) t(i))""".stripMargin
 
@@ -57,11 +57,17 @@ object TrainingOps {
              |FROM (SELECT md5(text) h, COUNT(*) c FROM documents GROUP BY 1) g"""
         .stripMargin)),
 
+    // Exact pairwise Jaccard is the deliberate validation tier (quadratic
+    // in co-shingle pairs); the battery SF-gates it with a fixed doc_id cap
+    // — mirrored in the oracle — so its cost is CONSTANT above sf0.1
+    // (5,000 docs) and the battery stays runnable at sf1+. The ungated
+    // scale path is q42 (MinHash-LSH candidates → re-score).
     QueryDef("q41_dedup_jaccard",
-      (s, d) => Dedup.jaccardPairs(table(s, d, "documents"), 3, 0.8)
+      (s, d) => Dedup.jaccardPairs(
+          table(s, d, "documents").where(col("doc_id") < 6000), 3, 0.8)
         .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("id1", "id2"),
-      Some(s"""WITH $shinglesSql,
+      Some(s"""WITH ${shinglesSql("doc_id < 6000")},
               |sizes AS (SELECT id, COUNT(*) n_sh FROM sh GROUP BY 1),
               |inter AS (SELECT a.id id1, b.id id2, COUNT(*) n_common
               |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
@@ -77,7 +83,7 @@ object TrainingOps {
     QueryDef("q42_dedup_minhash_lsh",
       (s, d) => Dedup.minhashCandidates(table(s, d, "documents"), 3, 8, 2)
         .orderBy("id1", "id2"),
-      Some(s"""WITH $shinglesSql,
+      Some(s"""WITH ${shinglesSql()},
               |sigs AS (SELECT id, h,
               |    MIN(md5(CAST(h AS VARCHAR) || ':' || shingle)) AS mh
               |  FROM sh, UNNEST(generate_series(0, 7)) t(h) GROUP BY 1, 2),
@@ -91,24 +97,45 @@ object TrainingOps {
               |  ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
               |ORDER BY 1, 2""".stripMargin)),
 
+    // all-pairs validation tier — SF-gated like q41 (the ungated scale
+    // path is q68's banded candidates)
     QueryDef("q43_dedup_simhash",
-      (s, d) => Dedup.simhashPairs(table(s, d, "documents"), 3)
+      (s, d) => Dedup.simhashPairs(
+          table(s, d, "documents").where(col("doc_id") < 10000), 3)
         .orderBy("id1", "id2"),
-      Some(s"""WITH $simhashSigSql
+      Some(s"""WITH ${simhashSigSql("doc_id < 10000")}
               |SELECT a.id AS id1, b.id AS id2,
               |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
               |FROM sig a JOIN sig b ON a.id < b.id
               |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
               |ORDER BY 1, 2""".stripMargin)),
 
+    // The banded scale path must produce EXACTLY the Hamming<=4 pair set —
+    // the oracle re-derives that set directly (pigeonhole: 8 bands of 4
+    // bits > 4 allowed flips, so no qualifying pair can be missed).
+    QueryDef("q68_dedup_simhash_banded",
+      (s, d) => Dedup.simhashCandidates(table(s, d, "documents"),
+          maxHamming = 4, numBands = 8)
+        .orderBy("id1", "id2"),
+      Some(s"""WITH ${simhashSigSql()}
+              |SELECT a.id AS id1, b.id AS id2,
+              |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+              |FROM sig a JOIN sig b ON a.id < b.id
+              |WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
+              |ORDER BY 1, 2""".stripMargin)),
+
+    // all-pairs validation tier — SF-gated with a fixed vec_id cap (the
+    // ungated scale path is LSH bucketing, q46)
     QueryDef("q44_embed_neardup",
-      (s, d) => Similarity.nearDupPairs(table(s, d, "embeddings"), 0.33)
+      (s, d) => Similarity.nearDupPairs(
+          table(s, d, "embeddings").where(col("vec_id") < 4000), 0.33)
         .select(col("id1"), col("id2"), round(col("cos"), 5).as("cos"))
         .orderBy("id1", "id2"),
-      Some(s"""WITH p AS (SELECT a.vec_id id1, b.vec_id id2,
+      Some(s"""WITH e AS (SELECT * FROM embeddings WHERE vec_id < 4000),
+              |p AS (SELECT a.vec_id id1, b.vec_id id2,
               |    ${dot64.format("a", "b")} AS dot,
               |    ${norm2("a")} AS na2, ${norm2("b")} AS nb2
-              |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+              |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
               |SELECT id1, id2, ROUND(dot / (SQRT(na2) * SQRT(nb2)), 5) AS cos
               |FROM p WHERE dot / (SQRT(na2) * SQRT(nb2)) >= 0.33
               |ORDER BY 1, 2""".stripMargin)),

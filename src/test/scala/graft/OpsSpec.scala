@@ -36,6 +36,28 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("banded simhash candidates equal the all-pairs Hamming set") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    // pigeonhole cover: for every (maxHamming, numBands) with
+    // numBands > maxHamming the banded path must reproduce the all-pairs
+    // result exactly — including the Hamming distances
+    for ((maxH, bands) <- Seq((3, 4), (4, 8), (7, 8), (1, 2))) {
+      val exact = pairs(Dedup.simhashPairs(docs, maxH))
+      val banded = pairs(Dedup.simhashCandidates(docs, maxH, bands))
+      assert(banded == exact,
+        s"maxH=$maxH bands=$bands: missed=${exact.keySet -- banded.keySet} " +
+          s"extra=${banded.keySet -- exact.keySet}")
+    }
+    // sanity: the test corpus actually produces near-dup pairs to cover
+    assert(pairs(Dedup.simhashPairs(docs, 4)).nonEmpty)
+    // misuse is rejected: bands <= maxHamming can miss pairs by pigeonhole
+    intercept[IllegalArgumentException](
+      Dedup.simhashCandidates(docs, maxHamming = 4, numBands = 4))
+    intercept[IllegalArgumentException](
+      Dedup.simhashCandidates(docs, maxHamming = 2, numBands = 5))
+  }
+
   test("exact dedup groups partition the corpus") {
     val n = docs.count()
     val groups = Dedup.exactGroups(docs)
