@@ -55,7 +55,8 @@ object Main {
       // the text rendering is byte-identical to the reference's output
       val vecs =
         if (opts.contains("faithful")) {
-          val assoc = SemanticPipeline.associations(spark, req(opts, "corpus"))
+          val assoc = SemanticPipeline.associations(spark,
+            req(opts, "corpus"), faithful = true)
           val gold = PairVectors.parseGold(
             spark.read.text(req(opts, "gold")))
           PairVectors.vectorsOrdered(assoc, gold, faithful = true)
@@ -69,7 +70,15 @@ object Main {
         case _ => vecs.write.mode("overwrite").parquet(req(opts, "out"))
       }
     case "classify" =>
-      val vecs = spark.read.parquet(req(opts, "vectors"))
+      // three input shapes (reference §3.3 rerun parity): parquet vectors,
+      // the reference's Step-4 text part files, or the exported ARFF
+      val vecs =
+        if (opts.contains("vectors-text"))
+          graft.io.VectorSource.readVectorLines(spark,
+            req(opts, "vectors-text"))
+        else if (opts.contains("vectors-arff"))
+          graft.io.VectorSource.readArff(spark, req(opts, "vectors-arff"))
+        else spark.read.parquet(req(opts, "vectors"))
       val report = Classify.run(vecs,
         folds = opts.getOrElse("folds", "10").toInt)
       java.nio.file.Files.writeString(
@@ -120,7 +129,8 @@ object Main {
       |  associate --corpus FILE --out DIR [--format parquet|text]
       |  vectors   --corpus FILE --gold FILE --out DIR [--faithful]
       |            [--format parquet|text|arff]
-      |  classify  --vectors DIR --report FILE [--folds N]
+      |  classify  (--vectors DIR | --vectors-text PATH | --vectors-arff FILE)
+      |            --report FILE [--folds N]
       |  pipeline  --corpus FILE --gold FILE --out DIR [--report FILE]
       |            [--faithful] [--folds N]""".stripMargin
 }

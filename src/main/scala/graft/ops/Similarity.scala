@@ -121,15 +121,43 @@ object Similarity {
     (centroids, assigned)
   }
 
-  /** Approximate top-k through the IVF index: each query probes its
+  /** Deterministic IVF quantizer: centroid `j` is the embedding of
+    * `vec_id = j * (max_id div nlist)` — data-point init (as FAISS samples
+    * training points) with zero Lloyd iterations, assignments by nearest
+    * centroid (cosine, ties to the lowest cid). Fully engine-independent:
+    * no RNG, no partitioning dependence, so a SQL oracle can replay the
+    * index exactly. [[ivfIndex]] (KMeans) remains the recall-quality path;
+    * both obey the same nprobe==nlist ≡ brute-force law.
+    */
+  def ivfIndexDeterministic(corpus: DataFrame,
+      nlist: Int): (DataFrame, DataFrame) = {
+    val maxId = corpus.agg(max("vec_id")).head.getLong(0)
+    val step = math.max(1L, maxId / nlist)
+    val centroids = corpus
+      .where(col("vec_id") % step === 0 && col("vec_id") < nlist * step)
+      .select((col("vec_id") / step).cast("int").as("cid"),
+        col("embedding").as("centroid"))
+    val scored = corpus.select(col("vec_id"), col("embedding"))
+      .withColumn("cn", norm(col("embedding")))
+      .crossJoin(broadcast(centroids))
+      .withColumn("ccos", dot(col("embedding"), col("centroid")) /
+        (col("cn") * norm(col("centroid"))))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("cid").asc)
+    val assigned = scored.withColumn("ark", row_number().over(w))
+      .where(col("ark") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid"))
+    (centroids, assigned)
+  }
+
+  /** Approximate top-k through an IVF index: each query probes its
     * `nprobe` nearest centroid lists (by exact cosine to the centroids,
     * computed against the broadcast centroid table), then ranks exact
     * cosine within the probed lists. `nprobe == nlist` degenerates to the
     * exact brute-force ranking.
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nlist: Int, nprobe: Int, seed: Long = 42L): DataFrame = {
-    val (centroids, assigned) = ivfIndex(corpus, nlist, seed)
+  private def ivfProbeAndRank(centroids: DataFrame, assigned: DataFrame,
+      queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("qv"))
       .withColumn("qn", norm(col("qv")))
@@ -148,6 +176,22 @@ object Similarity {
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+  }
+
+  /** IVF top-k over the KMeans index ([[ivfIndex]]). */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int, nprobe: Int, seed: Long = 42L): DataFrame = {
+    val (centroids, assigned) = ivfIndex(corpus, nlist, seed)
+    ivfProbeAndRank(centroids, assigned, queries, k, nprobe)
+  }
+
+  /** IVF top-k over the deterministic index
+    * ([[ivfIndexDeterministic]]) — oracle-replayable in SQL.
+    */
+  def ivfTopKDeterministic(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int, nprobe: Int): DataFrame = {
+    val (centroids, assigned) = ivfIndexDeterministic(corpus, nlist)
+    ivfProbeAndRank(centroids, assigned, queries, k, nprobe)
   }
 
   /** All corpus pairs with cosine >= `minCos` (embedding near-dup sweep;

@@ -24,7 +24,7 @@ object SemanticPipeline {
       corpusPath: String,
       goldPath: String,
       faithful: Boolean = false): DataFrame = {
-    val (assoc, counts) = associationsManaged(spark, corpusPath)
+    val (assoc, counts) = associationsManaged(spark, corpusPath, faithful)
     val gold = PairVectors.parseGold(spark.read.text(goldPath))
     val res = PairVectors.vectors(assoc, gold, faithful)
     val rows = res.collect()
@@ -35,17 +35,21 @@ object SemanticPipeline {
   /** corpus text path → association-measure relation (Steps 1-3). The
     * relation is corpus-sized (stays lazy/distributed); the returned
     * [[CorpusCounts]] handle owns the persisted pair relation backing it —
-    * call `unpersist()` once downstream plans have executed.
+    * call `unpersist()` once downstream plans have executed. `faithful`
+    * switches Step 1 to the reference's replace-all stem rewrite
+    * ([[Biarcs.edges]]).
     */
-  def associationsManaged(spark: SparkSession,
-      corpusPath: String): (DataFrame, CorpusCounts) = {
-    val counts = Counts.fromEdges(Biarcs.readEdges(spark, corpusPath))
+  def associationsManaged(spark: SparkSession, corpusPath: String,
+      faithful: Boolean = false): (DataFrame, CorpusCounts) = {
+    val counts =
+      Counts.fromEdges(Biarcs.readEdges(spark, corpusPath, faithful))
     (Associate.associate(counts), counts)
   }
 
   /** [[associationsManaged]] without the cache handle — the persisted pair
     * relation then lives until the session ends (or `clearCache()`).
     */
-  def associations(spark: SparkSession, corpusPath: String): DataFrame =
-    associationsManaged(spark, corpusPath)._1
+  def associations(spark: SparkSession, corpusPath: String,
+      faithful: Boolean = false): DataFrame =
+    associationsManaged(spark, corpusPath, faithful)._1
 }

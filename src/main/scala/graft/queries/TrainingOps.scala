@@ -197,19 +197,58 @@ object TrainingOps {
              |WHERE q.vec_id % 50 = 0
              |GROUP BY 1, 2 ORDER BY 1""".stripMargin)),
 
-    // IVF ANN (KMeans coarse quantizer): rows-only — clustering assignment
-    // is partitioning-dependent, but the (query × k) output shape and the
-    // nprobe==nlist ≡ brute-force law (OpsSpec) pin the semantics
+    // IVF ANN over the deterministic data-point quantizer (zero Lloyd
+    // iterations, no RNG/partitioning dependence) — fully oracle-checked:
+    // DuckDB replays centroid choice, assignment, probing, and ranking.
+    // The KMeans quality tier stays pinned by OpsSpec's nprobe==nlist ≡
+    // brute-force law.
     QueryDef("q66_sim_ivf",
       (s, d) => {
         val emb = table(s, d, "embeddings")
-        Similarity.ivfTopK(emb, emb.where(col("vec_id") % 50 === 0), 5,
-          nlist = 8, nprobe = 3)
+        Similarity.ivfTopKDeterministic(emb,
+            emb.where(col("vec_id") % 50 === 0), 5, nlist = 8, nprobe = 3)
           .select(col("query_id"), col("rk"), col("neighbor_id"),
             round(col("cos"), 5).as("cos"))
           .orderBy("query_id", "rk")
       },
-      None),
+      Some(s"""WITH st AS (
+              |  SELECT GREATEST(MAX(vec_id) // 8, 1) AS step FROM embeddings),
+              |cents AS (
+              |  SELECT CAST(vec_id // step AS INT) AS cid, embedding
+              |  FROM embeddings, st
+              |  WHERE vec_id % step = 0 AND vec_id < 8 * step),
+              |assign AS (
+              |  SELECT vec_id, cid FROM (
+              |    SELECT e.vec_id, c.cid,
+              |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+              |        ${dot64.format("e", "c")} /
+              |          (SQRT(${norm2("e")}) * SQRT(${norm2("c")})) DESC,
+              |        c.cid ASC) AS ark
+              |    FROM embeddings e CROSS JOIN cents c) t WHERE ark = 1),
+              |probes AS (
+              |  SELECT query_id, cid FROM (
+              |    SELECT q.vec_id AS query_id, c.cid,
+              |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+              |        ${dot64.format("q", "c")} /
+              |          (SQRT(${norm2("q")}) * SQRT(${norm2("c")})) DESC,
+              |        c.cid ASC) AS crk
+              |    FROM embeddings q CROSS JOIN cents c
+              |    WHERE q.vec_id % 50 = 0) t WHERE crk <= 3),
+              |scored AS (
+              |  SELECT p.query_id, e.vec_id AS neighbor_id,
+              |    ${dot64.format("q", "e")} /
+              |      (SQRT(${norm2("q")}) * SQRT(${norm2("e")})) AS cos
+              |  FROM probes p
+              |  JOIN assign a ON a.cid = p.cid
+              |  JOIN embeddings e ON e.vec_id = a.vec_id
+              |    AND e.vec_id <> p.query_id
+              |  JOIN embeddings q ON q.vec_id = p.query_id),
+              |r AS (SELECT query_id, neighbor_id, cos,
+              |    ROW_NUMBER() OVER (PARTITION BY query_id
+              |      ORDER BY cos DESC, neighbor_id ASC) AS rk
+              |  FROM scored)
+              |SELECT query_id, rk, neighbor_id, ROUND(cos, 5) AS cos
+              |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin)),
 
     QueryDef("q47_text_langid",
       (s, d) => TextAnalysis.langId(table(s, d, "documents"))

@@ -40,6 +40,37 @@ object PorterStemmer {
     * character; `j` = end of the candidate stem set by the most recent
     * successful suffix match.
     */
+  // Rule tables hoisted out of the per-word Run so the hot path (the
+  // codegen'd expression calls stem() per token) allocates no tables.
+  /** Double suffixes → single (step 2); first matching rule wins. */
+  private val rules2: Array[(String, String)] = Array(
+    "ational" -> "ate", "tional" -> "tion",
+    "enci" -> "ence", "anci" -> "ance",
+    "izer" -> "ize",
+    "bli" -> "ble", "alli" -> "al", "entli" -> "ent", "eli" -> "e",
+    "ousli" -> "ous",
+    "ization" -> "ize", "ation" -> "ate", "ator" -> "ate",
+    "alism" -> "al", "iveness" -> "ive", "fulness" -> "ful",
+    "ousness" -> "ous",
+    "aliti" -> "al", "iviti" -> "ive", "biliti" -> "ble",
+    "logi" -> "log",
+  )
+
+  /** -ic-, -ful, -ness etc. (step 3). */
+  private val rules3: Array[(String, String)] = Array(
+    "icate" -> "ic", "ative" -> "", "alize" -> "al",
+    "iciti" -> "ic", "ical" -> "ic", "ful" -> "", "ness" -> "",
+  )
+
+  /** Strip -ant, -ence, ... when m > 1 (step 4). The -ion rule
+    * additionally needs the stem to end in s or t.
+    */
+  private val suffixes4: Array[String] = Array(
+    "al", "ance", "ence", "er", "ic", "able", "ible",
+    "ant", "ement", "ment", "ent", "ion", "ou",
+    "ism", "ate", "iti", "ous", "ive", "ize",
+  )
+
   private final class Run(b: Array[Char]) {
     private var k: Int = b.length - 1
     private var j: Int = 0
@@ -158,25 +189,7 @@ object PorterStemmer {
       * exclusive by their final letters, so ordered scanning is equivalent to
       * the classic last-but-one-letter dispatch.
       */
-    private val rules2: Array[(String, String)] = Array(
-      "ational" -> "ate", "tional" -> "tion",
-      "enci" -> "ence", "anci" -> "ance",
-      "izer" -> "ize",
-      "bli" -> "ble", "alli" -> "al", "entli" -> "ent", "eli" -> "e",
-      "ousli" -> "ous",
-      "ization" -> "ize", "ation" -> "ate", "ator" -> "ate",
-      "alism" -> "al", "iveness" -> "ive", "fulness" -> "ful",
-      "ousness" -> "ous",
-      "aliti" -> "al", "iviti" -> "ive", "biliti" -> "ble",
-      "logi" -> "log",
-    )
-
     private def step2(): Unit = if (k > 0) applyRules(rules2)
-
-    private val rules3: Array[(String, String)] = Array(
-      "icate" -> "ic", "ative" -> "", "alize" -> "al",
-      "iciti" -> "ic", "ical" -> "ic", "ful" -> "", "ness" -> "",
-    )
 
     /** -ic-, -ful, -ness etc. */
     private def step3(): Unit = applyRules(rules3)
@@ -189,15 +202,6 @@ object PorterStemmer {
         i += 1
       }
     }
-
-    /** Strip -ant, -ence, ... when m > 1. The -ion rule additionally needs
-      * the stem to end in s or t.
-      */
-    private val suffixes4: Array[String] = Array(
-      "al", "ance", "ence", "er", "ic", "able", "ible",
-      "ant", "ement", "ment", "ent", "ion", "ou",
-      "ism", "ate", "iti", "ous", "ive", "ize",
-    )
 
     private def step4(): Unit = {
       if (k == 0) return

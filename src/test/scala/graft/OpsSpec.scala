@@ -95,6 +95,13 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
       .select("query_id", "rk", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
     assert(ivfFull == exact)
+    // the deterministic quantizer obeys the same law: probing every list
+    // degenerates to the exact brute-force ranking regardless of centroids
+    val detFull = Similarity
+      .ivfTopKDeterministic(emb, queries, 5, nlist = 4, nprobe = 4)
+      .select("query_id", "rk", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(detFull == exact)
     // restricted probing returns a subset ranking drawn from probed lists
     val ivf1 = Similarity.ivfTopK(emb, queries, 5, nlist = 4, nprobe = 2)
     assert(ivf1.count() > 0)

@@ -72,7 +72,10 @@ def main(sf_dir, out_dir):
             results[name] = f"ROWS-ONLY n={n}" + ("" if n > 0 else " !!EMPTY")
     ok = sum(1 for v in results.values() if v == "OK")
     for k, v in results.items():
-        mark = "PASS" if v == "OK" or v.startswith("ROWS-ONLY n=") else "FAIL"
+        # an empty rows-only result means the query silently broke: FAIL
+        passed = v == "OK" or (v.startswith("ROWS-ONLY n=")
+                               and "!!EMPTY" not in v)
+        mark = "PASS" if passed else "FAIL"
         print(f"{mark} {k}: {v}")
     print(f"\n{ok}/{len(oracles)} oracle matches")
 
