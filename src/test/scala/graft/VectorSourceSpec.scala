@@ -58,29 +58,37 @@ class VectorSourceSpec extends AnyFunSuite with SparkTestBase {
     val counts = Counts.fromEdges(Biarcs.readEdges(spark, corpus),
       persistPairs = false)
     val gold = PairVectors.parseGold(spark.read.text(goldFile))
-    val vecs = PairVectors.vectors(Associate.associate(counts), gold)
-    val back = VectorSource.vectorLines(FaithfulText.vectorLines(vecs))
-    assert(vecMap(back) == vecMap(vecs))
+    // cache: the round-trip compares two reads of this relation, and an
+    // uncached recompute can re-order the floating-point partial sums
+    val vecs = PairVectors.vectors(Associate.associate(counts), gold).cache()
+    try {
+      val back = VectorSource.vectorLines(FaithfulText.vectorLines(vecs))
+      assert(vecMap(back) == vecMap(vecs))
+    } finally vecs.unpersist()
   }
 
   test("ARFF data lines round-trip through the ARFF reader") {
     val counts = Counts.fromEdges(Biarcs.readEdges(spark, corpus),
       persistPairs = false)
     val gold = PairVectors.parseGold(spark.read.text(goldFile))
-    val vecs = PairVectors.vectors(Associate.associate(counts), gold)
-    // prepend the real header: the reader must skip it wherever it appears
-    val s2 = spark; import s2.implicits._
-    val headerDf = ArffSink.header.split("\n").toSeq.toDF("value")
-    val back = VectorSource.arff(
-      headerDf.unionByName(ArffSink.dataLines(vecs)))
-    val want = vecs.collect().map { r =>
-      (r.getAs[Boolean]("related"),
-        PairVectors.vectorColumns.map(c => r.getAs[Double](c)))
-    }.sortBy(_.toString)
-    val got = back.collect().map { r =>
-      (r.getAs[Boolean]("related"),
-        PairVectors.vectorColumns.map(c => r.getAs[Double](c)))
-    }.sortBy(_.toString)
-    assert(got.toSeq == want.toSeq)
+    // cache: compared against its own re-read below (same ULP concern as
+    // the text round-trip test)
+    val vecs = PairVectors.vectors(Associate.associate(counts), gold).cache()
+    try {
+      // prepend the real header: the reader must skip it wherever it appears
+      val s2 = spark; import s2.implicits._
+      val headerDf = ArffSink.header.split("\n").toSeq.toDF("value")
+      val back = VectorSource.arff(
+        headerDf.unionByName(ArffSink.dataLines(vecs)))
+      val want = vecs.collect().map { r =>
+        (r.getAs[Boolean]("related"),
+          PairVectors.vectorColumns.map(c => r.getAs[Double](c)))
+      }.sortBy(_.toString)
+      val got = back.collect().map { r =>
+        (r.getAs[Boolean]("related"),
+          PairVectors.vectorColumns.map(c => r.getAs[Double](c)))
+      }.sortBy(_.toString)
+      assert(got.toSeq == want.toSeq)
+    } finally vecs.unpersist()
   }
 }
