@@ -22,15 +22,20 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
 
-  /** Distinct word n-gram shingles per document (narrow stage, no UDF). */
+  /** Distinct word n-gram shingles per document (narrow stage, no UDF).
+    * `dedup = false` skips the distinct (a full shuffle of the shingle
+    * stream) for consumers whose downstream aggregation is idempotent
+    * under duplicates — min-wise hashing is.
+    */
   def shingles(docs: DataFrame, n: Int, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame =
-    docs.select(col(idCol).as("id"), split(col(textCol), " ").as("l"))
+      textCol: String = "text", dedup: Boolean = true): DataFrame = {
+    val raw = docs.select(col(idCol).as("id"), split(col(textCol), " ").as("l"))
       .where(size(col("l")) >= n)
       .select(col("id"), explode(expr(
         s"transform(sequence(1, size(l) - ${n - 1}), i -> concat_ws(' ', slice(l, i, $n)))"))
         .as("shingle"))
-      .distinct()
+    if (dedup) raw.distinct() else raw
+  }
 
   /** Exact pairwise n-gram Jaccard similarity >= `minJaccard`.
     * Quadratic in co-shingle document pairs — the small-scale oracle for
@@ -54,34 +59,47 @@ object Dedup {
       .where(col("jaccard") >= minJaccard)
   }
 
-  /** Portable MinHash signatures: hash slot h of a document is the
-    * lexicographic minimum of `md5(h || ':' || shingle)` over its shingles
-    * (a string-valued minwise hash family — same estimator guarantees,
-    * reproducible in any engine with md5).
+  /** Portable MinHash signatures, one row per document in wide form:
+    * column `mh_h` is the lexicographic minimum of `md5(h || ':' ||
+    * shingle)` over the document's shingles (a string-valued minwise hash
+    * family — same estimator guarantees, reproducible in any engine with
+    * md5). ONE shuffle keyed on id with map-side partial `min`
+    * aggregation: no hash-slot explosion (the old long form multiplied the
+    * shingle stream `numHashes`×) and no shingle-dedup shuffle (`min` is
+    * idempotent under duplicates).
     */
-  def minhashSignatures(docs: DataFrame, n: Int, numHashes: Int): DataFrame =
-    shingles(docs, n)
-      .select(col("id"), col("shingle"),
-        explode(expr(s"sequence(0, ${numHashes - 1})")).as("h"))
-      .groupBy("id", "h")
-      .agg(min(md5(concat(col("h").cast("string"), lit(":"), col("shingle"))))
-        .as("mh"))
+  def minhashSignatures(docs: DataFrame, n: Int, numHashes: Int): DataFrame = {
+    val mins = (0 until numHashes).map { h =>
+      min(md5(concat(lit(s"$h:"), col("shingle")))).as(s"mh_$h")
+    }
+    shingles(docs, n, dedup = false)
+      .groupBy("id").agg(mins.head, mins.tail: _*)
+  }
 
   /** Banded LSH candidate pairs: signatures are split into bands of
     * `rowsPerBand` hash slots; a pair is a candidate iff some band key
-    * matches. One shuffle on (band, bandKey); the quadratic step runs only
-    * inside hash buckets, which is what makes near-dup detection feasible
-    * at 100 TB.
+    * matches. Band keys are pure projections over the wide signatures
+    * (slot-ordered "hh=minhash" strings joined and hashed — identical to
+    * the sort-based canonical form since the zero-padded slot prefix makes
+    * lexicographic order slot order), so the whole operator is one
+    * signature shuffle plus one equi-shuffle on (band, bandKey); the
+    * quadratic step runs only inside hash buckets, which is what makes
+    * near-dup detection feasible at 100 TB.
     */
   def minhashCandidates(docs: DataFrame, n: Int, numHashes: Int,
       rowsPerBand: Int): DataFrame = {
+    val numBands = (numHashes + rowsPerBand - 1) / rowsPerBand
+    val bandCols = (0 until numBands).map { b =>
+      val parts = (b * rowsPerBand until
+          math.min((b + 1) * rowsPerBand, numHashes)).map { h =>
+        concat(lit(f"$h%02d="), col(s"mh_$h"))
+      }
+      struct(lit(b).as("band"), md5(concat_ws("|", parts: _*)).as("band_key"))
+    }
     val bandKeys = minhashSignatures(docs, n, numHashes)
-      .withColumn("band", expr(s"h div $rowsPerBand"))
-      .groupBy("id", "band")
-      // canonical band key: slot-sorted "hh=minhash" strings, hashed
-      .agg(md5(concat_ws("|",
-        sort_array(collect_list(concat(lpad(col("h").cast("string"), 2, "0"),
-          lit("="), col("mh")))))).as("band_key"))
+      .select(col("id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"),
+        col("bk.band_key").as("band_key"))
     bandKeys.as("a")
       .join(bandKeys.as("b"),
         col("a.band") === col("b.band") &&
@@ -99,23 +117,23 @@ object Dedup {
     */
   def simhash(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    // One 32-bit value per token occurrence (the first 8 md5 hex digits as
+    // a number: bit at position p == bit (3 - b%4) of digit b/4 for
+    // b = 31-p, exactly the per-digit layout the DuckDB oracle replays),
+    // then ONE groupBy(id) carrying 32 map-side-combined vote sums — the
+    // old shape exploded every token 32× and shuffled that stream.
     val toks = docs
       .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("tok"))
-      .withColumn("hex", substring(md5(col("tok")), 1, 8))
-    val bits = toks.select(col("id"),
-      explode(expr("sequence(0, 31)")).as("b"),
-      col("hex"))
-      .withColumn("digit", substring(col("hex"),
-        (col("b") / 4).cast("int") + 1, lit(1)))
-      .withColumn("dval",
-        expr("instr('0123456789abcdef', digit) - 1"))
-      .withColumn("bit", expr("(dval >> (3 - b % 4)) & 1"))
-      .withColumn("vote", col("bit") * 2 - 1)
-    bits.groupBy("id", "b").agg(sum("vote").as("votes"))
-      .groupBy("id")
-      .agg(sum(when(col("votes") > 0,
-        expr("shiftleft(1L, cast(31 - b AS INT))")).otherwise(0L))
-        .as("simhash"))
+      .withColumn("v",
+        expr("cast(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT)"))
+    val votes = (0 until 32).map { p =>
+      sum(expr(s"((v >> $p) & 1) * 2 - 1")).as(s"vote_$p")
+    }
+    toks.groupBy("id").agg(votes.head, votes.tail: _*)
+      .select(col("id"),
+        (0 until 32).map { p =>
+          when(col(s"vote_$p") > 0, lit(1L << p)).otherwise(0L)
+        }.reduce(_ + _).as("simhash"))
   }
 
   /** SimHash near-dup candidate pairs (validation-scale all-pairs join). */

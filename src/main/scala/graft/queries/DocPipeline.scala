@@ -205,12 +205,17 @@ object DocPipeline {
 
     // Porter stemming over document tokens — the one scalar with no SQL
     // equivalent in DuckDB (rows-only check; semantics pinned by the
-    // 5.7k-vector golden spec instead).
+    // 5.7k-vector golden spec instead). Two-level aggregation: count raw
+    // tokens first (map-side combine collapses the stream to the distinct
+    // vocabulary), stem only the distinct tokens, then re-aggregate — under
+    // a Zipf token distribution this stems |vocab| strings instead of
+    // |corpus| and shuffles vocabulary-sized data, which is the difference
+    // between hours and minutes at 100 TB.
     QueryDef("q33_doc_stem_freq",
       (s, d) => table(s, d, "documents")
         .select(explode(split(col("text"), " ")).as("tok"))
-        .select(porter_stem(col("tok")).as("stem"))
-        .groupBy("stem").agg(count(lit(1)).as("n"))
+        .groupBy("tok").agg(count(lit(1)).as("tn"))
+        .groupBy(porter_stem(col("tok")).as("stem")).agg(sum("tn").as("n"))
         .orderBy(col("n").desc, col("stem").asc),
       None),
   )
