@@ -37,6 +37,25 @@ object Dedup {
     if (dedup) raw.distinct() else raw
   }
 
+  /** All ordered id pairs (id1 < id2) inside each bucket of `keyed`,
+    * where a bucket is one group of `keys`. Replaces a bucket-key
+    * SELF-JOIN: the upstream pipeline (corpus scan → signatures → bucket
+    * keys) is evaluated ONCE, not once per join side (Spark does not reuse
+    * exchanges across self-join branches), and the quadratic expansion
+    * happens by exploding each bucket's sorted id list. Bucket-size skew
+    * is the same quadratic cost the join shape had; LSH banding is what
+    * keeps buckets small.
+    */
+  private def bucketPairs(keyed: DataFrame, keys: Seq[String]): DataFrame =
+    keyed.groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(expr(
+        "flatten(transform(ids, (x, i) -> transform(" +
+          "slice(ids, i + 2, size(ids)), y -> struct(x AS id1, y AS id2))))"))
+        .as("p"))
+      .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
+
   /** Exact pairwise n-gram Jaccard similarity >= `minJaccard`.
     * Quadratic in co-shingle document pairs — the small-scale oracle for
     * [[minhashCandidates]]; at 100 TB run MinHash first and feed the
@@ -45,10 +64,8 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, n: Int, minJaccard: Double): DataFrame = {
     val sh = shingles(docs, n)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val inter = sh.as("a")
-      .join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+    val inter = bucketPairs(sh, Seq("shingle"))
+      .groupBy("id1", "id2")
       .agg(count(lit(1)).as("n_common"))
     inter
       .join(sizes.select(col("id").as("id1"), col("n_sh").as("n1")), "id1")
@@ -100,12 +117,7 @@ object Dedup {
       .select(col("id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"),
         col("bk.band_key").as("band_key"))
-    bandKeys.as("a")
-      .join(bandKeys.as("b"),
-        col("a.band") === col("b.band") &&
-          col("a.band_key") === col("b.band_key") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"))
-      .distinct()
+    bucketPairs(bandKeys, Seq("band", "band_key")).distinct()
   }
 
   /** 32-bit frequency-weighted SimHash: every token *occurrence* votes on
@@ -173,14 +185,21 @@ object Dedup {
       numBands: Int = 4): DataFrame = {
     require(numBands > maxHamming,
       s"pigeonhole cover needs numBands=$numBands > maxHamming=$maxHamming")
-    val bands = simhashBands(docs, numBands)
-    bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") &&
-          col("a.band_bits") === col("b.band_bits") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"),
-        expr("bit_count(a.simhash ^ b.simhash)").cast("int").as("hamming"))
+    // single-branch bucket expansion (see bucketPairs) carrying the full
+    // signature into each pair for exact Hamming re-scoring; struct order
+    // is id order since ids are unique per bucket
+    simhashBands(docs, numBands)
+      .groupBy("band", "band_bits")
+      .agg(sort_array(collect_list(struct(col("id"), col("simhash"))))
+        .as("ms"))
+      .where(size(col("ms")) > 1)
+      .select(explode(expr(
+        "flatten(transform(ms, (x, i) -> transform(" +
+          "slice(ms, i + 2, size(ms)), y -> struct(" +
+          "x.id AS id1, y.id AS id2, x.simhash AS s1, y.simhash AS s2))))"))
+        .as("p"))
+      .select(col("p.id1").as("id1"), col("p.id2").as("id2"),
+        expr("bit_count(p.s1 ^ p.s2)").cast("int").as("hamming"))
       .where(col("hamming") <= maxHamming)
       .distinct()
   }

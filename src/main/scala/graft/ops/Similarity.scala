@@ -49,45 +49,54 @@ object Similarity {
 
   /** Deterministic pseudo-random hyperplane component for (plane p, dim i):
     * a value in [-1, 1] derived from one md5 hex digit — portable to any
-    * engine with md5/instr.
+    * engine with md5/instr, and computable driver-side (see
+    * [[planeWeight]]) so plane application needs no plane-table join.
     */
   def planeComponent(p: Column, i: Column): Column =
     (expr(s"instr('0123456789abcdef', substring(md5(concat(p, '-', i)), 1, 1))")
       .cast("double") - 1.0 - 7.5) / 7.5
 
+  /** Driver-side value of [[planeComponent]] — bit-identical arithmetic
+    * ((hex digit of md5("p-i")) - 7.5) / 7.5.
+    */
+  private def planeWeight(p: Int, i: Int): Double = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$p-$i".getBytes("UTF-8"))
+    (((d(0) >> 4) & 0xf) - 7.5) / 7.5
+  }
+
   /** Sign-bucket each vector with `numPlanes` hyperplanes: bucket =
-    * Σ_p (dot(plane_p, v) > 0) << p. One narrow pass (posexplode + small
-    * broadcast plane join + two re-aggregations of already-small data).
+    * Σ_p (dot(plane_p, v) > 0) << p, appended as a `bucket` column. The
+    * planes are deterministic driver-side literal arrays, so bucketing is
+    * a NARROW shuffle-free projection (one array fold per plane, summed in
+    * array order like the SQL oracle) — at 100 TB this stage costs one
+    * corpus pass and nothing else.
     */
   def lshBuckets(corpus: DataFrame, numPlanes: Int, dims: Int): DataFrame = {
-    val planes = (0 until numPlanes).flatMap { p =>
-      (0 until dims).map(i => (p, i))
-    }.toSeq
-    val s2 = corpus.sparkSession; import s2.implicits._
-    val planeDf = planes.toDF("p", "i")
-      .select(col("p"), col("i"),
-        planeComponent(col("p"), col("i")).as("w"))
-    corpus.select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
-      .join(broadcast(planeDf), "i")
-      .groupBy("vec_id", "p")
-      .agg(sum(col("x").cast("double") * col("w")).as("proj"))
-      .groupBy("vec_id")
-      .agg(sum(when(col("proj") > 0,
-        expr("shiftleft(1L, cast(p AS INT))")).otherwise(0L)).as("bucket"))
+    val bucket = (0 until numPlanes).map { p =>
+      val weights = array((0 until dims).map(i => lit(planeWeight(p, i))): _*)
+      val proj = aggregate(
+        zip_with(col("embedding"), weights, (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, lit(1L << p)).otherwise(0L)
+    }.reduce(_ + _)
+    corpus.withColumn("bucket", bucket)
   }
 
   /** Approximate top-k: exact cosine ranking restricted to same-bucket
-    * candidates. Recall trades off against `numPlanes`; the bucket join is
-    * an equi-shuffle, so cost is Σ bucket² not corpus².
+    * candidates. Recall trades off against `numPlanes`. Both sides bucket
+    * narrowly ([[lshBuckets]] is a projection — the query side buckets
+    * just the query rows, never a second corpus pass), so the whole
+    * operator is one broadcast join + per-query ranking.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       numPlanes: Int, dims: Int): DataFrame = {
-    val buckets = lshBuckets(corpus, numPlanes, dims)
-    val corpusB = corpus.join(buckets, "vec_id")
-    val queryB = queries.select(col("vec_id").as("query_id"),
-      col("embedding").as("qv"))
-      .join(buckets.select(col("vec_id").as("query_id"),
-        col("bucket").as("qbucket")), "query_id")
+    val corpusB = lshBuckets(corpus, numPlanes, dims)
+    val queryB = lshBuckets(
+      queries.select(col("vec_id").as("query_id"), col("embedding")),
+      numPlanes, dims)
+      .select(col("query_id"), col("embedding").as("qv"),
+        col("bucket").as("qbucket"))
     val scored = corpusB.join(broadcast(queryB),
       col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),

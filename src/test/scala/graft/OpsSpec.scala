@@ -79,6 +79,7 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     }
     // lsh top-k results only pair vectors from the same bucket
     val buckets = Similarity.lshBuckets(emb, 6, 64)
+      .select("vec_id", "bucket")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     Similarity.lshTopK(emb, queries, 3, 6, 64).collect().foreach { r =>
       assert(buckets(r.getAs[Long]("query_id")) ==
