@@ -120,7 +120,16 @@ object Dedup {
     bucketPairs(bandKeys, Seq("band", "band_key")).distinct()
   }
 
-  /** 32-bit frequency-weighted SimHash: every token *occurrence* votes on
+  /** Signature width in bits: 15 md5 hex digits — the widest md5 prefix
+    * that stays positive in a signed 64-bit column on every engine (so the
+    * DuckDB oracle can replay it). Wider signatures mean finer band
+    * buckets: at `numBands = 5` each band carries 12 bits = 4096 buckets,
+    * which is what keeps the within-bucket quadratic step bounded at
+    * 100 TB corpus sizes.
+    */
+  val SimhashBits = 60
+
+  /** 60-bit frequency-weighted SimHash: every token *occurrence* votes on
     * each bit (bit b of a token = bit (3 - b mod 4) of hex digit b/4 of its
     * md5), so documents with the same vocabulary but different frequency
     * profiles still separate. Near-dup pairs = Hamming distance <=
@@ -129,21 +138,21 @@ object Dedup {
     */
   def simhash(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    // One 32-bit value per token occurrence (the first 8 md5 hex digits as
+    // One 60-bit value per token occurrence (the first 15 md5 hex digits as
     // a number: bit at position p == bit (3 - b%4) of digit b/4 for
-    // b = 31-p, exactly the per-digit layout the DuckDB oracle replays),
-    // then ONE groupBy(id) carrying 32 map-side-combined vote sums — the
-    // old shape exploded every token 32× and shuffled that stream.
+    // b = 59-p, exactly the per-digit layout the DuckDB oracle replays),
+    // then ONE groupBy(id) carrying 60 map-side-combined vote sums — the
+    // old shape exploded every token SimhashBits× and shuffled that stream.
     val toks = docs
       .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("tok"))
       .withColumn("v",
-        expr("cast(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT)"))
-    val votes = (0 until 32).map { p =>
+        expr(s"cast(conv(substring(md5(tok), 1, ${SimhashBits / 4}), 16, 10) AS BIGINT)"))
+    val votes = (0 until SimhashBits).map { p =>
       sum(expr(s"((v >> $p) & 1) * 2 - 1")).as(s"vote_$p")
     }
     toks.groupBy("id").agg(votes.head, votes.tail: _*)
       .select(col("id"),
-        (0 until 32).map { p =>
+        (0 until SimhashBits).map { p =>
           when(col(s"vote_$p") > 0, lit(1L << p)).otherwise(0L)
         }.reduce(_ + _).as("simhash"))
   }
@@ -157,13 +166,14 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
-  /** Per-document band keys: the 32-bit signature split into `numBands`
-    * contiguous bit slices (numBands must divide 32). Narrow stage over
-    * [[simhash]] output.
+  /** Per-document band keys: the 60-bit signature split into `numBands`
+    * contiguous bit slices (numBands must divide [[SimhashBits]]). Narrow
+    * stage over [[simhash]] output.
     */
   def simhashBands(docs: DataFrame, numBands: Int): DataFrame = {
-    require(32 % numBands == 0, s"numBands=$numBands must divide 32")
-    val width = 32 / numBands
+    require(SimhashBits % numBands == 0,
+      s"numBands=$numBands must divide $SimhashBits")
+    val width = SimhashBits / numBands
     simhash(docs)
       .select(col("id"), col("simhash"),
         explode(expr(s"sequence(0, ${numBands - 1})")).as("band"))

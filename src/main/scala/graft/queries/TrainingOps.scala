@@ -23,16 +23,16 @@ object TrainingOps {
   private def simhashSigSql(cond: String = "TRUE") =
     s"""toks AS (SELECT doc_id id, UNNEST(string_split(text, ' ')) tok
       |         FROM documents WHERE $cond),
-      |hx AS (SELECT id, substr(md5(tok), 1, 8) hex FROM toks),
+      |hx AS (SELECT id, substr(md5(tok), 1, 15) hex FROM toks),
       |bits AS (SELECT id, b,
       |    strpos('0123456789abcdef', substr(hex, CAST(b // 4 AS INT) + 1, 1)) - 1 AS dval
-      |  FROM hx, UNNEST(generate_series(0, 31)) t(b)),
+      |  FROM hx, UNNEST(generate_series(0, 59)) t(b)),
       |votes AS (SELECT id, b,
       |    SUM(2 * ((dval >> CAST(3 - b % 4 AS INT)) & 1) - 1) AS v
       |  FROM bits GROUP BY 1, 2),
       |sig AS (SELECT id,
       |    CAST(SUM(CASE WHEN v > 0
-      |      THEN (CAST(1 AS BIGINT) << CAST(31 - b AS INT)) ELSE 0 END) AS BIGINT)
+      |      THEN (CAST(1 AS BIGINT) << CAST(59 - b AS INT)) ELSE 0 END) AS BIGINT)
       |      AS simhash
       |  FROM votes GROUP BY 1)""".stripMargin
 
@@ -111,11 +111,12 @@ object TrainingOps {
               |ORDER BY 1, 2""".stripMargin)),
 
     // The banded scale path must produce EXACTLY the Hamming<=4 pair set —
-    // the oracle re-derives that set directly (pigeonhole: 8 bands of 4
-    // bits > 4 allowed flips, so no qualifying pair can be missed).
+    // the oracle re-derives that set directly (pigeonhole: 5 bands of 12
+    // bits > 4 allowed flips, so no qualifying pair can be missed; 4096
+    // buckets per band keeps the within-bucket quadratic step bounded).
     QueryDef("q68_dedup_simhash_banded",
       (s, d) => Dedup.simhashCandidates(table(s, d, "documents"),
-          maxHamming = 4, numBands = 8)
+          maxHamming = 4, numBands = 5)
         .orderBy("id1", "id2"),
       Some(s"""WITH ${simhashSigSql()}
               |SELECT a.id AS id1, b.id AS id2,
@@ -332,6 +333,9 @@ object TrainingOps {
              |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // multimodal plumbing: stubbed decode, real Spark pipeline shape
+    // The stub decode is deterministic arithmetic over the raw bytes
+    // (md5 + ASCII byte histogram), so DuckDB can replay it exactly —
+    // flipping the multimodal plumbing from rows-only to hash-checked.
     QueryDef("q51_multimodal_decode",
       (s, d) => Multimodal.decodeFeatures(
         Multimodal.asMedia(table(s, d, "documents"))).toDF()
@@ -340,7 +344,33 @@ object TrainingOps {
           round(element_at(col("histogram"), 1), 6).as("hist_0"),
           round(element_at(col("histogram"), 2), 6).as("hist_1"))
         .orderBy("doc_id"),
-      None),
+      Some("""WITH d AS (SELECT doc_id, text,
+             |    CAST(strlen(text) AS INT) AS n_bytes, md5(text) AS sha
+             |  FROM documents),
+             |dims AS (SELECT doc_id,
+             |    (((strpos('0123456789abcdef', substr(sha, 1, 1)) - 1) * 16
+             |      + strpos('0123456789abcdef', substr(sha, 2, 1)) - 1) * 16
+             |      + strpos('0123456789abcdef', substr(sha, 3, 1)) - 1) * 16
+             |      + strpos('0123456789abcdef', substr(sha, 4, 1)) - 1 AS w16,
+             |    (((strpos('0123456789abcdef', substr(sha, 5, 1)) - 1) * 16
+             |      + strpos('0123456789abcdef', substr(sha, 6, 1)) - 1) * 16
+             |      + strpos('0123456789abcdef', substr(sha, 7, 1)) - 1) * 16
+             |      + strpos('0123456789abcdef', substr(sha, 8, 1)) - 1 AS h16
+             |  FROM d),
+             |chars AS (SELECT doc_id, ascii(substr(text, i, 1)) AS c
+             |  FROM d, UNNEST(generate_series(1, CAST(n_bytes AS BIGINT))) t(i)),
+             |bins AS (SELECT doc_id,
+             |    CAST(SUM(CASE WHEN c < 64 THEN 1 ELSE 0 END) AS DOUBLE) AS b0,
+             |    CAST(SUM(CASE WHEN c >= 64 AND c < 128 THEN 1 ELSE 0 END)
+             |      AS DOUBLE) AS b1
+             |  FROM chars GROUP BY 1)
+             |SELECT d.doc_id, n_bytes, sha AS content_sha,
+             |  CAST(64 + (w16 % 192) AS INT) AS width,
+             |  CAST(64 + (h16 % 192) AS INT) AS height,
+             |  ROUND(b0 / GREATEST(1.0, n_bytes), 6) AS hist_0,
+             |  ROUND(b1 / GREATEST(1.0, n_bytes), 6) AS hist_1
+             |FROM d JOIN dims USING (doc_id) JOIN bins USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
 
     QueryDef("q52_multimodal_frames",
       (s, d) => Multimodal.sampleFrames(
@@ -348,6 +378,13 @@ object TrainingOps {
         .groupBy("doc_id").agg(count(lit(1)).as("n_frames"),
           sum(length(col("frame_bytes"))).as("total_bytes"))
         .orderBy("doc_id"),
-      None),
+      Some("""WITH d AS (SELECT doc_id,
+             |    CAST(strlen(text) AS BIGINT) AS len FROM documents),
+             |chunks AS (SELECT doc_id, i, LEAST(64, len - i * 64) AS clen
+             |  FROM d, UNNEST(generate_series(0, (len - 1) // 64)) t(i)
+             |  WHERE i % 2 = 0)
+             |SELECT doc_id, COUNT(*) AS n_frames,
+             |  CAST(SUM(clen) AS BIGINT) AS total_bytes
+             |FROM chunks GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 }

@@ -29,10 +29,13 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     val nearDups = Dedup.jaccardPairs(docs, 3, 0.95)
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(nearDups.nonEmpty)
-    val hams = Dedup.simhashPairs(docs, 32) // no filter: all pairs
+    val hams = Dedup.simhashPairs(docs, Dedup.SimhashBits) // no filter
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    // near-dups should differ in well under 20% of signature bits
+    val far = Dedup.SimhashBits / 5
     nearDups.foreach { p =>
-      assert(hams(p) <= 6, s"pair $p hamming ${hams(p)} too far for a near-dup")
+      assert(hams(p) <= far,
+        s"pair $p hamming ${hams(p)} too far for a near-dup")
     }
   }
 
@@ -42,7 +45,7 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     // pigeonhole cover: for every (maxHamming, numBands) with
     // numBands > maxHamming the banded path must reproduce the all-pairs
     // result exactly — including the Hamming distances
-    for ((maxH, bands) <- Seq((3, 4), (4, 8), (7, 8), (1, 2))) {
+    for ((maxH, bands) <- Seq((3, 4), (4, 5), (7, 10), (1, 2))) {
       val exact = pairs(Dedup.simhashPairs(docs, maxH))
       val banded = pairs(Dedup.simhashCandidates(docs, maxH, bands))
       assert(banded == exact,
@@ -55,7 +58,7 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException](
       Dedup.simhashCandidates(docs, maxHamming = 4, numBands = 4))
     intercept[IllegalArgumentException](
-      Dedup.simhashCandidates(docs, maxHamming = 2, numBands = 5))
+      Dedup.simhashCandidates(docs, maxHamming = 2, numBands = 7))
   }
 
   test("exact dedup groups partition the corpus") {
