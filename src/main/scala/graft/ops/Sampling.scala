@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling/splitting for training-data pipelines.
+  *
+  * Everything here is keyed on a CONTENT hash, not an RNG: the same
+  * document lands in the same split/sample on every run, on any engine
+  * (md5 arithmetic is replayable in the DuckDB oracle), and exact
+  * duplicates land in the same split — which is the property that stops
+  * train/test leakage when splits are combined with near-dedup. All ops
+  * are narrow single-pass projections/filters: no shuffle, no driver
+  * state, unchanged at 100 TB.
+  */
+object Sampling {
+
+  /** Uniform [0, 1) draw from the first four md5 hex digits of `c`
+    * (16 bits — plenty for split boundaries at percent granularity).
+    */
+  def hashUnit(c: Column): Column =
+    conv(substring(md5(c), 1, 4), 16, 10).cast("double") / 65536.0
+
+  /** Append a `split` column assigning each row to the first label whose
+    * cumulative weight exceeds the row's content-hash draw — e.g.
+    * `Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)`. Weights must sum
+    * to 1 (the last label absorbs rounding).
+    */
+  def contentSplit(df: DataFrame, weights: Seq[(String, Double)],
+      textCol: String = "text"): DataFrame = {
+    require(weights.nonEmpty && math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
+      s"split weights must sum to 1: $weights")
+    val u = hashUnit(col(textCol))
+    val cuts = weights.scanLeft(0.0)(_ + _._2).tail
+    val split = weights.init.zip(cuts.init).foldRight(
+      lit(weights.last._1): Column) { case (((label, _), cut), rest) =>
+      when(u < cut, label).otherwise(rest)
+    }
+    df.withColumn("split", split)
+  }
+
+  /** Keep each row with probability `rates(stratum)` (default
+    * `defaultRate`), decided by its content hash — a deterministic
+    * stratified sample, e.g. down-weighting over-represented languages in
+    * a training mix.
+    */
+  def stratifiedSample(df: DataFrame, strataCol: String,
+      rates: Map[String, Double], defaultRate: Double,
+      textCol: String = "text"): DataFrame = {
+    val rate = rates.foldRight(lit(defaultRate): Column) {
+      case ((k, r), rest) => when(col(strataCol) === k, r).otherwise(rest)
+    }
+    df.where(hashUnit(col(textCol)) < rate)
+  }
+}

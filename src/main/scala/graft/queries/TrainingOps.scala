@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import QueryDef.table
 
 /** Training-data pipeline operators as oracle-checked queries: dedup
@@ -386,5 +386,54 @@ object TrainingOps {
              |SELECT doc_id, COUNT(*) AS n_frames,
              |  CAST(SUM(clen) AS BIGINT) AS total_bytes
              |FROM chunks GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Deterministic content-hash train/val/test split: per split, row count
+    // and a per-lang breadth check. The md5 draw is replayed digit-by-digit
+    // in DuckDB (the established portable-hash pattern).
+    QueryDef("q69_content_split",
+      (s, d) => Sampling.contentSplit(table(s, d, "documents"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy("split"),
+      Some("""WITH u AS (SELECT lang, n_chars,
+             |    ((((strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+             |      + strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) * 16
+             |      + strpos('0123456789abcdef', substr(md5(text), 3, 1)) - 1) * 16
+             |      + strpos('0123456789abcdef', substr(md5(text), 4, 1)) - 1)
+             |      / 65536.0 AS u
+             |  FROM documents),
+             |s AS (SELECT lang, n_chars,
+             |    CASE WHEN u < 0.8 THEN 'train'
+             |         WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
+             |  FROM u)
+             |SELECT split, COUNT(*) AS n_docs,
+             |  COUNT(DISTINCT lang) AS n_langs,
+             |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+             |FROM s GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Deterministic stratified sample: per-language keep rates re-balance
+    // the training mix; same portable content-hash draw as q69.
+    QueryDef("q70_stratified_sample",
+      (s, d) => Sampling.stratifiedSample(table(s, d, "documents"), "lang",
+          Map("en" -> 0.5, "es" -> 0.25), defaultRate = 0.1)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("sum_chars"))
+        .orderBy("lang"),
+      Some("""WITH u AS (SELECT lang, n_chars,
+             |    ((((strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+             |      + strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) * 16
+             |      + strpos('0123456789abcdef', substr(md5(text), 3, 1)) - 1) * 16
+             |      + strpos('0123456789abcdef', substr(md5(text), 4, 1)) - 1)
+             |      / 65536.0 AS u
+             |  FROM documents)
+             |SELECT lang, COUNT(*) AS n_kept,
+             |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+             |FROM u
+             |WHERE u < CASE lang WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.25
+             |          ELSE 0.1 END
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 }

@@ -133,4 +133,40 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(preds.nonEmpty)
     preds.foreach(r => assert(r.getAs[String]("pred_lang") == "en"))
   }
+
+  test("content split partitions the corpus deterministically by content") {
+    val weights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val n = docs.count()
+    val s1 = Sampling.contentSplit(docs, weights)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(s1.values.sum == n, "split must partition every row")
+    // majority split dominates; proportions are hash-driven, allow slack
+    assert(s1("train").toDouble / n > 0.6)
+    // identical texts land in the same split (leakage guard)
+    val dupSplits = Sampling.contentSplit(
+        docs.union(docs), weights)
+      .groupBy("text").agg(countDistinct("split").as("k")).collect()
+    dupSplits.foreach(r => assert(r.getLong(1) == 1L))
+    // rerun is bit-identical (no RNG anywhere)
+    val s2 = Sampling.contentSplit(docs, weights)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(s1 == s2)
+    // weights must sum to 1
+    intercept[IllegalArgumentException](
+      Sampling.contentSplit(docs, Seq("a" -> 0.5, "b" -> 0.1)))
+  }
+
+  test("stratified sample keeps per-stratum rates and is a subset") {
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    val kept = Sampling.stratifiedSample(docs, "lang",
+      Map("en" -> 1.0), defaultRate = 0.0)
+    val keptRows = kept.collect()
+    assert(keptRows.forall(r => ids.contains(r.getAs[Long]("doc_id"))))
+    // rate 1.0 keeps every en row, rate 0.0 drops every other row
+    val nEn = docs.where(col("lang") === "en").count()
+    assert(kept.count() == nEn)
+    assert(keptRows.forall(_.getAs[String]("lang") == "en"))
+  }
 }
