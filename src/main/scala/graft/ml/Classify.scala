@@ -100,23 +100,40 @@ object Classify {
       .setNumTrees(numTrees).setMaxDepth(30)
       .setFeatureSubsetStrategy("sqrt").setSeed(seed)
       .setLabelCol("label").setFeaturesCol("features")
-    val preds = (0 until folds).map { k =>
-      val train = assembler.transform(labeled.where(col("fold") =!= k))
-      val test = assembler.transform(labeled.where(col("fold") === k))
-      if (train.isEmpty || test.isEmpty)
-        test.select(col("label"), col("label").as("prediction"),
-          col("label").as("p_similar")).limit(0)
-      else {
-        // a fold trained on a single class yields a 1-element probability
-        // vector; recover P(similar) from the lone class's probability
-        val arr = org.apache.spark.ml.functions.vector_to_array(col("probability"))
-        rf.fit(train).transform(test)
-          .select(col("label"), col("prediction"),
-            when(size(arr) === 2, element_at(arr, 2))
-              .otherwise(when(col("prediction") === 1.0, element_at(arr, 1))
-                .otherwise(lit(1.0) - element_at(arr, 1))).as("p_similar"))
+    // Folds are independent: submit their fits concurrently (the
+    // CrossValidator.parallelism pattern). Each fit is dozens of small
+    // jobs, so on modest inputs fold wall-clock is scheduling latency —
+    // overlapping folds reclaims most of it. Each thread fits its own
+    // estimator copy.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(folds, 4)))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val futs = (0 until folds).map { k =>
+      scala.concurrent.Future {
+        val train = assembler.transform(labeled.where(col("fold") =!= k))
+        val test = assembler.transform(labeled.where(col("fold") === k))
+        if (train.isEmpty || test.isEmpty)
+          test.select(col("label"), col("label").as("prediction"),
+            col("label").as("p_similar")).limit(0)
+        else {
+          // a fold trained on a single class yields a 1-element probability
+          // vector; recover P(similar) from the lone class's probability
+          val arr = org.apache.spark.ml.functions.vector_to_array(col("probability"))
+          rf.copy(org.apache.spark.ml.param.ParamMap.empty).fit(train)
+            .transform(test)
+            .select(col("label"), col("prediction"),
+              when(size(arr) === 2, element_at(arr, 2))
+                .otherwise(when(col("prediction") === 1.0, element_at(arr, 1))
+                  .otherwise(lit(1.0) - element_at(arr, 1))).as("p_similar"))
+        }
       }
     }
+    val preds =
+      try scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futs),
+        scala.concurrent.duration.Duration.Inf)
+      finally pool.shutdown()
     // Materialize the out-of-fold predictions (gold-bounded: one row per
     // labeled pair) while the fold caches are still warm, then release
     // them — otherwise every battery/bench run leaks two cached relations
