@@ -1,0 +1,39 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation: the composition a training-data pipeline
+  * actually runs over raw documents — exact dedup, quality gating,
+  * stratified re-balancing, and leakage-safe splitting — as ONE logical
+  * plan.
+  *
+  * Shape at 100 TB: one shuffle (the dedup window on the content hash);
+  * everything after it is a narrow chain of projections/filters over the
+  * surviving rows ([[TextAnalysis.quality]] and both [[Sampling]] stages
+  * are shuffle-free), so Catalyst pipelines the whole post-dedup stage and
+  * the job costs one pass + one exchange. Every step is md5-arithmetic
+  * deterministic — reruns and engines agree row-for-row (the DuckDB
+  * oracle replays the entire chain).
+  */
+object Curation {
+
+  /** docs(doc_id, text, lang, ...) → curated rows with quality metrics and
+    * a `split` column. Exact duplicates collapse to the lowest-id copy
+    * BEFORE sampling, so a duplicated document can never straddle splits.
+    */
+  def curate(docs: DataFrame,
+      minQuality: Double,
+      rates: Map[String, Double], defaultRate: Double,
+      weights: Seq[(String, Double)]): DataFrame = {
+    val canonical = docs
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+      .where(col("rk") === 1).drop("rk")
+    val scored = TextAnalysis.quality(canonical, keep = Seq("text", "lang"))
+    val kept = scored.where(col("quality") >= minQuality)
+    val sampled = Sampling.stratifiedSample(kept, "lang", rates, defaultRate)
+    Sampling.contentSplit(sampled, weights)
+  }
+}

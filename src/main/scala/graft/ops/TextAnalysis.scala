@@ -49,16 +49,17 @@ object TextAnalysis {
     * length (capped) — the standard cheap pre-filters for corpus curation.
     */
   def quality(docs: DataFrame,
-      stopwords: Seq[String] = defaultLexicons("en")): DataFrame = {
+      stopwords: Seq[String] = defaultLexicons("en"),
+      keep: Seq[String] = Nil): DataFrame = {
     val toks = split(col("text"), " ")
     val stopArr = array(stopwords.map(lit): _*)
-    docs.select(
-      col("doc_id"),
+    val metrics = Seq(
       length(col("text")).cast("long").as("n_chars"),
       size(toks).cast("long").as("n_tokens"),
       size(array_distinct(toks)).cast("long").as("n_uniq"),
       (size(filter(toks, t => array_contains(stopArr, t))).cast("double") /
         size(toks)).as("stop_ratio"))
+    docs.select(col("doc_id") +: keep.map(col) :++ metrics: _*)
       .withColumn("ttr", col("n_uniq").cast("double") / col("n_tokens"))
       .withColumn("avg_token_len",
         (col("n_chars") - (col("n_tokens") - 1)).cast("double") / col("n_tokens"))

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Curation, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import QueryDef.table
 
 /** Training-data pipeline operators as oracle-checked queries: dedup
@@ -435,5 +435,53 @@ object TrainingOps {
              |WHERE u < CASE lang WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.25
              |          ELSE 0.1 END
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // The full curation composition — dedup → quality gate → stratified
+    // sample → split — one logical plan, replayed end-to-end by DuckDB.
+    QueryDef("q71_curation_pipeline",
+      (s, d) => Curation.curate(table(s, d, "documents"),
+          minQuality = 0.4,
+          rates = Map("en" -> 0.8, "es" -> 0.5), defaultRate = 0.25,
+          weights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("sum_tokens"),
+          round(avg("quality"), 6).as("avg_quality"))
+        .orderBy("split", "lang"),
+      Some("""WITH canon AS (
+             |  SELECT doc_id, text, lang FROM (
+             |    SELECT doc_id, text, lang,
+             |      ROW_NUMBER() OVER (PARTITION BY md5(text)
+             |        ORDER BY doc_id) AS rk
+             |    FROM documents) t WHERE rk = 1),
+             |q AS (SELECT doc_id, text, lang,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |    LEAST(len(string_split(text, ' ')) / 100.0, 1.0) * 0.3
+             |    + (len(list_filter(string_split(text, ' '),
+             |        x -> list_contains(['the','a','of','and','to','in','is','it'], x)))
+             |       * 1.0 / len(string_split(text, ' '))) * 0.2
+             |    + (len(list_distinct(string_split(text, ' ')))
+             |       * 1.0 / len(string_split(text, ' '))) * 0.2
+             |    + LEAST(((LENGTH(text) - (len(string_split(text, ' ')) - 1))
+             |       * 1.0 / len(string_split(text, ' '))) / 10.0, 1.0) * 0.3
+             |      AS quality
+             |  FROM canon),
+             |u AS (SELECT *,
+             |    ((((strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+             |      + strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) * 16
+             |      + strpos('0123456789abcdef', substr(md5(text), 3, 1)) - 1) * 16
+             |      + strpos('0123456789abcdef', substr(md5(text), 4, 1)) - 1)
+             |      / 65536.0 AS u
+             |  FROM q WHERE quality >= 0.4),
+             |s AS (SELECT *,
+             |    CASE WHEN u < 0.8 THEN 'train'
+             |         WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
+             |  FROM u
+             |  WHERE u < CASE lang WHEN 'en' THEN 0.8 WHEN 'es' THEN 0.5
+             |            ELSE 0.25 END)
+             |SELECT split, lang, COUNT(*) AS n_docs,
+             |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+             |  ROUND(AVG(quality), 6) AS avg_quality
+             |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
   )
 }

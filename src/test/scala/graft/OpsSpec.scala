@@ -158,6 +158,29 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
       Sampling.contentSplit(docs, Seq("a" -> 0.5, "b" -> 0.1)))
   }
 
+  test("curation pipeline dedups, gates quality, and splits leakage-safe") {
+    val out = Curation.curate(docs.union(docs), minQuality = 0.35,
+      rates = Map("en" -> 1.0), defaultRate = 1.0,
+      weights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // exact duplicates collapsed (input was doubled)
+    val texts = rows.map(_.getAs[String]("text"))
+    assert(texts.distinct.length == texts.length)
+    // quality gate enforced; split labels valid
+    rows.foreach { r =>
+      assert(r.getAs[Double]("quality") >= 0.35)
+      assert(Set("train", "val", "test")(r.getAs[String]("split")))
+    }
+    // same content always lands in the same split as plain contentSplit
+    val direct = Sampling.contentSplit(docs,
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("text", "split").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    rows.foreach(r =>
+      assert(direct(r.getAs[String]("text")) == r.getAs[String]("split")))
+  }
+
   test("stratified sample keeps per-stratum rates and is a subset") {
     val ids = docs.select("doc_id").collect().map(_.getLong(0)).toSet
     val kept = Sampling.stratifiedSample(docs, "lang",
