@@ -181,6 +181,48 @@ object Dedup {
         s"(simhash >> ((${numBands - 1} - band) * $width)) & ${(1L << width) - 1}"))
   }
 
+  /** Connected components over an undirected candidate-pair edge list
+    * (id1, id2): returns (id, component) where `component` is the smallest
+    * id reachable from `id`. This is what turns pairwise near-dup output
+    * (MinHash/SimHash/Jaccard candidates) into deduplicatable CLUSTERS
+    * with a canonical representative (the component label itself).
+    *
+    * Iterative min-label propagation: each round every node takes the min
+    * of its own label and its neighbors' labels — one equi-shuffle per
+    * round, converging in O(max graph distance to the component's minimum)
+    * rounds. Near-dup clusters have tiny diameter, so 3-5 rounds in
+    * practice; `maxIter` bounds adversarial chains (the documented upgrade
+    * path for pathological graphs is the large-star/small-star O(log n)
+    * scheme). `localCheckpoint` cuts the growing lineage each round so
+    * plan size stays constant — the standard Spark iterative-algorithm
+    * hygiene.
+    */
+  def components(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+      .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val nbrLabels = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .select(col("src").as("id"), col("label"))
+      val next = labels.union(nbrLabels)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint(true)
+      val changed = next
+        .join(labels.withColumnRenamed("label", "prev"), "id")
+        .where(col("label") =!= col("prev")).count()
+      labels = next
+      converged = changed == 0L
+      it += 1
+    }
+    labels
+  }
+
   /** SimHash near-dup pairs via pigeonhole banding — the 100 TB scale path
     * (mirror of [[minhashCandidates]]): if two signatures differ in at most
     * `maxHamming` bits and there are more than `maxHamming` bands, at least

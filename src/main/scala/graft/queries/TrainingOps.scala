@@ -436,6 +436,40 @@ object TrainingOps {
              |          ELSE 0.1 END
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Candidate pairs → duplicate CLUSTERS: connected components by
+    // iterative min-label propagation; the oracle re-derives components
+    // via a recursive transitive closure over the same candidate set.
+    QueryDef("q72_neardup_components",
+      (s, d) => Dedup.components(
+          Dedup.minhashCandidates(table(s, d, "documents"), 3, 8, 2))
+        .groupBy(col("label").as("component"))
+        .agg(count(lit(1)).as("n_members"), max("id").as("max_id"))
+        .orderBy("component"),
+      Some(s"""WITH RECURSIVE ${shinglesSql()},
+              |sigs AS (SELECT id, h,
+              |    MIN(md5(CAST(h AS VARCHAR) || ':' || shingle)) AS mh
+              |  FROM sh, UNNEST(generate_series(0, 7)) t(h) GROUP BY 1, 2),
+              |bands AS (SELECT id, h // 2 AS band,
+              |    md5(array_to_string(list_sort(
+              |      list(lpad(CAST(h AS VARCHAR), 2, '0') || '=' || mh)), '|'))
+              |      AS band_key
+              |  FROM sigs GROUP BY 1, 2),
+              |cand AS (SELECT DISTINCT a.id AS id1, b.id AS id2
+              |  FROM bands a JOIN bands b
+              |    ON a.band = b.band AND a.band_key = b.band_key
+              |      AND a.id < b.id),
+              |edges AS (SELECT id1 AS src, id2 AS dst FROM cand
+              |  UNION ALL SELECT id2, id1 FROM cand),
+              |reach(a, b) AS (
+              |  SELECT src, dst FROM edges
+              |  UNION
+              |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+              |lab AS (SELECT a AS id, LEAST(a, MIN(b)) AS component
+              |  FROM reach GROUP BY a)
+              |SELECT component, COUNT(*) AS n_members,
+              |  MAX(id) AS max_id
+              |FROM lab GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // The full curation composition — dedup → quality gate → stratified
     // sample → split — one logical plan, replayed end-to-end by DuckDB.
     QueryDef("q71_curation_pipeline",

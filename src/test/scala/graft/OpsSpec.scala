@@ -61,6 +61,35 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
       Dedup.simhashCandidates(docs, maxHamming = 2, numBands = 7))
   }
 
+  test("connected components collapse candidate pairs into clusters") {
+    val s2 = spark; import s2.implicits._
+    // two chains and one cycle: {1,2,3,4}, {10,11}, {20,21,22}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (22L, 20L)).toDF("id1", "id2")
+    val got = Dedup.components(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+    // label propagation on real candidates agrees with a transitive
+    // closure computed driver-side
+    val cand = Dedup.minhashCandidates(docs, 3, 8, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = cand.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    def reach(start: Long): Set[Long] = {
+      var seen = Set(start); var frontier = Set(start)
+      while (frontier.nonEmpty) {
+        frontier = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- seen
+        seen ++= frontier
+      }
+      seen
+    }
+    val comp = Dedup.components(docs.sparkSession.createDataFrame(
+        cand.toSeq).toDF("id1", "id2")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    comp.foreach { case (id, label) => assert(label == reach(id).min) }
+  }
+
   test("exact dedup groups partition the corpus") {
     val n = docs.count()
     val groups = Dedup.exactGroups(docs)
