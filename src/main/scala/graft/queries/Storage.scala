@@ -54,5 +54,30 @@ object Storage {
              |  COUNT(DISTINCT lang) AS n_langs,
              |  COUNT(DISTINCT source) AS n_sources
              |FROM documents""".stripMargin)),
+
+    // ORC sink + source roundtrip (the columnar sibling of q64): typed
+    // schema survives natively, so exact per-group aggregates must match
+    // the direct-from-parquet oracle
+    QueryDef("q73_orc_roundtrip",
+      (s, d) => {
+        val li = table(s, d, "lineitem")
+          .select("l_orderkey", "l_returnflag", "l_quantity",
+            "l_extendedprice")
+        val tmp = java.nio.file.Files.createTempDirectory("graft_orc")
+        li.write.mode("overwrite").orc(tmp.toString)
+        val res = s.read.orc(tmp.toString)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum("l_quantity").cast("double").as("sum_qty"),
+            round(sum("l_extendedprice"), 2).as("sum_price"))
+          .orderBy("l_returnflag")
+        val rows = res.collect()
+        QueryDef.deleteRecursively(tmp)
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+      },
+      Some("""SELECT l_returnflag, COUNT(*) AS n,
+             |  CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+             |  ROUND(SUM(l_extendedprice), 2) AS sum_price
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 }
