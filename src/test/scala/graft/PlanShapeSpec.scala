@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops._
+
+/** Physical-plan shape assertions: the 100 TB scale claims in the ops'
+  * Scaladoc, pinned as tests so a rewrite can't silently reintroduce a
+  * shuffle (every Exchange is a full corpus rewrite at scale) or drop a
+  * broadcast to a shuffled join.
+  */
+class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$dir/documents.parquet")
+  private lazy val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def exchanges(df: DataFrame): Int =
+    "(?i)exchange".r.findAllIn(plan(df)).size
+
+  test("hyperplane LSH bucketing is a narrow, shuffle-free projection") {
+    assert(exchanges(Similarity.lshBuckets(emb, 6, 64)) == 0)
+  }
+
+  test("content split and stratified sample are narrow, shuffle-free") {
+    assert(exchanges(Sampling.contentSplit(docs,
+      Seq("train" -> 0.9, "test" -> 0.1))) == 0)
+    assert(exchanges(Sampling.stratifiedSample(docs, "lang",
+      Map("en" -> 0.5), 0.1)) == 0)
+  }
+
+  test("minhash candidates: signature shuffle + band shuffle + dedup only") {
+    // groupBy(id) for signatures, groupBy(band, band_key) for buckets,
+    // distinct() on the candidate pairs — anything more means a branch
+    // re-evaluates the corpus scan (the self-join shape this replaced)
+    assert(exchanges(Dedup.minhashCandidates(docs, 3, 8, 2)) <= 3)
+  }
+
+  test("curation pipeline shuffles once (the dedup window)") {
+    val out = Curation.curate(docs, minQuality = 0.0,
+      rates = Map("en" -> 1.0), defaultRate = 1.0,
+      weights = Seq("train" -> 0.9, "test" -> 0.1))
+    assert(exchanges(out) == 1)
+  }
+
+  test("brute-force top-k broadcasts the queries, never the corpus") {
+    val q = emb.where(col("vec_id") % 100 === 0)
+    val p = plan(Similarity.cosineTopK(emb, q, 3))
+    assert(p.toLowerCase.contains("broadcast"))
+  }
+
+  test("pair-vector gold join broadcasts the gold side") {
+    val s2 = spark; import s2.implicits._
+    val counts = graft.pipeline.Counts.fromEdges(
+      graft.queries.PipelineBench.syntheticCorpus(spark, 1000, 6)
+        .transform(graft.pipeline.Biarcs.edges(_)))
+    try {
+      val assoc = graft.pipeline.Associate.associate(counts)
+      val gold = Seq(("run", "walk", true)).toDF("w1", "w2", "related")
+      val p = plan(graft.pipeline.PairVectors.vectors(assoc, gold))
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"))
+    } finally counts.unpersist()
+  }
+}
