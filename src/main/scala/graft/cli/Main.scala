@@ -18,6 +18,7 @@ import graft.pipeline._
   *                          [--faithful] [--format parquet|text|arff]
   * graft.cli.Main classify  --vectors D --report F [--folds N]
   * graft.cli.Main pipeline  --corpus F --gold F --out D --report F
+  * graft.cli.Main curate    --in P --out D [--min-quality Q] ...
   * }}}
   */
 object Main {
@@ -93,6 +94,28 @@ object Main {
       opts.get("report").foreach(p => java.nio.file.Files.writeString(
         java.nio.file.Paths.get(p), report.render + "\n"))
       println(report.render)
+    case "curate" =>
+      // training-data curation over a documents table: dedup → quality
+      // gate → stratified sample → split, written as split-partitioned
+      // parquet (each split is its own directory subtree — the layout a
+      // training job consumes)
+      val docs = spark.read.parquet(req(opts, "in"))
+      val weights = opts.getOrElse("weights", "train=0.8,val=0.1,test=0.1")
+        .split(",").toSeq.map { kv =>
+          val Array(k, v) = kv.split("="); k -> v.toDouble
+        }
+      val rates = opts.get("rates").map(_.split(",").toSeq.map { kv =>
+        val Array(k, v) = kv.split("="); k -> v.toDouble
+      }.toMap).getOrElse(Map.empty[String, Double])
+      val curated = graft.ops.Curation.curate(docs,
+        minQuality = opts.getOrElse("min-quality", "0.4").toDouble,
+        rates = rates,
+        defaultRate = opts.getOrElse("sample-rate", "1.0").toDouble,
+        weights = weights)
+      curated.write.mode("overwrite").partitionBy("split")
+        .parquet(req(opts, "out"))
+      spark.read.parquet(req(opts, "out"))
+        .groupBy("split").count().orderBy("split").show(false)
     case other =>
       throw new IllegalArgumentException(s"unknown command '$other'")
   }
@@ -132,5 +155,7 @@ object Main {
       |  classify  (--vectors DIR | --vectors-text PATH | --vectors-arff FILE)
       |            --report FILE [--folds N]
       |  pipeline  --corpus FILE --gold FILE --out DIR [--report FILE]
-      |            [--faithful] [--folds N]""".stripMargin
+      |            [--faithful] [--folds N]
+      |  curate    --in PARQUET --out DIR [--min-quality Q] [--sample-rate R]
+      |            [--rates lang=R,...] [--weights split=W,...]""".stripMargin
 }

@@ -15,11 +15,16 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Uniform [0, 1) draw from the first four md5 hex digits of `c`
-    * (16 bits — plenty for split boundaries at percent granularity).
+  /** Uniform [0, 1) draw from the first four md5 hex digits of `salt || c`
+    * (16 bits — plenty for split/sample boundaries at percent
+    * granularity). The salt makes draws for DIFFERENT purposes
+    * independent: without it, rows surviving a `u < rate` sample all
+    * carry small `u` and would pile into the first split bucket when the
+    * same draw decided the split.
     */
-  def hashUnit(c: Column): Column =
-    conv(substring(md5(c), 1, 4), 16, 10).cast("double") / 65536.0
+  def hashUnit(c: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt), c)), 1, 4), 16, 10)
+      .cast("double") / 65536.0
 
   /** Append a `split` column assigning each row to the first label whose
     * cumulative weight exceeds the row's content-hash draw — e.g.
@@ -30,7 +35,7 @@ object Sampling {
       textCol: String = "text"): DataFrame = {
     require(weights.nonEmpty && math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
       s"split weights must sum to 1: $weights")
-    val u = hashUnit(col(textCol))
+    val u = hashUnit(col(textCol), "split:")
     val cuts = weights.scanLeft(0.0)(_ + _._2).tail
     val split = weights.init.zip(cuts.init).foldRight(
       lit(weights.last._1): Column) { case (((label, _), cut), rest) =>
@@ -50,6 +55,6 @@ object Sampling {
     val rate = rates.foldRight(lit(defaultRate): Column) {
       case ((k, r), rest) => when(col(strataCol) === k, r).otherwise(rest)
     }
-    df.where(hashUnit(col(textCol)) < rate)
+    df.where(hashUnit(col(textCol), "sample:") < rate)
   }
 }

@@ -36,6 +36,16 @@ object TrainingOps {
       |      AS simhash
       |  FROM votes GROUP BY 1)""".stripMargin
 
+  /** DuckDB mirror of [[graft.ops.Sampling.hashUnit]]: a [0,1) draw from
+    * the first four hex digits of md5(salt || text).
+    */
+  private def drawSql(salt: String): String =
+    s"""((((strpos('0123456789abcdef', substr(md5('$salt' || text), 1, 1)) - 1) * 16
+       |      + strpos('0123456789abcdef', substr(md5('$salt' || text), 2, 1)) - 1) * 16
+       |      + strpos('0123456789abcdef', substr(md5('$salt' || text), 3, 1)) - 1) * 16
+       |      + strpos('0123456789abcdef', substr(md5('$salt' || text), 4, 1)) - 1)
+       |      / 65536.0""".stripMargin
+
   private def shinglesSql(cond: String = "TRUE") =
     s"""toks AS (SELECT doc_id id, string_split(text, ' ') l FROM documents
       |          WHERE $cond AND len(string_split(text, ' ')) >= 3),
@@ -398,21 +408,17 @@ object TrainingOps {
           countDistinct(col("lang")).as("n_langs"),
           sum(col("n_chars")).as("sum_chars"))
         .orderBy("split"),
-      Some("""WITH u AS (SELECT lang, n_chars,
-             |    ((((strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
-             |      + strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) * 16
-             |      + strpos('0123456789abcdef', substr(md5(text), 3, 1)) - 1) * 16
-             |      + strpos('0123456789abcdef', substr(md5(text), 4, 1)) - 1)
-             |      / 65536.0 AS u
-             |  FROM documents),
-             |s AS (SELECT lang, n_chars,
-             |    CASE WHEN u < 0.8 THEN 'train'
-             |         WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
-             |  FROM u)
-             |SELECT split, COUNT(*) AS n_docs,
-             |  COUNT(DISTINCT lang) AS n_langs,
-             |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
-             |FROM s GROUP BY 1 ORDER BY 1""".stripMargin)),
+      Some(s"""WITH u AS (SELECT lang, n_chars,
+              |    ${drawSql("split:")} AS u
+              |  FROM documents),
+              |s AS (SELECT lang, n_chars,
+              |    CASE WHEN u < 0.8 THEN 'train'
+              |         WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
+              |  FROM u)
+              |SELECT split, COUNT(*) AS n_docs,
+              |  COUNT(DISTINCT lang) AS n_langs,
+              |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+              |FROM s GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // Deterministic stratified sample: per-language keep rates re-balance
     // the training mix; same portable content-hash draw as q69.
@@ -422,19 +428,15 @@ object TrainingOps {
         .groupBy("lang")
         .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("sum_chars"))
         .orderBy("lang"),
-      Some("""WITH u AS (SELECT lang, n_chars,
-             |    ((((strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
-             |      + strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) * 16
-             |      + strpos('0123456789abcdef', substr(md5(text), 3, 1)) - 1) * 16
-             |      + strpos('0123456789abcdef', substr(md5(text), 4, 1)) - 1)
-             |      / 65536.0 AS u
-             |  FROM documents)
-             |SELECT lang, COUNT(*) AS n_kept,
-             |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
-             |FROM u
-             |WHERE u < CASE lang WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.25
-             |          ELSE 0.1 END
-             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+      Some(s"""WITH u AS (SELECT lang, n_chars,
+              |    ${drawSql("sample:")} AS u
+              |  FROM documents)
+              |SELECT lang, COUNT(*) AS n_kept,
+              |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+              |FROM u
+              |WHERE u < CASE lang WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.25
+              |          ELSE 0.1 END
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // Candidate pairs → duplicate CLUSTERS: connected components by
     // iterative min-label propagation; the oracle re-derives components
@@ -482,7 +484,7 @@ object TrainingOps {
           sum("n_tokens").as("sum_tokens"),
           round(avg("quality"), 6).as("avg_quality"))
         .orderBy("split", "lang"),
-      Some("""WITH canon AS (
+      Some(s"""WITH canon AS (
              |  SELECT doc_id, text, lang FROM (
              |    SELECT doc_id, text, lang,
              |      ROW_NUMBER() OVER (PARTITION BY md5(text)
@@ -501,17 +503,14 @@ object TrainingOps {
              |      AS quality
              |  FROM canon),
              |u AS (SELECT *,
-             |    ((((strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
-             |      + strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) * 16
-             |      + strpos('0123456789abcdef', substr(md5(text), 3, 1)) - 1) * 16
-             |      + strpos('0123456789abcdef', substr(md5(text), 4, 1)) - 1)
-             |      / 65536.0 AS u
+             |    ${drawSql("sample:")} AS us,
+             |    ${drawSql("split:")} AS up
              |  FROM q WHERE quality >= 0.4),
              |s AS (SELECT *,
-             |    CASE WHEN u < 0.8 THEN 'train'
-             |         WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
+             |    CASE WHEN up < 0.8 THEN 'train'
+             |         WHEN up < 0.9 THEN 'val' ELSE 'test' END AS split
              |  FROM u
-             |  WHERE u < CASE lang WHEN 'en' THEN 0.8 WHEN 'es' THEN 0.5
+             |  WHERE us < CASE lang WHEN 'en' THEN 0.8 WHEN 'es' THEN 0.5
              |            ELSE 0.25 END)
              |SELECT split, lang, COUNT(*) AS n_docs,
              |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
