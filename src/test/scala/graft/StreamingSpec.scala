@@ -130,4 +130,46 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       assert(streamed == batch, s"stream=$streamed batch=$batch")
     } finally q.stop()
   }
+
+  test("curation ops are narrow and apply unchanged to a stream") {
+    val s2 = spark; import s2.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String)]
+    val docs = input.toDF.toDF("doc_id", "text", "lang")
+    // quality scoring + stratified sampling + split assignment are all
+    // stateless projections/filters — Structured Streaming accepts them
+    // as-is, no watermark or state store needed
+    val curatedStream = graft.ops.Sampling.contentSplit(
+      graft.ops.Sampling.stratifiedSample(
+        graft.ops.TextAnalysis.quality(docs, keep = Seq("text", "lang"))
+          .where(col("quality") >= 0.0),
+        "lang", Map("en" -> 1.0), defaultRate = 1.0),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val q = curatedStream.writeStream.format("memory")
+      .queryName("curate_stream").outputMode("append").start()
+    try {
+      val batch = Seq(
+        (1L, "the quick brown fox jumps over the lazy dog", "en"),
+        (2L, "a stitch in time saves nine of the best", "en"),
+        (3L, "it is a truth universally acknowledged today", "en"))
+      input.addData(batch: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("curate_stream")
+        .select("doc_id", "quality", "split").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+      // identical rows to the batch application of the same composition
+      val static = graft.ops.Sampling.contentSplit(
+        graft.ops.Sampling.stratifiedSample(
+          graft.ops.TextAnalysis.quality(batch.toDF("doc_id", "text", "lang"),
+            keep = Seq("text", "lang")).where(col("quality") >= 0.0),
+          "lang", Map("en" -> 1.0), defaultRate = 1.0),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "quality", "split").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+      assert(streamed == static, s"stream=$streamed batch=$static")
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("curate_stream")
+    }
+  }
 }
