@@ -209,15 +209,20 @@ object Dedup {
     while (!converged && it < maxIter) {
       val nbrLabels = edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
-        .select(col("src").as("id"), col("label"))
-      val next = labels.union(nbrLabels)
-        .groupBy("id").agg(min("label").as("label"))
+        .select(col("src").as("id"), col("label"),
+          lit(null).cast("long").as("prev"))
+      // each node's own row carries its previous label through the min
+      // aggregation, so convergence (no label changed) falls out of the
+      // SAME shuffle — no extra join per round
+      val merged = labels
+        .select(col("id"), col("label"), col("label").as("prev"))
+        .union(nbrLabels)
+        .groupBy("id")
+        .agg(min("label").as("label"), min("prev").as("prev"))
         .localCheckpoint(true)
-      val changed = next
-        .join(labels.withColumnRenamed("label", "prev"), "id")
-        .where(col("label") =!= col("prev")).count()
-      labels = next
-      converged = changed == 0L
+      converged =
+        merged.where(col("label") =!= col("prev")).isEmpty
+      labels = merged.select("id", "label")
       it += 1
     }
     labels
