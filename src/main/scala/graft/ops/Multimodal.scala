@@ -33,12 +33,16 @@ object Multimodal {
   def asMedia(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("text").cast("binary").as("media"))
 
-  /** Per-partition batch "decode" of binary media into typed features.
+  /** Per-partition batch decode of binary media into typed features.
     *
-    * STUB — deterministic fake decode: dimensions and histogram are
-    * derived from the byte content (md5 + byte histogram) instead of a
-    * codec. ??? -> replace the body of `decodeOne` with e.g. javax.imageio
-    * / ffmpeg bindings in a real deployment.
+    * PPM (P6) images decode for REAL — the format needs no codec library
+    * (text header + raw RGB bytes), so [[decodePpm]] parses dimensions
+    * from the header and histograms the actual pixel data. Every other
+    * format falls back to the deterministic STUB (dimensions from the
+    * content hash, histogram over raw bytes): this container ships no
+    * image/audio codecs, so swapping the stub for e.g. javax.imageio /
+    * ffmpeg bindings changes only `decodeOne`'s fallback branch, not the
+    * pipeline shape.
     */
   def decodeFeatures(media: DataFrame): Dataset[MediaFeatures] = {
     val s2 = media.sparkSession; import s2.implicits._
@@ -50,10 +54,55 @@ object Multimodal {
       }
   }
 
-  private def decodeOne(id: Long, bytes: Array[Byte]): MediaFeatures = {
-    val sha = java.security.MessageDigest.getInstance("MD5")
-      .digest(bytes).map("%02x".format(_)).mkString
-    // fake dimensions from content hash; fake 4-bin byte histogram
+  private def decodeOne(id: Long, bytes: Array[Byte]): MediaFeatures =
+    decodePpm(id, bytes).getOrElse(decodeStub(id, bytes))
+
+  /** Real decoder for binary PPM ("P6"): header `P6 <w> <h> <maxval>`
+    * as whitespace-separated ASCII tokens (with `#` comments), then
+    * w*h*3 raw bytes. Histogram is over the PIXEL bytes only — the
+    * header never pollutes the features. Returns None for anything that
+    * is not a well-formed P6 stream.
+    */
+  private[graft] def decodePpm(id: Long, bytes: Array[Byte])
+      : Option[MediaFeatures] = {
+    if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') return None
+    var i = 2
+    def skipSpace(): Unit = {
+      var in = true
+      while (in && i < bytes.length) {
+        val c = bytes(i).toChar
+        if (c == '#') { while (i < bytes.length && bytes(i) != '\n') i += 1 }
+        else if (c.isWhitespace) i += 1
+        else in = false
+      }
+    }
+    def int(): Option[Int] = {
+      skipSpace()
+      val start = i
+      while (i < bytes.length && bytes(i).toChar.isDigit) i += 1
+      if (i == start || i - start > 7) None
+      else Some(new String(bytes, start, i - start).toInt)
+    }
+    for {
+      w <- int(); h <- int(); maxVal <- int()
+      if w > 0 && h > 0 && maxVal > 0 && maxVal < 256
+      // exactly one whitespace byte separates the header from the raster
+      if i < bytes.length && bytes(i).toChar.isWhitespace
+    } yield {
+      i += 1
+      val n = math.min(w.toLong * h * 3, (bytes.length - i).toLong).toInt
+      val hist = new Array[Double](4)
+      var p = i
+      while (p < i + n) { hist((bytes(p) & 0xff) >> 6) += 1.0; p += 1 }
+      val total = math.max(1.0, n.toDouble)
+      MediaFeatures(id, bytes.length, md5Hex(bytes), w, h, 3,
+        hist.map(_ / total))
+    }
+  }
+
+  private def decodeStub(id: Long, bytes: Array[Byte]): MediaFeatures = {
+    val sha = md5Hex(bytes)
+    // fake dimensions from content hash; 4-bin histogram over raw bytes
     val w = 64 + (java.lang.Long.parseLong(sha.substring(0, 4), 16) % 192).toInt
     val h = 64 + (java.lang.Long.parseLong(sha.substring(4, 8), 16) % 192).toInt
     val hist = new Array[Double](4)
@@ -61,6 +110,10 @@ object Multimodal {
     val total = math.max(1.0, bytes.length.toDouble)
     MediaFeatures(id, bytes.length, sha, w, h, 3, hist.map(_ / total))
   }
+
+  private def md5Hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(bytes).map("%02x".format(_)).mkString
 
   /** "Resize": deterministic metadata transform preserving the stubbed
     * contract (a real implementation re-encodes pixels).

@@ -397,6 +397,32 @@ object TrainingOps {
              |  CAST(SUM(clen) AS BIGINT) AS total_bytes
              |FROM chunks GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // REAL image decode through the pipeline: each document's text is
+    // wrapped as a valid binary PPM (header + 8x8x3 raster), decoded by
+    // the actual P6 parser (no stub), and the oracle re-derives the
+    // pixel histogram arithmetic byte-for-byte.
+    QueryDef("q74_multimodal_ppm",
+      (s, d) => Multimodal.decodeFeatures(
+          table(s, d, "documents").select(col("doc_id"),
+            concat(lit("P6\n8 8\n255\n"),
+              rpad(substring(col("text"), 1, 192), 192, "x"))
+              .cast("binary").as("media"))).toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("channels"),
+          round(element_at(col("histogram"), 1), 6).as("hist_0"),
+          round(element_at(col("histogram"), 2), 6).as("hist_1"))
+        .orderBy("doc_id"),
+      Some("""WITH p AS (SELECT doc_id,
+             |    rpad(substr(text, 1, 192), 192, 'x') AS px FROM documents),
+             |chars AS (SELECT doc_id, ascii(substr(px, i, 1)) AS c
+             |  FROM p, UNNEST(generate_series(1, 192)) t(i))
+             |SELECT doc_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+             |  CAST(3 AS INT) AS channels,
+             |  ROUND(SUM(CASE WHEN c < 64 THEN 1 ELSE 0 END) / 192.0, 6)
+             |    AS hist_0,
+             |  ROUND(SUM(CASE WHEN c >= 64 AND c < 128 THEN 1 ELSE 0 END)
+             |    / 192.0, 6) AS hist_1
+             |FROM chars GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Deterministic content-hash train/val/test split: per split, row count
     // and a per-lang breadth check. The md5 draw is replayed digit-by-digit
     // in DuckDB (the established portable-hash pattern).

@@ -156,6 +156,28 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("PPM decode is real: header dims + pixel-only histogram") {
+    // 4x2 P6 with a comment; 24 pixel bytes spanning all four bins
+    val pixels = Array.tabulate(24)(i => (i * 10 + 5).toByte) // 5..235
+    val header = "P6\n# test image\n4 2\n255\n".getBytes("US-ASCII")
+    val img = header ++ pixels
+    val m = Multimodal.decodePpm(7L, img).get
+    assert(m.width == 4 && m.height == 2 && m.channels == 3)
+    assert(m.n_bytes == img.length)
+    val expected = pixels.map(b => (b & 0xff) >> 6)
+      .groupBy(identity).view.mapValues(_.length / 24.0).toMap
+    (0 until 4).foreach { bin =>
+      assert(math.abs(m.histogram(bin) - expected.getOrElse(bin, 0.0)) < 1e-12)
+    }
+    // malformed headers fall back to the stub, never throw
+    assert(Multimodal.decodePpm(7L, "P6 oops".getBytes).isEmpty)
+    assert(Multimodal.decodePpm(7L, "plain text".getBytes).isEmpty)
+    assert(Multimodal.decodePpm(7L, Array[Byte]()).isEmpty)
+    // truncated raster: histogram over the bytes that exist
+    val trunc = Multimodal.decodePpm(7L, header ++ pixels.take(6)).get
+    assert(math.abs(trunc.histogram.sum - 1.0) < 1e-12)
+  }
+
   test("language id prefers the language whose stopwords appear") {
     val withThe = docs.where(col("text").contains(" the "))
     val preds = TextAnalysis.langId(withThe).collect()
