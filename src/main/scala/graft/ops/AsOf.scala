@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (temporal) join: for each left row, the latest right row of the
+  * same key whose timestamp is <= the left row's.
+  *
+  * Spark has no native ASOF JOIN; the naive encoding is a range theta-join
+  * (`l.key = r.key AND r.ts <= l.ts` + a max-per-left dedup), which
+  * explodes to |matches| intermediate rows. This operator instead UNIONs
+  * the two sides and takes a running `last(right_payload, ignoreNulls)`
+  * over one (key, ts)-sorted window — ONE shuffle on the key, output
+  * exactly |left| rows, no quadratic intermediate. The window frame is
+  * rows-between-unbounded-preceding-and-current with right rows sorted
+  * BEFORE left rows at equal timestamps, which is exactly the `<=`
+  * semantics of e.g. DuckDB's ASOF JOIN (the oracle replays it natively).
+  */
+object AsOf {
+
+  /** `left` and `right` must share `keyCol` and `tsCol`; `right`'s
+    * `valueCols` are appended to every left row as `<prefix><col>` (null
+    * when no right row precedes). Right rows should be unique per
+    * (key, ts) — with duplicates, the greatest value wins
+    * deterministically.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, valueCols: Seq[String],
+      prefix: String = "asof_"): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val payloadType =
+      right.select((tsCol +: valueCols).map(col): _*).schema
+    val l = left
+      .withColumn("__side", lit(1))
+      .withColumn("__payload", lit(null).cast(payloadType))
+    val r = right
+      .select((keyCol +: tsCol +: valueCols).map(col): _*)
+      .withColumn("__side", lit(0))
+      .withColumn("__payload", struct((tsCol +: valueCols).map(col): _*))
+      .select(col(keyCol), col(tsCol), col("__side"), col("__payload"))
+    val lAligned = l.select(
+      (Seq(col(keyCol), col(tsCol), col("__side"), col("__payload")) ++
+        leftCols.filterNot(c => c == keyCol || c == tsCol)
+          .map(c => col(c))): _*)
+    val rAligned = leftCols.filterNot(c => c == keyCol || c == tsCol)
+      .foldLeft(r)((df, c) => df.withColumn(c, lit(null).cast(
+        left.schema(c).dataType)))
+      .select(lAligned.columns.map(col): _*)
+    // right rows order before left at the same (key, ts): ties count as <=;
+    // among duplicate right (key, ts) rows the struct max (greatest value)
+    // wins deterministically
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(tsCol).asc, col("__side").asc, col("__payload").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lAligned.unionByName(rAligned)
+      .withColumn("__match", last(col("__payload"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+      .select((leftCols.map(col) ++
+        (tsCol +: valueCols).map(c =>
+          col(s"__match.$c").as(s"$prefix$c"))): _*)
+  }
+}

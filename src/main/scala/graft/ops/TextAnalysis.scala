@@ -88,4 +88,25 @@ object TextAnalysis {
     docs.select(col("doc_id"),
       md5(concat_ws(" ", sort_array(array_distinct(split(col("text"), " ")))))
         .as("fingerprint"))
+
+  /** Smoothed TF-IDF per (document, term):
+    * `tf * (ln((1 + N) / (1 + df)) + 1)` (the sklearn-style smooth idf —
+    * no zero division, no negative weights). Two aggregations (term
+    * counts per doc, document frequency per term) + one equi-join on
+    * term; the corpus size N rides a broadcast scalar, so nothing in the
+    * plan is driver-side or quadratic.
+    */
+  def tfidf(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(countDistinct("doc_id").as("n_docs"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        (col("tf") *
+          (log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))) + 1.0))
+          .as("tfidf"))
+  }
 }

@@ -2,7 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Curation, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.ops.{AsOf, Curation, Dedup, Multimodal, Sampling, Similarity,
+  TextAnalysis}
 import QueryDef.table
 
 /** Training-data pipeline operators as oracle-checked queries: dedup
@@ -542,5 +543,52 @@ object TrainingOps {
              |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
              |  ROUND(AVG(quality), 6) AS avg_quality
              |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Smoothed TF-IDF over the documents table: two aggregations + one
+    // term join, corpus size as a broadcast scalar.
+    QueryDef("q75_tfidf",
+      (s, d) => TextAnalysis.tfidf(table(s, d, "documents"))
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          round(col("tfidf"), 6).as("tfidf"))
+        .orderBy("doc_id", "term"),
+      Some("""WITH toks AS (SELECT doc_id,
+             |    UNNEST(string_split(text, ' ')) AS term FROM documents),
+             |tf AS (SELECT doc_id, term, COUNT(*) AS tf
+             |  FROM toks GROUP BY 1, 2),
+             |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+             |n AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM documents)
+             |SELECT doc_id, term, tf, df,
+             |  ROUND(tf * (LN((nd + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf
+             |FROM tf JOIN df USING (term) CROSS JOIN n
+             |ORDER BY doc_id, term""".stripMargin)),
+
+    // As-of join: each purchase event picks up the user's most recent
+    // (ts <=) signup — one union + one key-window shuffle, |left| output
+    // rows, no range theta-join. DuckDB replays it with its native
+    // ASOF LEFT JOIN.
+    QueryDef("q76_asof_join",
+      (s, d) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val ev = table(s, d, "events").withColumn("ts_us", expr("ts DIV 1000"))
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts_us")
+        val signups = ev.where(col("event_type") === "signup")
+          .groupBy("user_id", "ts_us").agg(max("value").as("value"))
+        AsOf.asofJoin(purchases, signups, "user_id", "ts_us", Seq("value"))
+          .select(col("event_id"), col("user_id"), col("ts_us"),
+            col("asof_ts_us"), round(col("asof_value"), 4).as("asof_value"))
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+             |    event_type, value FROM events),
+             |l AS (SELECT event_id, user_id, ts_us FROM e
+             |  WHERE event_type = 'purchase'),
+             |r AS (SELECT user_id, ts_us, MAX(value) AS value FROM e
+             |  WHERE event_type = 'signup' GROUP BY 1, 2)
+             |SELECT l.event_id, l.user_id, l.ts_us,
+             |  r.ts_us AS asof_ts_us, ROUND(r.value, 4) AS asof_value
+             |FROM l ASOF LEFT JOIN r
+             |  ON l.user_id = r.user_id AND l.ts_us >= r.ts_us
+             |ORDER BY l.event_id""".stripMargin)),
   )
 }

@@ -185,6 +185,44 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     preds.foreach(r => assert(r.getAs[String]("pred_lang") == "en"))
   }
 
+  test("asof join equals the brute-force latest-prior-row semantics") {
+    val s2 = spark; import s2.implicits._
+    val left = Seq((1L, 10L, 100L), (2L, 10L, 205L), (3L, 10L, 50L),
+      (4L, 20L, 300L), (5L, 30L, 10L))
+      .toDF("event_id", "k", "ts")
+    val right = Seq((10L, 100L, 1.0), (10L, 200L, 2.0), (10L, 300L, 3.0),
+      (20L, 299L, 9.0), (40L, 1L, 7.0))
+      .toDF("k", "ts", "v")
+    val got = AsOf.asofJoin(left, right, "k", "ts", Seq("v"))
+      .select("event_id", "asof_ts", "asof_v").collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.get(1)).map(_.asInstanceOf[Long]),
+          Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+    // brute force: per left row, max right.ts <= left.ts for the key
+    assert(got(1L) == ((Some(100L), Some(1.0)))) // tie: ts == counts
+    assert(got(2L) == ((Some(200L), Some(2.0))))
+    assert(got(3L) == ((None, None)))            // nothing at or before 50
+    assert(got(4L) == ((Some(299L), Some(9.0))))
+    assert(got(5L) == ((None, None)))            // key 30 has no right rows
+    assert(got.size == 5)                        // exactly |left| rows out
+  }
+
+  test("tfidf ranks a term higher in the doc where it is concentrated") {
+    val s2 = spark; import s2.implicits._
+    val corpus = Seq(
+      (1L, "rare rare rare common common"),
+      (2L, "common common other words here"),
+      (3L, "common different things entirely now")).toDF("doc_id", "text")
+    val w = TextAnalysis.tfidf(corpus).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(4)).toMap
+    // 'rare' (df=1) in doc 1 outweighs 'common' (df=3) anywhere
+    assert(w((1L, "rare")) > w((1L, "common")))
+    assert(w((1L, "common")) == w((2L, "common")))
+    // idf formula pinned: tf * (ln((N+1)/(df+1)) + 1)
+    val expected = 3.0 * (math.log(4.0 / 2.0) + 1.0)
+    assert(math.abs(w((1L, "rare")) - expected) < 1e-12)
+  }
+
   test("content split partitions the corpus deterministically by content") {
     val weights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
     val n = docs.count()
