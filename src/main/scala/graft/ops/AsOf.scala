@@ -60,4 +60,30 @@ object AsOf {
         (tsCol +: valueCols).map(c =>
           col(s"__match.$c").as(s"$prefix$c"))): _*)
   }
+
+  /** Range (interval) join: each point row joins every interval row of
+    * the same key with `start <= ts <= end`.
+    *
+    * Spark plans the naive `BETWEEN` predicate as a broadcast
+    * nested-loop/cartesian theta-join — |points| × |intervals| work per
+    * key. Binning the time axis turns it into an EQUI-join: intervals
+    * explode into the bins they cover (≤ span/binWidth + 1 rows each),
+    * points map to one bin, the join shuffles on (key, bin), and the
+    * exact predicate re-filters inside bins. Pick `binWidth` near the
+    * typical interval span: fan-out stays O(1) per interval and every
+    * shuffle is hash-partitioned — the shape that survives 100 TB.
+    */
+  def rangeJoin(points: DataFrame, intervals: DataFrame, keyCol: String,
+      tsCol: String, startCol: String, endCol: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive: $binWidth")
+    val p = points.withColumn("__bin", floor(col(tsCol) / binWidth))
+    val iv = intervals
+      .where(col(startCol) <= col(endCol))
+      .withColumn("__bin", explode(sequence(
+        floor(col(startCol) / binWidth), floor(col(endCol) / binWidth))))
+    p.join(iv, Seq(keyCol, "__bin"))
+      .where(col(tsCol).between(col(startCol), col(endCol)))
+      .drop("__bin")
+  }
 }

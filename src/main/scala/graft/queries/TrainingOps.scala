@@ -590,5 +590,35 @@ object TrainingOps {
              |FROM l ASOF LEFT JOIN r
              |  ON l.user_id = r.user_id AND l.ts_us >= r.ts_us
              |ORDER BY l.event_id""".stripMargin)),
+
+    // Range join: purchases inside the hour after any signup of the same
+    // user — binned to an equi-join on (user, hour-bin), exact BETWEEN
+    // re-filter inside bins (never a theta/cartesian plan).
+    QueryDef("q77_range_join",
+      (s, d) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val ev = table(s, d, "events").withColumn("ts_us", expr("ts DIV 1000"))
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts_us")
+        val windows = ev.where(col("event_type") === "signup")
+          .select(col("user_id"), col("ts_us").as("start_us"),
+            (col("ts_us") + lit(3600000000L)).as("end_us"))
+        AsOf.rangeJoin(purchases, windows, "user_id", "ts_us",
+            "start_us", "end_us", binWidth = 3600000000L)
+          .select(col("event_id"), col("user_id"), col("ts_us"),
+            col("start_us"))
+          .orderBy("event_id", "start_us")
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+             |    event_type FROM events),
+             |l AS (SELECT event_id, user_id, ts_us FROM e
+             |  WHERE event_type = 'purchase'),
+             |r AS (SELECT user_id, ts_us AS start_us,
+             |    ts_us + 3600000000 AS end_us FROM e
+             |  WHERE event_type = 'signup')
+             |SELECT l.event_id, l.user_id, l.ts_us, r.start_us
+             |FROM l JOIN r ON l.user_id = r.user_id
+             |  AND l.ts_us BETWEEN r.start_us AND r.end_us
+             |ORDER BY l.event_id, r.start_us""".stripMargin)),
   )
 }

@@ -207,6 +207,31 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got.size == 5)                        // exactly |left| rows out
   }
 
+  test("binned range join equals the theta-join semantics exactly") {
+    val s2 = spark; import s2.implicits._
+    // deterministic pseudo-random points and intervals incl. bin-edge and
+    // zero-length cases
+    val pts = (0 until 200).map { i =>
+      (i.toLong, (i % 7).toLong, (i * 37 % 500).toLong)
+    }.toDF("pid", "k", "ts")
+    val ivs = (0 until 60).map { j =>
+      val s0 = (j * 53 % 480).toLong
+      (j.toLong, (j % 7).toLong, s0, s0 + (j % 5) * 25L)
+    }.toDF("iid", "k", "lo", "hi")
+    for (bin <- Seq(1L, 10L, 100L, 1000L)) {
+      val got = AsOf.rangeJoin(pts, ivs, "k", "ts", "lo", "hi", bin)
+        .select("pid", "iid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = pts.as("p").join(ivs.as("i"),
+          col("p.k") === col("i.k") &&
+            col("p.ts").between(col("lo"), col("hi")))
+        .select(col("pid"), col("iid")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want, s"binWidth=$bin")
+      assert(want.nonEmpty)
+    }
+  }
+
   test("tfidf ranks a term higher in the doc where it is concentrated") {
     val s2 = spark; import s2.implicits._
     val corpus = Seq(
