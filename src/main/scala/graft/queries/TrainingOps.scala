@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.ops.{AsOf, Curation, Dedup, Multimodal, Sampling, Similarity,
-  TextAnalysis}
+  Sketch, TextAnalysis}
 import QueryDef.table
 
 /** Training-data pipeline operators as oracle-checked queries: dedup
@@ -620,5 +620,43 @@ object TrainingOps {
              |FROM l JOIN r ON l.user_id = r.user_id
              |  AND l.ts_us BETWEEN r.start_us AND r.end_us
              |ORDER BY l.event_id, r.start_us""".stripMargin)),
+
+    // Count-min sketch heavy hitters: estimates for the exact top-20
+    // tokens, oracle replaying the identical md5 bucket arithmetic —
+    // sketch AND estimates hash-match, not just the >= property.
+    QueryDef("q78_countmin_heavy_hitters",
+      (s, d) => {
+        val toks = table(s, d, "documents")
+          .select(explode(split(col("text"), " ")).as("term"))
+        val top = toks.groupBy("term").agg(count(lit(1)).as("exact_cnt"))
+          .orderBy(col("exact_cnt").desc, col("term").asc).limit(20)
+        val sketch = Sketch.countMin(toks, "term", depth = 4, width = 256)
+        val est = Sketch.estimate(sketch, top.select("term"), "term",
+          depth = 4, width = 256)
+        top.join(est, "term")
+          .select(col("term"), col("exact_cnt"), col("est").as("est_cnt"))
+          .orderBy("term")
+      },
+      Some {
+        def hex8(x: String) = (1 to 8)
+          .map(i => s"(strpos('0123456789abcdef', substr($x, $i, 1)) - 1)")
+          .reduceLeft((a, b) => s"($a * 16 + $b)")
+        val bucket =
+          hex8("md5(CAST(d AS VARCHAR) || ':' || term)") + " % 256"
+        s"""WITH toks AS (SELECT UNNEST(string_split(text, ' ')) AS term
+           |  FROM documents),
+           |top AS (SELECT term, COUNT(*) AS exact_cnt FROM toks
+           |  GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 20),
+           |cellsrc AS (SELECT term, d, $bucket AS bucket
+           |  FROM toks, UNNEST(generate_series(0, 3)) t(d)),
+           |sketch AS (SELECT d, bucket, COUNT(*) AS cnt
+           |  FROM cellsrc GROUP BY 1, 2),
+           |tb AS (SELECT t.term, g.d, $bucket AS bucket
+           |  FROM top t, UNNEST(generate_series(0, 3)) g(d)),
+           |est AS (SELECT term, MIN(cnt) AS est_cnt
+           |  FROM tb JOIN sketch USING (d, bucket) GROUP BY 1)
+           |SELECT term, exact_cnt, est_cnt
+           |FROM top JOIN est USING (term) ORDER BY term""".stripMargin
+      }),
   )
 }

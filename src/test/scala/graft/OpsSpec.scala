@@ -207,6 +207,31 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got.size == 5)                        // exactly |left| rows out
   }
 
+  test("count-min sketch never undercounts and is exact sans collisions") {
+    val s2 = spark; import s2.implicits._
+    val toks = docs.select(col("text")).as[String]
+      .flatMap(_.split(" ")).toDF("term")
+    val exact = toks.groupBy("term").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sketch = Sketch.countMin(toks, "term", depth = 4, width = 512)
+    val est = Sketch.estimate(sketch,
+        toks.select("term").distinct(), "term", depth = 4, width = 512)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    // fundamental CMS guarantee: estimates only ever overcount
+    exact.foreach { case (t, n) =>
+      assert(est(t) >= n, s"undercount for '$t': ${est(t)} < $n")
+    }
+    // the sketch is genuinely bounded: depth x width cells at most
+    assert(sketch.count() <= 4L * 512)
+    // a collision-free toy domain estimates exactly
+    val tiny = Seq("x", "x", "y").toDF("term")
+    val tEst = Sketch.estimate(Sketch.countMin(tiny, "term", 4, 4096),
+        tiny.distinct(), "term", 4, 4096)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tEst == Map("x" -> 2L, "y" -> 1L))
+  }
+
   test("binned range join equals the theta-join semantics exactly") {
     val s2 = spark; import s2.implicits._
     // deterministic pseudo-random points and intervals incl. bin-edge and
