@@ -292,13 +292,17 @@ object TrainingOps {
              |  ROUND(AVG(score), 4) AS avg_score
              |FROM best WHERE rk = 1 GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ratios/quality ship UNROUNDED: every metric is per-row narrow IEEE
+    // arithmetic evaluated in the same order on both engines, so the raw
+    // doubles are bit-identical — while ROUND(x, 6) can AMPLIFY a
+    // boundary value into a visible last-digit disagreement (Spark
+    // rounds the shortest decimal repr HALF_UP, DuckDB rounds the raw
+    // double; observed on one sf0.1 row landing exactly on ...5e-7)
     QueryDef("q48_text_quality",
       (s, d) => TextAnalysis.quality(table(s, d, "documents"))
         .select(col("doc_id"), col("n_chars"), col("n_tokens"), col("n_uniq"),
-          round(col("stop_ratio"), 6).as("stop_ratio"),
-          round(col("ttr"), 6).as("ttr"),
-          round(col("avg_token_len"), 6).as("avg_token_len"),
-          round(col("quality"), 6).as("quality"))
+          col("stop_ratio"), col("ttr"), col("avg_token_len"),
+          col("quality"))
         .orderBy("doc_id"),
       Some("""WITH t AS (SELECT doc_id,
              |    CAST(LENGTH(text) AS BIGINT) AS n_chars,
@@ -313,12 +317,10 @@ object TrainingOps {
              |    CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_token_len
              |  FROM t)
              |SELECT doc_id, n_chars, n_tokens, n_uniq,
-             |  ROUND(stop_ratio, 6) AS stop_ratio,
-             |  ROUND(ttr, 6) AS ttr,
-             |  ROUND(avg_token_len, 6) AS avg_token_len,
-             |  ROUND(LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.3
+             |  stop_ratio, ttr, avg_token_len,
+             |  LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.3
              |    + stop_ratio * 0.2 + ttr * 0.2
-             |    + LEAST(avg_token_len / 10.0, 1.0) * 0.3, 6) AS quality
+             |    + LEAST(avg_token_len / 10.0, 1.0) * 0.3 AS quality
              |FROM f ORDER BY doc_id""".stripMargin)),
 
     QueryDef("q49_text_token_stats",
