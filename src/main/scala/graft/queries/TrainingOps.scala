@@ -354,8 +354,8 @@ object TrainingOps {
         Multimodal.asMedia(table(s, d, "documents"))).toDF()
         .select(col("doc_id"), col("n_bytes"), col("content_sha"),
           col("width"), col("height"),
-          round(element_at(col("histogram"), 1), 6).as("hist_0"),
-          round(element_at(col("histogram"), 2), 6).as("hist_1"))
+          element_at(col("histogram"), 1).as("hist_0"),
+          element_at(col("histogram"), 2).as("hist_1"))
         .orderBy("doc_id"),
       Some("""WITH d AS (SELECT doc_id, text,
              |    CAST(strlen(text) AS INT) AS n_bytes, md5(text) AS sha
@@ -380,8 +380,8 @@ object TrainingOps {
              |SELECT d.doc_id, n_bytes, sha AS content_sha,
              |  CAST(64 + (w16 % 192) AS INT) AS width,
              |  CAST(64 + (h16 % 192) AS INT) AS height,
-             |  ROUND(b0 / GREATEST(1.0, n_bytes), 6) AS hist_0,
-             |  ROUND(b1 / GREATEST(1.0, n_bytes), 6) AS hist_1
+             |  b0 / GREATEST(1.0, n_bytes) AS hist_0,
+             |  b1 / GREATEST(1.0, n_bytes) AS hist_1
              |FROM d JOIN dims USING (doc_id) JOIN bins USING (doc_id)
              |ORDER BY doc_id""".stripMargin)),
 
@@ -411,8 +411,8 @@ object TrainingOps {
               rpad(substring(col("text"), 1, 192), 192, "x"))
               .cast("binary").as("media"))).toDF()
         .select(col("doc_id"), col("width"), col("height"), col("channels"),
-          round(element_at(col("histogram"), 1), 6).as("hist_0"),
-          round(element_at(col("histogram"), 2), 6).as("hist_1"))
+          element_at(col("histogram"), 1).as("hist_0"),
+          element_at(col("histogram"), 2).as("hist_1"))
         .orderBy("doc_id"),
       Some("""WITH p AS (SELECT doc_id,
              |    rpad(substr(text, 1, 192), 192, 'x') AS px FROM documents),
@@ -420,10 +420,9 @@ object TrainingOps {
              |  FROM p, UNNEST(generate_series(1, 192)) t(i))
              |SELECT doc_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
              |  CAST(3 AS INT) AS channels,
-             |  ROUND(SUM(CASE WHEN c < 64 THEN 1 ELSE 0 END) / 192.0, 6)
-             |    AS hist_0,
-             |  ROUND(SUM(CASE WHEN c >= 64 AND c < 128 THEN 1 ELSE 0 END)
-             |    / 192.0, 6) AS hist_1
+             |  SUM(CASE WHEN c < 64 THEN 1 ELSE 0 END) / 192.0 AS hist_0,
+             |  SUM(CASE WHEN c >= 64 AND c < 128 THEN 1 ELSE 0 END) / 192.0
+             |    AS hist_1
              |FROM chars GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // Deterministic content-hash train/val/test split: per split, row count
