@@ -54,6 +54,35 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(p.toLowerCase.contains("broadcast"))
   }
 
+  test("asof join plans as one key-window shuffle, no nested loop") {
+    val s2 = spark; import s2.implicits._
+    val l = Seq((1L, 10L, 100L)).toDF("id", "k", "ts")
+    val r = Seq((10L, 90L, 1.0)).toDF("k", "ts", "v")
+    val p = plan(AsOf.asofJoin(l, r, "k", "ts", Seq("v")))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+    assert(exchanges(AsOf.asofJoin(l, r, "k", "ts", Seq("v"))) <= 1)
+  }
+
+  test("range join plans as an equi-join, never cartesian") {
+    val s2 = spark; import s2.implicits._
+    val pts = Seq((1L, 10L, 100L)).toDF("pid", "k", "ts")
+    val ivs = Seq((1L, 10L, 90L, 110L)).toDF("iid", "k", "lo", "hi")
+    val p = plan(AsOf.rangeJoin(pts, ivs, "k", "ts", "lo", "hi", 50L))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+    assert(p.contains("Join"), p)
+  }
+
+  test("count-min build is one shuffle; estimate broadcasts the sketch") {
+    val s2 = spark; import s2.implicits._
+    val keys = Seq("a", "b", "a").toDF("term")
+    val sketch = Sketch.countMin(keys, "term", 4, 64)
+    assert(exchanges(sketch) == 1)
+    val est = Sketch.estimate(sketch, keys.distinct(), "term", 4, 64)
+    assert(plan(est).contains("Broadcast"), plan(est))
+  }
+
   test("pair-vector gold join broadcasts the gold side") {
     val s2 = spark; import s2.implicits._
     val counts = graft.pipeline.Counts.fromEdges(
