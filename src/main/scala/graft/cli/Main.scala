@@ -112,7 +112,11 @@ object Main {
         rates = rates,
         defaultRate = opts.getOrElse("sample-rate", "1.0").toDouble,
         weights = weights)
+      // shard-size control: at scale the writer must bound file sizes (a
+      // training loader wants uniform shards, not one file per final task)
       curated.write.mode("overwrite").partitionBy("split")
+        .option("maxRecordsPerFile",
+          opts.getOrElse("max-records-per-file", "0"))
         .parquet(req(opts, "out"))
       spark.read.parquet(req(opts, "out"))
         .groupBy("split").count().orderBy("split").show(false)
@@ -157,5 +161,6 @@ object Main {
       |  pipeline  --corpus FILE --gold FILE --out DIR [--report FILE]
       |            [--faithful] [--folds N]
       |  curate    --in PARQUET --out DIR [--min-quality Q] [--sample-rate R]
-      |            [--rates lang=R,...] [--weights split=W,...]""".stripMargin
+      |            [--rates lang=R,...] [--weights split=W,...]
+      |            [--max-records-per-file N]""".stripMargin
 }

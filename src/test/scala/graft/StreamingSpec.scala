@@ -131,6 +131,38 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("count-min sketch maintains live heavy-hitter cells over a stream") {
+    val s2 = spark; import s2.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[String]
+    // the sketch build is a plain groupBy aggregation, so Structured
+    // Streaming maintains it incrementally in complete mode — a live
+    // frequency monitor with bounded (depth x width) state
+    val q = graft.ops.Sketch.countMin(input.toDF.toDF("term"), "term", 4, 64)
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode("complete").start()
+    try {
+      input.addData("a", "b", "a")
+      q.processAllAvailable()
+      input.addData("a", "c")
+      q.processAllAvailable()
+      val streamed = spark.table("cms_stream").collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val batch = graft.ops.Sketch.countMin(
+          Seq("a", "b", "a", "a", "c").toDF("term"), "term", 4, 64)
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(streamed == batch, s"stream=$streamed batch=$batch")
+      // estimates read off the streamed sketch match the batch sketch
+      val est = graft.ops.Sketch.estimate(spark.table("cms_stream"),
+          Seq("a", "b", "c").toDF("term"), "term", 4, 64)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(est == Map("a" -> 3L, "b" -> 1L, "c" -> 1L))
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("cms_stream")
+    }
+  }
+
   test("curation ops are narrow and apply unchanged to a stream") {
     val s2 = spark; import s2.implicits._
     implicit val ctx = spark.sqlContext
