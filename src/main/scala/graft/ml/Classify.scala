@@ -194,7 +194,7 @@ object Classify {
     if (!predictions.columns.contains("p_similar")) return (0.0, 0.0)
     val d = col("p_similar") - col("label")
     val r = predictions.agg(
-      avg(abs(d)).as("mae"), sqrt(avg(d * d)).as("rmse")).head
+      avg(abs(d)).as("mae"), sqrt(avg(d * d)).as("rmse")).head()
     (if (r.isNullAt(0)) 0.0 else r.getDouble(0),
       if (r.isNullAt(1)) 0.0 else r.getDouble(1))
   }

@@ -46,7 +46,7 @@ object AsOf {
     val rAligned = leftCols.filterNot(c => c == keyCol || c == tsCol)
       .foldLeft(r)((df, c) => df.withColumn(c, lit(null).cast(
         left.schema(c).dataType)))
-      .select(lAligned.columns.map(col): _*)
+      .select(lAligned.columns.toIndexedSeq.map(col): _*)
     // right rows order before left at the same (key, ts): ties count as <=;
     // among duplicate right (key, ts) rows the struct max (greatest value)
     // wins deterministically

@@ -140,7 +140,7 @@ object Similarity {
     */
   def ivfIndexDeterministic(corpus: DataFrame,
       nlist: Int): (DataFrame, DataFrame) = {
-    val maxId = corpus.agg(max("vec_id")).head.getLong(0)
+    val maxId = corpus.agg(max("vec_id")).head().getLong(0)
     val step = math.max(1L, maxId / nlist)
     val centroids = corpus
       .where(col("vec_id") % step === 0 && col("vec_id") < nlist * step)

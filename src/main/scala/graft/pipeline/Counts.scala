@@ -49,7 +49,7 @@ object Counts {
     val lexemes = pairs.groupBy("lexeme").agg(sum("lf").as("l"))
     val features = pairs.groupBy("feature").agg(sum("lf").as("f"))
     // coalesce: sum over an empty relation is NULL, not 0
-    val total = pairs.agg(coalesce(sum("lf"), lit(0L))).head.getLong(0)
+    val total = pairs.agg(coalesce(sum("lf"), lit(0L))).head().getLong(0)
     CorpusCounts(pairs, lexemes, features, total)
   }
 
