@@ -89,6 +89,27 @@ object TextAnalysis {
       md5(concat_ws(" ", sort_array(array_distinct(split(col("text"), " ")))))
         .as("fingerprint"))
 
+  /** Winnowing fingerprints (the MOSS scheme): hash every word k-gram,
+    * slide a window of `w` consecutive hashes, keep each window's minimum
+    * — any two documents sharing a run of at least `w + k - 1` tokens are
+    * GUARANTEED to share a fingerprint, while storage is ~1/w of the
+    * k-gram set. Pure array expressions per document (narrow, no UDF, no
+    * shuffle); md5 keeps the hashes engine-portable for the oracle.
+    * Output: one row per distinct (doc_id, fp).
+    */
+  def winnow(docs: DataFrame, k: Int, w: Int): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .where(size(col("t")) >= k + w - 1)
+      .select(col("doc_id"), expr(
+        s"""transform(sequence(1, size(t) - ${k - 1}),
+           |  i -> md5(concat_ws(' ', slice(t, i, $k))))""".stripMargin)
+        .as("g"))
+      .select(col("doc_id"), explode(expr(
+        s"""array_distinct(transform(sequence(1, size(g) - ${w - 1}),
+           |  j -> array_min(slice(g, j, $w))))""".stripMargin))
+        .as("fp"))
+
   /** Smoothed TF-IDF per (document, term):
     * `tf * (ln((1 + N) / (1 + df)) + 1)` (the sklearn-style smooth idf —
     * no zero division, no negative weights). Two aggregations (term

@@ -659,5 +659,29 @@ object TrainingOps {
            |SELECT term, exact_cnt, est_cnt
            |FROM top JOIN est USING (term) ORDER BY term""".stripMargin
       }),
+
+    // Winnowing (MOSS) fingerprints: guaranteed-shared marks for any
+    // >= w+k-1-token overlap at ~1/w the k-gram storage. The oracle
+    // replays k-gram hashing, sliding-window minima, and the dedup.
+    QueryDef("q79_winnow_fingerprints",
+      (s, d) => TextAnalysis.winnow(table(s, d, "documents"), k = 3, w = 4)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_fp"), min("fp").as("min_fp"),
+          max("fp").as("max_fp"))
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t
+             |  FROM documents WHERE len(string_split(text, ' ')) >= 6),
+             |g AS (SELECT doc_id,
+             |    [md5(array_to_string(t[i:i+2], ' '))
+             |     FOR i IN generate_series(1, len(t) - 2)] AS g
+             |  FROM t),
+             |fp AS (SELECT doc_id,
+             |    UNNEST(list_distinct(
+             |      [list_min(g[j:j+3]) FOR j IN generate_series(1, len(g) - 3)]))
+             |      AS fp
+             |  FROM g)
+             |SELECT doc_id, COUNT(*) AS n_fp, MIN(fp) AS min_fp,
+             |  MAX(fp) AS max_fp
+             |FROM fp GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 }

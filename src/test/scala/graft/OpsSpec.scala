@@ -207,6 +207,29 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got.size == 5)                        // exactly |left| rows out
   }
 
+  test("winnowing guarantees shared fingerprints for long shared runs") {
+    val s2 = spark; import s2.implicits._
+    val k = 3; val w = 4
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"  // 8 tokens
+    val corpus = Seq(
+      (1L, s"one two $shared nine ten"),
+      (2L, s"$shared completely different tail words here"),
+      (3L, "unrelated content with no overlap at all present")
+    ).toDF("doc_id", "text")
+    val fps = TextAnalysis.winnow(corpus, k, w).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getString(1)).toSet).toMap
+    // docs 1 and 2 share an 8-token run >= w + k - 1 = 6 -> must share
+    assert((fps(1L) & fps(2L)).nonEmpty)
+    // doc 3 shares nothing with either
+    assert((fps(3L) & (fps(1L) ++ fps(2L))).isEmpty)
+    // density: ~1/w of the k-gram count, never more than the gram count
+    fps.values.foreach(s => assert(s.nonEmpty && s.size <= 8))
+    // too-short docs produce no rows rather than failing
+    val tiny = Seq((9L, "a b c")).toDF("doc_id", "text")
+    assert(TextAnalysis.winnow(tiny, k, w).count() == 0)
+  }
+
   test("count-min sketch never undercounts and is exact sans collisions") {
     val s2 = spark; import s2.implicits._
     val toks = docs.select(col("text")).as[String]
