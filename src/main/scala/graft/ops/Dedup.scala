@@ -237,6 +237,13 @@ object Dedup {
     * distance, making the output EXACTLY the Hamming <= `maxHamming` pair
     * set of [[simhashPairs]] — banding changes the plan shape, never the
     * result (OpsSpec pins the equivalence).
+    *
+    * Cost is OUTPUT-bound: a signature-dense corpus (tiny vocabulary, or
+    * unremoved exact duplicates) genuinely has Ω(n²) near-dup pairs, and
+    * no candidate scheme beats its own answer size. Run [[exactGroups]]
+    * first — identical documents are the dominant source of giant band
+    * buckets — and treat a large max-bucket profile as the signal to
+    * re-score with a wider signature, not to widen the bands.
     */
   def simhashCandidates(docs: DataFrame, maxHamming: Int,
       numBands: Int = 4): DataFrame = {
