@@ -232,7 +232,11 @@ object Classify {
           while (buf.hasNext) {
             val s = buf.head._1
             var cnt = 0L; var pos = 0L
-            while (buf.hasNext && buf.head._1 == s) {
+            // bit-compare, not ==: a NaN score must form (and terminate)
+            // its own tie group — `NaN == NaN` is false and would spin
+            // this loop forever without consuming the element
+            while (buf.hasNext &&
+                java.lang.Double.compare(buf.head._1, s) == 0) {
               if (buf.next()._2) pos += 1
               cnt += 1
             }

@@ -20,7 +20,8 @@ import org.apache.spark.sql.functions._
 object Curation {
 
   /** docs(doc_id, text, lang, ...) → curated rows with quality metrics and
-    * a `split` column. Exact duplicates collapse to the lowest-id copy
+    * a `split` column; every other input column (source, url, …) passes
+    * through untouched. Exact duplicates collapse to the lowest-id copy
     * BEFORE sampling, so a duplicated document can never straddle splits.
     */
   def curate(docs: DataFrame,
@@ -31,7 +32,7 @@ object Curation {
       .withColumn("rk", row_number().over(
         Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
       .where(col("rk") === 1).drop("rk")
-    val scored = TextAnalysis.quality(canonical, keep = Seq("text", "lang"))
+    val scored = TextAnalysis.withQuality(canonical)
     val kept = scored.where(col("quality") >= minQuality)
     val sampled = Sampling.stratifiedSample(kept, "lang", rates, defaultRate)
     Sampling.contentSplit(sampled, weights)

@@ -43,8 +43,14 @@ object Dedup {
     * keys) is evaluated ONCE, not once per join side (Spark does not reuse
     * exchanges across self-join branches), and the quadratic expansion
     * happens by exploding each bucket's sorted id list. Bucket-size skew
-    * is the same quadratic cost the join shape had; LSH banding is what
-    * keeps buckets small.
+    * is the same quadratic CPU cost the join shape had, but memory
+    * differs: `collect_list` buffers one whole bucket per aggregation row
+    * (unspillable), so a degenerate bucket of millions of ids would OOM a
+    * task where the self-join would have spilled. LSH banding plus
+    * exact-dedup-first keeps buckets orders of magnitude below that
+    * (measured max bucket on an adversarial 50k-doc probe: ~8k ids ≈
+    * 0.5 MB); if a bucket-size profile ever approaches 10^7, route those
+    * buckets through the join shape instead.
     */
   private def bucketPairs(keyed: DataFrame, keys: Seq[String]): DataFrame =
     keyed.groupBy(keys.map(col): _*)
@@ -191,13 +197,21 @@ object Dedup {
     * of its own label and its neighbors' labels — one equi-shuffle per
     * round, converging in O(max graph distance to the component's minimum)
     * rounds. Near-dup clusters have tiny diameter, so 3-5 rounds in
-    * practice; `maxIter` bounds adversarial chains (the documented upgrade
-    * path for pathological graphs is the large-star/small-star O(log n)
-    * scheme). `localCheckpoint` cuts the growing lineage each round so
-    * plan size stays constant — the standard Spark iterative-algorithm
-    * hygiene.
+    * practice; `maxIter` bounds adversarial chains, and hitting it while
+    * still unconverged THROWS rather than silently returning non-minimal
+    * labels (the documented upgrade path for pathological graphs is the
+    * large-star/small-star O(log n) scheme). `localCheckpoint` cuts the
+    * growing lineage each round so plan size stays constant, and each
+    * round releases the previous round's checkpointed blocks — iterative
+    * state must not outlive the iteration (RDD-level storage is invisible
+    * to `spark.catalog.clearCache()`).
     */
-  def components(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def components(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    def ckptStorage(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.analyzed match {
+        case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
+        case _ => None
+      }
     val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
       .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
       .localCheckpoint(true)
@@ -222,9 +236,16 @@ object Dedup {
         .localCheckpoint(true)
       converged =
         merged.where(col("label") =!= col("prev")).isEmpty
+      ckptStorage(labels).foreach(_.unpersist(blocking = false))
       labels = merged.select("id", "label")
       it += 1
     }
+    ckptStorage(edges).foreach(_.unpersist(blocking = false))
+    if (!converged)
+      throw new IllegalStateException(
+        s"components did not converge in $maxIter rounds — a duplicate " +
+          "chain longer than maxIter hops; raise maxIter or use a " +
+          "star-contraction scheme")
     labels
   }
 

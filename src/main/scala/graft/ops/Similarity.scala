@@ -130,22 +130,25 @@ object Similarity {
     (centroids, assigned)
   }
 
-  /** Deterministic IVF quantizer: centroid `j` is the embedding of
-    * `vec_id = j * (max_id div nlist)` — data-point init (as FAISS samples
+  /** Deterministic IVF quantizer: centroid `j` is the embedding of the
+    * (j+1)-th smallest vec_id — data-point init (as FAISS samples
     * training points) with zero Lloyd iterations, assignments by nearest
-    * centroid (cosine, ties to the lowest cid). Fully engine-independent:
-    * no RNG, no partitioning dependence, so a SQL oracle can replay the
-    * index exactly. [[ivfIndex]] (KMeans) remains the recall-quality path;
-    * both obey the same nprobe==nlist ≡ brute-force law.
+    * centroid (cosine, ties to the lowest cid). Fully engine-independent
+    * (no RNG, no partitioning dependence — a SQL oracle replays the index
+    * exactly) and id-layout-independent: sparse, offset, or non-dense
+    * vec_ids all yield exactly `min(nlist, corpus size)` centroids.
+    * [[ivfIndex]] (KMeans) remains the recall-quality path; both obey the
+    * same nprobe==nlist ≡ brute-force law.
     */
   def ivfIndexDeterministic(corpus: DataFrame,
       nlist: Int): (DataFrame, DataFrame) = {
-    val maxId = corpus.agg(max("vec_id")).head().getLong(0)
-    val step = math.max(1L, maxId / nlist)
-    val centroids = corpus
-      .where(col("vec_id") % step === 0 && col("vec_id") < nlist * step)
-      .select((col("vec_id") / step).cast("int").as("cid"),
-        col("embedding").as("centroid"))
+    // the global-order window runs AFTER limit(nlist): single-partition
+    // but bounded to nlist rows, so it is not the usual scale hazard
+    val centroids = corpus.select(col("vec_id"), col("embedding"))
+      .orderBy("vec_id").limit(nlist)
+      .withColumn("cid", (row_number().over(
+        Window.orderBy("vec_id")) - 1).cast("int"))
+      .select(col("cid"), col("embedding").as("centroid"))
     val scored = corpus.select(col("vec_id"), col("embedding"))
       .withColumn("cn", norm(col("embedding")))
       .crossJoin(broadcast(centroids))

@@ -48,18 +48,26 @@ object TextAnalysis {
     * token count (capped), type-token ratio, stopword ratio, average token
     * length (capped) — the standard cheap pre-filters for corpus curation.
     */
-  def quality(docs: DataFrame,
-      stopwords: Seq[String] = defaultLexicons("en"),
-      keep: Seq[String] = Nil): DataFrame = {
+  /** Metric columns produced by [[withQuality]]/[[quality]]. */
+  val qualityColumns: Seq[String] = Seq("n_chars", "n_tokens", "n_uniq",
+    "stop_ratio", "ttr", "avg_token_len", "quality")
+
+  /** Append the quality metrics to EVERY input row, preserving all other
+    * columns (same-named input columns are replaced by the computed
+    * values). This is the form pipelines compose with — no user metadata
+    * is dropped.
+    */
+  def withQuality(docs: DataFrame,
+      stopwords: Seq[String] = defaultLexicons("en")): DataFrame = {
     val toks = split(col("text"), " ")
     val stopArr = array(stopwords.map(lit): _*)
-    val metrics = Seq(
-      length(col("text")).cast("long").as("n_chars"),
-      size(toks).cast("long").as("n_tokens"),
-      size(array_distinct(toks)).cast("long").as("n_uniq"),
-      (size(filter(toks, t => array_contains(stopArr, t))).cast("double") /
-        size(toks)).as("stop_ratio"))
-    docs.select(col("doc_id") +: keep.map(col) :++ metrics: _*)
+    docs
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("n_uniq", size(array_distinct(toks)).cast("long"))
+      .withColumn("stop_ratio",
+        size(filter(toks, t => array_contains(stopArr, t))).cast("double") /
+          size(toks))
       .withColumn("ttr", col("n_uniq").cast("double") / col("n_tokens"))
       .withColumn("avg_token_len",
         (col("n_chars") - (col("n_tokens") - 1)).cast("double") / col("n_tokens"))
@@ -68,6 +76,12 @@ object TextAnalysis {
           col("stop_ratio") * 0.2 + col("ttr") * 0.2 +
           least(col("avg_token_len") / 10.0, lit(1.0)) * 0.3)
   }
+
+  def quality(docs: DataFrame,
+      stopwords: Seq[String] = defaultLexicons("en"),
+      keep: Seq[String] = Nil): DataFrame =
+    withQuality(docs, stopwords)
+      .select(col("doc_id") +: keep.map(col) :++ qualityColumns.map(col): _*)
 
   /** Token counting: whitespace tokens plus a BPE-ish regex segmentation
     * (letter runs | digit runs | single other non-space).

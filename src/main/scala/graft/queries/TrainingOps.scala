@@ -223,12 +223,11 @@ object TrainingOps {
             round(col("cos"), 5).as("cos"))
           .orderBy("query_id", "rk")
       },
-      Some(s"""WITH st AS (
-              |  SELECT GREATEST(MAX(vec_id) // 8, 1) AS step FROM embeddings),
-              |cents AS (
-              |  SELECT CAST(vec_id // step AS INT) AS cid, embedding
-              |  FROM embeddings, st
-              |  WHERE vec_id % step = 0 AND vec_id < 8 * step),
+      Some(s"""WITH cents AS (
+              |  SELECT CAST(rn - 1 AS INT) AS cid, embedding FROM (
+              |    SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS rn, embedding
+              |    FROM embeddings) t
+              |  WHERE rn <= 8),
               |assign AS (
               |  SELECT vec_id, cid FROM (
               |    SELECT e.vec_id, c.cid,
@@ -349,9 +348,13 @@ object TrainingOps {
     // The stub decode is deterministic arithmetic over the raw bytes
     // (md5 + ASCII byte histogram), so DuckDB can replay it exactly —
     // flipping the multimodal plumbing from rows-only to hash-checked.
+    // the decode histograms BYTES while SQL indexes CHARACTERS — the
+    // ascii-only guard (bytes == chars), applied identically on both
+    // sides, keeps the comparison well-defined for any future data
     QueryDef("q51_multimodal_decode",
       (s, d) => Multimodal.decodeFeatures(
-        Multimodal.asMedia(table(s, d, "documents"))).toDF()
+        Multimodal.asMedia(table(s, d, "documents")
+          .where(expr("octet_length(text) = length(text)")))).toDF()
         .select(col("doc_id"), col("n_bytes"), col("content_sha"),
           col("width"), col("height"),
           element_at(col("histogram"), 1).as("hist_0"),
@@ -359,7 +362,7 @@ object TrainingOps {
         .orderBy("doc_id"),
       Some("""WITH d AS (SELECT doc_id, text,
              |    CAST(strlen(text) AS INT) AS n_bytes, md5(text) AS sha
-             |  FROM documents),
+             |  FROM documents WHERE strlen(text) = length(text)),
              |dims AS (SELECT doc_id,
              |    (((strpos('0123456789abcdef', substr(sha, 1, 1)) - 1) * 16
              |      + strpos('0123456789abcdef', substr(sha, 2, 1)) - 1) * 16
@@ -406,16 +409,19 @@ object TrainingOps {
     // pixel histogram arithmetic byte-for-byte.
     QueryDef("q74_multimodal_ppm",
       (s, d) => Multimodal.decodeFeatures(
-          table(s, d, "documents").select(col("doc_id"),
-            concat(lit("P6\n8 8\n255\n"),
-              rpad(substring(col("text"), 1, 192), 192, "x"))
-              .cast("binary").as("media"))).toDF()
+          table(s, d, "documents")
+            .where(expr("octet_length(text) = length(text)"))
+            .select(col("doc_id"),
+              concat(lit("P6\n8 8\n255\n"),
+                rpad(substring(col("text"), 1, 192), 192, "x"))
+                .cast("binary").as("media"))).toDF()
         .select(col("doc_id"), col("width"), col("height"), col("channels"),
           element_at(col("histogram"), 1).as("hist_0"),
           element_at(col("histogram"), 2).as("hist_1"))
         .orderBy("doc_id"),
       Some("""WITH p AS (SELECT doc_id,
-             |    rpad(substr(text, 1, 192), 192, 'x') AS px FROM documents),
+             |    rpad(substr(text, 1, 192), 192, 'x') AS px FROM documents
+             |  WHERE strlen(text) = length(text)),
              |chars AS (SELECT doc_id, ascii(substr(px, i, 1)) AS c
              |  FROM p, UNNEST(generate_series(1, 192)) t(i))
              |SELECT doc_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,

@@ -80,6 +80,19 @@ class ClassifySpec extends AnyFunSuite with SparkTestBase {
     preds.unpersist()
   }
 
+  test("evaluate terminates and degrades sanely on NaN scores") {
+    val s2 = spark; import s2.implicits._
+    // NaN == NaN is false: a naive tie-group loop would never consume the
+    // NaN row and spin forever — this pins the bit-compare fix
+    val preds = Seq(
+      (1.0, 1.0, 0.9), (0.0, 0.0, 0.1), (1.0, 1.0, Double.NaN),
+      (0.0, 1.0, 0.4))
+      .toDF("label", "prediction", "p_similar")
+    val report = Classify.evaluate(preds, folds = 2)
+    assert(report.nInstances == 4)
+    assert(!report.accuracy.isNaN)
+  }
+
   test("seeded CV is reproducible") {
     val v = syntheticVectors(200)
     val r1 = Classify.evaluate(Classify.crossValPredictions(v, 3, 7L, 10))

@@ -90,6 +90,44 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     comp.foreach { case (id, label) => assert(label == reach(id).min) }
   }
 
+  test("components converges on long chains and refuses silent truncation") {
+    val s2 = spark; import s2.implicits._
+    // a 25-hop chain needs ~24 propagation rounds
+    val chain = (0L until 25L).sliding(2).map(p => (p(0), p(1))).toSeq
+      .toDF("id1", "id2")
+    val labels = Dedup.components(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 25 && labels.values.forall(_ == 0L))
+    // an insufficient round budget throws instead of returning wrong labels
+    intercept[IllegalStateException](Dedup.components(chain, maxIter = 3))
+  }
+
+  test("curation preserves user metadata columns end to end") {
+    val out = Curation.curate(docs, minQuality = 0.0,
+      rates = Map.empty, defaultRate = 1.0,
+      weights = Seq("train" -> 1.0))
+    // the documents table's source column must survive the whole chain
+    assert(out.columns.contains("source"))
+    val srcs = out.select("source").distinct().count()
+    assert(srcs >= 1)
+    assert(out.columns.contains("quality") && out.columns.contains("split"))
+  }
+
+  test("deterministic IVF handles sparse and offset vec_ids") {
+    val shifted = emb.withColumn("vec_id", col("vec_id") * 2 + 1001)
+    val q = shifted.where(col("vec_id") % 50 === 1)
+    val res = Similarity.ivfTopKDeterministic(shifted, q, 3,
+      nlist = 4, nprobe = 4)
+    assert(res.count() > 0)
+    // nprobe == nlist law still holds on the weird id layout
+    val exact = Similarity.cosineTopK(shifted, q, 3)
+      .select("query_id", "rk", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val ivf = res.select("query_id", "rk", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(ivf == exact)
+  }
+
   test("exact dedup groups partition the corpus") {
     val n = docs.count()
     val groups = Dedup.exactGroups(docs)
