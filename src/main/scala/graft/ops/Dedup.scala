@@ -187,6 +187,20 @@ object Dedup {
         s"(simhash >> ((${numBands - 1} - band) * $width)) & ${(1L << width) - 1}"))
   }
 
+  /** Near-dup candidate pairs by SHARED WINNOWING FINGERPRINT
+    * ([[TextAnalysis.winnow]]): two documents sharing any run of at least
+    * `w + k - 1` tokens are guaranteed candidates. Complements the other
+    * generators — MinHash finds bag-of-shingles similarity, SimHash finds
+    * global bit-profile similarity, winnowing finds CONTIGUOUS shared
+    * runs (plagiarism/quotation-style duplication that bag measures
+    * dilute on long documents). Same shape as the others: one fingerprint
+    * shuffle, quadratic only inside fingerprint buckets.
+    */
+  def winnowCandidates(docs: DataFrame, k: Int, w: Int): DataFrame =
+    bucketPairs(
+      TextAnalysis.winnow(docs, k, w).select(col("doc_id").as("id"), col("fp")),
+      Seq("fp")).distinct()
+
   /** Connected components over an undirected candidate-pair edge list
     * (id1, id2): returns (id, component) where `component` is the smallest
     * id reachable from `id`. This is what turns pairwise near-dup output

@@ -689,5 +689,26 @@ object TrainingOps {
              |SELECT doc_id, COUNT(*) AS n_fp, MIN(fp) AS min_fp,
              |  MAX(fp) AS max_fp
              |FROM fp GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Shared-fingerprint candidate pairs: guaranteed hits for >= w+k-1
+    // token runs — the contiguous-run member of the candidate-generator
+    // family (vs MinHash's bag similarity, SimHash's bit profile).
+    QueryDef("q80_winnow_candidates",
+      (s, d) => Dedup.winnowCandidates(table(s, d, "documents"), k = 3, w = 4)
+        .orderBy("id1", "id2"),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t
+             |  FROM documents WHERE len(string_split(text, ' ')) >= 6),
+             |g AS (SELECT doc_id,
+             |    [md5(array_to_string(t[i:i+2], ' '))
+             |     FOR i IN generate_series(1, len(t) - 2)] AS g
+             |  FROM t),
+             |fp AS (SELECT doc_id,
+             |    UNNEST(list_distinct(
+             |      [list_min(g[j:j+3]) FOR j IN generate_series(1, len(g) - 3)]))
+             |      AS fp
+             |  FROM g)
+             |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+             |FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+             |ORDER BY 1, 2""".stripMargin)),
   )
 }

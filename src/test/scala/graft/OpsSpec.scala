@@ -266,6 +266,11 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     // too-short docs produce no rows rather than failing
     val tiny = Seq((9L, "a b c")).toDF("doc_id", "text")
     assert(TextAnalysis.winnow(tiny, k, w).count() == 0)
+    // candidate pairs: docs 1-2 (shared run) pair up; doc 3 pairs with
+    // nobody
+    val cand = Dedup.winnowCandidates(corpus, k, w).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand == Set((1L, 2L)))
   }
 
   test("count-min sketch never undercounts and is exact sans collisions") {
