@@ -223,6 +223,31 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     preds.foreach(r => assert(r.getAs[String]("pred_lang") == "en"))
   }
 
+  test("sampling/text ops are total on unicode and edge-case text") {
+    val s2 = spark; import s2.implicits._
+    val weird = Seq(
+      (1L, "héllo wörld ünïcode training data here", "de"),
+      (2L, "", "en"), (3L, " ", "en"),
+      (4L, "🚀 emoji 🚀 text content", "en"),
+      (5L, ("tok " * 2000).trim, "en")).toDF("doc_id", "text", "lang")
+    val split = Sampling.contentSplit(weird,
+      Seq("train" -> 0.8, "val" -> 0.2))
+    assert(split.count() == 5) // total: every row lands in exactly one split
+    assert(Sampling.stratifiedSample(weird, "lang",
+      Map.empty, defaultRate = 1.0).count() == 5)
+    val q = TextAnalysis.withQuality(weird).collect()
+    q.foreach { r =>
+      val v = r.getAs[Double]("quality")
+      assert(!v.isNaN && !v.isInfinite)
+    }
+    // winnow/simhash never throw; short docs simply emit nothing
+    assert(TextAnalysis.winnow(weird, 3, 4).count() >= 1)
+    assert(Dedup.simhash(weird).count() == 5)
+    val cur = Curation.curate(weird, 0.0, Map.empty, 1.0,
+      Seq("train" -> 1.0))
+    assert(cur.count() == 5 && cur.columns.contains("lang"))
+  }
+
   test("asof join equals the brute-force latest-prior-row semantics") {
     val s2 = spark; import s2.implicits._
     val left = Seq((1L, 10L, 100L), (2L, 10L, 205L), (3L, 10L, 50L),
