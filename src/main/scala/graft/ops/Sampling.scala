@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling/splitting for training-data pipelines.
@@ -56,5 +57,28 @@ object Sampling {
       case ((k, r), rest) => when(col(strataCol) === k, r).otherwise(rest)
     }
     df.where(hashUnit(col(textCol), "sample:") < rate)
+  }
+
+  /** Greedy token-budget shard assignment: cut the corpus into shards of
+    * roughly `budgetTokens` tokens each (the layout a training job
+    * consumes). Documents hash into `numBuckets` independent streams —
+    * the windowed prefix sum that implements the greedy cut runs per
+    * bucket, so the packing parallelizes (one bounded-size window per
+    * bucket instead of the single global-order window that would
+    * serialize the corpus). A shard never exceeds budget + one document.
+    * Appends `n_tokens`, `bucket`, and `shard` ("<bucket>-<seq>").
+    */
+  def packShards(df: DataFrame, budgetTokens: Long, numBuckets: Int,
+      textCol: String = "text"): DataFrame = {
+    require(budgetTokens > 0 && numBuckets > 0,
+      s"budgetTokens=$budgetTokens and numBuckets=$numBuckets must be positive")
+    val w = Window.partitionBy("bucket").orderBy("doc_id")
+    df
+      .withColumn("n_tokens", size(split(col(textCol), " ")).cast("long"))
+      .withColumn("bucket",
+        floor(hashUnit(col(textCol), "shard:") * numBuckets).cast("int"))
+      .withColumn("shard", concat_ws("-", col("bucket"),
+        floor((sum("n_tokens").over(w) - col("n_tokens")) / budgetTokens)
+          .cast("long")))
   }
 }

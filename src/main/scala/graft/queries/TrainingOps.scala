@@ -710,5 +710,27 @@ object TrainingOps {
              |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
              |FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
              |ORDER BY 1, 2""".stripMargin)),
+
+    // Token-budget shard packing: greedy prefix-sum cuts per hash-bucket
+    // stream — the oracle replays the bucket hash and the running window
+    // exactly.
+    QueryDef("q81_pack_shards",
+      (s, d) => Sampling.packShards(table(s, d, "documents"),
+          budgetTokens = 2000L, numBuckets = 8)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
+        .orderBy("shard"),
+      Some(s"""WITH u AS (SELECT doc_id,
+              |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+              |    CAST(FLOOR((${drawSql("shard:")}) * 8) AS INT) AS bucket
+              |  FROM documents),
+              |sh AS (SELECT doc_id, n_tokens, bucket,
+              |    bucket || '-' || CAST(FLOOR(
+              |      (SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id)
+              |        - n_tokens) / 2000.0) AS BIGINT) AS shard
+              |  FROM u)
+              |SELECT shard, COUNT(*) AS n_docs,
+              |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+              |FROM sh GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 }

@@ -388,6 +388,23 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
       Sampling.contentSplit(docs, Seq("a" -> 0.5, "b" -> 0.1)))
   }
 
+  test("shard packing respects the token budget up to one document") {
+    val budget = 300L
+    val packed = Sampling.packShards(docs, budget, numBuckets = 4)
+    val n = docs.count()
+    assert(packed.count() == n) // total: every doc gets exactly one shard
+    val perShard = packed.groupBy("shard")
+      .agg(sum("n_tokens").as("tot"), max("n_tokens").as("biggest"))
+      .collect()
+    // greedy cut guarantee: a shard holds at most budget + its last doc
+    perShard.foreach { r =>
+      assert(r.getLong(1) <= budget + r.getLong(2),
+        s"shard ${r.getString(0)}: ${r.getLong(1)} tokens")
+    }
+    // buckets are balanced enough to parallelize (every bucket used)
+    assert(packed.select("bucket").distinct().count() == 4)
+  }
+
   test("curation pipeline dedups, gates quality, and splits leakage-safe") {
     val out = Curation.curate(docs.union(docs), minQuality = 0.35,
       rates = Map("en" -> 1.0), defaultRate = 1.0,
