@@ -112,9 +112,16 @@ object Main {
         rates = rates,
         defaultRate = opts.getOrElse("sample-rate", "1.0").toDouble,
         weights = weights)
+      // optional token-budget sharding (--shard-tokens): adds the shard
+      // column a training loader groups by
+      val sharded = opts.get("shard-tokens") match {
+        case Some(b) => graft.ops.Sampling.packShards(curated, b.toLong,
+          numBuckets = opts.getOrElse("shard-buckets", "16").toInt)
+        case None => curated
+      }
       // shard-size control: at scale the writer must bound file sizes (a
       // training loader wants uniform shards, not one file per final task)
-      curated.write.mode("overwrite").partitionBy("split")
+      sharded.write.mode("overwrite").partitionBy("split")
         .option("maxRecordsPerFile",
           opts.getOrElse("max-records-per-file", "0"))
         .parquet(req(opts, "out"))
@@ -162,5 +169,6 @@ object Main {
       |            [--faithful] [--folds N]
       |  curate    --in PARQUET --out DIR [--min-quality Q] [--sample-rate R]
       |            [--rates lang=R,...] [--weights split=W,...]
-      |            [--max-records-per-file N]""".stripMargin
+      |            [--max-records-per-file N] [--shard-tokens N]
+      |            [--shard-buckets N]""".stripMargin
 }
