@@ -124,6 +124,31 @@ object TextAnalysis {
            |  j -> array_min(slice(g, j, $w))))""".stripMargin))
         .as("fp"))
 
+  /** Per-document bigram novelty: the share of a document's distinct
+    * bigrams that occur in NO other document — high novelty = unique
+    * content, low novelty = boilerplate/template text (the curation
+    * signal for dropping near-template pages). All-integer arithmetic
+    * until one final per-row division, so the result is bit-identical
+    * across engines. Two aggregations + one equi-join on the bigram key.
+    */
+  def bigramNovelty(docs: DataFrame): DataFrame = {
+    val bigrams = docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .where(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(1, size(t) - 1)," +
+          " i -> concat_ws(' ', slice(t, i, 2))))")).as("bg"))
+    val docFreq = bigrams.groupBy("bg")
+      .agg(count(lit(1)).as("n_docs_with"))
+    bigrams.join(docFreq, "bg")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("n_docs_with") === 1, 1L).otherwise(0L))
+          .as("n_unique"))
+      .withColumn("novelty",
+        col("n_unique").cast("double") / col("n_bigrams"))
+  }
+
   /** Smoothed TF-IDF per (document, term):
     * `tf * (ln((1 + N) / (1 + df)) + 1)` (the sklearn-style smooth idf —
     * no zero division, no negative weights). Two aggregations (term

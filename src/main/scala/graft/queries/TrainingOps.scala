@@ -732,5 +732,24 @@ object TrainingOps {
               |SELECT shard, COUNT(*) AS n_docs,
               |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
               |FROM sh GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Bigram novelty (boilerplate detector): integer counts end-to-end,
+    // one per-row division at the finish — bit-identical across engines.
+    QueryDef("q82_bigram_novelty",
+      (s, d) => TextAnalysis.bigramNovelty(table(s, d, "documents"))
+        .orderBy("doc_id"),
+      Some("""WITH b AS (SELECT DISTINCT doc_id,
+             |    UNNEST([array_to_string(t[i:i+1], ' ')
+             |      FOR i IN generate_series(1, len(t) - 1)]) AS bg
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS t
+             |        FROM documents WHERE len(string_split(text, ' ')) >= 2) s),
+             |df AS (SELECT bg, COUNT(*) AS n_docs_with FROM b GROUP BY 1)
+             |SELECT doc_id, COUNT(*) AS n_bigrams,
+             |  CAST(SUM(CASE WHEN n_docs_with = 1 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_unique,
+             |  CAST(SUM(CASE WHEN n_docs_with = 1 THEN 1 ELSE 0 END)
+             |    AS DOUBLE) / COUNT(*) AS novelty
+             |FROM b JOIN df USING (bg)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 }

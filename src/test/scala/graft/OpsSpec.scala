@@ -348,6 +348,18 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("bigram novelty separates unique content from boilerplate") {
+    val s2 = spark; import s2.implicits._
+    val corpus = Seq(
+      (1L, "the same boilerplate text here"),
+      (2L, "the same boilerplate text here"),
+      (3L, "completely original writing nobody repeats")).toDF("doc_id", "text")
+    val nov = TextAnalysis.bigramNovelty(corpus).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("novelty")).toMap
+    assert(nov(1L) == 0.0 && nov(2L) == 0.0) // every bigram shared
+    assert(nov(3L) == 1.0)                   // every bigram unique
+  }
+
   test("tfidf ranks a term higher in the doc where it is concentrated") {
     val s2 = spark; import s2.implicits._
     val corpus = Seq(
