@@ -263,6 +263,21 @@ object Dedup {
     labels
   }
 
+  /** The dedup endgame: drop every non-canonical member of each near-dup
+    * cluster. Rows keep their place when they are their component's
+    * minimum id or belong to no cluster at all — so
+    * `docs → candidates → dropNearDups` is the full near-dedup a corpus
+    * pipeline actually ships. One [[components]] run plus one left-anti
+    * join on the id.
+    */
+  def dropNearDups(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val losers = components(pairs)
+      .where(col("id") =!= col("label"))
+      .select(col("id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** SimHash near-dup pairs via pigeonhole banding — the 100 TB scale path
     * (mirror of [[minhashCandidates]]): if two signatures differ in at most
     * `maxHamming` bits and there are more than `maxHamming` bands, at least

@@ -733,6 +733,44 @@ object TrainingOps {
               |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
               |FROM sh GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // The full near-dedup a pipeline ships: candidates → components →
+    // drop non-canonical members; oracle re-derives the survivor set via
+    // the recursive closure and an anti-join.
+    QueryDef("q83_neardedup_corpus",
+      (s, d) => {
+        val docs = table(s, d, "documents")
+        Dedup.dropNearDups(docs, Dedup.minhashCandidates(docs, 3, 8, 2))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH RECURSIVE ${shinglesSql()},
+              |sigs AS (SELECT id, h,
+              |    MIN(md5(CAST(h AS VARCHAR) || ':' || shingle)) AS mh
+              |  FROM sh, UNNEST(generate_series(0, 7)) t(h) GROUP BY 1, 2),
+              |bands AS (SELECT id, h // 2 AS band,
+              |    md5(array_to_string(list_sort(
+              |      list(lpad(CAST(h AS VARCHAR), 2, '0') || '=' || mh)), '|'))
+              |      AS band_key
+              |  FROM sigs GROUP BY 1, 2),
+              |cand AS (SELECT DISTINCT a.id AS id1, b.id AS id2
+              |  FROM bands a JOIN bands b
+              |    ON a.band = b.band AND a.band_key = b.band_key
+              |      AND a.id < b.id),
+              |edges AS (SELECT id1 AS src, id2 AS dst FROM cand
+              |  UNION ALL SELECT id2, id1 FROM cand),
+              |reach(a, b) AS (
+              |  SELECT src, dst FROM edges
+              |  UNION
+              |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+              |losers AS (SELECT a AS id FROM reach
+              |  GROUP BY a HAVING LEAST(a, MIN(b)) <> a)
+              |SELECT lang, COUNT(*) AS n_docs,
+              |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+              |FROM documents d
+              |WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.id = d.doc_id)
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Bigram novelty (boilerplate detector): integer counts end-to-end,
     // one per-row division at the finish — bit-identical across engines.
     QueryDef("q82_bigram_novelty",

@@ -128,6 +128,16 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(ivf == exact)
   }
 
+  test("dropNearDups keeps exactly one representative per cluster") {
+    val s2 = spark; import s2.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
+    val corpus = (1L to 12L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val kept = Dedup.dropNearDups(corpus, pairs).collect()
+      .map(_.getLong(0)).toSet
+    // cluster {1,2,3} -> 1; cluster {10,11} -> 10; everyone else survives
+    assert(kept == Set(1L, 4L, 5L, 6L, 7L, 8L, 9L, 10L, 12L))
+  }
+
   test("exact dedup groups partition the corpus") {
     val n = docs.count()
     val groups = Dedup.exactGroups(docs)
