@@ -37,4 +37,23 @@ object Curation {
     val sampled = Sampling.stratifiedSample(kept, "lang", rates, defaultRate)
     Sampling.contentSplit(sampled, weights)
   }
+
+  /** Cross-split contamination scan: pairs of documents in DIFFERENT
+    * splits that share a winnowing fingerprint — i.e. a common token run
+    * of at least `w + k - 1` tokens. Content-hash splitting keeps exact
+    * duplicates together, but NEAR-duplicates (edited copies, quoted
+    * passages) can still straddle the train/eval boundary; this is the
+    * detector an evaluation-integrity pass runs before shipping a split.
+    * One fingerprint shuffle; quadratic only inside fingerprint buckets.
+    */
+  def leakageScan(splitDocs: DataFrame, k: Int, w: Int): DataFrame = {
+    val fps = TextAnalysis.winnow(splitDocs, k, w)
+      .join(splitDocs.select(col("doc_id"), col("split")), "doc_id")
+    fps.as("a").join(fps.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.split") =!= col("b.split"))
+      .select(col("a.doc_id").as("id1"), col("a.split").as("split1"),
+        col("b.doc_id").as("id2"), col("b.split").as("split2"))
+      .distinct()
+  }
 }

@@ -771,6 +771,37 @@ object TrainingOps {
               |WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.id = d.doc_id)
               |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Evaluation-integrity scan: near-dup pairs straddling the
+    // train/val/test boundary (shared winnowing fingerprint, different
+    // split) — the leakage content-hash splitting cannot prevent.
+    QueryDef("q84_leakage_scan",
+      (s, d) => Curation.leakageScan(
+          Sampling.contentSplit(table(s, d, "documents"),
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)),
+          k = 3, w = 4)
+        .orderBy("id1", "id2", "split1", "split2"),
+      Some(s"""WITH sp AS (SELECT doc_id, text,
+              |    CASE WHEN ${drawSql("split:")} < 0.8 THEN 'train'
+              |         WHEN ${drawSql("split:")} < 0.9 THEN 'val'
+              |         ELSE 'test' END AS split
+              |  FROM documents),
+              |t AS (SELECT doc_id, split, string_split(text, ' ') AS t
+              |  FROM sp WHERE len(string_split(text, ' ')) >= 6),
+              |g AS (SELECT doc_id, split,
+              |    [md5(array_to_string(t[i:i+2], ' '))
+              |     FOR i IN generate_series(1, len(t) - 2)] AS g
+              |  FROM t),
+              |fp AS (SELECT doc_id, split,
+              |    UNNEST(list_distinct(
+              |      [list_min(g[j:j+3]) FOR j IN generate_series(1, len(g) - 3)]))
+              |      AS fp
+              |  FROM g)
+              |SELECT DISTINCT a.doc_id AS id1, a.split AS split1,
+              |  b.doc_id AS id2, b.split AS split2
+              |FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+              |  AND a.split <> b.split
+              |ORDER BY 1, 3, 2, 4""".stripMargin)),
+
     // Bigram novelty (boilerplate detector): integer counts end-to-end,
     // one per-row division at the finish — bit-identical across engines.
     QueryDef("q82_bigram_novelty",

@@ -450,6 +450,21 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
       assert(direct(r.getAs[String]("text")) == r.getAs[String]("split")))
   }
 
+  test("leakage scan flags cross-split shared runs only") {
+    val s2 = spark; import s2.implicits._
+    val run = "alpha beta gamma delta epsilon zeta eta theta"
+    val corpus = Seq(
+      (1L, s"prefix $run suffix one", "train"),
+      (2L, s"$run other tail entirely different", "test"),
+      (3L, s"also has $run inside it too", "train"),
+      (4L, "no overlap with anything else here at all", "test"))
+      .toDF("doc_id", "text", "split")
+    val hits = Curation.leakageScan(corpus, 3, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    // cross-split pairs flagged; the same-split pair (1,3) is NOT leakage
+    assert(hits == Set((1L, 2L), (2L, 3L)))
+  }
+
   test("stratified sample keeps per-stratum rates and is a subset") {
     val ids = docs.select("doc_id").collect().map(_.getLong(0)).toSet
     val kept = Sampling.stratifiedSample(docs, "lang",
