@@ -100,40 +100,46 @@ object Classify {
       .setNumTrees(numTrees).setMaxDepth(30)
       .setFeatureSubsetStrategy("sqrt").setSeed(seed)
       .setLabelCol("label").setFeaturesCol("features")
-    // Folds are independent: submit their fits concurrently (the
-    // CrossValidator.parallelism pattern). Each fit is dozens of small
-    // jobs, so on modest inputs fold wall-clock is scheduling latency —
-    // overlapping folds reclaims most of it. Each thread fits its own
-    // estimator copy.
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.max(1, math.min(folds, 4)))
-    implicit val ec: scala.concurrent.ExecutionContext =
-      scala.concurrent.ExecutionContext.fromExecutorService(pool)
-    val futs = (0 until folds).map { k =>
-      scala.concurrent.Future {
-        val train = assembler.transform(labeled.where(col("fold") =!= k))
-        val test = assembler.transform(labeled.where(col("fold") === k))
-        if (train.isEmpty || test.isEmpty)
-          test.select(col("label"), col("label").as("prediction"),
-            col("label").as("p_similar")).limit(0)
-        else {
-          // a fold trained on a single class yields a 1-element probability
-          // vector; recover P(similar) from the lone class's probability
-          val arr = org.apache.spark.ml.functions.vector_to_array(col("probability"))
-          rf.copy(org.apache.spark.ml.param.ParamMap.empty).fit(train)
-            .transform(test)
-            .select(col("label"), col("prediction"),
-              when(size(arr) === 2, element_at(arr, 2))
-                .otherwise(when(col("prediction") === 1.0, element_at(arr, 1))
-                  .otherwise(lit(1.0) - element_at(arr, 1))).as("p_similar"))
-        }
+    def fitFold(k: Int): DataFrame = {
+      val train = assembler.transform(labeled.where(col("fold") =!= k))
+      val test = assembler.transform(labeled.where(col("fold") === k))
+      if (train.isEmpty || test.isEmpty)
+        test.select(col("label"), col("label").as("prediction"),
+          col("label").as("p_similar")).limit(0)
+      else {
+        // a fold trained on a single class yields a 1-element probability
+        // vector; recover P(similar) from the lone class's probability
+        val arr = org.apache.spark.ml.functions.vector_to_array(col("probability"))
+        rf.copy(org.apache.spark.ml.param.ParamMap.empty).fit(train)
+          .transform(test)
+          .select(col("label"), col("prediction"),
+            when(size(arr) === 2, element_at(arr, 2))
+              .otherwise(when(col("prediction") === 1.0, element_at(arr, 1))
+                .otherwise(lit(1.0) - element_at(arr, 1))).as("p_similar"))
       }
     }
+    // Folds are independent: on large inputs, submit their fits
+    // concurrently (the CrossValidator.parallelism pattern — each fit is
+    // dozens of jobs, so fold wall-clock is partly scheduling latency and
+    // overlapping folds reclaims it; each thread fits its own estimator
+    // copy). On SMALL inputs every fold job is pure scheduler round-trip:
+    // a thread pool multiplies the concurrent job count 4× for zero data
+    // parallelism, which under a loaded host degrades ~4× while the rest
+    // of the battery degrades ~1.3× (driver-measured 26.9 s vs 7.0 s idle
+    // for the same 8-row smoke). Sequential fits keep the cost flat.
+    val poolSize = if (n < 10000L) 1 else math.max(1, math.min(folds, 4))
     val preds =
-      try scala.concurrent.Await.result(
-        scala.concurrent.Future.sequence(futs),
-        scala.concurrent.duration.Duration.Inf)
-      finally pool.shutdown()
+      if (poolSize == 1) (0 until folds).map(fitFold)
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(poolSize)
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        try scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(
+            (0 until folds).map(k => scala.concurrent.Future(fitFold(k)))),
+          scala.concurrent.duration.Duration.Inf)
+        finally pool.shutdown()
+      }
     // Materialize the out-of-fold predictions (gold-bounded: one row per
     // labeled pair) while the fold caches are still warm, then release
     // them — otherwise every battery/bench run leaks two cached relations

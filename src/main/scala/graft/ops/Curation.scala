@@ -45,15 +45,19 @@ object Curation {
     * passages) can still straddle the train/eval boundary; this is the
     * detector an evaluation-integrity pass runs before shipping a split.
     * One fingerprint shuffle; quadratic only inside fingerprint buckets.
+    * Single-branch by construction: the split column rides the winnow
+    * projection and pairs come from [[Dedup.bucketPairsOf]]'s in-bucket
+    * expansion, so the corpus is scanned ONCE (a fingerprint self-join
+    * would evaluate the whole winnow pipeline per branch — Spark does not
+    * reuse exchanges across self-join branches).
     */
-  def leakageScan(splitDocs: DataFrame, k: Int, w: Int): DataFrame = {
-    val fps = TextAnalysis.winnow(splitDocs, k, w)
-      .join(splitDocs.select(col("doc_id"), col("split")), "doc_id")
-    fps.as("a").join(fps.as("b"),
-        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id") &&
-          col("a.split") =!= col("b.split"))
-      .select(col("a.doc_id").as("id1"), col("a.split").as("split1"),
-        col("b.doc_id").as("id2"), col("b.split").as("split2"))
+  def leakageScan(splitDocs: DataFrame, k: Int, w: Int): DataFrame =
+    Dedup.bucketPairsOf(
+        TextAnalysis.winnow(splitDocs, k, w, keep = Seq("split"))
+          .select(col("doc_id").as("id"), col("split"), col("fp")),
+        Seq("fp"), struct(col("id"), col("split")))
+      .where(col("a.split") =!= col("b.split"))
+      .select(col("a.id").as("id1"), col("a.split").as("split1"),
+        col("b.id").as("id2"), col("b.split").as("split2"))
       .distinct()
-  }
 }

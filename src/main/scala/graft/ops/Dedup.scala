@@ -53,14 +53,27 @@ object Dedup {
     * buckets through the join shape instead.
     */
   private def bucketPairs(keyed: DataFrame, keys: Seq[String]): DataFrame =
+    bucketPairsOf(keyed, keys, col("id"))
+      .select(col("a").as("id1"), col("b").as("id2"))
+
+  /** Generalized single-branch pair expansion: all ordered payload pairs
+    * (a, b) inside each bucket, where buckets are groups of `keys` and
+    * `payload` is any column (a plain id or a struct carrying extra fields
+    * — ordering is by the payload's first field, so callers put the unique
+    * id first). This is the shape that replaces EVERY bucket-key self-join
+    * in the engine: one upstream evaluation, one shuffle, pairs by
+    * exploding each bucket's sorted payload list.
+    */
+  private[ops] def bucketPairsOf(keyed: DataFrame, keys: Seq[String],
+      payload: Column): DataFrame =
     keyed.groupBy(keys.map(col): _*)
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .where(size(col("ids")) > 1)
+      .agg(sort_array(collect_list(payload)).as("ms"))
+      .where(size(col("ms")) > 1)
       .select(explode(expr(
-        "flatten(transform(ids, (x, i) -> transform(" +
-          "slice(ids, i + 2, size(ids)), y -> struct(x AS id1, y AS id2))))"))
+        "flatten(transform(ms, (x, i) -> transform(" +
+          "slice(ms, i + 2, size(ms)), y -> struct(x AS a, y AS b))))"))
         .as("p"))
-      .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
 
   /** Exact pairwise n-gram Jaccard similarity >= `minJaccard`.
     * Quadratic in co-shingle document pairs — the small-scale oracle for
@@ -211,21 +224,17 @@ object Dedup {
     * of its own label and its neighbors' labels — one equi-shuffle per
     * round, converging in O(max graph distance to the component's minimum)
     * rounds. Near-dup clusters have tiny diameter, so 3-5 rounds in
-    * practice; `maxIter` bounds adversarial chains, and hitting it while
-    * still unconverged THROWS rather than silently returning non-minimal
-    * labels (the documented upgrade path for pathological graphs is the
-    * large-star/small-star O(log n) scheme). `localCheckpoint` cuts the
-    * growing lineage each round so plan size stays constant, and each
-    * round releases the previous round's checkpointed blocks — iterative
-    * state must not outlive the iteration (RDD-level storage is invisible
-    * to `spark.catalog.clearCache()`).
+    * practice; a graph whose diameter exceeds `propagationRounds` (an
+    * adversarial duplicate chain) switches automatically to
+    * [[starComponents]] — large-star/small-star contraction, O(log n)
+    * rounds regardless of diameter — instead of burning a linear round
+    * budget. `localCheckpoint` cuts the growing lineage each round so plan
+    * size stays constant, and each round releases the previous round's
+    * checkpointed blocks — iterative state must not outlive the iteration
+    * (RDD-level storage is invisible to `spark.catalog.clearCache()`).
     */
-  def components(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
-    def ckptStorage(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
-      df.queryExecution.analyzed match {
-        case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
-        case _ => None
-      }
+  def components(pairs: DataFrame, maxIter: Int = 50,
+      propagationRounds: Int = 8): DataFrame = {
     val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
       .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
       .localCheckpoint(true)
@@ -234,7 +243,8 @@ object Dedup {
       .localCheckpoint(true)
     var it = 0
     var converged = false
-    while (!converged && it < maxIter) {
+    val budget = math.min(propagationRounds, maxIter)
+    while (!converged && it < budget) {
       val nbrLabels = edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .select(col("src").as("id"), col("label"),
@@ -255,12 +265,84 @@ object Dedup {
       it += 1
     }
     ckptStorage(edges).foreach(_.unpersist(blocking = false))
-    if (!converged)
+    if (converged) labels
+    else {
+      // diameter > propagation budget: hand the ORIGINAL pairs to the
+      // logarithmic scheme (propagation state is released first)
+      ckptStorage(labels).foreach(_.unpersist(blocking = false))
+      starComponents(pairs, maxIter)
+    }
+  }
+
+  private def ckptStorage(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
+      case _ => None
+    }
+
+  /** Connected components by alternating large-star/small-star contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014): large-star hangs every larger neighbor off the minimum of
+    * each node's neighborhood, small-star hangs the smaller neighbors off
+    * it, and the alternation converges to min-rooted stars in O(log n)
+    * rounds WHATEVER the graph diameter — the scheme for graphs that defeat
+    * min-label propagation (long duplicate chains). Each round is two
+    * grouped aggregations + a distinct; the edge set never grows beyond the
+    * input (both operations only re-point edges at smaller ids). Still
+    * converge-or-throw at `maxIter`: with O(log n) rounds, 50 covers any
+    * physically storable graph, so hitting the bound means a bug, not a big
+    * input.
+    */
+  def starComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    // canonical (hi, lo) direction, self-loops dropped
+    var edges = pairs
+      .select(greatest(col("id1"), col("id2")).as("u"),
+        least(col("id1"), col("id2")).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      // large-star: group the symmetric neighborhood of u; every neighbor
+      // LARGER than u re-points at m = min(N(u) ∪ {u})
+      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val withMin = sym
+        .join(sym.groupBy("u").agg(min("v").as("mn")), "u")
+        .select(col("u"), col("v"), least(col("u"), col("mn")).as("m"))
+      val large = withMin.where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+      // small-star: per hub u (edges already point (hi, lo)), every smaller
+      // neighbor and u itself re-point at m = min of the smaller neighbors
+      val mn = large.groupBy("u").agg(min("v").as("m"))
+      val small = large.join(mn, "u")
+        .where(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mn.select(col("u"), col("m").as("v")))
+        .distinct()
+        .localCheckpoint(true)
+      // fixed point: the round re-derived exactly the same edge set
+      converged = small.count() == edges.count() &&
+        small.exceptAll(edges).isEmpty
+      ckptStorage(edges).foreach(_.unpersist(blocking = false))
+      edges = small
+      it += 1
+    }
+    if (!converged) {
+      ckptStorage(edges).foreach(_.unpersist(blocking = false))
       throw new IllegalStateException(
-        s"components did not converge in $maxIter rounds — a duplicate " +
-          "chain longer than maxIter hops; raise maxIter or use a " +
-          "star-contraction scheme")
-    labels
+        s"starComponents did not converge in $maxIter rounds — with " +
+          "O(log n) convergence this indicates a bug, not a large input")
+    }
+    // converged state is a star per component: (member, min) edges. Labels
+    // = members plus the roots labeling themselves.
+    val labels = edges.select(col("u").as("id"), col("v").as("label"))
+      .union(edges.select(col("v").as("id"), col("v").as("label")).distinct())
+    val out = labels.localCheckpoint(true)
+    ckptStorage(edges).foreach(_.unpersist(blocking = false))
+    out
   }
 
   /** The dedup endgame: drop every non-canonical member of each near-dup
@@ -299,21 +381,13 @@ object Dedup {
       numBands: Int = 4): DataFrame = {
     require(numBands > maxHamming,
       s"pigeonhole cover needs numBands=$numBands > maxHamming=$maxHamming")
-    // single-branch bucket expansion (see bucketPairs) carrying the full
+    // single-branch bucket expansion (see bucketPairsOf) carrying the full
     // signature into each pair for exact Hamming re-scoring; struct order
     // is id order since ids are unique per bucket
-    simhashBands(docs, numBands)
-      .groupBy("band", "band_bits")
-      .agg(sort_array(collect_list(struct(col("id"), col("simhash"))))
-        .as("ms"))
-      .where(size(col("ms")) > 1)
-      .select(explode(expr(
-        "flatten(transform(ms, (x, i) -> transform(" +
-          "slice(ms, i + 2, size(ms)), y -> struct(" +
-          "x.id AS id1, y.id AS id2, x.simhash AS s1, y.simhash AS s2))))"))
-        .as("p"))
-      .select(col("p.id1").as("id1"), col("p.id2").as("id2"),
-        expr("bit_count(p.s1 ^ p.s2)").cast("int").as("hamming"))
+    bucketPairsOf(simhashBands(docs, numBands), Seq("band", "band_bits"),
+        struct(col("id"), col("simhash")))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        expr("bit_count(a.simhash ^ b.simhash)").cast("int").as("hamming"))
       .where(col("hamming") <= maxHamming)
       .distinct()
   }

@@ -8,11 +8,12 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side architecture here is real and tested — schema, typed
   * Dataset boundary, partition-batched iteration (the Scala analog of a
-  * pandas-batched UDF), output size control — while the actual media
-  * decode is STUBBED: this container ships no image/audio codecs, so
-  * [[decodeFeatures]] derives deterministic fake features from the raw
-  * bytes. Swapping in a real decoder changes only the marked function
-  * body, not the pipeline shape.
+  * pandas-batched UDF), output size control. Decoding is REAL for every
+  * format the bare JVM can parse (PPM by hand, PNG/GIF/BMP via
+  * `javax.imageio`); only codec-needing formats (JPEG on a stripped JVM,
+  * audio, video) fall back to a clearly-marked deterministic stub, and
+  * swapping that for e.g. ffmpeg bindings changes only [[decodeOne]]'s
+  * fallback branch, not the pipeline shape.
   */
 object Multimodal {
 
@@ -35,14 +36,14 @@ object Multimodal {
 
   /** Per-partition batch decode of binary media into typed features.
     *
-    * PPM (P6) images decode for REAL — the format needs no codec library
-    * (text header + raw RGB bytes), so [[decodePpm]] parses dimensions
-    * from the header and histograms the actual pixel data. Every other
-    * format falls back to the deterministic STUB (dimensions from the
-    * content hash, histogram over raw bytes): this container ships no
-    * image/audio codecs, so swapping the stub for e.g. javax.imageio /
-    * ffmpeg bindings changes only `decodeOne`'s fallback branch, not the
-    * pipeline shape.
+    * Real decode paths: PPM (P6) via the hand-rolled header parser
+    * ([[decodePpm]] — the format needs no codec), and PNG/GIF/BMP via
+    * `javax.imageio` ([[decodeImage]] — those decoders are pure JVM and
+    * ship in the JDK, no container codecs needed). Anything else (JPEG
+    * bytes on a stripped JVM, audio, video) falls back to the
+    * deterministic STUB (dimensions from the content hash, histogram over
+    * raw bytes); swapping the stub for e.g. ffmpeg bindings changes only
+    * `decodeOne`'s fallback branch, not the pipeline shape.
     */
   def decodeFeatures(media: DataFrame): Dataset[MediaFeatures] = {
     val s2 = media.sparkSession; import s2.implicits._
@@ -55,7 +56,50 @@ object Multimodal {
   }
 
   private def decodeOne(id: Long, bytes: Array[Byte]): MediaFeatures =
-    decodePpm(id, bytes).getOrElse(decodeStub(id, bytes))
+    decodePpm(id, bytes)
+      .orElse(decodeImage(id, bytes))
+      .getOrElse(decodeStub(id, bytes))
+
+  /** Real decoder for the JDK's pure-JVM image formats (PNG, GIF, BMP) via
+    * `javax.imageio`: dimensions + channel count from the decoded image,
+    * 4-bin luminance histogram over the actual pixels (integer Rec.601
+    * weights, so the binning is deterministic across JVMs). Magic-number
+    * sniffing keeps ImageIO off the hot path for non-image bytes — the
+    * common case in a mixed corpus is text, which must not pay a codec
+    * probe per row.
+    */
+  private[graft] def decodeImage(id: Long, bytes: Array[Byte])
+      : Option[MediaFeatures] = {
+    def has(at: Int, sig: Int*): Boolean =
+      bytes.length > at + sig.length &&
+        sig.zipWithIndex.forall { case (b, i) => (bytes(at + i) & 0xff) == b }
+    val sniffed = has(0, 0x89, 'P', 'N', 'G') || // PNG
+      has(0, 'G', 'I', 'F', '8') ||              // GIF87a/89a
+      (has(0, 'B', 'M') && bytes.length >= 26)   // BMP
+    if (!sniffed) return None
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null) return None
+      val w = img.getWidth; val h = img.getHeight
+      val hist = new Array[Double](4)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000
+          hist(lum >> 6) += 1.0
+          x += 1
+        }
+        y += 1
+      }
+      val total = math.max(1.0, w.toDouble * h)
+      Some(MediaFeatures(id, bytes.length, md5Hex(bytes), w, h,
+        img.getColorModel.getNumComponents, hist.map(_ / total)))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
 
   /** Real decoder for binary PPM ("P6"): header `P6 <w> <h> <maxval>`
     * as whitespace-separated ASCII tokens (with `#` comments), then
@@ -98,6 +142,29 @@ object Multimodal {
       MediaFeatures(id, bytes.length, md5Hex(bytes), w, h, 3,
         hist.map(_ / total))
     }
+  }
+
+  /** Encode grayscale byte values as a truecolor PNG (r=g=b=value), via
+    * the JDK's pure-JVM PNG writer. Test-fixture generator for the real
+    * [[decodeImage]] path: with equal channels the integer Rec.601
+    * luminance is exactly the input byte, so downstream histograms are
+    * replayable from the original bytes by any engine. Row-major pixels;
+    * `gray` must hold w*h bytes.
+    */
+  private[graft] def encodeGrayAsRgbPng(gray: Array[Byte], w: Int,
+      h: Int): Array[Byte] = {
+    require(gray.length == w * h, s"need ${w * h} pixels, got ${gray.length}")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var i = 0
+    while (i < gray.length) {
+      val c = gray(i) & 0xff
+      img.setRGB(i % w, i / w, (c << 16) | (c << 8) | c)
+      i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
   private def decodeStub(id: Long, bytes: Array[Byte]): MediaFeatures = {

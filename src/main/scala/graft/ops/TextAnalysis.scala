@@ -109,20 +109,26 @@ object TextAnalysis {
     * GUARANTEED to share a fingerprint, while storage is ~1/w of the
     * k-gram set. Pure array expressions per document (narrow, no UDF, no
     * shuffle); md5 keeps the hashes engine-portable for the oracle.
-    * Output: one row per distinct (doc_id, fp).
+    * Output: one row per distinct (doc_id, fp). `keep` names extra input
+    * columns to carry through (still narrow — consumers that need
+    * per-document metadata next to the fingerprints must NOT join back to
+    * the corpus, which would scan it twice).
     */
-  def winnow(docs: DataFrame, k: Int, w: Int): DataFrame =
+  def winnow(docs: DataFrame, k: Int, w: Int,
+      keep: Seq[String] = Nil): DataFrame = {
+    val kept = keep.map(col)
     docs
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id") +: kept :+ split(col("text"), " ").as("t"): _*)
       .where(size(col("t")) >= k + w - 1)
-      .select(col("doc_id"), expr(
+      .select(col("doc_id") +: kept :+ expr(
         s"""transform(sequence(1, size(t) - ${k - 1}),
            |  i -> md5(concat_ws(' ', slice(t, i, $k))))""".stripMargin)
-        .as("g"))
-      .select(col("doc_id"), explode(expr(
+        .as("g"): _*)
+      .select(col("doc_id") +: kept :+ explode(expr(
         s"""array_distinct(transform(sequence(1, size(g) - ${w - 1}),
            |  j -> array_min(slice(g, j, $w))))""".stripMargin))
-        .as("fp"))
+        .as("fp"): _*)
+  }
 
   /** Per-document bigram novelty: the share of a document's distinct
     * bigrams that occur in NO other document — high novelty = unique

@@ -70,7 +70,7 @@ object DocPipeline {
         (((lf / t) - ((l / t) * (f / t))) / sqrt((l / t) * (f / t))).as("assoc_ttest"))
   }
 
-  private val assocSql =
+  private[queries] val assocSql =
     s"""$edgesSql,
        |pairs AS (SELECT lexeme, feature, CAST(COUNT(*) AS BIGINT) AS lf
        |          FROM edges GROUP BY 1, 2),

@@ -431,6 +431,43 @@ object TrainingOps {
              |    AS hist_1
              |FROM chars GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // REAL PNG decode through the pipeline: the same 192 document bytes as
+    // q74, but round-tripped through the JDK's PNG encoder Spark-side and
+    // decoded by the actual javax.imageio branch (no stub). Gray pixels are
+    // written r=g=b, so the decoder's integer Rec.601 luminance is exactly
+    // the source byte and the oracle replays the histogram from the text.
+    QueryDef("q86_multimodal_png",
+      (s, d) => {
+        val s2 = s; import s2.implicits._
+        val media = table(s, d, "documents")
+          .where(expr("octet_length(text) = length(text)"))
+          .select(col("doc_id"),
+            rpad(substring(col("text"), 1, 192), 192, "x").as("px"))
+          .as[(Long, String)]
+          .map { case (id, px) =>
+            (id, Multimodal.encodeGrayAsRgbPng(
+              px.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1),
+              16, 12))
+          }
+          .toDF("doc_id", "media")
+        Multimodal.decodeFeatures(media).toDF()
+          .select(col("doc_id"), col("width"), col("height"), col("channels"),
+            element_at(col("histogram"), 1).as("hist_0"),
+            element_at(col("histogram"), 2).as("hist_1"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH p AS (SELECT doc_id,
+             |    rpad(substr(text, 1, 192), 192, 'x') AS px FROM documents
+             |  WHERE strlen(text) = length(text)),
+             |chars AS (SELECT doc_id, ascii(substr(px, i, 1)) AS c
+             |  FROM p, UNNEST(generate_series(1, 192)) t(i))
+             |SELECT doc_id, CAST(16 AS INT) AS width, CAST(12 AS INT) AS height,
+             |  CAST(3 AS INT) AS channels,
+             |  SUM(CASE WHEN c < 64 THEN 1 ELSE 0 END) / 192.0 AS hist_0,
+             |  SUM(CASE WHEN c >= 64 AND c < 128 THEN 1 ELSE 0 END) / 192.0
+             |    AS hist_1
+             |FROM chars GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Deterministic content-hash train/val/test split: per split, row count
     // and a per-lang breadth check. The md5 draw is replayed digit-by-digit
     // in DuckDB (the established portable-hash pattern).

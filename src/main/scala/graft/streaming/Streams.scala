@@ -30,6 +30,19 @@ object Streams {
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** Sliding (overlapping) event-time window with watermarked late-data
+    * handling — each event lands in `windowLen / slide` windows (SURVEY
+    * §2.10's remaining inherited window shape next to tumbling/session).
+    */
+  def slidingCounts(events: DataFrame, windowLen: String = "10 minutes",
+      slide: String = "5 minutes", watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"), col("total_value"))
+
   /** Gap-based session aggregation via the built-in session window
     * (streaming analog of q20_events_sessionize).
     */

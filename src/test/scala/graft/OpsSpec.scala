@@ -102,6 +102,34 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalStateException](Dedup.components(chain, maxIter = 3))
   }
 
+  test("adversarial chains route to star contraction, no maxIter raise") {
+    val s2 = spark; import s2.implicits._
+    // a 400-hop chain would need ~399 propagation rounds — far past the
+    // default budget; components must fall back to large-star/small-star
+    // (O(log n) rounds) and still return exact min labels
+    val chain = (0L until 400L).sliding(2).map(p => (p(0), p(1))).toSeq
+      .toDF("id1", "id2")
+    val labels = Dedup.components(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 400 && labels.values.forall(_ == 0L))
+  }
+
+  test("star contraction agrees with propagation on branchy graphs") {
+    val s2 = spark; import s2.implicits._
+    // mixed shapes: chains, a cycle, a star, a clique, singleton pairs
+    val pairs = (Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), // chain
+        (10L, 11L), (11L, 12L), (12L, 10L),                  // cycle
+        (20L, 21L), (20L, 22L), (20L, 23L),                  // star
+        (40L, 41L)) ++                                       // pair
+      (for (a <- 30L to 33L; b <- (a + 1) to 33L) yield (a, b))) // clique
+      .toDF("id1", "id2")
+    val prop = Dedup.components(pairs, propagationRounds = 50).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val star = Dedup.starComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == prop, s"star=$star prop=$prop")
+  }
+
   test("curation preserves user metadata columns end to end") {
     val out = Curation.curate(docs, minQuality = 0.0,
       rates = Map.empty, defaultRate = 1.0,
@@ -224,6 +252,37 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     // truncated raster: histogram over the bytes that exist
     val trunc = Multimodal.decodePpm(7L, header ++ pixels.take(6)).get
     assert(math.abs(trunc.histogram.sum - 1.0) < 1e-12)
+  }
+
+  test("imageio decode is real: PNG/BMP round-trip pixels, text sniffs out") {
+    // gray written r=g=b makes integer Rec.601 luminance the byte itself,
+    // so the decoded histogram must equal the source-byte histogram
+    val gray = Array.tabulate(192)(i => (i * 4 / 3).toByte) // 0..254, all bins
+    val png = Multimodal.encodeGrayAsRgbPng(gray, 16, 12)
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P') // actually a PNG
+    val m = Multimodal.decodeImage(3L, png).get
+    assert(m.width == 16 && m.height == 12 && m.channels == 3)
+    assert(m.n_bytes == png.length)
+    val expected = gray.map(b => (b & 0xff) >> 6)
+      .groupBy(identity).view.mapValues(_.length / 192.0).toMap
+    (0 until 4).foreach { bin =>
+      assert(math.abs(m.histogram(bin) - expected.getOrElse(bin, 0.0)) < 1e-12)
+    }
+    // BMP through the same branch (JDK writer → JDK reader)
+    val img = new java.awt.image.BufferedImage(
+      5, 3, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 15).foreach(i => img.setRGB(i % 5, i / 5, 0xffffff))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bos)
+    val bmp = Multimodal.decodeImage(4L, bos.toByteArray).get
+    assert(bmp.width == 5 && bmp.height == 3)
+    assert(math.abs(bmp.histogram(3) - 1.0) < 1e-12) // all-white → top bin
+    // non-image bytes must sniff out without paying an ImageIO probe
+    assert(Multimodal.decodeImage(5L, "plain text document".getBytes).isEmpty)
+    assert(Multimodal.decodeImage(5L, Array[Byte]()).isEmpty)
+    // PNG magic with garbage body: probe fails cleanly → None, no throw
+    val garbage = Array[Byte](0x89.toByte, 'P', 'N', 'G', 1, 2, 3, 4, 5)
+    assert(Multimodal.decodeImage(6L, garbage).isEmpty)
   }
 
   test("language id prefers the language whose stopwords appear") {

@@ -48,6 +48,16 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(exchanges(out) == 1)
   }
 
+  test("leakage scan reads the corpus ONCE (single-branch bucket pairs)") {
+    val split = Sampling.contentSplit(docs,
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val df = Curation.leakageScan(split, 3, 4)
+    val scans = "(?i)scan parquet".r.findAllIn(plan(df)).size
+    assert(scans == 1, s"expected 1 corpus scan, got $scans:\n${plan(df)}")
+    // one shuffle for the fingerprint buckets + one for the final distinct
+    assert(exchanges(df) <= 2, plan(df))
+  }
+
   test("brute-force top-k broadcasts the queries, never the corpus") {
     val q = emb.where(col("vec_id") % 100 === 0)
     val p = plan(Similarity.cosineTopK(emb, q, 3))

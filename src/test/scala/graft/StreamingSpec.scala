@@ -131,6 +131,42 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("sliding windows overlap, finalize by watermark, and match batch") {
+    val s2 = spark; import s2.implicits._
+    implicit val ctx = spark.sqlContext
+    val staticEvents = Seq(
+      ev(1, "2024-01-01 10:02:00", 1), ev(2, "2024-01-01 10:07:00", 1),
+      ev(3, "2024-01-01 10:12:00", 2), ev(4, "2024-01-01 10:03:00", 2))
+    val batch = Streams.slidingCounts(staticEvents.toDF,
+        "10 minutes", "5 minutes", "30 minutes")
+      .select("window_start", "event_type", "n").collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    // each event belongs to exactly len/slide = 2 overlapping windows
+    assert(batch("2024-01-01 10:00:00") == 3L, s"got $batch") // ev 1,2,4
+    assert(batch("2024-01-01 09:55:00") == 2L)                // ev 1,4
+    assert(batch("2024-01-01 10:05:00") == 2L)                // ev 2,3
+    assert(batch("2024-01-01 10:10:00") == 1L)                // ev 3
+    val input = MemoryStream[Event]
+    val q = Streams.slidingCounts(input.toDF(),
+        "10 minutes", "5 minutes", "30 minutes")
+      .writeStream.format("memory").queryName("sliding")
+      .outputMode("append").start()
+    try {
+      input.addData(staticEvents: _*)
+      q.processAllAvailable()
+      input.addData(ev(9, "2024-01-01 23:00:00", 9)) // finalize everything
+      q.processAllAvailable()
+      val streamed = spark.table("sliding")
+        .where(col("window_start") < "2024-01-01 22:00:00")
+        .select("window_start", "event_type", "n").collect()
+        .map(r => r.getString(0) -> r.getLong(2)).toMap
+      assert(streamed == batch, s"stream=$streamed batch=$batch")
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("sliding")
+    }
+  }
+
   test("count-min sketch maintains live heavy-hitter cells over a stream") {
     val s2 = spark; import s2.implicits._
     implicit val ctx = spark.sqlContext
