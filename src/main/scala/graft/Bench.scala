@@ -24,6 +24,20 @@ object Bench {
     // plan, not first-call JIT + classloading.
     try SparkEntry.queries("q03_distinct")(spark, sfDir).count()
     catch { case _: Throwable => () }
+    // MLlib warm-up: the first forest fit in a JVM pays several seconds of
+    // one-time class-loading + JIT that would otherwise land entirely on
+    // whichever battery entry first touches spark.ml (q60). A 64-row
+    // single-tree fit triggers the same code paths at negligible cost.
+    try {
+      import org.apache.spark.sql.functions.{col, rand}
+      val cols = graft.pipeline.PairVectors.vectorColumns
+      val toy = spark.range(0, 64).select(
+        (col("id") % 2 === 0).as("related") +:
+          cols.map(c => rand(c.hashCode.toLong).as(c)): _*)
+      graft.ml.Classify.crossValPredictions(toy, folds = 2, seed = 1L,
+        numTrees = 1).unpersist()
+      ()
+    } catch { case _: Throwable => () }
 
     val results = SparkEntry.defs.sortBy(_.name).map { q =>
       val t0 = System.nanoTime()

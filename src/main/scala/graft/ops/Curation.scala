@@ -60,4 +60,68 @@ object Curation {
       .select(col("a.id").as("id1"), col("a.split").as("split1"),
         col("b.id").as("id2"), col("b.split").as("split2"))
       .distinct()
+
+  /** PII patterns shared by [[redactPii]] and its tests/oracles. Kept to
+    * constructs Java regex and RE2 interpret identically (character
+    * classes, bounded repetition, \b — no lookaround, no backreferences)
+    * so external engines can replay the redaction byte-for-byte.
+    * The phone pattern requires a leading `+` (international form): bare
+    * digit runs are too ambiguous to scrub at corpus scale.
+    */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"),
+    ("phone", "\\+[0-9][0-9() -]{6,}[0-9]", "<PHONE>"))
+
+  /** Scrub PII from the text column: emails, IPv4 addresses, and
+    * international-format phone numbers are replaced with typed tokens,
+    * with a per-document match count per category (counted BEFORE
+    * redaction, applied in [[piiPatterns]] order so earlier categories
+    * cannot be double-counted by later ones). Purely narrow — regex
+    * projection per row, no shuffle, pipelines with the scan at 100 TB.
+    * All other columns pass through.
+    */
+  def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val redacted = piiPatterns.foldLeft(col(textCol)) {
+      case (c, (_, re, token)) => regexp_replace(c, re, token)
+    }
+    val counted = piiPatterns.foldLeft(docs) { case (df, (name, re, _)) =>
+      df.withColumn(s"n_$name", regexp_count(col(textCol), lit(re)))
+    }
+    counted.withColumn(textCol, redacted)
+  }
+
+  /** Benchmark decontamination: flag corpus documents sharing at least
+    * `minHits` distinct word `n`-grams with an evaluation set — the scan a
+    * training pipeline runs against held-out benchmarks before training
+    * (leakageScan's sibling: there both sides are corpus-scale, here the
+    * right side is a benchmark, small by nature). Returns one row per
+    * contaminated doc with the hit count and the fraction of the doc's
+    * distinct n-grams that are contaminated.
+    *
+    * Shape at 100 TB: the eval n-gram set is collected WHEN SMALL ENOUGH
+    * to broadcast — the join is then shuffle-free on the corpus side and
+    * the only exchange is the per-doc count aggregation (on doc_id, which
+    * the explode preserves, so AQE sees a near-sorted input).
+    */
+  def decontaminate(corpus: DataFrame, evalDocs: DataFrame, n: Int = 8,
+      minHits: Long = 1L): DataFrame = {
+    def docGrams(docs: DataFrame) = docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .where(size(col("t")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"""array_distinct(transform(sequence(1, size(t) - ${n - 1}),
+           |  i -> concat_ws(' ', slice(t, i, $n))))""".stripMargin))
+        .as("gram"))
+    val evalGrams = docGrams(evalDocs).select("gram").distinct()
+    val grams = docGrams(corpus)
+    val perDoc = grams.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"))
+    grams.join(broadcast(evalGrams), "gram")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      .where(col("n_hits") >= minHits)
+      .join(perDoc, "doc_id")
+      .select(col("doc_id"), col("n_hits"),
+        (col("n_hits").cast("double") / col("n_grams")).as("hit_frac"))
+  }
 }

@@ -103,6 +103,53 @@ object TextAnalysis {
       md5(concat_ws(" ", sort_array(array_distinct(split(col("text"), " ")))))
         .as("fingerprint"))
 
+  /** Gopher-style repetition metrics (Rae et al. 2021, "Scaling Language
+    * Models", Table A1): per document, the fraction of characters covered
+    * by (a) the single most frequent word 2-gram and (b) all word 3-grams
+    * that occur more than once. High values flag boilerplate and
+    * degenerate repetition — the standard cheap filter after exact dedup.
+    *
+    * Characters covered by a gram = occurrences × gram length (overlapping
+    * occurrences each count, so pathological inputs can exceed 1.0 — by
+    * design: callers threshold, they don't sum). Ties for "most frequent"
+    * break toward the longest gram, deterministically.
+    *
+    * Shape at 100 TB: explode → two grouped aggregations keyed by
+    * (doc_id, gram) then doc_id — linear in corpus size whatever the
+    * document length (the per-doc higher-order-function alternative is
+    * quadratic on book-length documents), with map-side partial
+    * aggregation on both.
+    */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    def gramsOf(n: Int) = expr(
+      s"""transform(sequence(1, size(t) - ${n - 1}),
+         |  i -> struct($n AS n, concat_ws(' ', slice(t, i, $n)) AS g))"""
+        .stripMargin)
+    val grams = docs
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+        split(col("text"), " ").as("t"))
+      // sub-3-token documents have no 3-grams and a degenerate "most
+      // frequent 2-gram"; they are dropped, not scored (and Spark's
+      // sequence(1, 0) would count DOWN, so the bound must stay positive)
+      .where(size(col("t")) >= 3)
+      .select(col("doc_id"), col("n_chars"),
+        explode(concat(gramsOf(2), gramsOf(3))).as("p"))
+      .groupBy(col("doc_id"), col("n_chars"), col("p.n").as("n"),
+        col("p.g").as("g"))
+      .agg(count(lit(1)).as("c"))
+    grams
+      .groupBy("doc_id", "n_chars")
+      .agg(
+        max(when(col("n") === 2,
+          struct(col("c"), (col("c") * length(col("g"))).as("chars"))))
+          .as("top2"),
+        sum(when(col("n") === 3 && col("c") >= 2,
+          col("c") * length(col("g"))).otherwise(lit(0L))).as("dup3_chars"))
+      .select(col("doc_id"),
+        (col("top2.chars").cast("double") / col("n_chars")).as("top2gram_frac"),
+        (col("dup3_chars").cast("double") / col("n_chars")).as("dup3gram_frac"))
+  }
+
   /** Winnowing fingerprints (the MOSS scheme): hash every word k-gram,
     * slide a window of `w` consecutive hashes, keep each window's minimum
     * — any two documents sharing a run of at least `w + k - 1` tokens are

@@ -857,5 +857,99 @@ object TrainingOps {
              |    AS DOUBLE) / COUNT(*) AS novelty
              |FROM b JOIN df USING (bg)
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Gopher-style repetition filters: fraction of characters in the most
+    // frequent 2-gram / in duplicated 3-grams. Integer char counts divided
+    // by integer doc length — bit-identical across engines, no rounding.
+    QueryDef("q87_repetition_stats",
+      (s, d) => TextAnalysis.repetitionStats(table(s, d, "documents"))
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id,
+             |    CAST(strlen(text) AS BIGINT) AS n_chars,
+             |    string_split(text, ' ') AS toks
+             |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+             |g AS (SELECT doc_id, n_chars, n.n AS n,
+             |    array_to_string(toks[i:i+n.n-1], ' ') AS g
+             |  FROM t, (SELECT UNNEST([2, 3]) AS n) n,
+             |    UNNEST(generate_series(1, len(toks) - n.n + 1)) s(i)),
+             |c AS (SELECT doc_id, n_chars, n, g, COUNT(*) AS c
+             |  FROM g GROUP BY 1, 2, 3, 4),
+             |a AS (SELECT doc_id, n_chars,
+             |    MAX(CASE WHEN n = 2 THEN struct_pack(
+             |      c := c, chars := c * strlen(g)) END) AS top2,
+             |    SUM(CASE WHEN n = 3 AND c >= 2 THEN c * strlen(g)
+             |        ELSE 0 END) AS dup3_chars
+             |  FROM c GROUP BY 1, 2)
+             |SELECT doc_id,
+             |  CAST(struct_extract(top2, 'chars') AS DOUBLE) / n_chars
+             |    AS top2gram_frac,
+             |  CAST(dup3_chars AS DOUBLE) / n_chars AS dup3gram_frac
+             |FROM a ORDER BY doc_id""".stripMargin)),
+
+    // PII scrubbing: documents are salted with deterministic synthetic PII
+    // (the corpus itself is clean), redacted by the engine, and the oracle
+    // replays the same regexes on the same salted text — md5 of the
+    // redacted text proves byte-equal replacement, not just equal counts.
+    QueryDef("q88_pii_redaction",
+      (s, d) => Curation.redactPii(
+          table(s, d, "documents").select(col("doc_id"),
+            concat(col("text"),
+              lit(" contact user"), col("doc_id"), lit("@example.com or +1 ("),
+              (col("doc_id") % 900 + 100).cast("int"), lit(") 555-01"),
+              (col("doc_id") % 90 + 10).cast("int"),
+              lit(" host 10.0."), (col("doc_id") % 256).cast("int"),
+              lit(".7")).as("text")))
+        .select(col("doc_id"), col("n_email"), col("n_ip"), col("n_phone"),
+          md5(col("text")).as("redacted_md5"))
+        .orderBy("doc_id"),
+      Some("""WITH salted AS (SELECT doc_id,
+             |    text || ' contact user' || doc_id ||
+             |    '@example.com or +1 (' || (doc_id % 900 + 100) ||
+             |    ') 555-01' || (doc_id % 90 + 10) ||
+             |    ' host 10.0.' || (doc_id % 256) || '.7' AS text
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(len(regexp_extract_all(text,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+             |    AS n_email,
+             |  CAST(len(regexp_extract_all(text,
+             |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INT)
+             |    AS n_ip,
+             |  CAST(len(regexp_extract_all(text,
+             |    '\+[0-9][0-9() -]{6,}[0-9]')) AS INT) AS n_phone,
+             |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>',
+             |    'g'),
+             |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>',
+             |    'g'),
+             |    '\+[0-9][0-9() -]{6,}[0-9]', '<PHONE>', 'g'))
+             |    AS redacted_md5
+             |FROM salted ORDER BY doc_id""".stripMargin)),
+
+    // Benchmark decontamination: every 100th document stands in for a
+    // held-out benchmark; the corpus side is everything else. 5-gram
+    // overlap on this vocabulary flags a handful of docs — the realistic
+    // output shape (contamination is rare but must be found exactly).
+    QueryDef("q89_decontaminate",
+      (s, d) => Curation.decontaminate(
+          table(s, d, "documents").where(col("doc_id") % 100 =!= 0),
+          table(s, d, "documents").where(col("doc_id") % 100 === 0),
+          n = 5)
+        .orderBy("doc_id"),
+      Some("""WITH g AS (SELECT doc_id, UNNEST(list_distinct(
+             |      [array_to_string(t[i:i+4], ' ')
+             |       FOR i IN generate_series(1, len(t) - 4)])) AS gram
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS t
+             |        FROM documents
+             |        WHERE len(string_split(text, ' ')) >= 5) s),
+             |e AS (SELECT DISTINCT gram FROM g WHERE doc_id % 100 = 0),
+             |c AS (SELECT * FROM g WHERE doc_id % 100 <> 0),
+             |n AS (SELECT doc_id, COUNT(*) AS n_grams FROM c GROUP BY 1),
+             |h AS (SELECT doc_id, COUNT(*) AS n_hits
+             |  FROM c JOIN e USING (gram) GROUP BY 1)
+             |SELECT doc_id, n_hits,
+             |  CAST(n_hits AS DOUBLE) / n_grams AS hit_frac
+             |FROM h JOIN n USING (doc_id)
+             |WHERE n_hits >= 1 ORDER BY doc_id""".stripMargin)),
   )
 }

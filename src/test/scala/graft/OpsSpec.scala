@@ -169,7 +169,7 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
   test("exact dedup groups partition the corpus") {
     val n = docs.count()
     val groups = Dedup.exactGroups(docs)
-    assert(groups.agg(sum("n_copies")).head.getLong(0) == n)
+    assert(groups.agg(sum("n_copies")).head().getLong(0) == n)
   }
 
   test("brute-force top-k is a valid ranking; lsh candidates respect buckets") {
@@ -283,6 +283,59 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     // PNG magic with garbage body: probe fails cleanly → None, no throw
     val garbage = Array[Byte](0x89.toByte, 'P', 'N', 'G', 1, 2, 3, 4, 5)
     assert(Multimodal.decodeImage(6L, garbage).isEmpty)
+  }
+
+  test("repetition stats score crafted repetition exactly") {
+    val s2 = spark; import s2.implicits._
+    val crafted = Seq(
+      // "a b" occurs 3x (chars 3*3=9 of 11); duplicated 3-grams are
+      // "a b a"x2 and "b a b"x2 (chars 2*5 + 2*5 = 20 -- overlapping
+      // occurrences each count, so the fraction exceeds 1 by design)
+      (1L, "a b a b a b"),
+      // no repeated 3-gram; most frequent 2-gram unique -> 1 occurrence
+      (2L, "w x y z"),
+      (3L, "q r")) // sub-3-token: dropped
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(crafted).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(math.abs(out(1L)._1 - 9.0 / 11) < 1e-12)
+    assert(math.abs(out(1L)._2 - 20.0 / 11) < 1e-12)
+    assert(math.abs(out(2L)._1 - 3.0 / 7) < 1e-12) // any 2-gram, count 1
+    assert(out(2L)._2 == 0.0)
+  }
+
+  test("pii redaction scrubs all three categories and counts them") {
+    val s2 = spark; import s2.implicits._
+    val crafted = Seq(
+      (1L, "mail bob.smith+x@corp.example.org and alice@ex.io now"),
+      (2L, "server 192.168.1.254 then call +44 (0) 2079 460-958 ok"),
+      (3L, "clean text with no pii at all")).toDF("doc_id", "text")
+    val out = Curation.redactPii(crafted).collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(2), r.getInt(3), r.getInt(4), r.getString(1))).toMap
+    // schema: doc_id, text(redacted), n_email, n_ip, n_phone
+    assert(out(1L)._1 == 2 && out(1L)._4 ==
+      "mail <EMAIL> and <EMAIL> now")
+    assert(out(2L)._2 == 1 && out(2L)._3 == 1 && out(2L)._4 ==
+      "server <IP> then call <PHONE> ok")
+    assert(out(3L) == (0, 0, 0, "clean text with no pii at all"))
+  }
+
+  test("decontamination flags exactly the docs sharing eval n-grams") {
+    val s2 = spark; import s2.implicits._
+    val eval = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "intro text then the quick brown fox jumps here"), // 5-gram hit
+      (2L, "quick brown dog sleeps all day long"),            // no 5-gram
+      (3L, "the quick brown fox jumps over the lazy dog end")) // many hits
+      .toDF("doc_id", "text")
+    val out = Curation.decontaminate(corpus, eval, n = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set(1L, 3L))
+    assert(out(1L) == 1L) // "the quick brown fox jumps"
+    assert(out(3L) == 5L) // all five eval 5-grams appear
   }
 
   test("language id prefers the language whose stopwords appear") {

@@ -20,7 +20,7 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     val s2 = spark; import s2.implicits._
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[Event]
-    val q = Streams.tumblingCounts(input.toDF, "1 hour", "30 minutes")
+    val q = Streams.tumblingCounts(input.toDF(), "1 hour", "30 minutes")
       .writeStream.format("memory").queryName("tumbling")
       .outputMode("append").start()
     try {
@@ -47,7 +47,7 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     val s2 = spark; import s2.implicits._
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[Event]
-    val q = Streams.sessionAggs(input.toDF, "30 minutes", "30 minutes")
+    val q = Streams.sessionAggs(input.toDF(), "30 minutes", "30 minutes")
       .writeStream.format("memory").queryName("sessions")
       .outputMode("append").start()
     try {
@@ -71,7 +71,7 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     val s2 = spark; import s2.implicits._
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[Event]
-    val q = Streams.runningUserTotals(input.toDS)
+    val q = Streams.runningUserTotals(input.toDS())
       .writeStream.format("memory").queryName("totals")
       .outputMode("update").start()
     try {
@@ -93,7 +93,7 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     val s2 = spark; import s2.implicits._
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[Event]
-    val q = Streams.dedupedEvents(input.toDF, "1 hour")
+    val q = Streams.dedupedEvents(input.toDF(), "1 hour")
       .writeStream.format("memory").queryName("dedup")
       .outputMode("append").start()
     try {
@@ -112,11 +112,11 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     val staticEvents = Seq(
       ev(1, "2024-01-01 10:00:00", 1), ev(2, "2024-01-01 10:10:00", 1),
       ev(3, "2024-01-01 11:00:00", 1), ev(4, "2024-01-01 10:05:00", 2))
-    val batch = Streams.tumblingCounts(staticEvents.toDF, "1 hour", "30 minutes")
+    val batch = Streams.tumblingCounts(staticEvents.toDF(), "1 hour", "30 minutes")
       .select("window_start", "event_type", "n").collect().toSet
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[Event]
-    val q = Streams.tumblingCounts(input.toDF, "1 hour", "30 minutes")
+    val q = Streams.tumblingCounts(input.toDF(), "1 hour", "30 minutes")
       .writeStream.format("memory").queryName("parity")
       .outputMode("append").start()
     try {
@@ -137,7 +137,7 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     val staticEvents = Seq(
       ev(1, "2024-01-01 10:02:00", 1), ev(2, "2024-01-01 10:07:00", 1),
       ev(3, "2024-01-01 10:12:00", 2), ev(4, "2024-01-01 10:03:00", 2))
-    val batch = Streams.slidingCounts(staticEvents.toDF,
+    val batch = Streams.slidingCounts(staticEvents.toDF(),
         "10 minutes", "5 minutes", "30 minutes")
       .select("window_start", "event_type", "n").collect()
       .map(r => r.getString(0) -> r.getLong(2)).toMap
@@ -174,7 +174,7 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     // the sketch build is a plain groupBy aggregation, so Structured
     // Streaming maintains it incrementally in complete mode — a live
     // frequency monitor with bounded (depth x width) state
-    val q = graft.ops.Sketch.countMin(input.toDF.toDF("term"), "term", 4, 64)
+    val q = graft.ops.Sketch.countMin(input.toDF().toDF("term"), "term", 4, 64)
       .writeStream.format("memory").queryName("cms_stream")
       .outputMode("complete").start()
     try {
@@ -203,7 +203,7 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     val s2 = spark; import s2.implicits._
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Long, String, String)]
-    val docs = input.toDF.toDF("doc_id", "text", "lang")
+    val docs = input.toDF().toDF("doc_id", "text", "lang")
     // quality scoring + stratified sampling + split assignment are all
     // stateless projections/filters — Structured Streaming accepts them
     // as-is, no watermark or state store needed
