@@ -99,28 +99,32 @@ object Curation {
     * contaminated doc with the hit count and the fraction of the doc's
     * distinct n-grams that are contaminated.
     *
-    * Shape at 100 TB: the eval n-gram set is collected WHEN SMALL ENOUGH
-    * to broadcast — the join is then shuffle-free on the corpus side and
-    * the only exchange is the per-doc count aggregation (on doc_id, which
-    * the explode preserves, so AQE sees a near-sorted input).
+    * Shape at 100 TB: the eval n-gram set is broadcast (benchmarks are
+    * small), and the per-doc distinct-gram total rides the SAME projection
+    * the explode comes from — so the corpus is scanned ONCE (a second
+    * counting branch would re-evaluate the gram pipeline; Spark does not
+    * reuse exchanges across branches) and the only exchange is the per-doc
+    * hit-count aggregation.
     */
   def decontaminate(corpus: DataFrame, evalDocs: DataFrame, n: Int = 8,
       minHits: Long = 1L): DataFrame = {
-    def docGrams(docs: DataFrame) = docs
+    def distinctGrams = expr(
+      s"""array_distinct(transform(sequence(1, size(t) - ${n - 1}),
+         |  i -> concat_ws(' ', slice(t, i, $n))))""".stripMargin)
+    val evalGrams = evalDocs
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .where(size(col("t")) >= n)
-      .select(col("doc_id"), explode(expr(
-        s"""array_distinct(transform(sequence(1, size(t) - ${n - 1}),
-           |  i -> concat_ws(' ', slice(t, i, $n))))""".stripMargin))
-        .as("gram"))
-    val evalGrams = docGrams(evalDocs).select("gram").distinct()
-    val grams = docGrams(corpus)
-    val perDoc = grams.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_grams"))
-    grams.join(broadcast(evalGrams), "gram")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      .select(explode(distinctGrams).as("gram"))
+      .distinct()
+    corpus
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .where(size(col("t")) >= n)
+      .select(col("doc_id"), distinctGrams.as("gs"))
+      .select(col("doc_id"), size(col("gs")).cast("long").as("n_grams"),
+        explode(col("gs")).as("gram"))
+      .join(broadcast(evalGrams), "gram")
+      .groupBy("doc_id", "n_grams").agg(count(lit(1)).as("n_hits"))
       .where(col("n_hits") >= minHits)
-      .join(perDoc, "doc_id")
       .select(col("doc_id"), col("n_hits"),
         (col("n_hits").cast("double") / col("n_grams")).as("hit_frac"))
   }

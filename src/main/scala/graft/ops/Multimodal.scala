@@ -17,6 +17,12 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO's default stream cache spills every image being (de)coded to a
+  // temp FILE — per-row disk I/O on the decode hot path. All media here
+  // arrives as in-memory byte arrays, so cache in memory. Runs once per
+  // executor JVM (object init on first use inside the decode closure).
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Typed decoded-features row (what a real image decoder would emit). */
   final case class MediaFeatures(
       doc_id: Long,

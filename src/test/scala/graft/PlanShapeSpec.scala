@@ -58,6 +58,20 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(exchanges(df) <= 2, plan(df))
   }
 
+  test("decontamination scans the corpus once and broadcasts eval grams") {
+    val df = Curation.decontaminate(
+      docs.where(col("doc_id") % 10 =!= 0),
+      docs.where(col("doc_id") % 10 === 0), n = 5)
+    val p = plan(df)
+    // one corpus scan + one eval scan; the per-doc total must ride the
+    // gram projection, not a second counting branch over the corpus
+    val scans = "(?i)scan parquet".r.findAllIn(p).size
+    assert(scans == 2, s"expected 2 scans (corpus + eval), got $scans:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // exchanges: eval-side distinct + broadcast + the per-doc count agg
+    assert(exchanges(df) <= 4, p)
+  }
+
   test("brute-force top-k broadcasts the queries, never the corpus") {
     val q = emb.where(col("vec_id") % 100 === 0)
     val p = plan(Similarity.cosineTopK(emb, q, 3))
