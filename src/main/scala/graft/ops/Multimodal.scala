@@ -150,6 +150,95 @@ object Multimodal {
     }
   }
 
+  /** Typed decoded-audio row (sibling of [[MediaFeatures]] for the audio
+    * modality: rate/channels/frames instead of pixel dimensions).
+    */
+  final case class AudioFeatures(
+      doc_id: Long,
+      n_bytes: Int,
+      content_sha: String,
+      sample_rate: Int,
+      channels: Int,
+      n_frames: Long,
+      histogram: Array[Double])
+
+  /** Per-partition batch decode of binary audio. WAV/PCM decodes for REAL
+    * via `javax.sound.sampled` (pure JVM, headless — parsing needs no
+    * audio device); anything else yields nulls in the typed columns rather
+    * than fake values (audio has no honest content-hash stub: absent
+    * metadata must read as absent).
+    */
+  def decodeAudioFeatures(media: DataFrame): Dataset[AudioFeatures] = {
+    val s2 = media.sparkSession; import s2.implicits._
+    media.select(col("doc_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        decodeWav(id, bytes).getOrElse(
+          AudioFeatures(id, bytes.length, md5Hex(bytes), -1, -1, -1L,
+            Array.fill(4)(0.0)))
+      })
+  }
+
+  /** Real WAV (RIFF/PCM) decoder: sample rate / channel count / frame
+    * count from the parsed header, 4-bin amplitude histogram over the
+    * actual samples (8-bit PCM binned on the unsigned byte, wider PCM on
+    * the unsigned high-order byte — deterministic integer arithmetic, no
+    * float resampling). Magic-number sniff keeps the codec probe off
+    * non-audio rows.
+    */
+  private[graft] def decodeWav(id: Long, bytes: Array[Byte])
+      : Option[AudioFeatures] = {
+    if (bytes.length < 44 || bytes(0) != 'R' || bytes(1) != 'I' ||
+      bytes(2) != 'F' || bytes(3) != 'F' || bytes(8) != 'W' ||
+      bytes(9) != 'A' || bytes(10) != 'V' || bytes(11) != 'E') return None
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        val bytesPerSample = math.max(1, (fmt.getSampleSizeInBits + 7) / 8)
+        val signed = fmt.getEncoding ==
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        val data = ais.readAllBytes()
+        val hist = new Array[Double](4)
+        var i = 0
+        var n = 0L
+        while (i + bytesPerSample <= data.length) {
+          // unsigned amplitude of the sample's high-order byte
+          val hi = if (fmt.isBigEndian) data(i) else data(i + bytesPerSample - 1)
+          val u = if (signed) (hi ^ 0x80) & 0xff else hi & 0xff
+          hist(u >> 6) += 1.0
+          n += 1
+          i += bytesPerSample
+        }
+        val total = math.max(1.0, n.toDouble)
+        Some(AudioFeatures(id, bytes.length, md5Hex(bytes),
+          fmt.getSampleRate.toInt, fmt.getChannels, ais.getFrameLength,
+          hist.map(_ / total)))
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Encode raw 8-bit unsigned PCM samples as a canonical 44-byte-header
+    * WAV. Test-fixture generator for the real [[decodeWav]] path: the
+    * decoded amplitude histogram is exactly the histogram of the input
+    * bytes, so any engine can replay it from the source bytes.
+    */
+  private[graft] def encodePcmWav(samples: Array[Byte], sampleRate: Int,
+      channels: Int = 1): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44 + samples.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + samples.length)
+      .put("WAVEfmt ".getBytes("US-ASCII"))
+      .putInt(16).putShort(1) // PCM
+      .putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels) // byte rate (8-bit)
+      .putShort(channels.toShort).putShort(8) // block align, bits/sample
+      .put("data".getBytes("US-ASCII")).putInt(samples.length)
+      .put(samples)
+    bb.array()
+  }
+
   /** Encode grayscale byte values as a truecolor PNG (r=g=b=value), via
     * the JDK's pure-JVM PNG writer. Test-fixture generator for the real
     * [[decodeImage]] path: with equal channels the integer Rec.601

@@ -468,6 +468,44 @@ object TrainingOps {
              |    AS hist_1
              |FROM chars GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // REAL audio decode through the pipeline: the same 192 document bytes
+    // wrapped as an 8-bit PCM WAV, parsed by javax.sound.sampled (real
+    // RIFF header + sample parsing, no stub); the amplitude histogram of
+    // an 8-bit PCM stream is exactly the byte histogram, so the oracle
+    // replays it from the text like q74/q86.
+    QueryDef("q90_multimodal_wav",
+      (s, d) => {
+        val s2 = s; import s2.implicits._
+        val media = table(s, d, "documents")
+          .where(expr("octet_length(text) = length(text)"))
+          .select(col("doc_id"),
+            rpad(substring(col("text"), 1, 192), 192, "x").as("px"))
+          .as[(Long, String)]
+          .map { case (id, px) =>
+            (id, Multimodal.encodePcmWav(
+              px.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1),
+              8000))
+          }
+          .toDF("doc_id", "media")
+        Multimodal.decodeAudioFeatures(media).toDF()
+          .select(col("doc_id"), col("sample_rate"), col("channels"),
+            col("n_frames"),
+            element_at(col("histogram"), 1).as("hist_0"),
+            element_at(col("histogram"), 2).as("hist_1"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH p AS (SELECT doc_id,
+             |    rpad(substr(text, 1, 192), 192, 'x') AS px FROM documents
+             |  WHERE strlen(text) = length(text)),
+             |chars AS (SELECT doc_id, ascii(substr(px, i, 1)) AS c
+             |  FROM p, UNNEST(generate_series(1, 192)) t(i))
+             |SELECT doc_id, CAST(8000 AS INT) AS sample_rate,
+             |  CAST(1 AS INT) AS channels, CAST(192 AS BIGINT) AS n_frames,
+             |  SUM(CASE WHEN c < 64 THEN 1 ELSE 0 END) / 192.0 AS hist_0,
+             |  SUM(CASE WHEN c >= 64 AND c < 128 THEN 1 ELSE 0 END) / 192.0
+             |    AS hist_1
+             |FROM chars GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Deterministic content-hash train/val/test split: per split, row count
     // and a per-lang breadth check. The md5 draw is replayed digit-by-digit
     // in DuckDB (the established portable-hash pattern).

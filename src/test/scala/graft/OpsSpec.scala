@@ -285,6 +285,30 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(Multimodal.decodeImage(6L, garbage).isEmpty)
   }
 
+  test("wav decode is real: header fields + sample histogram, sniff-out") {
+    val samples = Array.tabulate(200)(i => (i + 20).toByte) // 20..219
+    val wav = Multimodal.encodePcmWav(samples, 16000)
+    val a = Multimodal.decodeWav(9L, wav).get
+    assert(a.sample_rate == 16000 && a.channels == 1 && a.n_frames == 200L)
+    assert(a.n_bytes == wav.length)
+    val expected = samples.map(b => (b & 0xff) >> 6)
+      .groupBy(identity).view.mapValues(_.length / 200.0).toMap
+    (0 until 4).foreach { bin =>
+      assert(math.abs(a.histogram(bin) - expected.getOrElse(bin, 0.0)) < 1e-12)
+    }
+    // non-audio bytes sniff out; RIFF magic with garbage body probes to None
+    assert(Multimodal.decodeWav(9L, "not audio at all".getBytes).isEmpty)
+    assert(Multimodal.decodeWav(9L,
+      ("RIFF1234WAVE" + "x" * 40).getBytes).isEmpty)
+    // and the typed Dataset surface yields null-ish sentinels, not fakes
+    val s2 = spark; import s2.implicits._
+    val mixed = Seq((1L, wav), (2L, "plain text document bytes".getBytes))
+      .toDF("doc_id", "media")
+    val out = Multimodal.decodeAudioFeatures(mixed).collect()
+      .map(a => a.doc_id -> a.sample_rate).toMap
+    assert(out(1L) == 16000 && out(2L) == -1)
+  }
+
   test("repetition stats score crafted repetition exactly") {
     val s2 = spark; import s2.implicits._
     val crafted = Seq(
