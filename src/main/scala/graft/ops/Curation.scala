@@ -91,6 +91,38 @@ object Curation {
     counted.withColumn(textCol, redacted)
   }
 
+  /** C4-style line-level corpus dedup: drop every line (segment between
+    * `sep`s) whose exact content appears in more than `maxDf` documents —
+    * corpus-wide boilerplate (headers, footers, cookie banners) vanishes
+    * while document-unique text survives. Documents whose every line is
+    * boilerplate drop out entirely. Line order within each document is
+    * preserved; other columns pass through.
+    *
+    * Shape at 100 TB: explode on lines → ONE distinct-df aggregation on
+    * (line hash) with map-side combine → broadcast-or-shuffle join back —
+    * here a plain equi-join keyed by the line hash (boilerplate tables are
+    * corpus-scale, never broadcast) → per-doc re-assembly window keyed by
+    * doc_id. Two shuffles of line-grain data, no corpus self-join.
+    */
+  def dropBoilerplateLines(docs: DataFrame, sep: String = "\n",
+      maxDf: Long = 1L): DataFrame = {
+    val others = docs.columns.filter(c => c != "doc_id" && c != "text")
+    val lines = docs
+      .select(col("doc_id") +: others.map(col) :+
+        posexplode(split(col("text"), java.util.regex.Pattern.quote(sep)))
+        : _*)
+      .withColumn("h", md5(col("col")))
+    val df = lines.select(col("doc_id"), col("h")).distinct()
+      .groupBy("h").agg(count(lit(1)).as("n_docs_with"))
+    lines.join(df, "h")
+      .where(col("n_docs_with") <= maxDf)
+      .groupBy((col("doc_id") +: others.map(col)): _*)
+      .agg(concat_ws(sep,
+        transform(array_sort(collect_list(struct(col("pos"), col("col")))),
+          s => s.getField("col"))).as("text"))
+      .select((col("doc_id") +: col("text") +: others.map(col)): _*)
+  }
+
   /** Benchmark decontamination: flag corpus documents sharing at least
     * `minHits` distinct word `n`-grams with an evaluation set — the scan a
     * training pipeline runs against held-out benchmarks before training

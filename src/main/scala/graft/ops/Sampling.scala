@@ -59,6 +59,27 @@ object Sampling {
     df.where(hashUnit(col(textCol), "sample:") < rate)
   }
 
+  /** Cap the number of rows kept per key at `maxN` (the C4/RefinedWeb
+    * "documents per domain" cap that stops one crawl host from dominating
+    * the training mix). Survivors are chosen by content-hash rank — the
+    * same `maxN` documents survive on every run and engine, with no RNG
+    * and no bias toward ingest order. Ties (exact duplicate text under the
+    * same key) break by doc_id.
+    *
+    * Shape at 100 TB: ONE shuffle (the per-key window). Key cardinality is
+    * corpus-scale (domains), so per-key groups are small and the window
+    * never sees a global order; a skewed mega-key costs one partition's
+    * sort, which is what AQE skew handling is for.
+    */
+  def capPerKey(df: DataFrame, keyCol: String, maxN: Int,
+      textCol: String = "text"): DataFrame = {
+    require(maxN > 0, s"maxN=$maxN must be positive")
+    val w = Window.partitionBy(keyCol)
+      .orderBy(hashUnit(col(textCol), "cap:"), col("doc_id"))
+    df.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= maxN).drop("rk")
+  }
+
   /** Greedy token-budget shard assignment: cut the corpus into shards of
     * roughly `budgetTokens` tokens each (the layout a training job
     * consumes). Documents hash into `numBuckets` independent streams —

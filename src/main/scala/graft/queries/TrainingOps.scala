@@ -896,6 +896,48 @@ object TrainingOps {
              |FROM b JOIN df USING (bg)
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // C4-style line-level corpus dedup: docs are staged with a shared
+    // header line and a per-language footer line around their (mostly
+    // unique) body; the op must drop exactly the lines occurring in more
+    // than one document — headers, footers, AND the bodies of exact-dup
+    // docs — while preserving intra-document line order.
+    QueryDef("q91_line_dedup",
+      (s, d) => Curation.dropBoilerplateLines(
+          table(s, d, "documents").select(col("doc_id"), col("lang"),
+            concat(lit("shared header|"), col("text"),
+              lit("|footer "), col("lang")).as("text")),
+          sep = "|", maxDf = 1)
+        .select(col("doc_id"), md5(col("text")).as("clean_md5"), col("lang"))
+        .orderBy("doc_id"),
+      Some("""WITH staged AS (SELECT doc_id, lang,
+             |    'shared header|' || text || '|footer ' || lang AS text
+             |  FROM documents),
+             |l AS (SELECT doc_id, lang, i, parts[i] AS line
+             |  FROM (SELECT doc_id, lang, string_split(text, '|') AS parts
+             |        FROM staged),
+             |    UNNEST(generate_series(1, len(parts))) t(i)),
+             |df AS (SELECT md5(line) AS h, COUNT(DISTINCT doc_id) AS n
+             |  FROM l GROUP BY 1)
+             |SELECT doc_id,
+             |  md5(string_agg(line, '|' ORDER BY i)) AS clean_md5, lang
+             |FROM l JOIN df ON md5(line) = h
+             |WHERE n <= 1
+             |GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin)),
+
+    // Per-key document cap (the C4/RefinedWeb per-domain cap): survivors
+    // chosen by content-hash rank, replayed digit-by-digit in the oracle.
+    QueryDef("q92_cap_per_key",
+      (s, d) => Sampling.capPerKey(
+          table(s, d, "documents"), "lang", 50)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id"),
+      Some(s"""WITH r AS (SELECT doc_id, lang,
+              |    ROW_NUMBER() OVER (PARTITION BY lang
+              |      ORDER BY ${drawSql("cap:")}, doc_id) AS rk
+              |  FROM documents)
+              |SELECT doc_id, lang FROM r WHERE rk <= 50
+              |ORDER BY doc_id""".stripMargin)),
+
     // Gopher-style repetition filters: fraction of characters in the most
     // frequent 2-gram / in duplicated 3-grams. Integer char counts divided
     // by integer doc length — bit-identical across engines, no rounding.

@@ -309,6 +309,43 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(out(1L) == 16000 && out(2L) == -1)
   }
 
+  test("line dedup drops corpus-wide boilerplate, keeps order, drops empty") {
+    val s2 = spark; import s2.implicits._
+    val crafted = Seq(
+      (1L, "HEADER|alpha beta|FOOTER", "a"),
+      (2L, "HEADER|gamma delta|mid|FOOTER", "b"),
+      (3L, "HEADER|FOOTER", "c")) // all-boilerplate doc must vanish
+      .toDF("doc_id", "text", "src")
+    val out = Curation.dropBoilerplateLines(crafted, "|", maxDf = 1)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2)))
+      .toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L) == ("alpha beta", "a"))
+    assert(out(2L) == ("gamma delta|mid", "b")) // order preserved
+    // repeats of a line INSIDE one document are not boilerplate (df = 1)
+    val rep = Seq((7L, "x y|x y|unique")).toDF("doc_id", "text")
+    val kept = Curation.dropBoilerplateLines(rep, "|").head().getString(1)
+    assert(kept == "x y|x y|unique")
+  }
+
+  test("per-key cap keeps a deterministic content-ranked subset") {
+    val s2 = spark; import s2.implicits._
+    val rows = (1L to 40L).map(i => (i, s"doc number $i body", i % 2))
+    val df = rows.toDF("doc_id", "text", "grp")
+    val once = Sampling.capPerKey(df, "grp", 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val twice = Sampling.capPerKey(df, "grp", 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(once.sorted.sameElements(twice.sorted)) // deterministic
+    assert(once.groupBy(_._2).forall(_._2.length == 5)) // 5 per key
+    // capping is a subset, never a rewrite
+    val all = rows.map(r => (r._1, r._3)).toSet
+    assert(once.forall(all.contains))
+    // keys under the cap keep everything
+    val loose = Sampling.capPerKey(df, "grp", 100).count()
+    assert(loose == 40L)
+  }
+
   test("repetition stats score crafted repetition exactly") {
     val s2 = spark; import s2.implicits._
     val crafted = Seq(
