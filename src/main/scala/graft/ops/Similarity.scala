@@ -179,10 +179,14 @@ object Similarity {
       .withColumn("crk", row_number().over(Window.partitionBy("query_id")
         .orderBy(col("ccos").desc, col("cid").asc)))
       .where(col("crk") <= nprobe)
-      .select("query_id", "qv", "qn", "cid")
+      // alias the probe-side list id: both sides' `cid` descend from the
+      // same centroid relation, and a bare cand("cid") === probes("cid")
+      // resolves to the same attribute (Spark warns "trivially true") —
+      // the rename keeps the probed-list confinement unambiguous
+      .select(col("query_id"), col("qv"), col("qn"), col("cid").as("pcid"))
     val cand = assigned.withColumn("cn", norm(col("embedding")))
     val scored = cand.join(broadcast(probes),
-      cand("cid") === probes("cid") && col("vec_id") =!= col("query_id"))
+      col("cid") === col("pcid") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         (dot(col("qv"), col("embedding")) / (col("qn") * col("cn"))).as("cos"))
     val w = Window.partitionBy("query_id")

@@ -16,11 +16,14 @@ object StreamingQuery {
 
   /** Stage the events table as a file-stream directory, run `transform`
     * over the stream to completion into a memory sink, materialize the
-    * ordered result, and clean up both the sink table and the staged
-    * directory (leaks would pollute every later battery entry).
+    * result shaped and ordered by `shape` (emission order is not
+    * deterministic — every entry must end in an ORDER BY over a unique
+    * key), and clean up both the sink table and the staged directory
+    * (leaks would pollute every later battery entry).
     */
   private def runStream(s: SparkSession, d: String, sinkName: String)(
-      transform: DataFrame => DataFrame): DataFrame = {
+      transform: DataFrame => DataFrame)(
+      shape: DataFrame => DataFrame): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // file streams need a directory: stage the single parquet file
     val dir = java.nio.file.Files.createTempDirectory("graft_stream")
@@ -36,20 +39,23 @@ object StreamingQuery {
         .writeStream.format("memory").queryName(name)
         .outputMode("append").start()
       try q.processAllAvailable() finally q.stop()
-      val res = s.table(name)
-        .select(col("window_start"), col("event_type"), col("n"),
-          round(col("total_value"), 4).as("total_value"))
-        .orderBy("window_start", "event_type")
+      val res = shape(s.table(name))
       val rows = res.collect()
       s.catalog.dropTempView(name)
       s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
     } finally QueryDef.deleteRecursively(dir)
   }
 
+  /** The windowed-aggregation result shape shared by q65/q85. */
+  private val windowShape: DataFrame => DataFrame = df =>
+    df.select(col("window_start"), col("event_type"), col("n"),
+        round(col("total_value"), 4).as("total_value"))
+      .orderBy("window_start", "event_type")
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q65_streaming_hourly",
       (s, d) => runStream(s, d, "stream_hourly")(
-        Streams.tumblingCounts(_, "1 hour", "30 minutes")),
+        Streams.tumblingCounts(_, "1 hour", "30 minutes"))(windowShape),
       // append-mode emission: window emitted iff watermark (max event time
       // minus 30 min) reached its end — reproduce that cutoff exactly
       Some("""WITH cutoff AS (
@@ -72,7 +78,8 @@ object StreamingQuery {
     // window starts and applies the same append-mode watermark cutoff
     QueryDef("q85_streaming_sliding",
       (s, d) => runStream(s, d, "stream_sliding")(
-        Streams.slidingCounts(_, "10 minutes", "5 minutes", "30 minutes")),
+        Streams.slidingCounts(_, "10 minutes", "5 minutes", "30 minutes"))(
+        windowShape),
       Some("""WITH cutoff AS (
              |  SELECT MAX(epoch_us(ts)) - 1800000000 AS wm FROM events),
              |w AS (
@@ -88,5 +95,26 @@ object StreamingQuery {
              |SELECT window_start, event_type, n, total_value
              |FROM agg, cutoff WHERE window_end_us <= wm
              |ORDER BY window_start, event_type""".stripMargin)),
+
+    // stream-stream interval join: purchases ⋈ same-user clicks within the
+    // preceding 30 minutes. Inner join → every match is emitted as it
+    // forms, and with in-order data the watermark drops nothing, so the
+    // completed stream equals the batch interval join the oracle runs.
+    QueryDef("q93_streaming_join",
+      (s, d) => runStream(s, d, "stream_join")(
+        Streams.attributedPurchases(_, "30 minutes", "2 hours"))(df =>
+        df.select(col("purchase_id"), col("click_id"), col("user_id"),
+            col("lag_us"), round(col("value"), 4).as("value"))
+          .orderBy("purchase_id", "click_id")),
+      Some("""SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+             |  p.user_id,
+             |  epoch_us(p.ts) - epoch_us(c.ts) AS lag_us,
+             |  ROUND(p.value, 4) AS value
+             |FROM events p JOIN events c
+             |  ON p.user_id = c.user_id
+             | AND p.event_type = 'purchase' AND c.event_type = 'click'
+             | AND c.ts <= p.ts
+             | AND epoch_us(c.ts) >= epoch_us(p.ts) - 1800000000
+             |ORDER BY purchase_id, click_id""".stripMargin)),
   )
 }

@@ -56,6 +56,38 @@ object Streams {
         date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
         col("n_events"), col("total_value"))
 
+  /** Stream-stream interval join (the remaining §2.10 inherited join
+    * surface next to windows/state/dedup): attribute each purchase to the
+    * clicks by the same user within `horizon` before it. Both sides carry
+    * a watermark and the join has an event-time range bound, which is
+    * exactly what lets Spark evict join state: a click older than
+    * (watermark - horizon) can never match a future purchase, so state
+    * stays bounded however long the streams run. Inner join → append-mode
+    * emission, and because neither side's rows are dropped by the
+    * watermark when data arrives in order, the completed stream equals the
+    * batch interval join (the parity StreamingSpec pins, and the q93
+    * oracle replays).
+    */
+  def attributedPurchases(events: DataFrame, horizon: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame = {
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", watermark)
+    purchases.join(clicks,
+      col("user_id") === col("click_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $horizon"))
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+          .as("lag_us"),
+        col("value"))
+  }
+
   /** Streaming deduplication by event id, with state bounded by the
     * watermark (the streaming form of exact dedup for at-least-once
     * sources — duplicates arriving within the watermark horizon are

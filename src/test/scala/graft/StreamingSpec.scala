@@ -167,6 +167,39 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("stream-stream interval join matches the batch interval join") {
+    val s2 = spark; import s2.implicits._
+    def typed(id: Long, t: String, user: Long, tpe: String, v: Double) =
+      Event(id, ts(t), user, tpe, v)
+    val staticEvents = Seq(
+      typed(1, "2024-01-01 10:00:00", 1, "click", 0.0),
+      typed(2, "2024-01-01 10:20:00", 1, "purchase", 9.5), // joins click 1
+      typed(3, "2024-01-01 09:40:00", 1, "click", 0.0),    // 40 min before 2: out
+      typed(4, "2024-01-01 10:25:00", 2, "purchase", 3.0), // other user: no click
+      typed(5, "2024-01-01 10:10:00", 1, "click", 0.0),    // also joins 2
+      typed(6, "2024-01-01 10:30:00", 1, "purchase", 1.0)) // joins clicks 1, 5
+    val shape = (df: org.apache.spark.sql.DataFrame) =>
+      df.select("purchase_id", "click_id", "lag_us").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = shape(
+      Streams.attributedPurchases(staticEvents.toDF(), "30 minutes", "2 hours"))
+    assert(batch == Set((2L, 1L, 1200000000L), (2L, 5L, 600000000L),
+      (6L, 1L, 1800000000L), (6L, 5L, 1200000000L)), s"got $batch")
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = Streams.attributedPurchases(input.toDF(), "30 minutes", "2 hours")
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    try {
+      input.addData(staticEvents: _*)
+      q.processAllAvailable()
+      assert(shape(spark.table("attrib")) == batch)
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("attrib")
+    }
+  }
+
   test("count-min sketch maintains live heavy-hitter cells over a stream") {
     val s2 = spark; import s2.implicits._
     implicit val ctx = spark.sqlContext

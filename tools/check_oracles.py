@@ -3,7 +3,11 @@
 DuckDB over the test tables and compare (rows, schema-by-name, values) with
 the parquet results Verify.scala dumped.
 
-Usage: python3 tools/check_oracles.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_oracles.py <sfDir> <verifyOutDir> [queryName...]
+
+Trailing query names restrict the compare to those entries (for iterating on
+a filtered Verify dump); with no names every oracle must have a dump — a
+missing one FAILS, exactly like the driver's gate.
 """
 import sys, json, glob, math
 import duckdb
@@ -44,12 +48,14 @@ def cmp_frames(name, spark_df, duck_df):
     return None
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=()):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * "
                     f"FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only:
+        oracles = {k: v for k, v in oracles.items() if k in only}
     results = {}
     for name in sorted(oracles):
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
@@ -66,6 +72,8 @@ def main(sf_dir, out_dir):
     # rows-only queries (no oracle)
     for d in sorted(glob.glob(f"{out_dir}/q*")):
         name = d.split("/")[-1]
+        if only and name not in only:
+            continue
         if name not in oracles:
             n = len(pd.concat([pd.read_parquet(f)
                                for f in glob.glob(f"{d}/*.parquet")]))
@@ -81,4 +89,4 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    main(sys.argv[1], sys.argv[2], frozenset(sys.argv[3:]))
