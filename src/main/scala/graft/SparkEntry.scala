@@ -13,7 +13,7 @@ object SparkEntry {
   def defs: Seq[QueryDef] =
     Core.all ++ Analytics.all ++ DocPipeline.all ++ TrainingOps.all ++
       MlQueries.all ++ PipelineBench.all ++ PipelineOracle.all ++
-      Storage.all ++ StreamingQuery.all
+      Storage.all ++ StreamingQuery.all ++ CdcQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full semantic-similarity pair-vector pipeline re-expressed over the

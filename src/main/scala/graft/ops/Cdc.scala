@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Change-data-capture compaction: turn an append-only changelog of
+  * upserts/deletes into the table it describes — the MERGE INTO / upsert
+  * surface of a lakehouse pipeline (refreshing a curated corpus from a
+  * crawl feed, applying takedown deletions, folding relabels) expressed as
+  * plain declarative Spark.
+  *
+  * Contract: the changelog carries a key column, one or more NON-NULL
+  * sequence columns whose lexicographic order gives the per-key change
+  * order (event-time microseconds + a unique id tiebreak, a log offset,
+  * …), an op column with `"D"` for deletes (anything else is an upsert —
+  * inserts and updates are the same op under last-writer-wins), and
+  * payload columns. Sequence columns must be non-null by contract: Spark's
+  * `desc` deterministically sorts nulls LAST (a null sequence never wins a
+  * key — spec-pinned), but engines like DuckDB default nulls first on
+  * DESC, so null sequences would make an oracle replay engine-dependent.
+  *
+  * Shape at 100 TB: ONE shuffle each (the per-key window / the union's
+  * window). Key cardinality is table-scale, so groups are small; a skewed
+  * hot key is one partition's sort (AQE skew handling applies). No
+  * driver-side state, no collect.
+  */
+object Cdc {
+
+  private def requireCols(df: DataFrame, cols: Seq[String]): Unit = {
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"changelog is missing columns: $missing")
+  }
+
+  /** Compact a changelog to its latest snapshot: per key keep the row with
+    * the highest sequence, then drop keys whose final change is a delete.
+    * The op and rank bookkeeping columns are dropped — the result has the
+    * changelog's key + sequence + payload schema.
+    */
+  def latestSnapshot(changes: DataFrame, keyCol: String,
+      seqCols: Seq[String], opCol: String = "op"): DataFrame = {
+    requireCols(changes, keyCol +: opCol +: seqCols)
+    val w = Window.partitionBy(keyCol)
+      .orderBy(seqCols.map(col(_).desc): _*)
+    changes.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") === 1 && col(opCol) =!= "D")
+      .drop("__rk", opCol)
+  }
+
+  /** MERGE INTO: apply a changelog to a base table. Base rows are treated
+    * as upserts from before every change (sequence −1, cast to each
+    * sequence column's type — changelog sequences must be non-negative),
+    * so a matched key takes the change's latest payload, an unmatched key
+    * keeps its base row, a key whose last change is a delete disappears,
+    * and a key only in the changelog is inserted. `base` must carry the
+    * key and payload columns (no op/sequence).
+    */
+  def mergeInto(base: DataFrame, changes: DataFrame, keyCol: String,
+      seqCols: Seq[String], opCol: String = "op"): DataFrame = {
+    requireCols(changes, keyCol +: opCol +: seqCols)
+    requireCols(base, changes.columns.filterNot((opCol +: seqCols).contains))
+    val changeTypes = changes.schema.fields.map(f => f.name -> f.dataType).toMap
+    val baseAsChanges = seqCols.foldLeft(base.withColumn(opCol, lit("U"))) {
+      (df, c) => df.withColumn(c, lit(-1L).cast(changeTypes(c)))
+    }.select(changes.columns.map(col): _*)
+    latestSnapshot(baseAsChanges.unionByName(changes), keyCol, seqCols, opCol)
+  }
+
+  /** SCD-type-2 history: every upsert becomes a version row valid from its
+    * own sequence until the key's next change (`valid_to` null = current).
+    * Deletes emit no version but still close the previous one — a key
+    * whose history ends in a delete has no current row. `valid_from` /
+    * `valid_to` take the FIRST sequence column's values; remaining
+    * sequence columns stay as tiebreak payload.
+    */
+  def scd2(changes: DataFrame, keyCol: String, seqCols: Seq[String],
+      opCol: String = "op"): DataFrame = {
+    requireCols(changes, keyCol +: opCol +: seqCols)
+    val w = Window.partitionBy(keyCol).orderBy(seqCols.map(col): _*)
+    changes
+      .withColumn("valid_to", lead(seqCols.head, 1).over(w))
+      .where(col(opCol) =!= "D")
+      .withColumnRenamed(seqCols.head, "valid_from")
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop(opCol)
+  }
+}

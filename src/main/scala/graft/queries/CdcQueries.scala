@@ -1,0 +1,84 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Cdc
+import graft.queries.QueryDef.table
+
+/** CDC / MERGE INTO battery entries: the events table doubles as a
+  * changelog over customer account state (key = user_id, sequence =
+  * event-time microseconds + event_id, `error` events = deletions,
+  * everything else = upserts of the event's value), and the customer
+  * table is the base the changelog merges into.
+  */
+object CdcQueries {
+
+  /** The synthetic changelog: one change row per event. */
+  private def changes(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events")
+      .select(col("user_id"),
+        expr("ts DIV 1000").as("seq_us"),
+        col("event_id"),
+        when(col("event_type") === "error", "D").otherwise("U").as("op"),
+        round(col("value"), 2).as("value"),
+        col("event_type").as("status"))
+  }
+
+  private def base(s: SparkSession, d: String): DataFrame =
+    table(s, d, "customer")
+      .select(col("c_custkey").as("user_id"),
+        round(col("c_acctbal"), 2).as("value"),
+        lit("base").as("status"))
+
+  private val changesSql =
+    """SELECT user_id, epoch_us(ts) AS seq_us, event_id,
+      |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+      |    ROUND(value, 2) AS value, event_type AS status
+      |  FROM events""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+
+    // MERGE INTO: base customers + the event changelog → the live table.
+    // Keys with no events keep their base row; keys whose last event is
+    // an error are deleted; everyone else holds their latest event state.
+    QueryDef("q94_merge_upsert",
+      (s, d) => Cdc.mergeInto(base(s, d), changes(s, d),
+          "user_id", Seq("seq_us", "event_id"))
+        .orderBy("user_id"),
+      Some(s"""WITH changes AS ($changesSql),
+              |merged AS (
+              |  SELECT c_custkey AS user_id, CAST(-1 AS BIGINT) AS seq_us,
+              |      CAST(-1 AS BIGINT) AS event_id, 'U' AS op,
+              |      ROUND(c_acctbal, 2) AS value, 'base' AS status
+              |    FROM customer
+              |  UNION ALL SELECT * FROM changes),
+              |ranked AS (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+              |      ORDER BY seq_us DESC, event_id DESC) AS rk
+              |  FROM merged)
+              |SELECT user_id, seq_us, event_id, value, status
+              |FROM ranked WHERE rk = 1 AND op <> 'D'
+              |ORDER BY user_id""".stripMargin)),
+
+    // SCD2 history: every upsert becomes a validity interval closed by
+    // the key's next change (deletes close but emit nothing).
+    QueryDef("q95_scd2_history",
+      (s, d) => Cdc.scd2(changes(s, d), "user_id", Seq("seq_us", "event_id"))
+        .select(col("user_id"), col("valid_from"), col("event_id"),
+          col("valid_to"), col("is_current"), col("value"), col("status"))
+        .orderBy("user_id", "valid_from", "event_id"),
+      Some(s"""WITH changes AS ($changesSql),
+              |versions AS (
+              |  SELECT user_id, seq_us AS valid_from, event_id, op,
+              |    LEAD(seq_us, 1) OVER (PARTITION BY user_id
+              |      ORDER BY seq_us, event_id) AS valid_to,
+              |    value, status
+              |  FROM changes)
+              |SELECT user_id, valid_from, event_id, valid_to,
+              |  (valid_to IS NULL) AS is_current, value, status
+              |FROM versions WHERE op <> 'D'
+              |ORDER BY user_id, valid_from, event_id""".stripMargin)),
+  )
+}

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Cdc
+
+/** MERGE/upsert semantics on a hand-built changelog where every case is
+  * enumerable: matched update, unmatched base keep, delete, re-insert
+  * after delete, changelog-only insert, same-sequence tiebreak.
+  */
+class CdcSpec extends AnyFunSuite with SparkTestBase {
+
+  import org.apache.spark.sql.DataFrame
+
+  private def changelog: DataFrame = {
+    val s2 = spark; import s2.implicits._
+    Seq(
+      // key 1: two updates — latest (seq 20) wins
+      (1L, 10L, 100L, "U", "v1a"),
+      (1L, 20L, 101L, "U", "v1b"),
+      // key 2: update then delete — key disappears
+      (2L, 10L, 102L, "U", "v2"),
+      (2L, 30L, 103L, "D", "gone"),
+      // key 3: delete then re-insert — key survives with the new value
+      (3L, 10L, 104L, "D", "gone"),
+      (3L, 40L, 105L, "U", "v3"),
+      // key 4: two changes with the SAME seq — event_id tiebreak wins
+      (4L, 50L, 106L, "U", "v4lo"),
+      (4L, 50L, 107L, "U", "v4hi"),
+      // key 9: changelog-only insert
+      (9L, 60L, 108L, "U", "v9")
+    ).toDF("k", "seq", "id", "op", "payload")
+  }
+
+  private def base: DataFrame = {
+    val s2 = spark; import s2.implicits._
+    // keys 1-3 exist in base; key 5 has no changes and must survive
+    Seq((1L, "base1"), (2L, "base2"), (3L, "base3"), (5L, "base5"))
+      .toDF("k", "payload")
+  }
+
+  test("latestSnapshot keeps the highest-sequence upsert per key") {
+    val snap = Cdc.latestSnapshot(changelog, "k", Seq("seq", "id"))
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[String]("payload")).toMap
+    assert(snap == Map(1L -> "v1b", 3L -> "v3", 4L -> "v4hi", 9L -> "v9"),
+      s"got $snap")
+  }
+
+  test("mergeInto: update, keep, delete, re-insert, insert, tiebreak") {
+    val merged = Cdc.mergeInto(base, changelog, "k", Seq("seq", "id"))
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[String]("payload")).toMap
+    assert(merged == Map(
+      1L -> "v1b",  // matched: latest change wins over base
+      3L -> "v3",   // delete then re-insert survives
+      4L -> "v4hi", // equal seq: id tiebreak
+      5L -> "base5", // unmatched base row kept
+      9L -> "v9"    // changelog-only insert
+    ), s"got $merged") // key 2 deleted
+  }
+
+  test("scd2 closes versions at the next change and deletes emit nothing") {
+    val hist = Cdc.scd2(changelog, "k", Seq("seq", "id"))
+      .select("k", "valid_from", "valid_to", "is_current", "payload")
+      .collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Long]("valid_from"),
+        Option(r.getAs[java.lang.Long]("valid_to")).map(_.toLong),
+        r.getAs[Boolean]("is_current"), r.getAs[String]("payload"))).toSet
+    assert(hist == Set(
+      (1L, 10L, Some(20L), false, "v1a"),
+      (1L, 20L, None, true, "v1b"),
+      // key 2's only version is CLOSED by the delete and nothing is current
+      (2L, 10L, Some(30L), false, "v2"),
+      (3L, 40L, None, true, "v3"),
+      (4L, 50L, Some(50L), false, "v4lo"), // tiebreak orders equal seqs
+      (4L, 50L, None, true, "v4hi"),
+      (9L, 60L, None, true, "v9")
+    ), s"got $hist")
+  }
+
+  test("a null sequence never wins a key (desc_nulls_last pin)") {
+    val s2 = spark; import s2.implicits._
+    val withNull = Seq((1L, Some(10L), 1L, "U", "a"), (1L, None, 2L, "U", "b"))
+      .toDF("k", "seq", "id", "op", "payload")
+    // the require guards the CONTRACT (columns present); null ordering is
+    // the cross-engine trap — snapshot must not treat null as "latest"
+    val snap = Cdc.latestSnapshot(withNull, "k", Seq("seq", "id"))
+      .collect().map(_.getAs[String]("payload"))
+    assert(snap.sameElements(Array("a")),
+      s"null seq ordered as latest: ${snap.mkString(",")}")
+  }
+}
