@@ -59,6 +59,26 @@ object Sampling {
     df.where(hashUnit(col(textCol), "sample:") < rate)
   }
 
+  /** Probability-proportional-to-size Bernoulli sample: keep each row
+    * with probability `rate * min(weight, cap) / cap` — the weighted
+    * sampling a training mix uses to favor long/high-quality documents
+    * without an RNG. The draw is the usual content-hash unit; the
+    * comparison `u * cap < rate * min(w, cap)` uses only IEEE
+    * multiply/compare (both correctly rounded, so ANY engine replays the
+    * exact inclusion set — no transcendental `pow`/`ln` keys whose last
+    * ulp differs between libm and the JVM). `cap` bounds the inclusion
+    * probability (weight >= cap → probability exactly `rate`) and keeps a
+    * mega-document from being a certainty. Narrow single-pass filter: no
+    * shuffle, unchanged at 100 TB.
+    */
+  def weightedSample(df: DataFrame, rate: Double, weightCol: String,
+      cap: Double, textCol: String = "text"): DataFrame = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate=$rate must be in [0,1]")
+    require(cap > 0.0, s"cap=$cap must be positive")
+    df.where(hashUnit(col(textCol), "wsample:") * cap <
+      least(col(weightCol).cast("double"), lit(cap)) * rate)
+  }
+
   /** Cap the number of rows kept per key at `maxN` (the C4/RefinedWeb
     * "documents per domain" cap that stops one crawl host from dominating
     * the training mix). Survivors are chosen by content-hash rank — the

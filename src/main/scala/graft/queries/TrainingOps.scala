@@ -547,6 +547,25 @@ object TrainingOps {
               |          ELSE 0.1 END
               |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // weighted (probability-proportional-to-size) sample: inclusion odds
+    // scale with token count up to a cap — IEEE multiply/compare only, so
+    // the oracle replays the exact inclusion set
+    QueryDef("q96_weighted_sample",
+      (s, d) => Sampling.weightedSample(
+          table(s, d, "documents")
+            .withColumn("n_tokens", size(split(col("text"), " ")).cast("long")),
+          rate = 0.3, weightCol = "n_tokens", cap = 64.0)
+        .select(col("doc_id"), col("n_tokens"), col("lang"))
+        .orderBy("doc_id"),
+      Some(s"""WITH weighted AS (
+              |  SELECT doc_id, lang,
+              |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+              |    ${drawSql("wsample:")} AS u
+              |  FROM documents)
+              |SELECT doc_id, n_tokens, lang FROM weighted
+              |WHERE u * 64.0 < LEAST(CAST(n_tokens AS DOUBLE), 64.0) * 0.3
+              |ORDER BY doc_id""".stripMargin)),
+
     // Candidate pairs → duplicate CLUSTERS: connected components by
     // iterative min-label propagation; the oracle re-derives components
     // via a recursive transitive closure over the same candidate set.

@@ -649,4 +649,33 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(kept.count() == nEn)
     assert(keptRows.forall(_.getAs[String]("lang") == "en"))
   }
+
+  test("weighted sample scales inclusion with weight, capped") {
+    val weighted = docs.withColumn("n_tokens",
+      size(split(col("text"), " ")).cast("long"))
+    // rate=1, cap=1: every doc with >= 1 token has probability exactly 1
+    assert(Sampling.weightedSample(weighted, 1.0, "n_tokens", 1.0).count()
+      == docs.count())
+    // rate=0 keeps nothing
+    assert(Sampling.weightedSample(weighted, 0.0, "n_tokens", 64.0).count() == 0)
+    // deterministic: two runs agree row-for-row
+    val a = Sampling.weightedSample(weighted, 0.3, "n_tokens", 64.0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.weightedSample(weighted, 0.3, "n_tokens", 64.0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b && a.nonEmpty)
+    // monotone in weight statistically: synthesize a corpus where half the
+    // rows weigh 4x the others — the heavy half must be kept ~4x as often
+    val s2 = spark; import s2.implicits._
+    val synth = (0 until 4000).map { i =>
+      val w = if (i % 2 == 0) 16L else 4L
+      (i.toLong, s"synthetic doc $i", w)
+    }.toDF("doc_id", "text", "w")
+    val keptByW = Sampling.weightedSample(synth, 0.5, "w", 64.0)
+      .groupBy("w").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ratio = keptByW(16L).toDouble / keptByW(4L)
+    assert(ratio > 3.0 && ratio < 5.0,
+      s"expected ~4x inclusion for 4x weight, got $ratio ($keptByW)")
+  }
 }
