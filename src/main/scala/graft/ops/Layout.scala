@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional data layout: Z-order (Morton) clustering, the
+  * write-time optimization that makes file-level min/max statistics
+  * selective on SEVERAL columns at once. A 100 TB table range-partitioned
+  * and sorted by one key prunes scans on that key only; sorted by the
+  * interleaved Z-value, every clustered column's values are confined to
+  * narrow ranges per file, so predicates on ANY of them skip most files.
+  *
+  * All arithmetic is integer (range-normalize by integer multiply/divide,
+  * interleave by shift/mask/sum), so the Z-values — and therefore the
+  * layout — are bit-identical on any engine, and the oracle replays them.
+  */
+object Layout {
+
+  /** Normalize `c` (integer-valued, bounds inclusive) to [0, 2^bits):
+    * floor((c - min) * 2^bits / (max - min + 1)). Spark's `/` on longs is
+    * double division, so exactness needs (range * 2^bits) < 2^53 — then
+    * the product is an exact double and a correctly-rounded quotient can
+    * only miss an integer boundary if the true value is within one ulp of
+    * it, impossible with 1/range > ulp(2^bits). The DuckDB oracle replays
+    * this with TRUE integer division (`//`), so any drift would fail the
+    * hash gate rather than pass silently.
+    */
+  private def normalize(c: Column, minC: Column, maxC: Column,
+      bits: Int): Column =
+    floor((c.cast("long") - minC).cast("double") * (1L << bits) /
+      (maxC - minC + 1L).cast("double")).cast("long")
+
+  /** Interleave the low `bits` of each already-normalized column:
+    * bit i of column c lands at position i * numCols + c.
+    */
+  private def interleave(cols: Seq[Column], bits: Int): Column =
+    (for {
+      i <- 0 until bits
+      (c, ci) <- cols.zipWithIndex
+    } yield shiftleft(shiftright(c, i).bitwiseAND(1L), i * cols.size + ci))
+      .reduce(_ + _)
+
+  /** Append `zvalue`: the Morton interleave of `cols` (integer-typed),
+    * each min/max-normalized to `bits` bits. The bounds come from one tiny
+    * aggregate broadcast back over the data — one extra scan of the
+    * clustered columns only (at write time, where this belongs, that scan
+    * is column-pruned and cheap relative to the shuffle that follows).
+    * `bits * cols.size` must stay < 63 (the value is a long).
+    */
+  def zValue(df: DataFrame, cols: Seq[String], bits: Int): DataFrame = {
+    require(cols.nonEmpty && bits > 0 && bits * cols.size < 63,
+      s"need 0 < bits*${cols.size} < 63, got bits=$bits")
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c")))
+    val bounds = df.agg(aggs.head, aggs.tail: _*)
+    val normalized = cols.map(c => normalize(col(c),
+      col(s"__min_$c"), col(s"__max_$c"), bits))
+    df.crossJoin(broadcast(bounds))
+      .withColumn("zvalue", interleave(normalized, bits))
+      .drop(cols.flatMap(c => Seq(s"__min_$c", s"__max_$c")): _*)
+  }
+
+  /** Cluster the table for writing: range-partition on the Z-value and
+    * sort within partitions — each output file then covers a small
+    * hyper-rectangle of the clustered columns, which is what makes
+    * min/max skipping effective on all of them. This is the ONE shuffle a
+    * layout rewrite costs; `df.write.parquet` after it preserves order.
+    */
+  def clusterByZ(df: DataFrame, cols: Seq[String], bits: Int,
+      numPartitions: Int): DataFrame =
+    zValue(df, cols, bits)
+      .repartitionByRange(numPartitions, col("zvalue"))
+      .sortWithinPartitions("zvalue")
+}

@@ -128,5 +128,39 @@ object Analytics {
              |    AS qty_7d
              |FROM lineitem WHERE l_suppkey <= 3
              |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin)),
+
+    // Z-order (Morton) clustering layout: every row's zvalue over
+    // (l_partkey, l_suppkey), summarized per z-range bucket — the ranges a
+    // range-partitioned write would cut into files. Narrow min/max of BOTH
+    // keys per bucket is the point of the layout (file-skipping on either
+    // predicate); the oracle replays the interleave with true integer
+    // division, cross-checking Layout.normalize's double-division exactness.
+    QueryDef("q97_zorder_layout",
+      (s, d) => graft.ops.Layout.zValue(table(s, d, "lineitem"),
+          Seq("l_partkey", "l_suppkey"), bits = 8)
+        .groupBy((col("zvalue") / 256).cast("long").as("zbucket"))
+        .agg(count(lit(1)).as("n"),
+          min("l_partkey").as("pmin"), max("l_partkey").as("pmax"),
+          min("l_suppkey").as("smin"), max("l_suppkey").as("smax"))
+        .orderBy("zbucket"),
+      Some {
+        val terms = (0 until 8).flatMap(i => Seq(
+          s"(((np >> $i) & 1) << ${2 * i})",
+          s"(((ns >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
+        s"""WITH b AS (
+           |  SELECT MIN(l_partkey) pmin0, MAX(l_partkey) pmax0,
+           |         MIN(l_suppkey) smin0, MAX(l_suppkey) smax0
+           |  FROM lineitem),
+           |n AS (
+           |  SELECT l_partkey, l_suppkey,
+           |    (l_partkey - pmin0) * 256 // (pmax0 - pmin0 + 1) AS np,
+           |    (l_suppkey - smin0) * 256 // (smax0 - smin0 + 1) AS ns
+           |  FROM lineitem, b),
+           |z AS (SELECT l_partkey, l_suppkey, $terms AS zvalue FROM n)
+           |SELECT zvalue // 256 AS zbucket, COUNT(*) AS n,
+           |  MIN(l_partkey) AS pmin, MAX(l_partkey) AS pmax,
+           |  MIN(l_suppkey) AS smin, MAX(l_suppkey) AS smax
+           |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
   )
 }

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Layout
+
+/** Z-order layout: exact Morton values on fixtures, and the locality
+  * property that justifies the operator — physical chunks of the z-sorted
+  * order cover small hyper-rectangles in EVERY clustered dimension, where
+  * a single-key sort leaves the other dimension unbounded.
+  */
+class LayoutSpec extends AnyFunSuite with SparkTestBase {
+
+  private def grid = {
+    val s2 = spark; import s2.implicits._
+    // full 64x64 grid: bounds are (0, 63) in both dims, so with bits=6 the
+    // normalization is the identity and zvalues are pure Morton codes
+    (for (x <- 0 until 64; y <- 0 until 64) yield (x, y))
+      .toDF("x", "y")
+  }
+
+  private def morton(x: Int, y: Int, bits: Int): Long =
+    (0 until bits).map(i =>
+      (((x >> i) & 1).toLong << (2 * i)) |
+        (((y >> i) & 1).toLong << (2 * i + 1))).sum
+
+  test("zvalue is the exact Morton interleave on an identity-normalized grid") {
+    val z = Layout.zValue(grid, Seq("x", "y"), bits = 6)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    for ((x, y) <- Seq((0, 0), (1, 0), (0, 1), (3, 5), (63, 63), (21, 42)))
+      assert(z((x, y)) == morton(x, y, 6), s"($x,$y)")
+    // bijective on the grid: 4096 distinct codes covering [0, 4096)
+    assert(z.values.toSet == (0L until 4096L).toSet)
+  }
+
+  test("z-order chunks bound BOTH dimensions; a single-key sort does not") {
+    // cut the 4096-cell grid into 16 contiguous 256-cell chunks
+    def maxSides(ordered: Seq[(Int, Int)]): Seq[Int] =
+      ordered.grouped(256).map { chunk =>
+        val xs = chunk.map(_._1); val ys = chunk.map(_._2)
+        math.max(xs.max - xs.min, ys.max - ys.min)
+      }.toSeq
+    val zOrdered = Layout.zValue(grid, Seq("x", "y"), bits = 6)
+      .orderBy("zvalue").select("x", "y")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    // each z chunk is a 16x16 square: max side 15
+    assert(maxSides(zOrdered).forall(_ <= 15), s"got ${maxSides(zOrdered)}")
+    // x-major order: each chunk is a 4-column slab spanning all of y
+    val xOrdered = grid.orderBy("x", "y")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(maxSides(xOrdered).forall(_ == 63))
+  }
+
+  test("clusterByZ physically confines both keys per partition") {
+    val parts = Layout.clusterByZ(grid, Seq("x", "y"), bits = 6,
+        numPartitions = 16)
+      .withColumn("pid", spark_partition_id())
+      .groupBy("pid")
+      .agg(max(col("x")) - min(col("x")), max(col("y")) - min(col("y")))
+      .collect().map(r => math.max(r.getInt(1), r.getInt(2)))
+    // range partitioning cuts at quantiles, not exact powers of two —
+    // allow a chunk to straddle one 16x16 square boundary
+    assert(parts.forall(_ <= 31), s"per-partition max sides: ${parts.toSeq}")
+  }
+
+  test("normalization maps arbitrary integer ranges onto the bit domain") {
+    val s2 = spark; import s2.implicits._
+    val skewed = Seq((1000L, -7L), (1063L, -6L), (1127L, 56L))
+      .toDF("a", "b")
+    val z = Layout.zValue(skewed, Seq("a", "b"), bits = 2)
+      .select("a", "zvalue").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // a range 1000..1127 (width 128) → buckets 0,1,3; b range -7..56
+    // (width 64) → buckets 0,0,3: morton((0,0))=0, (1,0)=1, (3,3)=15
+    assert(z == Map(1000L -> 0L, 1063L -> 1L, 1127L -> 15L), s"got $z")
+  }
+}
