@@ -25,6 +25,15 @@ object StreamingQuery {
       transform: DataFrame => DataFrame)(
       shape: DataFrame => DataFrame): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // stateful operators allocate state stores (a stream-stream join: four)
+    // PER shuffle partition PER micro-batch — at the battery's bounded
+    // input that's pure fixed overhead and the entry's cost degrades
+    // several-fold under host load. Pin the streaming query to a few
+    // partitions (locked in at query start) and restore the session value
+    // after; a production unbounded stream would size this to state volume
+    // instead.
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
     // file streams need a directory: stage the single parquet file
     val dir = java.nio.file.Files.createTempDirectory("graft_stream")
     try {
@@ -43,7 +52,10 @@ object StreamingQuery {
       val rows = res.collect()
       s.catalog.dropTempView(name)
       s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
-    } finally QueryDef.deleteRecursively(dir)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      QueryDef.deleteRecursively(dir)
+    }
   }
 
   /** The windowed-aggregation result shape shared by q65/q85. */
