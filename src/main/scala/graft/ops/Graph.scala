@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph analysis for corpus curation: PageRank, the standard
+  * authority signal a web-scale training pipeline derives from its crawl
+  * graph (source/host quality weighting, canonical-document choice inside
+  * syndication clusters). Declarative and iterative like
+  * [[Dedup.components]] — per iteration ONE equi-shuffle of contributions
+  * plus a tiny global aggregate for the dangling mass; `localCheckpoint`
+  * holds plan size constant and each round releases the previous round's
+  * blocks. Rounds are fixed (power iteration), so cost is
+  * `iters × (|E| shuffle)` however large the graph.
+  */
+object Graph {
+
+  /** Power-iteration PageRank over directed `(src, dst)` edges (parallel
+    * edges collapse — the classic unweighted formulation). Every node
+    * starts at 1/N; each round
+    * `rank' = (1-d)/N + d * (Σ in-contribs + danglingMass/N)`,
+    * where nodes without out-edges spread their mass uniformly. Ranks sum
+    * to 1 every round (spec-pinned). Returns `(node, rank)`.
+    */
+  def pageRank(edges: DataFrame, iters: Int = 5,
+      damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"iters=$iters must be >= 1")
+    val uniq = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .distinct().localCheckpoint(true)
+    val outDeg = uniq.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nodes = uniq.select(col("src").as("node"))
+      .union(uniq.select(col("dst").as("node"))).distinct()
+      // degree rides the rank relation so the per-iteration contribution
+      // needs no extra join against outDeg
+      .join(outDeg.withColumnRenamed("src", "node"), Seq("node"), "left")
+      .select(col("node"), coalesce(col("deg"), lit(0L)).as("deg"))
+      .localCheckpoint(true)
+    val n = nodes.count().toDouble
+    var ranks = nodes.withColumn("rank", lit(1.0) / n)
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val dangling = ranks.where(col("deg") === 0)
+        .agg(coalesce(sum("rank"), lit(0.0))).head.getDouble(0)
+      val contribs = uniq
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("rank") / col("deg")).as("contrib"))
+      val next = nodes
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"), col("deg"),
+          (lit((1.0 - damping) / n) +
+            lit(damping) * (coalesce(col("contrib"), lit(0.0)) +
+              lit(dangling / n))).as("rank"))
+        .localCheckpoint(true)
+      ckptStorage(ranks).foreach(_.unpersist(blocking = false))
+      ranks = next
+    }
+    val out = ranks.select("node", "rank")
+    ckptStorage(uniq).foreach(_.unpersist(blocking = false))
+    ckptStorage(nodes).foreach(_.unpersist(blocking = false))
+    out
+  }
+
+  private def ckptStorage(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
+      case _ => None
+    }
+}

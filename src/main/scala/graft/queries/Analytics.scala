@@ -162,5 +162,51 @@ object Analytics {
            |  MIN(l_suppkey) AS smin, MAX(l_suppkey) AS smax
            |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
       }),
+
+    // PageRank over the customer→supplier purchase graph (suppliers are
+    // dangling — their mass redistributes uniformly each round). The
+    // oracle unrolls the same 5 power iterations as chained CTEs; float
+    // sums compare under the checker's 1e-9 relative tolerance.
+    QueryDef("q98_pagerank",
+      (s, d) => {
+        val edges = table(s, d, "lineitem")
+          .join(table(s, d, "orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("src"),
+            (col("l_suppkey") + 100000L).as("dst"))
+        graft.ops.Graph.pageRank(edges, iters = 5, damping = 0.85)
+          .select(col("node"), round(col("rank"), 9).as("rank"))
+          .orderBy("node")
+      },
+      Some {
+        val iter = (k: Int) => {
+          val p = s"r${k - 1}"
+          s"""r$k AS (
+             |  SELECT nodes.node, nodes.deg,
+             |    (1 - 0.85) / nn.n + 0.85 * (COALESCE(c.contrib, 0)
+             |      + d.mass / nn.n) AS rank
+             |  FROM nodes
+             |  CROSS JOIN nn
+             |  CROSS JOIN (SELECT COALESCE(SUM(rank), 0) AS mass
+             |              FROM $p WHERE deg = 0) d
+             |  LEFT JOIN (SELECT e.dst AS node, SUM(r.rank / r.deg) AS contrib
+             |             FROM e JOIN $p r ON e.src = r.node GROUP BY 1) c
+             |    ON nodes.node = c.node)"""
+        }
+        (s"""WITH e AS (
+            |  SELECT DISTINCT o.o_custkey AS src, 100000 + l.l_suppkey AS dst
+            |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+            |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1),
+            |nodes AS (
+            |  SELECT n.node, COALESCE(deg.deg, 0) AS deg
+            |  FROM (SELECT src AS node FROM e
+            |        UNION SELECT dst FROM e) n
+            |  LEFT JOIN deg ON n.node = deg.src),
+            |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+            |r0 AS (SELECT node, deg, 1.0 / nn.n AS rank FROM nodes, nn),
+            |""" + (1 to 5).map(iter).mkString(",\n") + """
+            |SELECT node, ROUND(rank, 9) AS rank FROM r5
+            |ORDER BY node""").stripMargin
+      }),
   )
 }
