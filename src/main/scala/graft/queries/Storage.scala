@@ -28,6 +28,30 @@ object Storage {
              |  TRUE AS approx_ok
              |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // quantile sketch (q63's pattern for the sketch family's third member
+    // next to HLL and count-min): approx_percentile is a mergeable
+    // KLL-style sketch — the 100 TB path for percentile questions, one
+    // map-side-combined aggregation instead of q25's full sort. Validated
+    // against the exact percentiles, which the oracle recomputes.
+    QueryDef("q99_approx_quantiles",
+      (s, d) => table(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("exact_p50"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 4).as("exact_p99"),
+          (abs(expr("approx_percentile(l_extendedprice, 0.5, 1000)") -
+            expr("percentile(l_extendedprice, 0.5)")) <=
+            expr("percentile(l_extendedprice, 0.5)") * 0.01).as("p50_ok"),
+          (abs(expr("approx_percentile(l_extendedprice, 0.99, 1000)") -
+            expr("percentile(l_extendedprice, 0.99)")) <=
+            expr("percentile(l_extendedprice, 0.99)") * 0.01).as("p99_ok"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
+             |  ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS exact_p99,
+             |  TRUE AS p50_ok, TRUE AS p99_ok
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // CSV sink + schema-inferred source roundtrip; aggregates must equal
     // the direct-from-parquet oracle
     QueryDef("q64_csv_roundtrip",
