@@ -91,6 +91,40 @@ object Curation {
     counted.withColumn(textCol, redacted)
   }
 
+  /** HTML entities [[stripMarkup]] decodes, applied in order — `&amp;`
+    * LAST, so a double-escaped `&amp;lt;` correctly yields the literal
+    * text `&lt;` rather than re-decoding it to `<`.
+    */
+  val htmlEntities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+    "&nbsp;" -> " ", "&amp;" -> "&")
+
+  /** Strip HTML/XML markup from the text column — the first pass over any
+    * web crawl: script/style blocks (with their contents) and comments go
+    * first, then all remaining tags, then common entities decode
+    * ([[htmlEntities]]), then whitespace collapses to single spaces. The
+    * result is appended as `plain`; other columns pass through. Same
+    * dialect discipline as [[piiPatterns]]: Java∩RE2 constructs only
+    * (non-greedy dot-all, NO backreferences — script and style are
+    * separate patterns for that reason), so external engines replay the
+    * stripping byte-for-byte. Purely narrow: regex projection per row, no
+    * shuffle, pipelines with the scan at 100 TB.
+    */
+  def stripMarkup(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val blockPats = Seq(
+      "(?s)<script\\b[^>]*>.*?</script>",
+      "(?s)<style\\b[^>]*>.*?</style>",
+      "(?s)<!--.*?-->",
+      "<[^>]+>")
+    val untagged = blockPats.foldLeft(col(textCol)) {
+      (c, re) => regexp_replace(c, re, " ")
+    }
+    val decoded = htmlEntities.foldLeft(untagged) { case (c, (ent, ch)) =>
+      replace(c, lit(ent), lit(ch)) // literal replace — entities aren't regex
+    }
+    docs.withColumn("plain", trim(regexp_replace(decoded, "\\s+", " ")))
+  }
+
   /** C4-style line-level corpus dedup: drop every line (segment between
     * `sep`s) whose exact content appears in more than `maxDf` documents —
     * corpus-wide boilerplate (headers, footers, cookie banners) vanishes

@@ -547,6 +547,52 @@ object TrainingOps {
               |          ELSE 0.1 END
               |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // markup stripping over a deterministically synthesized HTML corpus
+    // (documents wrapped in tags/entities/script in-query, like q74/q86
+    // build media bytes from text): script/style/comments out, tags out,
+    // entities decoded AFTER tag removal, whitespace collapsed — both
+    // engines replay the same Java∩RE2 patterns byte-for-byte
+    QueryDef("q100_strip_markup",
+      (s, d) => {
+        val html = table(s, d, "documents").withColumn("text", concat(
+          lit("<html><head><style>p { color: red }</style></head><body><h1>"),
+          col("source"),
+          lit("</h1>\n<!-- crawl artifact -->\n<p class=\"body\">"),
+          col("text"),
+          lit(" &amp; more &lt;tags&gt;</p>" +
+            "<script type=\"text/javascript\">var x = \"<p>\";</script>" +
+            "</body></html>")))
+        Curation.stripMarkup(html)
+          .select(col("doc_id"), length(col("plain")).as("n_plain"),
+            md5(col("plain")).as("plain_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH html AS (
+             |  SELECT doc_id,
+             |    '<html><head><style>p { color: red }</style></head><body><h1>'
+             |    || source || '</h1>' || chr(10) || '<!-- crawl artifact -->'
+             |    || chr(10) || '<p class="body">' || text
+             |    || ' &amp; more &lt;tags&gt;</p>'
+             |    || '<script type="text/javascript">var x = "<p>";</script>'
+             |    || '</body></html>' AS t
+             |  FROM documents),
+             |stripped AS (
+             |  SELECT doc_id, trim(regexp_replace(
+             |    replace(replace(replace(replace(replace(replace(
+             |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             |        t,
+             |        '(?s)<script\b[^>]*>.*?</script>', ' ', 'g'),
+             |        '(?s)<style\b[^>]*>.*?</style>', ' ', 'g'),
+             |        '(?s)<!--.*?-->', ' ', 'g'),
+             |        '<[^>]+>', ' ', 'g'),
+             |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+             |      '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+             |    '\s+', ' ', 'g')) AS plain
+             |  FROM html)
+             |SELECT doc_id, CAST(length(plain) AS INT) AS n_plain,
+             |  md5(plain) AS plain_md5
+             |FROM stripped ORDER BY doc_id""".stripMargin)),
+
     // weighted (probability-proportional-to-size) sample: inclusion odds
     // scale with token count up to a cap — IEEE multiply/compare only, so
     // the oracle replays the exact inclusion set

@@ -650,6 +650,26 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(keptRows.forall(_.getAs[String]("lang") == "en"))
   }
 
+  test("stripMarkup removes blocks and tags, decodes entities in order") {
+    val s2 = spark; import s2.implicits._
+    val html = Seq(
+      (1L, "<html><head><style>h1 { x }</style></head>" +
+        "<body><h1>Title</h1>\n<!-- note -->\n<p>Hello <b>world</b>" +
+        " &amp;lt; &lt;kept&gt; &#39;q&#39;</p>" +
+        "<script>if (a < b) { emit(\"<div>\") }</script>  tail</body>"),
+      (2L, "no markup at all"),
+      (3L, "<p>only</p>")
+    ).toDF("doc_id", "text")
+    val plain = Curation.stripMarkup(html)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("plain"))
+      .toMap
+    // &amp; decodes LAST: "&amp;lt;" yields literal "&lt;", not "<";
+    // script contents (including embedded quotes/tags) vanish wholesale
+    assert(plain(1L) == "Title Hello world &lt; <kept> 'q' tail", s"got $plain")
+    assert(plain(2L) == "no markup at all")
+    assert(plain(3L) == "only")
+  }
+
   test("weighted sample scales inclusion with weight, capped") {
     val weighted = docs.withColumn("n_tokens",
       size(split(col("text"), " ")).cast("long"))
