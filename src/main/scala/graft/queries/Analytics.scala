@@ -179,9 +179,15 @@ object Analytics {
           .orderBy("node")
       },
       Some {
+        // AS MATERIALIZED throughout: every r_k is referenced twice
+        // (contrib + dangling mass), so an inlining CTE planner would
+        // re-evaluate the chain EXPONENTIALLY (2^iters scans of the
+        // 6M-row edge build at sf1 — observed OOM); materialization pins
+        // each iteration to one evaluation, like the Spark side's
+        // localCheckpoint
         val iter = (k: Int) => {
           val p = s"r${k - 1}"
-          s"""r$k AS (
+          s"""r$k AS MATERIALIZED (
              |  SELECT nodes.node, nodes.deg,
              |    (1 - 0.85) / nn.n + 0.85 * (COALESCE(c.contrib, 0)
              |      + d.mass / nn.n) AS rank
@@ -193,17 +199,18 @@ object Analytics {
              |             FROM e JOIN $p r ON e.src = r.node GROUP BY 1) c
              |    ON nodes.node = c.node)"""
         }
-        (s"""WITH e AS (
+        (s"""WITH e AS MATERIALIZED (
             |  SELECT DISTINCT o.o_custkey AS src, 100000 + l.l_suppkey AS dst
             |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
-            |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1),
-            |nodes AS (
+            |deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1),
+            |nodes AS MATERIALIZED (
             |  SELECT n.node, COALESCE(deg.deg, 0) AS deg
             |  FROM (SELECT src AS node FROM e
             |        UNION SELECT dst FROM e) n
             |  LEFT JOIN deg ON n.node = deg.src),
-            |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
-            |r0 AS (SELECT node, deg, 1.0 / nn.n AS rank FROM nodes, nn),
+            |nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+            |r0 AS MATERIALIZED (
+            |  SELECT node, deg, 1.0 / nn.n AS rank FROM nodes, nn),
             |""" + (1 to 5).map(iter).mkString(",\n") + """
             |SELECT node, ROUND(rank, 9) AS rank FROM r5
             |ORDER BY node""").stripMargin
