@@ -177,6 +177,39 @@ object TextAnalysis {
         .as("fp"): _*)
   }
 
+  /** Slice each document into training chunks of `chunkTokens` whitespace
+    * tokens with `overlap` tokens shared between consecutive chunks — the
+    * context-window preparation step between curation and shard packing.
+    * Chunk starts advance by `chunkTokens - overlap`; the final chunk may
+    * be shorter, and a document at most one chunk long yields itself.
+    * Output: (doc_id, chunk_id, n_chunk_tokens, chunk); other columns are
+    * NOT carried (chunking multiplies rows — join metadata onto the
+    * chunks' doc_id afterwards, or pass `keep` names). Narrow 1→N
+    * explode: no shuffle, pipelines with the scan at 100 TB. Chunk count
+    * uses pure integer arithmetic, so any engine replays the boundaries.
+    */
+  def chunk(docs: DataFrame, chunkTokens: Int, overlap: Int,
+      keep: Seq[String] = Nil): DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap < chunkTokens, got $overlap / $chunkTokens")
+    val stride = chunkTokens - overlap
+    val kept = keep.map(col)
+    docs
+      .select(col("doc_id") +: kept :+ split(col("text"), " ").as("t"): _*)
+      // integer ceil((n - overlap) / stride), at least 1
+      .withColumn("n_chunks", greatest(lit(1L),
+        floor((size(col("t")) - overlap + (stride - 1)).cast("double") /
+          stride).cast("long")))
+      .select(col("doc_id") +: kept :+ col("t") :+
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id"): _*)
+      .withColumn("piece",
+        slice(col("t"), (col("chunk_id") * stride + 1).cast("int"),
+          lit(chunkTokens)))
+      .select(col("doc_id") +: col("chunk_id") +: kept :+
+        size(col("piece")).cast("long").as("n_chunk_tokens") :+
+        array_join(col("piece"), " ").as("chunk"): _*)
+  }
+
   /** Per-document bigram novelty: the share of a document's distinct
     * bigrams that occur in NO other document — high novelty = unique
     * content, low novelty = boilerplate/template text (the curation

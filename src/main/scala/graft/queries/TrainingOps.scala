@@ -547,6 +547,32 @@ object TrainingOps {
               |          ELSE 0.1 END
               |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // context-window chunking: documents sliced into 40-token chunks with
+    // an 8-token overlap (integer boundary arithmetic — the oracle
+    // replays every slice with list_slice + generate_series)
+    QueryDef("q101_chunk_documents",
+      (s, d) => TextAnalysis.chunk(table(s, d, "documents"),
+          chunkTokens = 40, overlap = 8)
+        .select(col("doc_id"), col("chunk_id"), col("n_chunk_tokens"),
+          md5(col("chunk")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_id"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |counted AS (
+             |  SELECT doc_id, t,
+             |    GREATEST(1, (len(t) - 8 + 31) // 32) AS n_chunks
+             |  FROM toks),
+             |chunks AS (
+             |  SELECT doc_id, u.k AS chunk_id,
+             |    list_slice(t, u.k * 32 + 1, u.k * 32 + 40) AS piece
+             |  FROM counted,
+             |    UNNEST(generate_series(0, CAST(n_chunks - 1 AS BIGINT)))
+             |      AS u(k))
+             |SELECT doc_id, chunk_id,
+             |  CAST(len(piece) AS BIGINT) AS n_chunk_tokens,
+             |  md5(array_to_string(piece, ' ')) AS chunk_md5
+             |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin)),
+
     // markup stripping over a deterministically synthesized HTML corpus
     // (documents wrapped in tags/entities/script in-query, like q74/q86
     // build media bytes from text): script/style/comments out, tags out,

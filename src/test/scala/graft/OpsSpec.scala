@@ -650,6 +650,30 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(keptRows.forall(_.getAs[String]("lang") == "en"))
   }
 
+  test("chunking covers every token with exact overlaps") {
+    val s2 = spark; import s2.implicits._
+    val docsF = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "a b c"),                                  // shorter than 1 chunk
+      (3L, (1 to 4).map(i => s"u$i").mkString(" ")))  // exactly 1 chunk
+      .toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunk(docsF, chunkTokens = 4, overlap = 1)
+      .orderBy("doc_id", "chunk_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+    val byDoc = chunks.groupBy(_._1).view.mapValues(_.map(_._3).toSeq).toMap
+    // stride 3: [t1..t4], [t4..t7], [t7..t10] — adjacent chunks share
+    // exactly `overlap` tokens and every token is covered
+    assert(byDoc(1L) == Seq("t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10"),
+      s"got ${byDoc(1L)}")
+    assert(byDoc(2L) == Seq("a b c"))
+    assert(byDoc(3L) == Seq("u1 u2 u3 u4"))
+    // reconstruction: dropping the overlap from every chunk after the
+    // first rebuilds the document exactly
+    val rebuilt = byDoc(1L).head +: byDoc(1L).tail.map(
+      _.split(" ").drop(1).mkString(" "))
+    assert(rebuilt.mkString(" ") == (1 to 10).map(i => s"t$i").mkString(" "))
+  }
+
   test("stripMarkup removes blocks and tags, decodes entities in order") {
     val s2 = spark; import s2.implicits._
     val html = Seq(
