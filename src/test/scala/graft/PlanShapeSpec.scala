@@ -119,4 +119,33 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"))
     } finally counts.unpersist()
   }
+
+  test("weighted sample, chunking, and markup stripping are narrow") {
+    assert(exchanges(Sampling.weightedSample(
+      docs.withColumn("w", size(split(col("text"), " ")).cast("long")),
+      0.3, "w", 64.0)) == 0)
+    assert(exchanges(TextAnalysis.chunk(docs, 40, 8)) == 0)
+    assert(exchanges(Curation.stripMarkup(docs)) == 0)
+  }
+
+  test("zvalue broadcasts the bounds row; no data shuffle") {
+    val df = Layout.zValue(docs.withColumn("a", col("doc_id"))
+      .withColumn("b", col("n_chars")), Seq("a", "b"), 8)
+    val p = plan(df)
+    // the only exchange permitted is the broadcast of the 1-row bounds
+    // aggregate back over the data — never a hash/range repartition
+    assert(p.contains("BroadcastExchange") || p.contains("broadcast"), p)
+    assert(!"(?i)exchange (hash|range)partitioning".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("mergeInto is ONE per-key shuffle over base ∪ changes") {
+    val base = docs.select(col("doc_id").as("k"), col("text").as("payload"))
+    val changes = docs.select(col("doc_id").as("k"),
+      col("n_chars").as("seq"), lit("U").as("op"),
+      col("text").as("payload"))
+    val merged = Cdc.mergeInto(base, changes, "k", Seq("seq"))
+    val hashEx = "(?i)exchange hashpartitioning".r
+      .findAllIn(plan(merged)).size
+    assert(hashEx == 1, plan(merged))
+  }
 }
