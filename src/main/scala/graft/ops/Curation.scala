@@ -125,6 +125,21 @@ object Curation {
     docs.withColumn("plain", trim(regexp_replace(decoded, "\\s+", " ")))
   }
 
+  /** Extract `href="..."` targets from markup — the crawl-frontier /
+    * link-graph companion to [[stripMarkup]]: its output (doc → target)
+    * is exactly the edge list [[Graph.pageRank]] ranks. Double-quoted
+    * hrefs only, by contract (the dominant form; a single-quote variant
+    * would need a second pattern — RE2 has no backreferences to unify
+    * them). One row per extracted link in document order; duplicate
+    * targets within a document are preserved (frontier semantics —
+    * `distinct` afterwards for graph edges). Narrow 1→N explode.
+    */
+  def extractLinks(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"),
+      explode(expr(
+        s"""regexp_extract_all($textCol, 'href="([^"]*)"', 1)"""))
+        .as("href"))
+
   /** C4-style line-level corpus dedup: drop every line (segment between
     * `sep`s) whose exact content appears in more than `maxDf` documents —
     * corpus-wide boilerplate (headers, footers, cookie banners) vanishes

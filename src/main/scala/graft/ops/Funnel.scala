@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequential (first-touch) funnel analysis: for an ordered list of
+  * stages, each key's stage-k completion time is the FIRST event of that
+  * stage at or after the key's stage-(k-1) completion — the standard
+  * conversion-funnel semantics (signup → click → purchase).
+  *
+  * Shape at 100 TB: every stage is a `min(when(...))` window over the SAME
+  * key partitioning, so Catalyst plans ONE shuffle and stacks the window
+  * operators on it (spec-pinned); the final per-key collapse reuses that
+  * partitioning too. No joins, no self-reads of the event log.
+  */
+object Funnel {
+
+  /** Per-key first-completion times: one row per key, one
+    * `t_<stage>` column per stage (null = the key never completed the
+    * stage in order). `tsCol` must be a totally-ordered numeric/timestamp
+    * column; ties at the same instant count as in-order (>=).
+    */
+  def stageTimes(events: DataFrame, keyCol: String, typeCol: String,
+      tsCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty && stages.distinct == stages,
+      s"stages must be non-empty and distinct: $stages")
+    val w = Window.partitionBy(keyCol)
+    val staged = stages.zipWithIndex.foldLeft(events) {
+      case (df, (stage, i)) =>
+        val inOrder = if (i == 0) lit(true)
+          else col(s"__s${i - 1}").isNotNull &&
+            col(tsCol) >= col(s"__s${i - 1}")
+        df.withColumn(s"__s$i",
+          min(when(col(typeCol) === stage && inOrder, col(tsCol))).over(w))
+    }
+    val aggs = stages.zipWithIndex.map { case (stage, i) =>
+      min(s"__s$i").as(s"t_$stage")
+    }
+    staged.groupBy(keyCol).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Funnel counts: one row per stage with the number of keys that
+    * completed it in order, plus the conversion share relative to the
+    * first stage (keys entering the funnel).
+    */
+  def counts(events: DataFrame, keyCol: String, typeCol: String,
+      tsCol: String, stages: Seq[String]): DataFrame = {
+    val times = stageTimes(events, keyCol, typeCol, tsCol, stages)
+    val perStage = stages.zipWithIndex.map { case (stage, i) =>
+      count(col(s"t_$stage")).as(s"n_$i")
+    }
+    val totals = times.agg(perStage.head, perStage.tail: _*)
+    val rows = stages.zipWithIndex.map { case (stage, i) =>
+      totals.select(lit(i).as("stage_idx"), lit(stage).as("stage"),
+        col(s"n_$i").as("n_keys"),
+        round(col(s"n_$i").cast("double") /
+          greatest(col("n_0"), lit(1L)), 6).as("conversion"))
+    }
+    rows.reduce(_.unionByName(_))
+  }
+}

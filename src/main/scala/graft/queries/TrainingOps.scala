@@ -2,8 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{AsOf, Curation, Dedup, Multimodal, Sampling, Similarity,
-  Sketch, TextAnalysis}
+import graft.ops.{AsOf, Curation, Dedup, Funnel, Multimodal, Sampling,
+  Similarity, Sketch, TextAnalysis}
 import QueryDef.table
 
 /** Training-data pipeline operators as oracle-checked queries: dedup
@@ -546,6 +546,71 @@ object TrainingOps {
               |WHERE u < CASE lang WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.25
               |          ELSE 0.1 END
               |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // link extraction over the synthesized-HTML corpus: hrefs out of
+    // markup → the (doc, target) edge list PageRank ranks; grouped to
+    // target counts (two deterministic links per doc)
+    QueryDef("q102_extract_links",
+      (s, d) => {
+        val html = table(s, d, "documents").withColumn("text", concat(
+          lit("<a href=\""), col("source"), lit("/doc"),
+          col("doc_id") % 50,
+          lit("\">x</a> "), col("text"),
+          lit(" <p><a class=\"n\" href=\""), col("lang"),
+          lit(".example/"), col("doc_id") % 7,
+          lit("\">y</a></p>")))
+        Curation.extractLinks(html)
+          .groupBy("href")
+          .agg(count(lit(1)).as("n"), min("doc_id").as("min_doc"))
+          .orderBy("href")
+      },
+      Some("""WITH html AS (
+             |  SELECT doc_id,
+             |    '<a href="' || source || '/doc' || (doc_id % 50)
+             |    || '">x</a> ' || text
+             |    || ' <p><a class="n" href="' || lang || '.example/'
+             |    || (doc_id % 7) || '">y</a></p>' AS t
+             |  FROM documents),
+             |links AS (
+             |  SELECT doc_id,
+             |    UNNEST(regexp_extract_all(t, 'href="([^"]*)"', 1)) AS href
+             |  FROM html)
+             |SELECT href, COUNT(*) AS n, MIN(doc_id) AS min_doc
+             |FROM links GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // sequential first-touch funnel over the event log: each stage's
+    // completion is the first event at/after the previous stage's —
+    // chained min-when windows over ONE user shuffle (plan-pinned)
+    QueryDef("q103_event_funnel",
+      (s, d) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val ev = table(s, d, "events").withColumn("ts_us", expr("ts DIV 1000"))
+        Funnel.counts(ev, "user_id", "event_type", "ts_us",
+            Seq("signup", "click", "purchase"))
+          .orderBy("stage_idx")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+             |s0 AS (SELECT *, MIN(CASE WHEN event_type = 'signup'
+             |    THEN ts_us END) OVER (PARTITION BY user_id) AS t0 FROM e),
+             |s1 AS (SELECT *, MIN(CASE WHEN event_type = 'click'
+             |    AND t0 IS NOT NULL AND ts_us >= t0
+             |    THEN ts_us END) OVER (PARTITION BY user_id) AS t1 FROM s0),
+             |s2 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase'
+             |    AND t1 IS NOT NULL AND ts_us >= t1
+             |    THEN ts_us END) OVER (PARTITION BY user_id) AS t2 FROM s1),
+             |per AS (SELECT user_id, MIN(t0) AS t0, MIN(t1) AS t1,
+             |    MIN(t2) AS t2 FROM s2 GROUP BY 1),
+             |tot AS (SELECT COUNT(t0) AS n0, COUNT(t1) AS n1,
+             |    COUNT(t2) AS n2 FROM per)
+             |SELECT 0 AS stage_idx, 'signup' AS stage, n0 AS n_keys,
+             |  ROUND(CAST(n0 AS DOUBLE) / GREATEST(n0, 1), 6) AS conversion
+             |  FROM tot
+             |UNION ALL SELECT 1, 'click', n1,
+             |  ROUND(CAST(n1 AS DOUBLE) / GREATEST(n0, 1), 6) FROM tot
+             |UNION ALL SELECT 2, 'purchase', n2,
+             |  ROUND(CAST(n2 AS DOUBLE) / GREATEST(n0, 1), 6) FROM tot
+             |ORDER BY stage_idx""".stripMargin)),
 
     // context-window chunking: documents sliced into 40-token chunks with
     // an 8-token overlap (integer boundary arithmetic — the oracle

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Funnel
+
+/** First-touch funnel semantics on an enumerable fixture: out-of-order
+  * events don't count, stages chain off the PREVIOUS stage's first
+  * completion, same-instant events count as in-order, and the whole
+  * computation is one key shuffle.
+  */
+class FunnelSpec extends AnyFunSuite with SparkTestBase {
+
+  private def fixture = {
+    val s2 = spark; import s2.implicits._
+    Seq(
+      // user 1: clean signup → click → purchase
+      (1L, "signup", 10L), (1L, "click", 20L), (1L, "purchase", 30L),
+      // user 2: click BEFORE signup (must not count), purchase after —
+      // but no in-order click, so the purchase can't count either
+      (2L, "click", 5L), (2L, "signup", 10L), (2L, "purchase", 20L),
+      // user 3: stalls after click
+      (3L, "signup", 10L), (3L, "click", 20L),
+      // user 4: purchase only — never entered the funnel
+      (4L, "purchase", 5L),
+      // user 5: signup and click at the SAME instant (>= counts it)
+      (5L, "signup", 10L), (5L, "click", 10L)
+    ).toDF("user_id", "event_type", "ts_us")
+  }
+
+  test("stage times chain strictly off the previous stage") {
+    val times = Funnel.stageTimes(fixture, "user_id", "event_type", "ts_us",
+        Seq("signup", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> (
+        Option(r.getAs[java.lang.Long]("t_signup")),
+        Option(r.getAs[java.lang.Long]("t_click")),
+        Option(r.getAs[java.lang.Long]("t_purchase")))).toMap
+    assert(times(1L) == ((Some(10L), Some(20L), Some(30L))))
+    assert(times(2L) == ((Some(10L), None, None)), s"got ${times(2L)}")
+    assert(times(3L) == ((Some(10L), Some(20L), None)))
+    assert(times(4L) == ((None, None, None)))
+    assert(times(5L) == ((Some(10L), Some(10L), None)))
+  }
+
+  test("counts and conversions collapse the stage times") {
+    val rows = Funnel.counts(fixture, "user_id", "event_type", "ts_us",
+        Seq("signup", "click", "purchase"))
+      .orderBy("stage_idx").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.toSeq == Seq(
+      ("signup", 4L, 1.0),      // users 1, 2, 3, 5
+      ("click", 3L, 0.75),      // users 1, 3, 5
+      ("purchase", 1L, 0.25)))  // user 1
+  }
+
+  test("stage times are ONE key shuffle (windows stack on it)") {
+    val plan = Funnel.stageTimes(fixture, "user_id", "event_type", "ts_us",
+      Seq("signup", "click", "purchase")).queryExecution.executedPlan.toString
+    val hashEx = "(?i)exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx == 1, plan)
+  }
+}
