@@ -40,6 +40,29 @@ object Funnel {
     staged.groupBy(keyCol).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Cohort retention: keys are cohorted by the period of their FIRST
+    * event (`floor(first_ts / periodUs)` — weeks for `periodUs` =
+    * 604800000000), and each (cohort, period-offset) cell counts the
+    * distinct keys active that many periods later. Pure integer `DIV`
+    * arithmetic, so any engine replays the cell boundaries exactly.
+    * Shape: one key-window shuffle (min stacks on the partitioning) +
+    * one cell aggregation; `maxPeriods` bounds the output, not the scan.
+    */
+  def cohortRetention(events: DataFrame, keyCol: String, tsCol: String,
+      periodUs: Long, maxPeriods: Int): DataFrame = {
+    require(periodUs > 0 && maxPeriods > 0,
+      s"periodUs=$periodUs and maxPeriods=$maxPeriods must be positive")
+    val w = Window.partitionBy(keyCol)
+    events
+      .withColumn("__p", expr(s"$tsCol DIV ${periodUs}L"))
+      // floor is monotonic: min of period indexes == index of min ts
+      .withColumn("__cohort", min(col("__p")).over(w))
+      .withColumn("__off", (col("__p") - col("__cohort")).cast("int"))
+      .where(col("__off") < maxPeriods)
+      .groupBy(col("__cohort").as("cohort"), col("__off").as("period"))
+      .agg(count_distinct(col(keyCol)).as("n_active"))
+  }
+
   /** Funnel counts: one row per stage with the number of keys that
     * completed it in order, plus the conversion share relative to the
     * first stage (keys entering the funnel).

@@ -612,6 +612,26 @@ object TrainingOps {
              |  ROUND(CAST(n2 AS DOUBLE) / GREATEST(n0, 1), 6) FROM tot
              |ORDER BY stage_idx""".stripMargin)),
 
+    // cohort retention: users cohorted by first-event week, cells count
+    // distinct users active k weeks later — integer DIV boundaries
+    QueryDef("q104_cohort_retention",
+      (s, d) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val ev = table(s, d, "events").withColumn("ts_us", expr("ts DIV 1000"))
+        Funnel.cohortRetention(ev, "user_id", "ts_us",
+            periodUs = 604800000000L, maxPeriods = 4)
+          .orderBy("cohort", "period")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, epoch_us(ts) // 604800000000 AS p
+             |  FROM events),
+             |c AS (SELECT *, MIN(p) OVER (PARTITION BY user_id) AS cohort
+             |      FROM e)
+             |SELECT cohort, CAST(p - cohort AS INT) AS period,
+             |  COUNT(DISTINCT user_id) AS n_active
+             |FROM c WHERE p - cohort < 4
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // context-window chunking: documents sliced into 40-token chunks with
     // an 8-token overlap (integer boundary arithmetic — the oracle
     // replays every slice with list_slice + generate_series)

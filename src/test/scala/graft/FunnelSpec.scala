@@ -54,6 +54,24 @@ class FunnelSpec extends AnyFunSuite with SparkTestBase {
       ("purchase", 1L, 0.25)))  // user 1
   }
 
+  test("cohort retention cells count distinct keys by period offset") {
+    val s2 = spark; import s2.implicits._
+    // period = 10: user 1 first at 5 (cohort 0), active periods 0,1,3;
+    // user 2 first at 12 (cohort 1), active 1 and 2 (offset 0, 1);
+    // user 3 first at 7 (cohort 0), active 0 only — twice (distinct!)
+    val ev = Seq((1L, 5L), (1L, 15L), (1L, 35L), (1L, 16L),
+      (2L, 12L), (2L, 25L), (3L, 7L), (3L, 9L))
+      .toDF("user_id", "ts_us")
+    val cells = Funnel.cohortRetention(ev, "user_id", "ts_us",
+        periodUs = 10L, maxPeriods = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(cells == Map(
+      (0L, 0) -> 2L, // users 1, 3 in cohort 0 at offset 0 (3 deduped)
+      (0L, 1) -> 1L, // user 1 (events 15, 16 dedupe)
+      (0L, 3) -> 1L, // user 1 at 35
+      (1L, 0) -> 1L, (1L, 1) -> 1L), s"got $cells")
+  }
+
   test("stage times are ONE key shuffle (windows stack on it)") {
     val plan = Funnel.stageTimes(fixture, "user_id", "event_type", "ts_us",
       Seq("signup", "click", "purchase")).queryExecution.executedPlan.toString
