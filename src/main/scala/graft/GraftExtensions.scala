@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FloatDot, PorterStem}
+import graft.functions.{FloatDot, NfcNormalize, PorterStem}
 
 /** Session-extension registration: makes graft's native expressions
   * available to pure-SQL users at session construction, with no code call —
@@ -25,5 +25,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("float_dot"),
       new ExpressionInfo(classOf[FloatDot].getName, "float_dot"),
       (exprs: Seq[Expression]) => graft.functions.buildFloatDot(exprs)))
+    e.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (exprs: Seq[Expression]) => graft.functions.buildNfcNormalize(exprs)))
   }
 }

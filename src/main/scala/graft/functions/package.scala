@@ -17,6 +17,9 @@ package object functions {
   def float_dot(a: Column, b: Column): Column =
     toColumn(FloatDot(toExpr(a), toExpr(b)))
 
+  /** Unicode NFC canonical composition of a string column. */
+  def nfc_normalize(c: Column): Column = toColumn(NfcNormalize(toExpr(c)))
+
   /** Register graft SQL functions on a session (idempotent), enabling
     * `SELECT porter_stem(col)` in `spark.sql`.
     */
@@ -25,6 +28,8 @@ package object functions {
       "porter_stem", exprs => buildPorterStem(exprs), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "float_dot", exprs => buildFloatDot(exprs), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nfc_normalize", exprs => buildNfcNormalize(exprs), "scala_udf")
   }
 
   private[graft] def buildPorterStem(exprs: Seq[Expression]): PorterStem = {
@@ -37,5 +42,11 @@ package object functions {
     require(exprs.length == 2,
       s"float_dot requires exactly 2 arguments, got ${exprs.length}")
     FloatDot(exprs(0), exprs(1))
+  }
+
+  private[graft] def buildNfcNormalize(exprs: Seq[Expression]): NfcNormalize = {
+    require(exprs.length == 1,
+      s"nfc_normalize requires exactly 1 argument, got ${exprs.length}")
+    NfcNormalize(exprs.head)
   }
 }

@@ -612,6 +612,29 @@ object TrainingOps {
              |  ROUND(CAST(n2 AS DOUBLE) / GREATEST(n0, 1), 6) FROM tot
              |ORDER BY stage_idx""".stripMargin)),
 
+    // Unicode NFC canonicalization (native codegen'd expression): every
+    // doc gets a decomposed + precomposed suffix; after nfc_normalize
+    // both collapse to the same bytes, hash-checked via md5. DuckDB's
+    // built-in nfc_normalize replays the composition.
+    QueryDef("q105_nfc_normalize",
+      (s, d) => {
+        val suffix = " cafe\u0301 caf\u00e9" // decomposed + precomposed
+        val t = concat(col("text"), lit(suffix))
+        table(s, d, "documents")
+          .select(col("doc_id"),
+            length(t).as("len_raw"),
+            length(graft.functions.nfc_normalize(t)).as("len_nfc"),
+            md5(graft.functions.nfc_normalize(t)).as("nfc_md5"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id,
+              |  CAST(length(text || ' cafe\u0301 caf\u00e9') AS INT)
+              |    AS len_raw,
+              |  CAST(length(nfc_normalize(text || ' cafe\u0301 caf\u00e9'))
+              |    AS INT) AS len_nfc,
+              |  md5(nfc_normalize(text || ' cafe\u0301 caf\u00e9')) AS nfc_md5
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // cohort retention: users cohorted by first-event week, cells count
     // distinct users active k weeks later — integer DIV boundaries
     QueryDef("q104_cohort_retention",
