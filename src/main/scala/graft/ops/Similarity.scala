@@ -210,6 +210,90 @@ object Similarity {
     ivfProbeAndRank(centroids, assigned, queries, k, nprobe)
   }
 
+  /** Deterministic product quantizer — the memory-compression ANN tier
+    * next to brute force / hyperplane LSH / IVF: `dims` split into `m`
+    * contiguous subspaces of dims/m; subspace `j`'s codebook is the j-th
+    * sub-vector of the `ksub` smallest-vec_id embeddings (data-point
+    * init, zero Lloyd iterations — [[ivfIndexDeterministic]]'s
+    * convention, so a SQL oracle replays the index exactly). Returns
+    * (codebook (j, c, centroid), codes (vec_id, j, c)); codes are m small
+    * ints per vector vs 4·dims bytes raw — 32× smaller at dims=64/m=8,
+    * which is what lets a 100 TB corpus' search structure stay in
+    * executor memory. Encoding is one broadcast join + one (vec_id, j)
+    * window; sub-distance sums run in array order (exact replay).
+    */
+  def pqIndex(corpus: DataFrame, m: Int, ksub: Int,
+      dims: Int): (DataFrame, DataFrame) = {
+    require(m > 0 && dims % m == 0, s"dims=$dims must divide into m=$m")
+    val sub = dims / m
+    val slices = expr(
+      s"transform(sequence(0, ${m - 1}), j -> slice(embedding, j * $sub + 1, $sub))")
+    val codebook = corpus.select(col("vec_id"), col("embedding"))
+      .orderBy("vec_id").limit(ksub)
+      // bounded global window: runs AFTER limit(ksub), never corpus-wide
+      .withColumn("c",
+        (row_number().over(Window.orderBy("vec_id")) - 1).cast("int"))
+      .select(col("c"), posexplode(slices))
+      .toDF("c", "j", "centroid")
+    val sliced = corpus.select(col("vec_id"), posexplode(slices))
+      .toDF("vec_id", "j", "subv")
+    val sq = "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+    val d2 = sliced.join(broadcast(codebook), "j")
+      .withColumn("d2", expr(
+        s"aggregate(zip_with(subv, centroid, (x, y) -> $sq * $sq), " +
+          "0D, (a, v) -> a + v)"))
+    val w = Window.partitionBy("vec_id", "j")
+      .orderBy(col("d2").asc, col("c").asc)
+    val codes = d2.withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select("vec_id", "j", "c")
+    (codebook, codes)
+  }
+
+  /** Asymmetric-distance (ADC) top-k through the PQ index: each query
+    * builds an m×ksub lookup table of partial dots against every
+    * centroid, a vector's approximate dot is the sum of its codes'
+    * entries, and the approximate norm comes from the centroid norms.
+    * The per-vector sum uses EXPLICIT j-ordered addition (pivoted
+    * columns, left-associated), so the ranking is bit-identical on any
+    * IEEE engine — no groupBy-sum whose float order could flip near-ties.
+    * ADC scores |corpus|·m·|queries| tiny rows off the broadcast LUT; at
+    * 100 TB compose with IVF list gating (scan only probed lists' codes).
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      m: Int, ksub: Int, dims: Int): DataFrame = {
+    val (codebook, codes) = pqIndex(corpus, m, ksub, dims)
+    val sub = dims / m
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val qsliced = q.select(col("query_id"), col("qn"), posexplode(expr(
+        s"transform(sequence(0, ${m - 1}), j -> slice(qv, j * $sub + 1, $sub))")))
+      .toDF("query_id", "qn", "j", "qsub")
+    val lut = qsliced.join(broadcast(codebook), "j")
+      .select(col("query_id"), col("qn"), col("j"), col("c"),
+        expr("aggregate(zip_with(qsub, centroid, " +
+          "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+          "0D, (a, v) -> a + v)").as("pd"),
+        expr("aggregate(centroid, 0D, " +
+          "(a, y) -> a + CAST(y AS DOUBLE) * CAST(y AS DOUBLE))").as("c2"))
+    val aggs =
+      (0 until m).map(j => min(when(col("j") === j, col("pd"))).as(s"pd$j")) ++
+        (0 until m).map(j => min(when(col("j") === j, col("c2"))).as(s"c2$j"))
+    val wide = codes.join(broadcast(lut), Seq("j", "c"))
+      .groupBy(col("query_id"), col("qn"), col("vec_id"))
+      .agg(aggs.head, aggs.tail: _*)
+    val adot = (0 until m).map(j => col(s"pd$j")).reduce(_ + _)
+    val cn2 = (0 until m).map(j => col(s"c2$j")).reduce(_ + _)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("acos").desc, col("neighbor_id").asc)
+    wide.where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (adot / (col("qn") * sqrt(cn2))).as("acos"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+  }
+
   /** All corpus pairs with cosine >= `minCos` (embedding near-dup sweep;
     * validation-scale all-pairs — at 100 TB gate through [[lshBuckets]]
     * first).

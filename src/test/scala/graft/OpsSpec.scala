@@ -650,6 +650,30 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(keptRows.forall(_.getAs[String]("lang") == "en"))
   }
 
+  test("PQ with a full codebook and one subspace IS brute force") {
+    // m=1, ksub >= |corpus|: every vector's sole code is itself (d2 = 0),
+    // so the ADC dot is the exact dot and pqTopK must equal cosineTopK —
+    // the degenerate-equivalence law pinning the whole index/LUT chain
+    // (ivfIndexDeterministic's nprobe==nlist law, PQ edition)
+    val n = emb.count().toInt
+    val queries = emb.where(col("vec_id") % 50 === 0)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rk", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(1 + 1))).toSet
+    val pq = Similarity.pqTopK(emb, queries, 5, m = 1, ksub = n, dims = 64)
+    val exact = Similarity.cosineTopK(emb, queries, 5)
+    assert(key(pq) == key(exact))
+    // real compression (m=8, ksub=16) on the fixture's RANDOM embeddings —
+    // PQ's adversarial case (no cluster structure for the codebook to
+    // exploit) — must still land an order of magnitude above chance
+    // (5/199 ≈ 0.025): observed ~0.22
+    val approx = Similarity.pqTopK(emb, queries, 5, m = 8, ksub = 16, dims = 64)
+    val hits = key(approx).map { case (q, _, nb) => (q, nb) }
+      .intersect(key(exact).map { case (q, _, nb) => (q, nb) })
+    val recall = hits.size.toDouble / key(exact).size
+    assert(recall > 0.15, s"recall@5 = $recall")
+  }
+
   test("chunking covers every token with exact overlaps") {
     val s2 = spark; import s2.implicits._
     val docsF = Seq(
