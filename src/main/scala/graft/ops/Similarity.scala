@@ -250,37 +250,37 @@ object Similarity {
     (codebook, codes)
   }
 
-  /** Asymmetric-distance (ADC) top-k through the PQ index: each query
-    * builds an m×ksub lookup table of partial dots against every
-    * centroid, a vector's approximate dot is the sum of its codes'
-    * entries, and the approximate norm comes from the centroid norms.
-    * The per-vector sum uses EXPLICIT j-ordered addition (pivoted
-    * columns, left-associated), so the ranking is bit-identical on any
-    * IEEE engine — no groupBy-sum whose float order could flip near-ties.
-    * ADC scores |corpus|·m·|queries| tiny rows off the broadcast LUT; at
-    * 100 TB compose with IVF list gating (scan only probed lists' codes).
+  /** Per-query ADC lookup table: queries sliced like the codebook, one
+    * row per (query, j, c) with the partial dot `pd` and the centroid's
+    * squared norm `c2`. m×ksub rows per query — broadcast-sized.
     */
-  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      m: Int, ksub: Int, dims: Int): DataFrame = {
-    val (codebook, codes) = pqIndex(corpus, m, ksub, dims)
-    val sub = dims / m
+  private def adcLut(queries: DataFrame, codebook: DataFrame,
+      m: Int, sub: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("qv"))
       .withColumn("qn", norm(col("qv")))
     val qsliced = q.select(col("query_id"), col("qn"), posexplode(expr(
         s"transform(sequence(0, ${m - 1}), j -> slice(qv, j * $sub + 1, $sub))")))
       .toDF("query_id", "qn", "j", "qsub")
-    val lut = qsliced.join(broadcast(codebook), "j")
+    qsliced.join(broadcast(codebook), "j")
       .select(col("query_id"), col("qn"), col("j"), col("c"),
         expr("aggregate(zip_with(qsub, centroid, " +
           "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
           "0D, (a, v) -> a + v)").as("pd"),
         expr("aggregate(centroid, 0D, " +
           "(a, y) -> a + CAST(y AS DOUBLE) * CAST(y AS DOUBLE))").as("c2"))
+  }
+
+  /** Collapse (query_id, qn, vec_id, j, pd, c2) rows to ranked top-k per
+    * query. The per-vector sum uses EXPLICIT j-ordered addition (pivoted
+    * columns, left-associated), so the ranking is bit-identical on any
+    * IEEE engine — no groupBy-sum whose float order could flip near-ties.
+    */
+  private def adcRank(pairs: DataFrame, m: Int, k: Int): DataFrame = {
     val aggs =
       (0 until m).map(j => min(when(col("j") === j, col("pd"))).as(s"pd$j")) ++
         (0 until m).map(j => min(when(col("j") === j, col("c2"))).as(s"c2$j"))
-    val wide = codes.join(broadcast(lut), Seq("j", "c"))
+    val wide = pairs
       .groupBy(col("query_id"), col("qn"), col("vec_id"))
       .agg(aggs.head, aggs.tail: _*)
     val adot = (0 until m).map(j => col(s"pd$j")).reduce(_ + _)
@@ -292,6 +292,58 @@ object Similarity {
         (adot / (col("qn") * sqrt(cn2))).as("acos"))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= k)
+  }
+
+  /** Asymmetric-distance (ADC) top-k through the PQ index: each query
+    * builds an m×ksub lookup table of partial dots against every
+    * centroid ([[adcLut]]), a vector's approximate dot is the sum of its
+    * codes' entries, and the approximate norm comes from the centroid
+    * norms ([[adcRank]]). ADC scores |corpus|·m·|queries| tiny rows off
+    * the broadcast LUT; at 100 TB compose with IVF list gating
+    * ([[ivfPqTopK]] — scan only probed lists' codes).
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      m: Int, ksub: Int, dims: Int): DataFrame = {
+    val (codebook, codes) = pqIndex(corpus, m, ksub, dims)
+    val lut = adcLut(queries, codebook, m, dims / m)
+    adcRank(codes.join(broadcast(lut), Seq("j", "c")), m, k)
+  }
+
+  /** IVF-PQ: the composed 100 TB search path — the deterministic IVF
+    * quantizer confines each query to its `nprobe` nearest lists, and PQ
+    * codes (not raw vectors) are ADC-scored inside them. The ADC scan
+    * drops from |corpus|·m·|queries| to (probed share)·m·|queries|, and
+    * what it scans is the 32×-compressed code table. Degenerate law
+    * (spec-pinned): `nprobe == nlist` makes the gate total, so the result
+    * IS [[pqTopK]]'s.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int, nprobe: Int, m: Int, ksub: Int, dims: Int): DataFrame = {
+    val (centroids, assigned) = ivfIndexDeterministic(corpus, nlist)
+    val (codebook, codes) = pqIndex(corpus, m, ksub, dims)
+    val sub = dims / m
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    // probe the nprobe nearest coarse lists (broadcast centroid table)
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("ccos",
+        dot(col("qv"), col("centroid")) / (col("qn") * norm(col("centroid"))))
+      .withColumn("crk", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("ccos").desc, col("cid").asc)))
+      .where(col("crk") <= nprobe)
+      .select(col("query_id").as("pq_query"), col("cid").as("pcid"))
+    // gate the CODE table by probed (query, list) pairs, then ADC-score
+    val gated = codes
+      .join(assigned.select(col("vec_id"), col("cid")), "vec_id")
+      .join(broadcast(probes), col("cid") === col("pcid"))
+      .select(col("pq_query"), col("vec_id"), col("j"), col("c"))
+    val lut = adcLut(queries, codebook, m, sub)
+    adcRank(gated.join(broadcast(lut),
+        col("pq_query") === col("query_id") &&
+          gated("j") === lut("j") && gated("c") === lut("c"))
+      .select(col("query_id"), col("qn"), col("vec_id"),
+        lut("j").as("j"), col("pd"), col("c2")), m, k)
   }
 
   /** All corpus pairs with cosine >= `minCos` (embedding near-dup sweep;

@@ -674,6 +674,27 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(recall > 0.15, s"recall@5 = $recall")
   }
 
+  test("IVF-PQ with a total probe gate IS plain PQ") {
+    // nprobe == nlist: every list is probed, the gate passes everything,
+    // and the composed path must return exactly pqTopK's ranking — the
+    // law pinning that IVF gating changes WHAT is scanned, never HOW
+    // candidates are scored
+    val queries = emb.where(col("vec_id") % 50 === 0)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rk", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val full = Similarity.ivfPqTopK(emb, queries, 5,
+      nlist = 8, nprobe = 8, m = 8, ksub = 16, dims = 64)
+    val pq = Similarity.pqTopK(emb, queries, 5, m = 8, ksub = 16, dims = 64)
+    assert(key(full) == key(pq))
+    // a partial gate returns at most k per query from probed lists only
+    val probed = Similarity.ivfPqTopK(emb, queries, 5,
+      nlist = 8, nprobe = 2, m = 8, ksub = 16, dims = 64)
+    val perQuery = probed.groupBy("query_id").count()
+      .collect().map(_.getLong(1))
+    assert(perQuery.forall(_ <= 5) && perQuery.nonEmpty)
+  }
+
   test("chunking covers every token with exact overlaps") {
     val s2 = spark; import s2.implicits._
     val docsF = Seq(
