@@ -85,7 +85,11 @@ object Streams {
       .select(col("purchase_id"), col("click_id"), col("user_id"),
         (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
           .as("lag_us"),
-        col("value"))
+        col("value"),
+        // event time rides along so stateful operators can CHAIN: a
+        // windowed aggregation downstream of this join reuses the
+        // propagated watermark (multiple stateful operators, one query)
+        col("purchase_ts"))
   }
 
   /** Streaming deduplication by event id, with state bounded by the

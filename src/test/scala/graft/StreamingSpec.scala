@@ -200,6 +200,52 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("windowed aggregation chains after the stream-stream join") {
+    // TWO stateful operators in one streaming query: the interval join's
+    // watermark propagates into a downstream tumbling aggregation of
+    // attributed purchases (engine support for chained stateful ops)
+    val s2 = spark; import s2.implicits._
+    def typed(id: Long, t: String, user: Long, tpe: String, v: Double) =
+      Event(id, ts(t), user, tpe, v)
+    val staticEvents = Seq(
+      typed(1, "2024-01-01 10:00:00", 1, "click", 0.0),
+      typed(2, "2024-01-01 10:20:00", 1, "purchase", 10.0),
+      typed(3, "2024-01-01 10:25:00", 1, "purchase", 5.0), // same window
+      typed(4, "2024-01-01 11:10:00", 1, "click", 0.0),
+      typed(5, "2024-01-01 11:20:00", 1, "purchase", 7.0)) // next window
+    def chained(df: org.apache.spark.sql.DataFrame) =
+      Streams.attributedPurchases(df, "30 minutes", "30 minutes")
+        .groupBy(window(col("purchase_ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"), sum("value").as("total"))
+        .select(date_format(col("window.start"), "HH:mm").as("w"),
+          col("n"), col("total"))
+    val batch = chained(staticEvents.toDF())
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(batch == Map("10:00" -> ((2L, 15.0)), "11:00" -> ((1L, 7.0))),
+      s"got $batch")
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = chained(input.toDF())
+      .writeStream.format("memory").queryName("chained")
+      .outputMode("append").start()
+    try {
+      input.addData(staticEvents: _*)
+      q.processAllAvailable()
+      // the query's watermark is the MIN across both join inputs — advance
+      // clicks AND purchases past 18:00 to finalize the 10:00/11:00 windows
+      // (their own join lands in the 18:00 window, which stays open)
+      input.addData(typed(9, "2024-01-01 18:00:00", 9, "click", 0.0),
+        typed(10, "2024-01-01 18:00:00", 9, "purchase", 0.0))
+      q.processAllAvailable() // advance watermark: finalize both windows
+      val streamed = spark.table("chained")
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(streamed == batch, s"stream=$streamed batch=$batch")
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("chained")
+    }
+  }
+
   test("count-min sketch maintains live heavy-hitter cells over a stream") {
     val s2 = spark; import s2.implicits._
     implicit val ctx = spark.sqlContext
