@@ -43,13 +43,13 @@ object Multimodal {
   /** Per-partition batch decode of binary media into typed features.
     *
     * Real decode paths: PPM (P6) via the hand-rolled header parser
-    * ([[decodePpm]] — the format needs no codec), and PNG/GIF/BMP via
-    * `javax.imageio` ([[decodeImage]] — those decoders are pure JVM and
-    * ship in the JDK, no container codecs needed). Anything else (JPEG
-    * bytes on a stripped JVM, audio, video) falls back to the
-    * deterministic STUB (dimensions from the content hash, histogram over
-    * raw bytes); swapping the stub for e.g. ffmpeg bindings changes only
-    * `decodeOne`'s fallback branch, not the pipeline shape.
+    * ([[decodePpm]] — the format needs no codec), and PNG/GIF/BMP/JPEG
+    * via `javax.imageio` ([[decodeImage]] — all four decoders ship in
+    * the JDK, no container codecs needed). Anything else (video,
+    * non-WAV audio) falls back to the deterministic STUB (dimensions
+    * from the content hash, histogram over raw bytes); swapping the stub
+    * for e.g. ffmpeg bindings changes only `decodeOne`'s fallback
+    * branch, not the pipeline shape.
     */
   def decodeFeatures(media: DataFrame): Dataset[MediaFeatures] = {
     val s2 = media.sparkSession; import s2.implicits._
@@ -81,7 +81,8 @@ object Multimodal {
         sig.zipWithIndex.forall { case (b, i) => (bytes(at + i) & 0xff) == b }
     val sniffed = has(0, 0x89, 'P', 'N', 'G') || // PNG
       has(0, 'G', 'I', 'F', '8') ||              // GIF87a/89a
-      (has(0, 'B', 'M') && bytes.length >= 26)   // BMP
+      (has(0, 'B', 'M') && bytes.length >= 26) || // BMP
+      has(0, 0xff, 0xd8, 0xff)                   // JPEG (JDK codec)
     if (!sniffed) return None
     try {
       val img = javax.imageio.ImageIO.read(

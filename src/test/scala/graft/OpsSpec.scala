@@ -277,6 +277,18 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     val bmp = Multimodal.decodeImage(4L, bos.toByteArray).get
     assert(bmp.width == 5 && bmp.height == 3)
     assert(math.abs(bmp.histogram(3) - 1.0) < 1e-12) // all-white → top bin
+    // JPEG through the same branch (the JDK ships its codec too): the
+    // IDCT's exact pixel values are JVM-specific, so assert the codec-
+    // exact facts — dims, channels, a normalized histogram — and that an
+    // all-white source stays in the top luminance bin after lossy round-trip
+    val jbos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", jbos)
+    val jpegBytes = jbos.toByteArray
+    assert((jpegBytes(0) & 0xff) == 0xff && (jpegBytes(1) & 0xff) == 0xd8)
+    val jpg = Multimodal.decodeImage(7L, jpegBytes).get
+    assert(jpg.width == 5 && jpg.height == 3)
+    assert(math.abs(jpg.histogram.sum - 1.0) < 1e-12)
+    assert(jpg.histogram(3) > 0.99) // all-white survives lossy encode
     // non-image bytes must sniff out without paying an ImageIO probe
     assert(Multimodal.decodeImage(5L, "plain text document".getBytes).isEmpty)
     assert(Multimodal.decodeImage(5L, Array[Byte]()).isEmpty)
