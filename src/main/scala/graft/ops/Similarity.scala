@@ -250,12 +250,24 @@ object Similarity {
     (codebook, codes)
   }
 
-  /** Per-query ADC lookup table: queries sliced like the codebook, one
-    * row per (query, j, c) with the partial dot `pd` and the centroid's
-    * squared norm `c2`. m×ksub rows per query — broadcast-sized.
+  /** Per-vector compact code word: `(vec_id, code: array<int>)` with
+    * `code[j]` = the subspace-j centroid id — the actual PQ memory
+    * layout (m small ints per vector), built once from [[pqIndex]]'s
+    * code rows.
+    */
+  private def compactCodes(codes: DataFrame): DataFrame =
+    codes.groupBy("vec_id").agg(expr(
+      "transform(array_sort(collect_list(struct(j, c))), s -> s.c)")
+      .as("code"))
+
+  /** Per-query flat ADC lookup table: `pds[j*ksub + c]` = partial dot of
+    * the query's j-th slice with centroid (j, c); `c2s` likewise holds
+    * centroid squared norms. One row per query (m·ksub doubles) —
+    * broadcast-sized, and a vector scores with m array lookups instead
+    * of m joined rows.
     */
   private def adcLut(queries: DataFrame, codebook: DataFrame,
-      m: Int, sub: Int): DataFrame = {
+      m: Int, sub: Int, ksub: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("qv"))
       .withColumn("qn", norm(col("qv")))
@@ -263,50 +275,57 @@ object Similarity {
         s"transform(sequence(0, ${m - 1}), j -> slice(qv, j * $sub + 1, $sub))")))
       .toDF("query_id", "qn", "j", "qsub")
     qsliced.join(broadcast(codebook), "j")
-      .select(col("query_id"), col("qn"), col("j"), col("c"),
+      .select(col("query_id"), col("qn"),
+        (col("j") * ksub + col("c")).as("idx"),
         expr("aggregate(zip_with(qsub, centroid, " +
           "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
           "0D, (a, v) -> a + v)").as("pd"),
         expr("aggregate(centroid, 0D, " +
           "(a, y) -> a + CAST(y AS DOUBLE) * CAST(y AS DOUBLE))").as("c2"))
+      .groupBy("query_id", "qn")
+      .agg(
+        expr("transform(array_sort(collect_list(struct(idx, pd))), s -> s.pd)")
+          .as("pds"),
+        expr("transform(array_sort(collect_list(struct(idx, c2))), s -> s.c2)")
+          .as("c2s"))
   }
 
-  /** Collapse (query_id, qn, vec_id, j, pd, c2) rows to ranked top-k per
-    * query. The per-vector sum uses EXPLICIT j-ordered addition (pivoted
-    * columns, left-associated), so the ranking is bit-identical on any
-    * IEEE engine — no groupBy-sum whose float order could flip near-ties.
+  /** Rank (query × vector-code) pairs by approximate cosine: the ADC dot
+    * sums `pds[j*ksub + code[j]]` over j ASCENDING as m UNROLLED
+    * `element_at` terms — explicit left-to-right order, so the sum (and
+    * therefore the ranking) is bit-identical on any IEEE engine, and
+    * every term stays inside whole-stage codegen (a higher-order
+    * `aggregate` fold would drop the 8M-row hot loop to interpreted
+    * evaluation — measured 2× slower at sf1).
     */
-  private def adcRank(pairs: DataFrame, m: Int, k: Int): DataFrame = {
-    val aggs =
-      (0 until m).map(j => min(when(col("j") === j, col("pd"))).as(s"pd$j")) ++
-        (0 until m).map(j => min(when(col("j") === j, col("c2"))).as(s"c2$j"))
-    val wide = pairs
-      .groupBy(col("query_id"), col("qn"), col("vec_id"))
-      .agg(aggs.head, aggs.tail: _*)
-    val adot = (0 until m).map(j => col(s"pd$j")).reduce(_ + _)
-    val cn2 = (0 until m).map(j => col(s"c2$j")).reduce(_ + _)
+  private def adcRank(pairs: DataFrame, m: Int, ksub: Int,
+      k: Int): DataFrame = {
+    def fold(arr: String) = (0 until m).map(j =>
+      element_at(col(arr),
+        element_at(col("code"), j + 1) + lit(j * ksub) + 1))
+      .reduce(_ + _)
     val w = Window.partitionBy("query_id")
       .orderBy(col("acos").desc, col("neighbor_id").asc)
-    wide.where(col("vec_id") =!= col("query_id"))
+    pairs.where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        (adot / (col("qn") * sqrt(cn2))).as("acos"))
+        (fold("pds") / (col("qn") * sqrt(fold("c2s")))).as("acos"))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= k)
   }
 
   /** Asymmetric-distance (ADC) top-k through the PQ index: each query
-    * builds an m×ksub lookup table of partial dots against every
-    * centroid ([[adcLut]]), a vector's approximate dot is the sum of its
-    * codes' entries, and the approximate norm comes from the centroid
-    * norms ([[adcRank]]). ADC scores |corpus|·m·|queries| tiny rows off
-    * the broadcast LUT; at 100 TB compose with IVF list gating
-    * ([[ivfPqTopK]] — scan only probed lists' codes).
+    * builds a flat m×ksub lookup table ([[adcLut]]), every vector scores
+    * with m array lookups against its compact code word, and ranking
+    * collapses per query ([[adcRank]]). The scan is |corpus|·|queries|
+    * rows over the broadcast LUT — m-byte codes, not raw vectors; at
+    * 100 TB compose with IVF list gating ([[ivfPqTopK]] — scan only
+    * probed lists' codes).
     */
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       m: Int, ksub: Int, dims: Int): DataFrame = {
     val (codebook, codes) = pqIndex(corpus, m, ksub, dims)
-    val lut = adcLut(queries, codebook, m, dims / m)
-    adcRank(codes.join(broadcast(lut), Seq("j", "c")), m, k)
+    val lut = adcLut(queries, codebook, m, dims / m, ksub)
+    adcRank(compactCodes(codes).crossJoin(broadcast(lut)), m, ksub, k)
   }
 
   /** IVF-PQ: the composed 100 TB search path — the deterministic IVF
@@ -333,17 +352,14 @@ object Similarity {
         .orderBy(col("ccos").desc, col("cid").asc)))
       .where(col("crk") <= nprobe)
       .select(col("query_id").as("pq_query"), col("cid").as("pcid"))
-    // gate the CODE table by probed (query, list) pairs, then ADC-score
-    val gated = codes
+    // gate the compact CODE table by probed (query, list) pairs, then
+    // ADC-score only the surviving (query, vector) pairs
+    val gated = compactCodes(codes)
       .join(assigned.select(col("vec_id"), col("cid")), "vec_id")
       .join(broadcast(probes), col("cid") === col("pcid"))
-      .select(col("pq_query"), col("vec_id"), col("j"), col("c"))
-    val lut = adcLut(queries, codebook, m, sub)
-    adcRank(gated.join(broadcast(lut),
-        col("pq_query") === col("query_id") &&
-          gated("j") === lut("j") && gated("c") === lut("c"))
-      .select(col("query_id"), col("qn"), col("vec_id"),
-        lut("j").as("j"), col("pd"), col("c2")), m, k)
+    val lut = adcLut(queries, codebook, m, sub, ksub)
+    adcRank(gated.join(broadcast(lut), col("pq_query") === col("query_id")),
+      m, ksub, k)
   }
 
   /** All corpus pairs with cosine >= `minCos` (embedding near-dup sweep;
