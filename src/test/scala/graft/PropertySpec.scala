@@ -98,6 +98,60 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("chunk boundary arithmetic covers every token with exact overlaps") {
+    // the integer formula TextAnalysis.chunk and its q101 oracle share:
+    // nChunks = max(1, ceil((n - o) / stride)), chunk i = [i*stride,
+    // min(i*stride + c, n)). Properties for ALL (n, c, o): never an empty
+    // chunk, union covers [0, n) exactly, interior neighbors overlap by
+    // exactly o, and the last chunk reaches n
+    val gen = for {
+      n <- Gen.chooseNum(1, 500)
+      c <- Gen.chooseNum(1, 60)
+      o <- Gen.chooseNum(0, 59).suchThat(_ < 60)
+    } yield (n, c, math.min(o, c - 1))
+    check(forAll(gen) { case (n, c, o) =>
+      val stride = c - o
+      val nChunks = math.max(1L, (n.toLong - o + stride - 1) / stride)
+      val pieces = (0L until nChunks).map { i =>
+        val s = i * stride
+        (s, math.min(s + c, n.toLong))
+      }
+      pieces.foreach { case (s, e) => assert(e > s, s"empty chunk at $s") }
+      assert(pieces.head._1 == 0 && pieces.last._2 == n)
+      pieces.sliding(2).foreach {
+        case Seq((_, e1), (s2, _)) =>
+          assert(e1 - s2 >= o, s"gap: n=$n c=$c o=$o")
+          // interior chunks are full-length, so the overlap is exactly o
+          if (e1 - s2 != o) assert(e1 == n)
+        case _ =>
+      }
+    })
+  }
+
+  test("weighted-sample predicate: monotone in weight, exact at the cap") {
+    // u * cap < min(w, cap) * rate — the IEEE expression Sampling
+    // .weightedSample and its oracle share. Monotonicity in w means a
+    // heavier row is never dropped where a lighter one survives (same
+    // draw); at w >= cap the inclusion probability is exactly `rate`.
+    val gen = for {
+      k <- Gen.chooseNum(0, 65535)
+      w1 <- Gen.chooseNum(0L, 200L)
+      w2 <- Gen.chooseNum(0L, 200L)
+      rate <- Gen.oneOf(0.0, 0.1, 0.3, 0.5, 1.0)
+    } yield (k / 65536.0, math.min(w1, w2), math.max(w1, w2), rate)
+    val cap = 64.0
+    def keep(u: Double, w: Long, rate: Double): Boolean =
+      u * cap < math.min(w.toDouble, cap) * rate
+    check(forAll(gen) { case (u, lo, hi, rate) =>
+      if (keep(u, lo, rate)) assert(keep(u, hi, rate), "monotonicity")
+      if (lo >= 64 && hi >= 64)
+        assert(keep(u, lo, rate) == keep(u, hi, rate))
+      // above the cap the test degenerates to u < rate exactly
+      if (hi >= 64) assert(keep(u, hi, rate) == (u * cap < cap * rate))
+      if (rate == 0.0) assert(!keep(u, hi, rate))
+    })
+  }
+
   test("gold parser keeps exactly 3-field lines, label case-insensitively") {
     check(forAll(Gen.listOf(Gen.oneOf(
       Gen.const("alpha beta True"), Gen.const("a  b FALSE"),
