@@ -689,6 +689,115 @@ object TrainingOps {
            |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
       }),
 
+    // IVF-PQ — the composed 100 TB ANN path at a NON-degenerate setting
+    // (nlist=16, nprobe=4: each query scans a quarter of the coarse
+    // lists): the oracle replays the deterministic coarse quantizer
+    // (q66's CTEs), the PQ codebook/codes/LUT (q106's CTEs), gates the
+    // code table by the probed (query, list) pairs, and re-derives the
+    // j-ordered ADC sums
+    QueryDef("q107_sim_ivfpq",
+      (s, d) => {
+        val emb = table(s, d, "embeddings")
+        Similarity.ivfPqTopK(emb, emb.where(col("vec_id") % 50 === 0),
+            k = 5, nlist = 16, nprobe = 4, m = 8, ksub = 16, dims = 64)
+          .select(col("query_id"), col("rk"), col("neighbor_id"),
+            round(col("acos"), 5).as("acos"))
+          .orderBy("query_id", "rk")
+      },
+      Some {
+        val m = 8; val sub = 8; val ksub = 16
+        val nlist = 16; val nprobe = 4
+        val pdCols = (0 until m).map(j =>
+          s"MIN(CASE WHEN co.j = $j THEN pd END) AS pd$j").mkString(", ")
+        val c2Cols = (0 until m).map(j =>
+          s"MIN(CASE WHEN co.j = $j THEN c2 END) AS c2$j").mkString(", ")
+        val adot = (0 until m).map(j => s"pd$j").mkString(" + ")
+        val cn2 = (0 until m).map(j => s"c2$j").mkString(" + ")
+        s"""WITH cents AS (
+           |  SELECT CAST(rn - 1 AS INT) AS cid, embedding FROM (
+           |    SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS rn, embedding
+           |    FROM embeddings) t
+           |  WHERE rn <= $nlist),
+           |assign AS MATERIALIZED (
+           |  SELECT vec_id, cid FROM (
+           |    SELECT e.vec_id, c.cid,
+           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+           |        ${dot64.format("e", "c")} /
+           |          (SQRT(${norm2("e")}) * SQRT(${norm2("c")})) DESC,
+           |        c.cid ASC) AS ark
+           |    FROM embeddings e CROSS JOIN cents c) t WHERE ark = 1),
+           |probes AS MATERIALIZED (
+           |  SELECT query_id, cid FROM (
+           |    SELECT q.vec_id AS query_id, c.cid,
+           |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+           |        ${dot64.format("q", "c")} /
+           |          (SQRT(${norm2("q")}) * SQRT(${norm2("c")})) DESC,
+           |        c.cid ASC) AS crk
+           |    FROM embeddings q CROSS JOIN cents c
+           |    WHERE q.vec_id % 50 = 0) t WHERE crk <= $nprobe),
+           |cb_src AS (
+           |  SELECT embedding, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c
+           |  FROM embeddings ORDER BY vec_id LIMIT $ksub),
+           |codebook AS MATERIALIZED (
+           |  SELECT c, u.j,
+           |    list_slice(embedding, u.j * $sub + 1, u.j * $sub + $sub)
+           |      AS centroid
+           |  FROM cb_src, UNNEST(generate_series(0, ${m - 1})) AS u(j)),
+           |sliced AS (
+           |  SELECT vec_id, u.j,
+           |    list_slice(embedding, u.j * $sub + 1, u.j * $sub + $sub) AS subv
+           |  FROM embeddings, UNNEST(generate_series(0, ${m - 1})) AS u(j)),
+           |d2 AS (
+           |  SELECT s.vec_id, s.j, cb.c,
+           |    (SELECT SUM((CAST(x.xa AS DOUBLE) - CAST(x.xb AS DOUBLE))
+           |              * (CAST(x.xa AS DOUBLE) - CAST(x.xb AS DOUBLE)))
+           |     FROM (SELECT UNNEST(s.subv) xa, UNNEST(cb.centroid) xb) x)
+           |      AS d2
+           |  FROM sliced s JOIN codebook cb ON s.j = cb.j),
+           |codes AS MATERIALIZED (
+           |  SELECT vec_id, j, c FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j
+           |      ORDER BY d2 ASC, c ASC) AS rk FROM d2)
+           |  WHERE rk = 1),
+           |q AS (
+           |  SELECT vec_id AS query_id, embedding AS qv,
+           |    SQRT((SELECT SUM(CAST(x.v AS DOUBLE) * CAST(x.v AS DOUBLE))
+           |          FROM (SELECT UNNEST(embedding) v) x)) AS qn
+           |  FROM embeddings WHERE vec_id % 50 = 0),
+           |qsliced AS (
+           |  SELECT query_id, qn, u.j,
+           |    list_slice(qv, u.j * $sub + 1, u.j * $sub + $sub) AS qsub
+           |  FROM q, UNNEST(generate_series(0, ${m - 1})) AS u(j)),
+           |lut AS MATERIALIZED (
+           |  SELECT query_id, qn, cb.j, cb.c,
+           |    (SELECT SUM(CAST(x.xa AS DOUBLE) * CAST(x.xb AS DOUBLE))
+           |     FROM (SELECT UNNEST(qsub) xa, UNNEST(cb.centroid) xb) x)
+           |      AS pd,
+           |    (SELECT SUM(CAST(x.v AS DOUBLE) * CAST(x.v AS DOUBLE))
+           |     FROM (SELECT UNNEST(cb.centroid) v) x) AS c2
+           |  FROM qsliced JOIN codebook cb ON qsliced.j = cb.j),
+           |gate AS (
+           |  SELECT p.query_id, a.vec_id
+           |  FROM probes p JOIN assign a ON a.cid = p.cid),
+           |wide AS (
+           |  SELECT l.query_id, l.qn, co.vec_id, $pdCols, $c2Cols
+           |  FROM codes co
+           |  JOIN gate g ON g.vec_id = co.vec_id
+           |  JOIN lut l ON co.j = l.j AND co.c = l.c
+           |    AND l.query_id = g.query_id
+           |  GROUP BY 1, 2, 3),
+           |scored AS (
+           |  SELECT query_id, vec_id AS neighbor_id,
+           |    ($adot) / (qn * SQRT($cn2)) AS acos
+           |  FROM wide WHERE vec_id <> query_id),
+           |r AS (SELECT query_id, neighbor_id, acos,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id
+           |      ORDER BY acos DESC, neighbor_id ASC) AS rk
+           |  FROM scored)
+           |SELECT query_id, rk, neighbor_id, ROUND(acos, 5) AS acos
+           |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+      }),
+
     // Unicode NFC canonicalization (native codegen'd expression): every
     // doc gets a decomposed + precomposed suffix; after nfc_normalize
     // both collapse to the same bytes, hash-checked via md5. DuckDB's
