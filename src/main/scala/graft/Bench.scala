@@ -5,8 +5,27 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark entry: runs the full query battery against
   * `SPARK_GRAFT_SF_DIR` (default sf0.1) and prints ONE JSON line
   * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
+  *
+  * Contention-proofing (two rounds of driver artifacts were dominated by
+  * host load): entries whose first sample takes >= 2 s are re-run and the
+  * MIN is reported (a third sample if the first two disagree by > 1.5×),
+  * and the JSON records `/proc/loadavg` at start/end plus total JVM GC
+  * time — so a loaded-host run self-identifies instead of reading as a
+  * regression.
   */
 object Bench {
+
+  private def loadavg: String =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+      .split(" ").take(3).mkString(",")
+    catch { case _: Throwable => "" }
+
+  private def gcSec: Double = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getCollectionTime.max(0L)).sum / 1e3
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -39,30 +58,49 @@ object Bench {
       ()
     } catch { case _: Throwable => () }
 
+    val loadStart = loadavg
     val results = SparkEntry.defs.sortBy(_.name).map { q =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { q.query(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
-          false
-        }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // Session hygiene between entries: any relation a query persisted and
-      // failed to release must not distort the NEXT entries' timings
-      // (round-1 lesson: leaked caches inflated q62 by 8×).
-      spark.catalog.clearCache()
-      (q.name, if (ok) dt else -1.0, ok)
+      // Session hygiene between entries AND between samples: any relation a
+      // query persisted and failed to release must not distort the next
+      // timing (round-1 lesson: leaked caches inflated q62 by 8×).
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        q.query(spark, sfDir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        dt
+      }
+      try {
+        val t1 = once()
+        // min-of-k: a contended scheduler can only INFLATE a sample, so the
+        // min is the least-noisy estimate of the plan's cost. One extra
+        // sample for anything >= 2 s; a third when the first two disagree
+        // by > 1.5× (the signature of a load spike mid-run).
+        val samples =
+          if (t1 < 2.0) Seq(t1)
+          else {
+            val t2 = once()
+            if (t2.max(t1) / t2.min(t1) > 1.5) Seq(t1, t2, once())
+            else Seq(t1, t2)
+          }
+        (q.name, samples.min, samples.size, true)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+        spark.catalog.clearCache()
+        (q.name, -1.0, 1, false)
+      }
     }
     // failed queries are reported as -1.0 and excluded from the total, plus
     // listed in "failed" so a partially-broken run can't pass as a fast one
-    val qs = results.map { case (k, v, _) => "\"" + k + f"""":$v%.3f""" }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val samples = results.collect { case (k, _, n, _) if n > 1 =>
+      "\"" + k + s"""":$n""" }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
+    val total = results.collect { case (_, v, _, true) => v }.sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","samples":$samples,"loadavg_start":"$loadStart","loadavg_end":"$loadavg","gc_sec":$gcSec%.1f}""")
     spark.stop()
   }
 }
