@@ -9,11 +9,13 @@ import org.apache.spark.sql.functions._
   * The Spark-side architecture here is real and tested — schema, typed
   * Dataset boundary, partition-batched iteration (the Scala analog of a
   * pandas-batched UDF), output size control. Decoding is REAL for every
-  * format the bare JVM can parse (PPM by hand, PNG/GIF/BMP via
-  * `javax.imageio`); only codec-needing formats (JPEG on a stripped JVM,
-  * audio, video) fall back to a clearly-marked deterministic stub, and
-  * swapping that for e.g. ffmpeg bindings changes only [[decodeOne]]'s
-  * fallback branch, not the pipeline shape.
+  * format the JVM ships a codec for: PPM by hand, PNG/GIF/BMP/JPEG via
+  * `javax.imageio`, WAV/PCM audio via `javax.sound.sampled`; and
+  * [[resize]] re-encodes actual pixels (deterministic nearest-neighbor
+  * + PNG). Only container-codec formats the JVM lacks (video, non-WAV
+  * audio) fall back to a clearly-marked deterministic stub / null
+  * sentinels, and swapping those for e.g. ffmpeg bindings changes only
+  * [[decodeOne]]'s fallback branch, not the pipeline shape.
   */
 object Multimodal {
 
@@ -74,8 +76,14 @@ object Multimodal {
     * common case in a mixed corpus is text, which must not pay a codec
     * probe per row.
     */
-  private[graft] def decodeImage(id: Long, bytes: Array[Byte])
-      : Option[MediaFeatures] = {
+  /** Sniff-and-read through `javax.imageio`: Some(image) only for bytes
+    * carrying a PNG/GIF/BMP/JPEG magic number that the JDK codec actually
+    * decodes. The magic-number sniff keeps ImageIO off the hot path for
+    * non-image bytes — the common case in a mixed corpus is text, which
+    * must not pay a codec probe per row.
+    */
+  private def readImageIO(bytes: Array[Byte])
+      : Option[java.awt.image.BufferedImage] = {
     def has(at: Int, sig: Int*): Boolean =
       bytes.length > at + sig.length &&
         sig.zipWithIndex.forall { case (b, i) => (bytes(at + i) & 0xff) == b }
@@ -83,11 +91,16 @@ object Multimodal {
       has(0, 'G', 'I', 'F', '8') ||              // GIF87a/89a
       (has(0, 'B', 'M') && bytes.length >= 26) || // BMP
       has(0, 0xff, 0xd8, 0xff)                   // JPEG (JDK codec)
-    if (!sniffed) return None
-    try {
-      val img = javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(bytes))
-      if (img == null) return None
+    if (!sniffed) None
+    else
+      try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes)))
+      catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  private[graft] def decodeImage(id: Long, bytes: Array[Byte])
+      : Option[MediaFeatures] = {
+    readImageIO(bytes).map { img =>
       val w = img.getWidth; val h = img.getHeight
       val hist = new Array[Double](4)
       var y = 0
@@ -103,9 +116,9 @@ object Multimodal {
         y += 1
       }
       val total = math.max(1.0, w.toDouble * h)
-      Some(MediaFeatures(id, bytes.length, md5Hex(bytes), w, h,
-        img.getColorModel.getNumComponents, hist.map(_ / total)))
-    } catch { case scala.util.control.NonFatal(_) => None }
+      MediaFeatures(id, bytes.length, md5Hex(bytes), w, h,
+        img.getColorModel.getNumComponents, hist.map(_ / total))
+    }
   }
 
   /** Real decoder for binary PPM ("P6"): header `P6 <w> <h> <maxval>`
@@ -114,8 +127,11 @@ object Multimodal {
     * header never pollutes the features. Returns None for anything that
     * is not a well-formed P6 stream.
     */
-  private[graft] def decodePpm(id: Long, bytes: Array[Byte])
-      : Option[MediaFeatures] = {
+  /** Parse a binary-PPM header: Some((w, h, rasterOffset)) for a
+    * well-formed `P6 <w> <h> <maxval>` prefix (whitespace-separated ASCII
+    * tokens, `#` comments, 8-bit maxval), None otherwise.
+    */
+  private def parsePpmHeader(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
     if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') return None
     var i = 2
     def skipSpace(): Unit = {
@@ -139,17 +155,41 @@ object Multimodal {
       if w > 0 && h > 0 && maxVal > 0 && maxVal < 256
       // exactly one whitespace byte separates the header from the raster
       if i < bytes.length && bytes(i).toChar.isWhitespace
-    } yield {
-      i += 1
-      val n = math.min(w.toLong * h * 3, (bytes.length - i).toLong).toInt
+    } yield (w, h, i + 1)
+  }
+
+  private[graft] def decodePpm(id: Long, bytes: Array[Byte])
+      : Option[MediaFeatures] = {
+    parsePpmHeader(bytes).map { case (w, h, off) =>
+      val n = math.min(w.toLong * h * 3, (bytes.length - off).toLong).toInt
       val hist = new Array[Double](4)
-      var p = i
-      while (p < i + n) { hist((bytes(p) & 0xff) >> 6) += 1.0; p += 1 }
+      var p = off
+      while (p < off + n) { hist((bytes(p) & 0xff) >> 6) += 1.0; p += 1 }
       val total = math.max(1.0, n.toDouble)
       MediaFeatures(id, bytes.length, md5Hex(bytes), w, h, 3,
         hist.map(_ / total))
     }
   }
+
+  /** PPM raster as a `BufferedImage` (RGB triplets row-major; any bytes a
+    * truncated raster is missing read as 0) — lets [[resize]] treat PPM
+    * like the ImageIO formats.
+    */
+  private def ppmImage(bytes: Array[Byte])
+      : Option[java.awt.image.BufferedImage] =
+    parsePpmHeader(bytes).map { case (w, h, off) =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var p = 0
+      val n = w * h
+      while (p < n) {
+        val b = off + p * 3
+        def at(k: Int): Int = if (b + k < bytes.length) bytes(b + k) & 0xff else 0
+        img.setRGB(p % w, p / w, (at(0) << 16) | (at(1) << 8) | at(2))
+        p += 1
+      }
+      img
+    }
 
   /** Typed decoded-audio row (sibling of [[MediaFeatures]] for the audio
     * modality: rate/channels/frames instead of pixel dimensions).
@@ -278,18 +318,68 @@ object Multimodal {
     java.security.MessageDigest.getInstance("MD5")
       .digest(bytes).map("%02x".format(_)).mkString
 
-  /** "Resize": deterministic metadata transform preserving the stubbed
-    * contract (a real implementation re-encodes pixels).
+  /** REAL pixel resize of one image: decode (ImageIO formats or PPM),
+    * deterministic nearest-neighbor downscale so the longer side fits
+    * `maxSide` (integer arithmetic throughout: dst (x,y) samples src
+    * (x*w/dw, y*h/dh), dims dw = w*maxSide/max(w,h) floored, min 1 — any
+    * engine replays which source pixels survive), re-encode as PNG.
+    * Already-small images pass through byte-identical; undecodable bytes
+    * yield None (resizing what we can't decode would be a lie).
     */
-  def resize(features: Dataset[MediaFeatures], maxSide: Int): DataFrame = {
-    val f = features.toDF()
-    val scale = least(lit(1.0),
-      lit(maxSide.toDouble) / greatest(col("width"), col("height")))
-    f.select(col("doc_id"),
-      (col("width") * scale).cast("int").as("width"),
-      (col("height") * scale).cast("int").as("height"),
-      col("content_sha"))
+  private[graft] def resizeOne(bytes: Array[Byte],
+      maxSide: Int): Option[Array[Byte]] = {
+    readImageIO(bytes).orElse(ppmImage(bytes)).map { img =>
+      val w = img.getWidth; val h = img.getHeight
+      val mx = math.max(w, h)
+      if (mx <= maxSide) bytes
+      else {
+        val dw = math.max(1, w * maxSide / mx)
+        val dh = math.max(1, h * maxSide / mx)
+        val out = new java.awt.image.BufferedImage(
+          dw, dh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < dh) {
+          val sy = y * h / dh
+          var x = 0
+          while (x < dw) {
+            out.setRGB(x, y, img.getRGB(x * w / dw, sy))
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        bos.toByteArray
+      }
+    }
   }
+
+  /** Per-partition batch resize: each decodable image's media bytes are
+    * replaced by the nearest-neighbor-downscaled PNG ([[resizeOne]]);
+    * rows the JVM cannot decode pass through unchanged with
+    * `resized = false`, so a mixed corpus keeps its non-image rows
+    * instead of corrupting them.
+    */
+  def resizeMedia(media: DataFrame, maxSide: Int): DataFrame = {
+    require(maxSide > 0, s"maxSide must be positive, got $maxSide")
+    val s2 = media.sparkSession; import s2.implicits._
+    media.select(col("doc_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        resizeOne(bytes, maxSide) match {
+          case Some(out) => (id, out, true)
+          case None      => (id, bytes, false)
+        }
+      })
+      .toDF("doc_id", "media", "resized")
+  }
+
+  /** Resized-image features: the full decode → NN-downscale → PNG
+    * re-encode → decode-again loop, emitting the NEW dimensions, NEW
+    * content hash, and the histogram recomputed over the resized pixels.
+    */
+  def resize(media: DataFrame, maxSide: Int): Dataset[MediaFeatures] =
+    decodeFeatures(resizeMedia(media, maxSide))
 
   /** "Frame sampling" for video-like media: emit every `everyN`-th chunk
     * of the byte stream as a frame row (real impl: container demux).

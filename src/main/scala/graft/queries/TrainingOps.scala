@@ -468,6 +468,46 @@ object TrainingOps {
              |    AS hist_1
              |FROM chars GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // REAL pixel resize through the pipeline: q86's 16x12 gray PNGs are
+    // nearest-neighbor-downscaled to 8x6, re-encoded as PNG, and decoded
+    // AGAIN by the real javax.imageio branch. NN with integer index
+    // arithmetic keeps the surviving pixels replayable: dst (x,y) samples
+    // source byte (2y)*16 + 2x, so the oracle re-derives the resized
+    // histogram from the document text alone.
+    QueryDef("q109_multimodal_resize",
+      (s, d) => {
+        val s2 = s; import s2.implicits._
+        val media = table(s, d, "documents")
+          .where(expr("octet_length(text) = length(text)"))
+          .select(col("doc_id"),
+            rpad(substring(col("text"), 1, 192), 192, "x").as("px"))
+          .as[(Long, String)]
+          .map { case (id, px) =>
+            (id, Multimodal.encodeGrayAsRgbPng(
+              px.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1),
+              16, 12))
+          }
+          .toDF("doc_id", "media")
+        Multimodal.resize(media, maxSide = 8).toDF()
+          .select(col("doc_id"), col("width"), col("height"), col("channels"),
+            element_at(col("histogram"), 1).as("hist_0"),
+            element_at(col("histogram"), 2).as("hist_1"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH p AS (SELECT doc_id,
+             |    rpad(substr(text, 1, 192), 192, 'x') AS px FROM documents
+             |  WHERE strlen(text) = length(text)),
+             |kept AS (SELECT doc_id,
+             |    ascii(substr(px, (2 * y) * 16 + 2 * x + 1, 1)) AS c
+             |  FROM p, UNNEST(generate_series(0, 5)) ty(y),
+             |       UNNEST(generate_series(0, 7)) tx(x))
+             |SELECT doc_id, CAST(8 AS INT) AS width, CAST(6 AS INT) AS height,
+             |  CAST(3 AS INT) AS channels,
+             |  SUM(CASE WHEN c < 64 THEN 1 ELSE 0 END) / 48.0 AS hist_0,
+             |  SUM(CASE WHEN c >= 64 AND c < 128 THEN 1 ELSE 0 END) / 48.0
+             |    AS hist_1
+             |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // REAL audio decode through the pipeline: the same 192 document bytes
     // wrapped as an 8-bit PCM WAV, parsed by javax.sound.sampled (real
     // RIFF header + sample parsing, no stub); the amplitude histogram of

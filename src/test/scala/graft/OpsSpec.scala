@@ -297,6 +297,50 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(Multimodal.decodeImage(6L, garbage).isEmpty)
   }
 
+  test("pixel resize is real: NN downscale + PNG re-encode round-trips") {
+    val gray = Array.tabulate(192)(i => (i * 4 / 3).toByte) // 0..254
+    val png = Multimodal.encodeGrayAsRgbPng(gray, 16, 12)
+    val out = Multimodal.resizeOne(png, 8).get
+    assert((out(0) & 0xff) == 0x89 && out(1) == 'P') // re-encoded as PNG
+    assert(!out.sameElements(png))
+    val m = Multimodal.decodeImage(1L, out).get
+    assert(m.width == 8 && m.height == 6 && m.channels == 3)
+    // NN golden: dst (x,y) samples source byte (2y)*16 + 2x — the exact
+    // pixels any engine would select with the same integer arithmetic
+    val kept = for { y <- 0 until 6; x <- 0 until 8 } yield gray(2 * y * 16 + 2 * x)
+    val expected = kept.map(b => (b & 0xff) >> 6)
+      .groupBy(identity).view.mapValues(_.size / 48.0).toMap
+    (0 until 4).foreach { bin =>
+      assert(math.abs(m.histogram(bin) - expected.getOrElse(bin, 0.0)) < 1e-12)
+    }
+    // new pixels → new content hash; smaller raster → fewer bytes
+    assert(m.content_sha != Multimodal.decodeImage(1L, png).get.content_sha)
+    // already-fitting image passes through byte-identical (no re-encode)
+    assert(Multimodal.resizeOne(png, 16).get.sameElements(png))
+    // PPM resizes through the same path: 4x2 → maxSide 2 → 2x1; NN keeps
+    // source pixels (0,0)=rgb(0,10,20) lum 8 → bin 0 and (2,0)=
+    // rgb(60,70,80) lum 68 → bin 1
+    val ppm = "P6\n4 2\n255\n".getBytes("US-ASCII") ++
+      Array.tabulate(24)(i => (i * 10).toByte)
+    val mp = Multimodal.decodeImage(2L, Multimodal.resizeOne(ppm, 2).get).get
+    assert(mp.width == 2 && mp.height == 1)
+    assert(math.abs(mp.histogram(0) - 0.5) < 1e-12 &&
+      math.abs(mp.histogram(1) - 0.5) < 1e-12)
+    // undecodable bytes refuse rather than fabricate
+    assert(Multimodal.resizeOne("plain text document".getBytes, 8).isEmpty)
+
+    // Dataset path: images shrink (resized=true), non-image rows pass
+    // through byte-identical with resized=false
+    import spark.implicits._
+    val mixed = Seq((1L, png), (2L, "not an image".getBytes))
+      .toDF("doc_id", "media")
+    val rows = Multimodal.resizeMedia(mixed, 8).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Array[Byte]](1), r.getBoolean(2)))
+      .toMap
+    assert(rows(1L)._2 && rows(1L)._1.sameElements(out))
+    assert(!rows(2L)._2 && new String(rows(2L)._1) == "not an image")
+  }
+
   test("wav decode is real: header fields + sample histogram, sniff-out") {
     val samples = Array.tabulate(200)(i => (i + 20).toByte) // 20..219
     val wav = Multimodal.encodePcmWav(samples, 16000)
@@ -684,6 +728,11 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
       .intersect(key(exact).map { case (q, _, nb) => (q, nb) })
     val recall = hits.size.toDouble / key(exact).size
     assert(recall > 0.15, s"recall@5 = $recall")
+    // ksub < 1 means an empty codebook — must fail fast, not return 0 rows
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pqIndex(emb, m = 8, ksub = 0, dims = 64)
+    }
+    assert(e.getMessage.contains("ksub"))
   }
 
   test("IVF-PQ with a total probe gate IS plain PQ") {
