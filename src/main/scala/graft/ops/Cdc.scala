@@ -60,10 +60,21 @@ object Cdc {
     requireCols(changes, keyCol +: opCol +: seqCols)
     requireCols(base, changes.columns.filterNot((opCol +: seqCols).contains))
     val changeTypes = changes.schema.fields.map(f => f.name -> f.dataType).toMap
+    // ENFORCE the non-negative-sequence contract the −1 sentinel depends
+    // on, instead of trusting it: a changelog with legitimate negative
+    // sequences (pre-1970 event times, signed offsets) would otherwise
+    // silently let base rows beat real changes
+    val guarded = seqCols.foldLeft(changes) { (df, c) =>
+      df.withColumn(c,
+        when(col(c) >= lit(0L).cast(changeTypes(c)), col(c))
+          .otherwise(raise_error(concat(
+            lit(s"mergeInto: sequence column '$c' must be non-negative, got "),
+            coalesce(col(c).cast("string"), lit("null"))))))
+    }
     val baseAsChanges = seqCols.foldLeft(base.withColumn(opCol, lit("U"))) {
       (df, c) => df.withColumn(c, lit(-1L).cast(changeTypes(c)))
     }.select(changes.columns.map(col): _*)
-    latestSnapshot(baseAsChanges.unionByName(changes), keyCol, seqCols, opCol)
+    latestSnapshot(baseAsChanges.unionByName(guarded), keyCol, seqCols, opCol)
   }
 
   /** SCD-type-2 history: every upsert becomes a version row valid from its

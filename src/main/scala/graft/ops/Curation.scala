@@ -132,12 +132,15 @@ object Curation {
     * would need a second pattern — RE2 has no backreferences to unify
     * them). One row per extracted link in document order; duplicate
     * targets within a document are preserved (frontier semantics —
-    * `distinct` afterwards for graph edges). Narrow 1→N explode.
+    * `distinct` afterwards for graph edges). Narrow 1→N explode. Both
+    * column names are parameters resolved through the Column API (no SQL
+    * interpolation — a name needing backticks just works).
     */
-  def extractLinks(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs.select(col("doc_id"),
-      explode(expr(
-        s"""regexp_extract_all($textCol, 'href="([^"]*)"', 1)"""))
+  def extractLinks(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol),
+      explode(regexp_extract_all(col(textCol),
+        lit("href=\"([^\"]*)\""), lit(1)))
         .as("href"))
 
   /** C4-style line-level corpus dedup: drop every line (segment between

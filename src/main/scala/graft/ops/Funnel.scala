@@ -43,10 +43,13 @@ object Funnel {
   /** Cohort retention: keys are cohorted by the period of their FIRST
     * event (`floor(first_ts / periodUs)` — weeks for `periodUs` =
     * 604800000000), and each (cohort, period-offset) cell counts the
-    * distinct keys active that many periods later. Pure integer `DIV`
-    * arithmetic, so any engine replays the cell boundaries exactly.
-    * Shape: one key-window shuffle (min stacks on the partitioning) +
-    * one cell aggregation; `maxPeriods` bounds the output, not the scan.
+    * distinct keys active that many periods later. Pure integer FLOOR
+    * division (`DIV` truncates toward zero, so negative timestamps get
+    * the explicit correction), so any engine — Spark's `DIV`, DuckDB's
+    * `//` — replays the cell boundaries exactly, pre-1970 events
+    * included. Shape: one key-window shuffle (min stacks on the
+    * partitioning) + one cell aggregation; `maxPeriods` bounds the
+    * output, not the scan.
     */
   def cohortRetention(events: DataFrame, keyCol: String, tsCol: String,
       periodUs: Long, maxPeriods: Int): DataFrame = {
@@ -54,7 +57,11 @@ object Funnel {
       s"periodUs=$periodUs and maxPeriods=$maxPeriods must be positive")
     val w = Window.partitionBy(keyCol)
     events
-      .withColumn("__p", expr(s"$tsCol DIV ${periodUs}L"))
+      // floor division: truncate-toward-zero DIV, minus 1 when a negative
+      // dividend leaves a remainder
+      .withColumn("__p", expr(
+        s"$tsCol DIV ${periodUs}L - " +
+          s"(CASE WHEN $tsCol % ${periodUs}L < 0 THEN 1 ELSE 0 END)"))
       // floor is monotonic: min of period indexes == index of min ts
       .withColumn("__cohort", min(col("__p")).over(w))
       .withColumn("__off", (col("__p") - col("__cohort")).cast("int"))

@@ -55,8 +55,22 @@ object Layout {
     val bounds = df.agg(aggs.head, aggs.tail: _*)
     val normalized = cols.map(c => normalize(col(c),
       col(s"__min_$c"), col(s"__max_$c"), bits))
+    // [[normalize]]'s exactness precondition, ENFORCED at runtime: each
+    // column's range must satisfy (range * 2^bits) <= 2^53, or the double
+    // division silently diverges from the pinned integer-division
+    // semantics (e.g. epoch-microsecond timestamps at bits=16). Fail loud
+    // instead — the fix is fewer bits or a pre-bucketed column.
+    val rangeCap = if (bits > 53) 0L else 1L << (53 - bits)
+    val rangesExact = cols.map(c =>
+      (col(s"__max_$c").cast("long") - col(s"__min_$c").cast("long") + 1L)
+        <= rangeCap).reduce(_ && _)
+    val zv = when(rangesExact, interleave(normalized, bits))
+      .otherwise(raise_error(lit(
+        s"zValue: a clustered column's range exceeds 2^${53 - bits} — " +
+          s"(range << $bits) no longer fits double-exact arithmetic; " +
+          "reduce bits or pre-bucket the column")))
     df.crossJoin(broadcast(bounds))
-      .withColumn("zvalue", interleave(normalized, bits))
+      .withColumn("zvalue", zv)
       .drop(cols.flatMap(c => Seq(s"__min_$c", s"__max_$c")): _*)
   }
 

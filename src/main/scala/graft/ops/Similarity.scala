@@ -225,6 +225,8 @@ object Similarity {
   def pqIndex(corpus: DataFrame, m: Int, ksub: Int,
       dims: Int): (DataFrame, DataFrame) = {
     require(m > 0 && dims % m == 0, s"dims=$dims must divide into m=$m")
+    require(ksub >= 1, s"ksub=$ksub must be >= 1 (empty codebook would " +
+      "silently make every PQ search return zero rows)")
     val sub = dims / m
     val slices = expr(
       s"transform(sequence(0, ${m - 1}), j -> slice(embedding, j * $sub + 1, $sub))")

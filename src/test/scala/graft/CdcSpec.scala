@@ -89,4 +89,19 @@ class CdcSpec extends AnyFunSuite with SparkTestBase {
     assert(snap.sameElements(Array("a")),
       s"null seq ordered as latest: ${snap.mkString(",")}")
   }
+
+  test("mergeInto rejects negative sequences instead of losing the change") {
+    val s2 = spark; import s2.implicits._
+    // a pre-1970 event time would lose to the -1 base sentinel — the
+    // contract violation must raise, not silently keep the base row
+    val negative = Seq((1L, -5L, 1L, "U", "pre-epoch"))
+      .toDF("k", "seq", "id", "op", "payload")
+    val e = intercept[Exception] {
+      Cdc.mergeInto(base, negative, "k", Seq("seq", "id")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("non-negative")), e.getMessage)
+  }
 }

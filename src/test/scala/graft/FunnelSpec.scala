@@ -72,6 +72,23 @@ class FunnelSpec extends AnyFunSuite with SparkTestBase {
       (1L, 0) -> 1L, (1L, 1) -> 1L), s"got $cells")
   }
 
+  test("cohort boundaries FLOOR negative timestamps (DuckDB // parity)") {
+    val s2 = spark; import s2.implicits._
+    // pre-epoch events: -5 lies in period floor(-5/10) = -1, not DIV's 0.
+    // user 1 first at -15 (cohort -2), active again at -5 (offset 1) and
+    // 5 (offset 2, period 0); user 2 entirely pre-epoch
+    val ev = Seq((1L, -15L), (1L, -5L), (1L, 5L), (2L, -20L), (2L, -11L))
+      .toDF("user_id", "ts_us")
+    val cells = Funnel.cohortRetention(ev, "user_id", "ts_us",
+        periodUs = 10L, maxPeriods = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(cells == Map(
+      (-2L, 0) -> 2L, // both: floor(-15/10) = floor(-20/10 .. -11/10) = -2
+      (-2L, 1) -> 1L, // user 1 at -5 → period -1
+      (-2L, 2) -> 1L  // user 1 at 5 → period 0
+    ), s"got $cells")
+  }
+
   test("stage times are ONE key shuffle (windows stack on it)") {
     val plan = Funnel.stageTimes(fixture, "user_id", "event_type", "ts_us",
       Seq("signup", "click", "purchase")).queryExecution.executedPlan.toString

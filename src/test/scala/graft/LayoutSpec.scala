@@ -75,4 +75,24 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
     // (width 64) → buckets 0,0,3: morton((0,0))=0, (1,0)=1, (3,3)=15
     assert(z == Map(1000L -> 0L, 1063L -> 1L, 1127L -> 15L), s"got $z")
   }
+
+  test("a range past the double-exact bound fails loud, not silently") {
+    val s2 = spark; import s2.implicits._
+    // epoch-microsecond-scale spread: range 2^60 >> 2^(53-8); the double
+    // division would quietly diverge from integer semantics — must raise
+    val wide = Seq((0L, 1L), (1L << 60, 2L)).toDF("ts", "k")
+    val e = intercept[Exception] {
+      Layout.zValue(wide, Seq("ts", "k"), bits = 8).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("range exceeds")), e.getMessage)
+    // the same data fits when the caller pre-buckets (seconds, not micros)
+    val ok = Layout.zValue(
+      wide.withColumn("ts", col("ts") / lit(1L << 20)).select(
+        col("ts").cast("long").as("ts"), col("k")),
+      Seq("ts", "k"), bits = 8)
+    assert(ok.collect().length == 2)
+  }
 }
