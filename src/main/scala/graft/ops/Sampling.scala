@@ -108,12 +108,17 @@ object Sampling {
     * bucket instead of the single global-order window that would
     * serialize the corpus). A shard never exceeds budget + one document.
     * Appends `n_tokens`, `bucket`, and `shard` ("<bucket>-<seq>").
+    * `orderCols` must uniquely key the rows (default doc_id; chunked
+    * corpora pass (doc_id, chunk_id)) — a tie in the prefix-sum order
+    * would make the greedy cut points engine-dependent.
     */
   def packShards(df: DataFrame, budgetTokens: Long, numBuckets: Int,
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      orderCols: Seq[String] = Seq("doc_id")): DataFrame = {
     require(budgetTokens > 0 && numBuckets > 0,
       s"budgetTokens=$budgetTokens and numBuckets=$numBuckets must be positive")
-    val w = Window.partitionBy("bucket").orderBy("doc_id")
+    require(orderCols.nonEmpty, "orderCols must be non-empty")
+    val w = Window.partitionBy("bucket").orderBy(orderCols.map(col): _*)
     df
       .withColumn("n_tokens", size(split(col(textCol), " ")).cast("long"))
       .withColumn("bucket",

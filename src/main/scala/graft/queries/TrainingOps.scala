@@ -907,6 +907,54 @@ object TrainingOps {
              |  md5(array_to_string(piece, ' ')) AS chunk_md5
              |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin)),
 
+    // The full document-to-training-shards path a pipeline ships, as ONE
+    // composed plan: per-key cap (one lang-window shuffle) → context
+    // chunking (narrow 1→N explode, NO shuffle of its own) → greedy
+    // token-budget shard packing (per-bucket windows). The oracle chains
+    // q92's + q101's + q81's CTEs; PlanShapeSpec pins the shuffle count.
+    QueryDef("q108_curate_chunk_pack",
+      (s, d) => {
+        val capped = Sampling.capPerKey(table(s, d, "documents"), "lang", 50)
+        val chunks = TextAnalysis.chunk(capped, chunkTokens = 40, overlap = 8)
+        Sampling.packShards(chunks, budgetTokens = 500L, numBuckets = 8,
+            textCol = "chunk", orderCols = Seq("doc_id", "chunk_id"))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_chunks"), sum("n_tokens").as("sum_tokens"))
+          .orderBy("shard")
+      },
+      Some(s"""WITH capped AS (
+              |  SELECT doc_id, text FROM (
+              |    SELECT doc_id, text,
+              |      ROW_NUMBER() OVER (PARTITION BY lang
+              |        ORDER BY ${drawSql("cap:")}, doc_id) AS rk
+              |    FROM documents) t WHERE rk <= 50),
+              |toks AS (
+              |  SELECT doc_id, string_split(text, ' ') AS t FROM capped),
+              |counted AS (
+              |  SELECT doc_id, t,
+              |    GREATEST(1, (len(t) - 8 + 31) // 32) AS n_chunks
+              |  FROM toks),
+              |chunks AS (
+              |  SELECT doc_id, u.k AS chunk_id,
+              |    array_to_string(
+              |      list_slice(t, u.k * 32 + 1, u.k * 32 + 40), ' ') AS text
+              |  FROM counted,
+              |    UNNEST(generate_series(0, CAST(n_chunks - 1 AS BIGINT)))
+              |      AS u(k)),
+              |u AS (SELECT doc_id, chunk_id,
+              |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+              |    CAST(FLOOR((${drawSql("shard:")}) * 8) AS INT) AS bucket
+              |  FROM chunks),
+              |sh AS (SELECT n_tokens, bucket,
+              |    bucket || '-' || CAST(FLOOR(
+              |      (SUM(n_tokens) OVER (PARTITION BY bucket
+              |        ORDER BY doc_id, chunk_id) - n_tokens) / 500.0)
+              |      AS BIGINT) AS shard
+              |  FROM u)
+              |SELECT shard, COUNT(*) AS n_chunks,
+              |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+              |FROM sh GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // markup stripping over a deterministically synthesized HTML corpus
     // (documents wrapped in tags/entities/script in-query, like q74/q86
     // build media bytes from text): script/style/comments out, tags out,

@@ -138,6 +138,20 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(!"(?i)exchange (hash|range)partitioning".r.findFirstIn(p).isDefined, p)
   }
 
+  test("curate→chunk→pack composes into exactly two shuffles") {
+    // cap = one lang-window exchange; the chunk explode must stay NARROW
+    // between it and the pack windows (no exchange of its own); pack =
+    // one bucket-window exchange. A third hash exchange means chunking
+    // broke the pipeline into an extra corpus rewrite.
+    val capped = Sampling.capPerKey(docs, "lang", 50)
+    val chunks = TextAnalysis.chunk(capped, chunkTokens = 40, overlap = 8)
+    val packed = Sampling.packShards(chunks, budgetTokens = 500L,
+      numBuckets = 8, textCol = "chunk", orderCols = Seq("doc_id", "chunk_id"))
+    val hashEx = "(?i)exchange hashpartitioning".r
+      .findAllIn(plan(packed)).size
+    assert(hashEx == 2, plan(packed))
+  }
+
   test("mergeInto is ONE per-key shuffle over base ∪ changes") {
     val base = docs.select(col("doc_id").as("k"), col("text").as("payload"))
     val changes = docs.select(col("doc_id").as("k"),
