@@ -222,22 +222,26 @@ object Similarity {
     * executor memory. Encoding is one broadcast join + one (vec_id, j)
     * window; sub-distance sums run in array order (exact replay).
     */
-  def pqIndex(corpus: DataFrame, m: Int, ksub: Int,
-      dims: Int): (DataFrame, DataFrame) = {
+  private def requirePq(m: Int, ksub: Int, dims: Int): Unit = {
     require(m > 0 && dims % m == 0, s"dims=$dims must divide into m=$m")
     require(ksub >= 1, s"ksub=$ksub must be >= 1 (empty codebook would " +
       "silently make every PQ search return zero rows)")
-    val sub = dims / m
-    val slices = expr(
-      s"transform(sequence(0, ${m - 1}), j -> slice(embedding, j * $sub + 1, $sub))")
-    val codebook = corpus.select(col("vec_id"), col("embedding"))
-      .orderBy("vec_id").limit(ksub)
-      // bounded global window: runs AFTER limit(ksub), never corpus-wide
-      .withColumn("c",
-        (row_number().over(Window.orderBy("vec_id")) - 1).cast("int"))
-      .select(col("c"), posexplode(slices))
-      .toDF("c", "j", "centroid")
-    val sliced = corpus.select(col("vec_id"), posexplode(slices))
+  }
+
+  /** `m` contiguous sub-vectors of the embedding column as one array
+    * column (subspace j = elements [j·sub, (j+1)·sub)).
+    */
+  private def subSlices(m: Int, sub: Int): Column = expr(
+    s"transform(sequence(0, ${m - 1}), j -> slice(embedding, j * $sub + 1, $sub))")
+
+  /** Nearest-centroid code per (vector, subspace) against a `(c, j,
+    * centroid)` codebook: one broadcast join + one (vec_id, j) window,
+    * ties to the lowest centroid id — shared by every PQ codebook
+    * variant.
+    */
+  private def encodeAgainst(corpus: DataFrame, codebook: DataFrame,
+      m: Int, sub: Int): DataFrame = {
+    val sliced = corpus.select(col("vec_id"), posexplode(subSlices(m, sub)))
       .toDF("vec_id", "j", "subv")
     val sq = "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
     val d2 = sliced.join(broadcast(codebook), "j")
@@ -246,10 +250,53 @@ object Similarity {
           "0D, (a, v) -> a + v)"))
     val w = Window.partitionBy("vec_id", "j")
       .orderBy(col("d2").asc, col("c").asc)
-    val codes = d2.withColumn("rk", row_number().over(w))
+    d2.withColumn("rk", row_number().over(w))
       .where(col("rk") === 1)
       .select("vec_id", "j", "c")
-    (codebook, codes)
+  }
+
+  def pqIndex(corpus: DataFrame, m: Int, ksub: Int,
+      dims: Int): (DataFrame, DataFrame) = {
+    requirePq(m, ksub, dims)
+    val sub = dims / m
+    val codebook = corpus.select(col("vec_id"), col("embedding"))
+      .orderBy("vec_id").limit(ksub)
+      // bounded global window: runs AFTER limit(ksub), never corpus-wide
+      .withColumn("c",
+        (row_number().over(Window.orderBy("vec_id")) - 1).cast("int"))
+      .select(col("c"), posexplode(subSlices(m, sub)))
+      .toDF("c", "j", "centroid")
+    (codebook, encodeAgainst(corpus, codebook, m, sub))
+  }
+
+  /** KMeans-TRAINED product quantizer — the recall-quality sibling of
+    * [[pqIndex]]'s data-point init, exactly as [[ivfIndex]] is to
+    * [[ivfIndexDeterministic]]: subspace j's `ksub` centroids are a
+    * k-means fit over the corpus' j-th sub-vectors (seed offset by j
+    * keeps the subspaces' initializations independent but the whole
+    * index reproducible). Same `(codebook, codes)` contract, so all ADC
+    * scoring ([[pqTopK]]'s LUT path) composes unchanged. Training cost:
+    * m small KMeans fits over narrow (sub-dim) projections — a one-off
+    * index-build step, not a query-path cost.
+    */
+  def pqIndexTrained(corpus: DataFrame, m: Int, ksub: Int, dims: Int,
+      seed: Long = 42L): (DataFrame, DataFrame) = {
+    requirePq(m, ksub, dims)
+    val s2 = corpus.sparkSession; import s2.implicits._
+    val sub = dims / m
+    val sliced = corpus.select(posexplode(subSlices(m, sub)))
+      .toDF("j", "subv")
+      .withColumn("features",
+        org.apache.spark.ml.functions.array_to_vector(col("subv")))
+    val codebook = (0 until m).flatMap { j =>
+      val model = new org.apache.spark.ml.clustering.KMeans()
+        .setK(ksub).setSeed(seed + j).setFeaturesCol("features")
+        .fit(sliced.where(col("j") === j))
+      model.clusterCenters.zipWithIndex.map { case (cent, c) =>
+        (c, j, cent.toArray.map(_.toFloat))
+      }
+    }.toDF("c", "j", "centroid")
+    (codebook, encodeAgainst(corpus, codebook, m, sub))
   }
 
   /** Per-vector compact code word: `(vec_id, code: array<int>)` with
@@ -326,6 +373,17 @@ object Similarity {
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       m: Int, ksub: Int, dims: Int): DataFrame = {
     val (codebook, codes) = pqIndex(corpus, m, ksub, dims)
+    val lut = adcLut(queries, codebook, m, dims / m, ksub)
+    adcRank(compactCodes(codes).crossJoin(broadcast(lut)), m, ksub, k)
+  }
+
+  /** ADC top-k over the KMeans-trained quantizer ([[pqIndexTrained]]) —
+    * the recall-quality tier; [[pqTopK]] (data-point init) remains the
+    * oracle-replayable tier.
+    */
+  def pqTopKTrained(corpus: DataFrame, queries: DataFrame, k: Int,
+      m: Int, ksub: Int, dims: Int, seed: Long = 42L): DataFrame = {
+    val (codebook, codes) = pqIndexTrained(corpus, m, ksub, dims, seed)
     val lut = adcLut(queries, codebook, m, dims / m, ksub)
     adcRank(compactCodes(codes).crossJoin(broadcast(lut)), m, ksub, k)
   }

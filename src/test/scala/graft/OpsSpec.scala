@@ -735,6 +735,28 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(e.getMessage.contains("ksub"))
   }
 
+  test("trained PQ quantizer holds a recall@10 floor on the sf0.01 vectors") {
+    // KMeans-trained codebooks vs brute force on RANDOM embeddings — PQ's
+    // adversarial case (no cluster structure to exploit). Chance level is
+    // 10/499 ≈ 0.02; observed: trained 0.288 vs data-point init 0.248
+    // (the training buys recall, which is the tier's reason to exist).
+    // The floor is 10× chance with margin for MLlib k-means drift.
+    val emb01 = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val queries = emb01.where(col("vec_id") % 20 === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.cosineTopK(emb01, queries, 10))
+    val trained = pairs(Similarity.pqTopKTrained(emb01, queries, 10,
+      m = 8, ksub = 16, dims = 64))
+    val recall = (trained & exact).size.toDouble / exact.size
+    assert(recall >= 0.2, s"trained recall@10 = $recall")
+    // codebook shape contract matches the data-point variant: m*ksub rows
+    val (cb, codes) = Similarity.pqIndexTrained(emb01, 8, 16, 64)
+    assert(cb.count() == 8 * 16)
+    assert(codes.groupBy("vec_id").count().where(col("count") =!= 8).count() == 0)
+  }
+
   test("IVF-PQ with a total probe gate IS plain PQ") {
     // nprobe == nlist: every list is probed, the gate passes everything,
     // and the composed path must return exactly pqTopK's ranking — the
