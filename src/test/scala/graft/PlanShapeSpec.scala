@@ -138,6 +138,23 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(!"(?i)exchange (hash|range)partitioning".r.findFirstIn(p).isDefined, p)
   }
 
+  test("pixel resize is a narrow partition-batched map, no shuffle") {
+    val media = Multimodal.asMedia(docs)
+    assert(exchanges(Multimodal.resizeMedia(media, 8)) == 0)
+  }
+
+  test("IVF-PQ broadcasts its small sides; the code table never shuffles " +
+      "through a join") {
+    val queries = emb.where(col("vec_id") % 50 === 0)
+    val p = plan(Similarity.ivfPqTopK(emb, queries, 5,
+      nlist = 4, nprobe = 2, m = 8, ksub = 16, dims = 64))
+    // centroids (assignment + probing), the probe set, and the ADC LUT
+    // each arrive by broadcast; a SortMergeJoin here would mean the
+    // 32×-compressed code table is being shuffled against a tiny side
+    assert("BroadcastExchange".r.findAllIn(p).size >= 3, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("curate→chunk→pack composes into exactly two shuffles") {
     // cap = one lang-window exchange; the chunk explode must stay NARROW
     // between it and the pack windows (no exchange of its own); pack =
