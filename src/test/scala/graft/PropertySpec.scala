@@ -152,6 +152,35 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("NN resize invariants: dims formula, normalized histogram, " +
+      "idempotence past the fit point") {
+    import graft.ops.Multimodal
+    val gen = for {
+      w <- Gen.chooseNum(1, 40)
+      h <- Gen.chooseNum(1, 40)
+      maxSide <- Gen.chooseNum(1, 48)
+      pix <- Gen.listOfN(w * h, Gen.chooseNum(0, 255))
+    } yield (w, h, maxSide, pix.map(_.toByte).toArray)
+    check(forAll(gen) { case (w, h, maxSide, gray) =>
+      val png = Multimodal.encodeGrayAsRgbPng(gray, w, h)
+      val out = Multimodal.resizeOne(png, maxSide).get
+      val m = Multimodal.decodeImage(0L, out).get
+      val mx = math.max(w, h)
+      if (mx <= maxSide) {
+        // fits already: byte-identical pass-through
+        assert(out.sameElements(png))
+        assert(m.width == w && m.height == h)
+      } else {
+        // the pinned integer dims formula, floor with a 1-pixel floor
+        assert(m.width == math.max(1, w * maxSide / mx))
+        assert(m.height == math.max(1, h * maxSide / mx))
+        // resized output FITS, so resizing again is a no-op (idempotence)
+        assert(Multimodal.resizeOne(out, maxSide).get.sameElements(out))
+      }
+      assert(math.abs(m.histogram.sum - 1.0) < 1e-9)
+    })
+  }
+
   test("gold parser keeps exactly 3-field lines, label case-insensitively") {
     check(forAll(Gen.listOf(Gen.oneOf(
       Gen.const("alpha beta True"), Gen.const("a  b FALSE"),
