@@ -169,6 +169,37 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(hashEx == 2, plan(packed))
   }
 
+  test("column pruning reaches the parquet scan (ReadSchema is minimal)") {
+    // the brief's pushdown requirement, pinned: a scan reading columns a
+    // plan never touches is a silent 100 TB I/O regression. Extract every
+    // scan's ReadSchema and assert only the needed columns survive.
+    def readCols(df: DataFrame): Set[String] =
+      "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(plan(df))
+        .flatMap(_.group(1).split(",").map(_.split(":").head.trim))
+        .toSet
+    // curate→chunk→pack touches doc_id/text/lang; source and n_chars
+    // must be pruned away at the documents scan
+    val packed = Sampling.packShards(
+      TextAnalysis.chunk(Sampling.capPerKey(docs, "lang", 50), 40, 8),
+      budgetTokens = 500L, numBuckets = 8, textCol = "chunk",
+      orderCols = Seq("doc_id", "chunk_id"))
+    assert(readCols(packed) == Set("doc_id", "text", "lang"),
+      readCols(packed).toString)
+    // funnel stage times touch user_id/event_type/ts; event_id, value,
+    // and props must be pruned
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.read.parquet(s"$dir/events.parquet")
+    val funnel = Funnel.stageTimes(events, "user_id", "event_type", "ts",
+      Seq("signup", "click", "purchase"))
+    assert(readCols(funnel) == Set("user_id", "event_type", "ts"),
+      readCols(funnel).toString)
+    // LSH bucketing projects vec_id + embedding; label must be pruned
+    val buckets = Similarity.lshBuckets(
+      emb.select("vec_id", "embedding"), 6, 64)
+    assert(readCols(buckets) == Set("vec_id", "embedding"),
+      readCols(buckets).toString)
+  }
+
   test("mergeInto is ONE per-key shuffle over base ∪ changes") {
     val base = docs.select(col("doc_id").as("k"), col("text").as("payload"))
     val changes = docs.select(col("doc_id").as("k"),
