@@ -200,6 +200,15 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       readCols(buckets).toString)
   }
 
+  test("SF-gate predicates push down into the scan (PushedFilters)") {
+    // the battery's fixed-id gates (doc_id < 6000 etc.) must reach the
+    // parquet reader — evaluated post-scan they'd still read every row
+    // group at 100 TB
+    val p = plan(Dedup.jaccardPairs(docs.where(col("doc_id") < 6000), 3, 0.8))
+    assert("PushedFilters: \\[[^\\]]*LessThan\\(doc_id,6000\\)".r
+      .findFirstIn(p).isDefined, p)
+  }
+
   test("mergeInto is ONE per-key shuffle over base ∪ changes") {
     val base = docs.select(col("doc_id").as("k"), col("text").as("payload"))
     val changes = docs.select(col("doc_id").as("k"),
