@@ -508,6 +508,46 @@ object TrainingOps {
              |    AS hist_1
              |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // REAL container demux through the pipeline: 384 document bytes become
+    // a 2-frame animated GIF (256-gray palette — lossless, like q86's
+    // PNG), demuxed by javax.imageio's sequence reader; each frame's
+    // luminance histogram is replayed from the corresponding 192-byte
+    // slice of the text
+    QueryDef("q110_multimodal_gif_frames",
+      (s, d) => {
+        val s2 = s; import s2.implicits._
+        val media = table(s, d, "documents")
+          .where(expr("octet_length(text) = length(text)"))
+          .select(col("doc_id"),
+            rpad(substring(col("text"), 1, 384), 384, "x").as("px"))
+          .as[(Long, String)]
+          .map { case (id, px) =>
+            val bytes =
+              px.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+            (id, Multimodal.encodeGrayFramesAsGif(
+              Seq(bytes.slice(0, 192), bytes.slice(192, 384)), 16, 12))
+          }
+          .toDF("doc_id", "media")
+        Multimodal.decodeFrames(media, everyN = 1).toDF()
+          .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
+            element_at(col("histogram"), 1).as("hist_0"),
+            element_at(col("histogram"), 2).as("hist_1"))
+          .orderBy("doc_id", "frame_idx")
+      },
+      Some("""WITH p AS (SELECT doc_id,
+             |    rpad(substr(text, 1, 384), 384, 'x') AS px FROM documents
+             |  WHERE strlen(text) = length(text)),
+             |chars AS (SELECT doc_id, f.f AS frame_idx,
+             |    ascii(substr(px, f.f * 192 + i, 1)) AS c
+             |  FROM p, UNNEST(generate_series(0, 1)) f(f),
+             |       UNNEST(generate_series(1, 192)) t(i))
+             |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+             |  CAST(16 AS INT) AS width, CAST(12 AS INT) AS height,
+             |  SUM(CASE WHEN c < 64 THEN 1 ELSE 0 END) / 192.0 AS hist_0,
+             |  SUM(CASE WHEN c >= 64 AND c < 128 THEN 1 ELSE 0 END) / 192.0
+             |    AS hist_1
+             |FROM chars GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // REAL audio decode through the pipeline: the same 192 document bytes
     // wrapped as an 8-bit PCM WAV, parsed by javax.sound.sampled (real
     // RIFF header + sample parsing, no stub); the amplitude histogram of

@@ -341,6 +341,35 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(!rows(2L)._2 && new String(rows(2L)._1) == "not an image")
   }
 
+  test("gif frame demux is real: every-Nth stored frame, lossless bins") {
+    // 5 frames of distinct gray rasters; 256-gray palette makes the
+    // decoded Rec.601 luminance the source byte exactly
+    val w = 16; val h = 12
+    val frames = (0 until 5).map(f =>
+      Array.tabulate(w * h)(i => ((i + f * 37) % 256).toByte))
+    val gif = Multimodal.encodeGrayFramesAsGif(frames, w, h)
+    assert(new String(gif.take(6), "US-ASCII").startsWith("GIF8"))
+    // everyN=2 keeps stored frames 0, 2, 4 with their own histograms
+    val sampled = Multimodal.decodeGifFrames(7L, gif, everyN = 2)
+    assert(sampled.map(_.frame_idx) == Seq(0, 2, 4))
+    sampled.foreach { fr =>
+      assert(fr.width == w && fr.height == h)
+      val expected = frames(fr.frame_idx).map(b => (b & 0xff) >> 6)
+        .groupBy(identity).view.mapValues(_.length.toDouble / (w * h)).toMap
+      (0 until 4).foreach { bin =>
+        assert(math.abs(fr.histogram(bin) - expected.getOrElse(bin, 0.0)) < 1e-12)
+      }
+    }
+    // everyN=1 demuxes all 5; single-frame GIFs demux too
+    assert(Multimodal.decodeGifFrames(7L, gif, 1).size == 5)
+    assert(Multimodal.decodeGifFrames(7L,
+      Multimodal.encodeGrayFramesAsGif(frames.take(1), w, h), 1).size == 1)
+    // non-GIF bytes and truncated GIFs emit nothing, never throw
+    assert(Multimodal.decodeGifFrames(7L, "plain text".getBytes, 1).isEmpty)
+    assert(Multimodal.decodeGifFrames(7L, Array[Byte](), 1).isEmpty)
+    assert(Multimodal.decodeGifFrames(7L, gif.take(20), 1).isEmpty)
+  }
+
   test("wav decode is real: header fields + sample histogram, sniff-out") {
     val samples = Array.tabulate(200)(i => (i + 20).toByte) // 20..219
     val wav = Multimodal.encodePcmWav(samples, 16000)
