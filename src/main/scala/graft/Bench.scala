@@ -99,8 +99,18 @@ object Bench {
     val failed = results.collect { case (k, _, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, _, true) => v }.sum
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","samples":$samples,"loadavg_start":"$loadStart","loadavg_end":"$loadavg","gc_sec":$gcSec%.1f}""")
+    // the full line ALSO goes to a file: a tail-truncated stdout capture
+    // (round 4 lost q01–q31's minima that way) can then never lose
+    // per-entry data — the artifact on disk is always complete
+    val artifact = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/tmp/graft_bench.json")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","samples":$samples,"loadavg_start":"$loadStart","loadavg_end":"$loadavg","gc_sec":$gcSec%.1f,"artifact":"$artifact"}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get(artifact),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] artifact write failed: ${e.getMessage}") }
+    println(line)
     spark.stop()
   }
 }

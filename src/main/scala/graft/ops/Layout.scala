@@ -61,9 +61,17 @@ object Layout {
     // semantics (e.g. epoch-microsecond timestamps at bits=16). Fail loud
     // instead — the fix is fewer bits or a pre-bucketed column.
     val rangeCap = if (bits > 53) 0L else 1L << (53 - bits)
-    val rangesExact = cols.map(c =>
-      (col(s"__max_$c").cast("long") - col(s"__min_$c").cast("long") + 1L)
-        <= rangeCap).reduce(_ && _)
+    // a true range >= 2^63 (min near Long.MinValue, max positive)
+    // overflows the long subtraction — under ANSI that's an opaque
+    // ARITHMETIC_OVERFLOW mid-guard, under legacy mode a silent NEGATIVE
+    // wrap that would satisfy <= rangeCap. try_-arithmetic turns overflow
+    // into NULL and the >= 1 side rejects both NULL and wrapped values,
+    // so every mode reaches the guard's own actionable raise_error
+    val rangesExact = cols.map { c =>
+      val range = try_add(try_subtract(
+        col(s"__max_$c").cast("long"), col(s"__min_$c").cast("long")), lit(1L))
+      range.isNotNull && range >= 1L && range <= rangeCap
+    }.reduce(_ && _)
     val zv = when(rangesExact, interleave(normalized, bits))
       .otherwise(raise_error(lit(
         s"zValue: a clustered column's range exceeds 2^${53 - bits} — " +

@@ -68,14 +68,6 @@ object Multimodal {
       .orElse(decodeImage(id, bytes))
       .getOrElse(decodeStub(id, bytes))
 
-  /** Real decoder for the JDK's pure-JVM image formats (PNG, GIF, BMP) via
-    * `javax.imageio`: dimensions + channel count from the decoded image,
-    * 4-bin luminance histogram over the actual pixels (integer Rec.601
-    * weights, so the binning is deterministic across JVMs). Magic-number
-    * sniffing keeps ImageIO off the hot path for non-image bytes — the
-    * common case in a mixed corpus is text, which must not pay a codec
-    * probe per row.
-    */
   /** Sniff-and-read through `javax.imageio`: Some(image) only for bytes
     * carrying a PNG/GIF/BMP/JPEG magic number that the JDK codec actually
     * decodes. The magic-number sniff keeps ImageIO off the hot path for
@@ -98,6 +90,11 @@ object Multimodal {
       catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** Real decoder for the JDK's image formats (PNG, GIF, BMP, JPEG) via
+    * [[readImageIO]]: dimensions + channel count from the decoded image,
+    * 4-bin luminance histogram over the actual pixels (integer Rec.601
+    * weights, so the binning is deterministic across JVMs).
+    */
   private[graft] def decodeImage(id: Long, bytes: Array[Byte])
       : Option[MediaFeatures] = {
     readImageIO(bytes).map { img =>
@@ -121,15 +118,14 @@ object Multimodal {
     }
   }
 
-  /** Real decoder for binary PPM ("P6"): header `P6 <w> <h> <maxval>`
-    * as whitespace-separated ASCII tokens (with `#` comments), then
-    * w*h*3 raw bytes. Histogram is over the PIXEL bytes only — the
-    * header never pollutes the features. Returns None for anything that
-    * is not a well-formed P6 stream.
-    */
   /** Parse a binary-PPM header: Some((w, h, rasterOffset)) for a
     * well-formed `P6 <w> <h> <maxval>` prefix (whitespace-separated ASCII
-    * tokens, `#` comments, 8-bit maxval), None otherwise.
+    * tokens, `#` comments, 8-bit maxval), None otherwise. Headers are
+    * UNTRUSTED bytes: dimensions wildly beyond what the payload could
+    * carry (a hostile `P6 1000000 1000000 255` over a few bytes) are
+    * rejected here, so no caller ever sizes an allocation from them —
+    * modestly truncated rasters (the documented read-as-zero contract)
+    * still pass via the slack term.
     */
   private def parsePpmHeader(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
     if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') return None
@@ -153,6 +149,9 @@ object Multimodal {
     for {
       w <- int(); h <- int(); maxVal <- int()
       if w > 0 && h > 0 && maxVal > 0 && maxVal < 256
+      // untrusted-dims guard (all in Long — w*h alone can overflow Int):
+      // the claimed raster must be within a slack page of the payload
+      if w.toLong * h <= (bytes.length.toLong - i) / 3 + 4096
       // exactly one whitespace byte separates the header from the raster
       if i < bytes.length && bytes(i).toChar.isWhitespace
     } yield (w, h, i + 1)
@@ -177,18 +176,25 @@ object Multimodal {
     */
   private def ppmImage(bytes: Array[Byte])
       : Option[java.awt.image.BufferedImage] =
-    parsePpmHeader(bytes).map { case (w, h, off) =>
-      val img = new java.awt.image.BufferedImage(
-        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-      var p = 0
-      val n = w * h
-      while (p < n) {
-        val b = off + p * 3
-        def at(k: Int): Int = if (b + k < bytes.length) bytes(b + k) & 0xff else 0
-        img.setRGB(p % w, p / w, (at(0) << 16) | (at(1) << 8) | at(2))
-        p += 1
+    parsePpmHeader(bytes).flatMap { case (w, h, off) =>
+      // allocation cap on top of the header's payload-plausibility guard:
+      // a raster this size (16M pixels = 64 MB of ARGB) is the most one
+      // hostile-but-plausible row may pin per decoder thread
+      if (w.toLong * h > (1L << 24)) None
+      else {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var p = 0
+        val n = w * h
+        while (p < n) {
+          val b = off.toLong + p.toLong * 3 // Long: off + p*3 can wrap Int
+          def at(k: Int): Int =
+            if (b + k < bytes.length) bytes((b + k).toInt) & 0xff else 0
+          img.setRGB(p % w, p / w, (at(0) << 16) | (at(1) << 8) | at(2))
+          p += 1
+        }
+        Some(img)
       }
-      img
     }
 
   /** Typed decoded-audio row (sibling of [[MediaFeatures]] for the audio
@@ -327,7 +333,7 @@ object Multimodal {
     * yield None (resizing what we can't decode would be a lie).
     */
   private[graft] def resizeOne(bytes: Array[Byte],
-      maxSide: Int): Option[Array[Byte]] = {
+      maxSide: Int): Option[Array[Byte]] = try {
     readImageIO(bytes).orElse(ppmImage(bytes)).map { img =>
       val w = img.getWidth; val h = img.getHeight
       val mx = math.max(w, h)
@@ -352,13 +358,18 @@ object Multimodal {
         bos.toByteArray
       }
     }
+  } catch {
+    // one hostile row must degrade to the pass-through contract (row kept,
+    // resized = false), never fail the task — mirrors decodeImage/decodeWav
+    case scala.util.control.NonFatal(_) => None
   }
 
   /** Per-partition batch resize: each decodable image's media bytes are
     * replaced by the nearest-neighbor-downscaled PNG ([[resizeOne]]);
-    * rows the JVM cannot decode pass through unchanged with
-    * `resized = false`, so a mixed corpus keeps its non-image rows
-    * instead of corrupting them.
+    * rows the JVM cannot decode pass through unchanged, as do decodable
+    * images already within `maxSide`. `resized` is true iff the media
+    * BYTES were actually replaced — a count over it is a count of
+    * rewritten rows, not of decodable ones.
     */
   def resizeMedia(media: DataFrame, maxSide: Int): DataFrame = {
     require(maxSide > 0, s"maxSide must be positive, got $maxSide")
@@ -367,7 +378,9 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
         resizeOne(bytes, maxSide) match {
-          case Some(out) => (id, out, true)
+          // pass-throughs return the input array itself, so the eq check
+          // costs nothing on the already-fits path
+          case Some(out) => (id, out, !(out eq bytes))
           case None      => (id, bytes, false)
         }
       })

@@ -284,18 +284,25 @@ object Similarity {
     requirePq(m, ksub, dims)
     val s2 = corpus.sparkSession; import s2.implicits._
     val sub = dims / m
+    // persisted across the m fits: KMeans iterates, and without the cache
+    // each of the m fits would re-scan and re-explode the whole corpus per
+    // iteration (build cost m × iterations corpus passes instead of one)
     val sliced = corpus.select(posexplode(subSlices(m, sub)))
       .toDF("j", "subv")
       .withColumn("features",
         org.apache.spark.ml.functions.array_to_vector(col("subv")))
-    val codebook = (0 until m).flatMap { j =>
-      val model = new org.apache.spark.ml.clustering.KMeans()
-        .setK(ksub).setSeed(seed + j).setFeaturesCol("features")
-        .fit(sliced.where(col("j") === j))
-      model.clusterCenters.zipWithIndex.map { case (cent, c) =>
-        (c, j, cent.toArray.map(_.toFloat))
-      }
-    }.toDF("c", "j", "centroid")
+      .persist()
+    val codebook =
+      try {
+        (0 until m).flatMap { j =>
+          val model = new org.apache.spark.ml.clustering.KMeans()
+            .setK(ksub).setSeed(seed + j).setFeaturesCol("features")
+            .fit(sliced.where(col("j") === j))
+          model.clusterCenters.zipWithIndex.map { case (cent, c) =>
+            (c, j, cent.toArray.map(_.toFloat))
+          }
+        }.toDF("c", "j", "centroid")
+      } finally sliced.unpersist()
     (codebook, encodeAgainst(corpus, codebook, m, sub))
   }
 

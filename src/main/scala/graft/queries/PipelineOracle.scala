@@ -22,7 +22,7 @@ import QueryDef.table
   *   - the vocabulary contains only Porter-stem fixpoints (asserted at
   *     query-build time), so the engine's REAL stemming step runs over
   *     every token while the oracle can treat it as identity — stemmer
-  *     *semantics* are pinned separately by the 5,750-vector golden spec;
+  *     *semantics* are pinned separately by the 5,751-vector golden spec;
   *   - token i's head pointer is i+1 (wrapping to 1 for the last), its
   *     dependency label cycles through a fixed 6-label list, and the line
   *     count is `(n_chars % 9) + 1` — all pure arithmetic on both sides.

@@ -95,4 +95,19 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
       Seq("ts", "k"), bits = 8)
     assert(ok.collect().length == 2)
   }
+
+  test("a range that wraps the long subtraction also fails loud") {
+    val s2 = spark; import s2.implicits._
+    // true range ~2^63+1: (max - min + 1) wraps NEGATIVE in long
+    // arithmetic, which would satisfy <= rangeCap if the guard only
+    // checked the upper bound — the >= 1 side must catch it
+    val wrapped = Seq((Long.MinValue, 1L), (1L, 2L)).toDF("ts", "k")
+    val e = intercept[Exception] {
+      Layout.zValue(wrapped, Seq("ts", "k"), bits = 8).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("range exceeds")), e.getMessage)
+  }
 }

@@ -252,6 +252,12 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     // truncated raster: histogram over the bytes that exist
     val trunc = Multimodal.decodePpm(7L, header ++ pixels.take(6)).get
     assert(math.abs(trunc.histogram.sum - 1.0) < 1e-12)
+    // hostile header: dims claiming a trillion-pixel raster over a few
+    // payload bytes must be rejected at the header (no caller may size an
+    // allocation from them), and the resize path must pass the row through
+    val hostile = "P6 1000000 1000000 255\n".getBytes("US-ASCII") ++ pixels
+    assert(Multimodal.decodePpm(7L, hostile).isEmpty)
+    assert(Multimodal.resizeOne(hostile, 8).isEmpty)
   }
 
   test("imageio decode is real: PNG/BMP round-trip pixels, text sniffs out") {
