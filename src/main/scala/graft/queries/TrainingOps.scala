@@ -878,6 +878,145 @@ object TrainingOps {
            |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
       }),
 
+    // RESIDUAL-encoded IVF-PQ (the FAISS IndexIVFPQ design): PQ codes the
+    // residual v − centroid(v), the ADC score reconstructs v̂ = c + r̂
+    // (query-centroid dot + residual LUT; norm from ‖c‖² + 2·cross + ‖r̂‖²).
+    // The oracle replays the coarse quantizer, the OFFSET-seeded residual
+    // codebook, every residual code, the per-list cross table, and the
+    // j-ordered sums — all deterministic (zero Lloyd iterations)
+    QueryDef("q112_sim_ivfpq_residual",
+      (s, d) => {
+        val emb = table(s, d, "embeddings")
+        Similarity.ivfPqResidualTopK(emb, emb.where(col("vec_id") % 50 === 0),
+            k = 5, nlist = 16, nprobe = 4, m = 8, ksub = 16, dims = 64)
+          .select(col("query_id"), col("rk"), col("neighbor_id"),
+            round(col("acos"), 5).as("acos"))
+          .orderBy("query_id", "rk")
+      },
+      Some {
+        val m = 8; val sub = 8; val ksub = 16
+        val nlist = 16; val nprobe = 4
+        val pdCols = (0 until m).map(j =>
+          s"MIN(CASE WHEN co.j = $j THEN pd END) AS pd$j").mkString(", ")
+        val c2Cols = (0 until m).map(j =>
+          s"MIN(CASE WHEN co.j = $j THEN c2 END) AS c2$j").mkString(", ")
+        val crCols = (0 until m).map(j =>
+          s"MIN(CASE WHEN co.j = $j THEN crv END) AS cr$j").mkString(", ")
+        val adot = (0 until m).map(j => s"pd$j").mkString(" + ")
+        val cn2 = (0 until m).map(j => s"c2$j").mkString(" + ")
+        val crsum = (0 until m).map(j => s"cr$j").mkString(" + ")
+        s"""WITH cents AS (
+           |  SELECT CAST(rn - 1 AS INT) AS cid, embedding FROM (
+           |    SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS rn, embedding
+           |    FROM embeddings) t
+           |  WHERE rn <= $nlist),
+           |assign AS MATERIALIZED (
+           |  SELECT vec_id, cid FROM (
+           |    SELECT e.vec_id, c.cid,
+           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+           |        ${dot64.format("e", "c")} /
+           |          (SQRT(${norm2("e")}) * SQRT(${norm2("c")})) DESC,
+           |        c.cid ASC) AS ark
+           |    FROM embeddings e CROSS JOIN cents c) t WHERE ark = 1),
+           |resid AS MATERIALIZED (
+           |  SELECT e.vec_id, a.cid,
+           |    list_transform(generate_series(1, 64),
+           |      i -> CAST(e.embedding[i] AS DOUBLE)
+           |         - CAST(c.embedding[i] AS DOUBLE)) AS r
+           |  FROM embeddings e
+           |  JOIN assign a ON a.vec_id = e.vec_id
+           |  JOIN cents c ON c.cid = a.cid),
+           |cb_src AS (
+           |  SELECT r, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c FROM (
+           |    SELECT vec_id, r FROM resid
+           |    ORDER BY vec_id LIMIT $ksub OFFSET $nlist) t),
+           |codebook AS MATERIALIZED (
+           |  SELECT c, u.j,
+           |    list_slice(r, u.j * $sub + 1, u.j * $sub + $sub) AS centroid
+           |  FROM cb_src, UNNEST(generate_series(0, ${m - 1})) AS u(j)),
+           |sliced AS (
+           |  SELECT vec_id, u.j,
+           |    list_slice(r, u.j * $sub + 1, u.j * $sub + $sub) AS subv
+           |  FROM resid, UNNEST(generate_series(0, ${m - 1})) AS u(j)),
+           |d2 AS (
+           |  SELECT s.vec_id, s.j, cb.c,
+           |    (SELECT SUM((CAST(x.xa AS DOUBLE) - CAST(x.xb AS DOUBLE))
+           |              * (CAST(x.xa AS DOUBLE) - CAST(x.xb AS DOUBLE)))
+           |     FROM (SELECT UNNEST(s.subv) xa, UNNEST(cb.centroid) xb) x)
+           |      AS d2
+           |  FROM sliced s JOIN codebook cb ON s.j = cb.j),
+           |codes AS MATERIALIZED (
+           |  SELECT vec_id, j, c FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j
+           |      ORDER BY d2 ASC, c ASC) AS rk FROM d2)
+           |  WHERE rk = 1),
+           |probes AS MATERIALIZED (
+           |  SELECT query_id, cid, qdotc FROM (
+           |    SELECT q.vec_id AS query_id, c.cid,
+           |      ${dot64.format("q", "c")} AS qdotc,
+           |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+           |        ${dot64.format("q", "c")} /
+           |          (SQRT(${norm2("q")}) * SQRT(${norm2("c")})) DESC,
+           |        c.cid ASC) AS crk
+           |    FROM embeddings q CROSS JOIN cents c
+           |    WHERE q.vec_id % 50 = 0) t WHERE crk <= $nprobe),
+           |q AS (
+           |  SELECT vec_id AS query_id, embedding AS qv,
+           |    SQRT((SELECT SUM(CAST(x.v AS DOUBLE) * CAST(x.v AS DOUBLE))
+           |          FROM (SELECT UNNEST(embedding) v) x)) AS qn
+           |  FROM embeddings WHERE vec_id % 50 = 0),
+           |qsliced AS (
+           |  SELECT query_id, qn, u.j,
+           |    list_slice(qv, u.j * $sub + 1, u.j * $sub + $sub) AS qsub
+           |  FROM q, UNNEST(generate_series(0, ${m - 1})) AS u(j)),
+           |lut AS MATERIALIZED (
+           |  SELECT query_id, qn, cb.j, cb.c,
+           |    (SELECT SUM(CAST(x.xa AS DOUBLE) * CAST(x.xb AS DOUBLE))
+           |     FROM (SELECT UNNEST(qsub) xa, UNNEST(cb.centroid) xb) x)
+           |      AS pd,
+           |    (SELECT SUM(CAST(x.v AS DOUBLE) * CAST(x.v AS DOUBLE))
+           |     FROM (SELECT UNNEST(cb.centroid) v) x) AS c2
+           |  FROM qsliced JOIN codebook cb ON qsliced.j = cb.j),
+           |crosses AS MATERIALIZED (
+           |  SELECT ce.cid, cb.j, cb.c,
+           |    (SELECT SUM(CAST(x.xa AS DOUBLE) * CAST(x.xb AS DOUBLE))
+           |     FROM (SELECT
+           |        UNNEST(list_slice(ce.embedding,
+           |          cb.j * $sub + 1, cb.j * $sub + $sub)) xa,
+           |        UNNEST(cb.centroid) xb) x) AS crv
+           |  FROM cents ce CROSS JOIN codebook cb),
+           |coarse2 AS (
+           |  SELECT cid,
+           |    (SELECT SUM(CAST(x.v AS DOUBLE) * CAST(x.v AS DOUBLE))
+           |     FROM (SELECT UNNEST(embedding) v) x) AS c2c
+           |  FROM cents),
+           |gate AS (
+           |  SELECT p.query_id, a.vec_id, a.cid, p.qdotc
+           |  FROM probes p JOIN assign a ON a.cid = p.cid),
+           |wide AS (
+           |  SELECT l.query_id, l.qn, g.qdotc, co.vec_id, g.cid,
+           |    $pdCols, $c2Cols, $crCols
+           |  FROM codes co
+           |  JOIN gate g ON g.vec_id = co.vec_id
+           |  JOIN lut l ON co.j = l.j AND co.c = l.c
+           |    AND l.query_id = g.query_id
+           |  JOIN crosses cr ON cr.cid = g.cid AND cr.j = co.j
+           |    AND cr.c = co.c
+           |  GROUP BY 1, 2, 3, 4, 5),
+           |scored AS (
+           |  SELECT query_id, vec_id AS neighbor_id,
+           |    (qdotc + ($adot)) /
+           |      (qn * SQRT(c2c + 2.0 * ($crsum) + ($cn2))) AS acos
+           |  FROM wide JOIN coarse2 USING (cid)
+           |  WHERE vec_id <> query_id),
+           |r AS (SELECT query_id, neighbor_id, acos,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id
+           |      ORDER BY acos DESC, neighbor_id ASC) AS rk
+           |  FROM scored)
+           |SELECT query_id, rk, neighbor_id, ROUND(acos, 5) AS acos
+           |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+      }),
+
     // Unicode NFC canonicalization (native codegen'd expression): every
     // doc gets a decomposed + precomposed suffix; after nfc_normalize
     // both collapse to the same bytes, hash-checked via md5. DuckDB's

@@ -155,6 +155,18 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("residual IVF-PQ keeps its extra LUTs broadcast too") {
+    val queries = emb.where(col("vec_id") % 50 === 0)
+    val p = plan(Similarity.ivfPqResidualTopK(emb, queries, 5,
+      nlist = 4, nprobe = 2, m = 8, ksub = 16, dims = 64))
+    // on top of ivfPqTopK's sides, the residual design adds the per-list
+    // cross/‖c‖² table — nlist rows, which must ALSO arrive by broadcast;
+    // a SortMergeJoin would mean the compressed code table is shuffling
+    // against one of these tiny relations
+    assert("BroadcastExchange".r.findAllIn(p).size >= 4, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("curate→chunk→pack composes into exactly two shuffles") {
     // cap = one lang-window exchange; the chunk explode must stay NARROW
     // between it and the pack windows (no exchange of its own); pack =
