@@ -128,5 +128,22 @@ object StreamingQuery {
              | AND c.ts <= p.ts
              | AND epoch_us(c.ts) >= epoch_us(p.ts) - 1800000000
              |ORDER BY purchase_id, click_id""".stripMargin)),
+
+    // streaming dedup by event id: the stream is DOUBLED (self-union, an
+    // at-least-once source in miniature) before
+    // dropDuplicatesWithinWatermark — each event must be emitted exactly
+    // once, so the completed stream equals the plain distinct event set
+    // (the fixture's event_ids are unique; without the dedup the entry
+    // would return 2× rows and fail the row gate before the hash)
+    QueryDef("q111_streaming_dedup",
+      (s, d) => runStream(s, d, "stream_dedup")(df =>
+        Streams.dedupedEvents(df.unionAll(df), "1 hour"))(df =>
+        df.select(col("event_id"), col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("ts_us"),
+            round(col("value"), 4).as("value"))
+          .orderBy("event_id")),
+      Some("""SELECT event_id, user_id, event_type,
+             |  epoch_us(ts) AS ts_us, ROUND(value, 4) AS value
+             |FROM events ORDER BY event_id""".stripMargin)),
   )
 }
