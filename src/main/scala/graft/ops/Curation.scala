@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -192,21 +192,99 @@ object Curation {
     */
   def decontaminate(corpus: DataFrame, evalDocs: DataFrame, n: Int = 8,
       minHits: Long = 1L): DataFrame = {
-    def distinctGrams = expr(
-      s"""array_distinct(transform(sequence(1, size(t) - ${n - 1}),
-         |  i -> concat_ws(' ', slice(t, i, $n))))""".stripMargin)
     val evalGrams = evalDocs
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .where(size(col("t")) >= n)
-      .select(explode(distinctGrams).as("gram"))
+      .select(explode(distinctGrams(n)).as("gram"))
       .distinct()
+    corpusGrams(corpus, n)
+      .join(broadcast(evalGrams), "gram")
+      .groupBy("doc_id", "n_grams").agg(count(lit(1)).as("n_hits"))
+      .where(col("n_hits") >= minHits)
+      .select(col("doc_id"), col("n_hits"),
+        (col("n_hits").cast("double") / col("n_grams")).as("hit_frac"))
+  }
+
+  /** Distinct word `n`-grams of the pre-split token array column `t`. */
+  private def distinctGrams(n: Int) = expr(
+    s"""array_distinct(transform(sequence(1, size(t) - ${n - 1}),
+       |  i -> concat_ws(' ', slice(t, i, $n))))""".stripMargin)
+
+  /** One row per (document, distinct n-gram) with the per-doc distinct-gram
+    * total riding the same projection (single corpus scan — see
+    * [[decontaminate]]'s shape note).
+    */
+  private def corpusGrams(corpus: DataFrame, n: Int): DataFrame =
     corpus
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .where(size(col("t")) >= n)
-      .select(col("doc_id"), distinctGrams.as("gs"))
+      .select(col("doc_id"), distinctGrams(n).as("gs"))
       .select(col("doc_id"), size(col("gs")).cast("long").as("n_grams"),
         explode(col("gs")).as("gram"))
-      .join(broadcast(evalGrams), "gram")
+
+  /** Deterministic Bloom-filter position for hash seed `h`: the first 8
+    * md5 hex digits of "h:value" (32 bits) taken mod `numBits` — the same
+    * md5-portable convention as [[Sketch.bucket]], so any engine with md5
+    * replays the filter bit-for-bit.
+    */
+  private def bloomPos(c: Column, h: Int, numBits: Int): Column =
+    pmod(conv(substring(md5(concat(lit(s"$h:"), c)), 1, 8), 16, 10)
+      .cast("long"), lit(numBits.toLong))
+
+  /** Bloom filter over `valueCol` as ONE row holding a word-indexed map
+    * (`numBits/32` entries at most): each value sets `numHashes` bits,
+    * positions per [[bloomPos]], packed 32 bits per 64-bit word with
+    * `bit_or` — the half-word packing keeps every shift <= 31, which both
+    * Java's wrapping and SQL engines' overflow-checked `<<` agree on (a
+    * shift into bit 63 would wrap to the sign bit on the JVM and be
+    * rejected as overflow by e.g. DuckDB). Build cost is two tiny
+    * aggregations over the value set; the result broadcasts at any corpus
+    * scale because its size is fixed by `numBits` (2^20 bits = 32 Ki
+    * words = 256 KiB), NOT by how many values went in.
+    */
+  def bloomFilterOf(values: DataFrame, valueCol: String,
+      numBits: Int, numHashes: Int): DataFrame =
+    values
+      .select(explode(array((0 until numHashes).map(h =>
+        bloomPos(col(valueCol), h, numBits)): _*)).as("pos"))
+      .groupBy(expr("pos div 32").as("widx"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), " +
+        "CAST(pos % 32 AS INT)))").as("word"))
+      .agg(map_from_entries(collect_list(struct(col("widx"), col("word"))))
+        .as("bloom"))
+
+  /** [[decontaminate]] with the benchmark gram set folded into a Bloom
+    * filter — the 100 TB shape when the held-out suite is itself large
+    * (multi-benchmark eval harnesses): the broadcast payload is a fixed
+    * `numBits/8`-byte bit array instead of every distinct eval gram
+    * string, and the corpus side stays a purely NARROW projection (probe =
+    * `numHashes` map lookups per gram against the one-row broadcast
+    * filter; no gram-keyed join at all) followed by the same single
+    * per-doc aggregation. The trade is deterministic false positives —
+    * `n_hits` can only OVERcount [[decontaminate]]'s (never undercount:
+    * every true eval gram has all its bits set), with the standard
+    * (1 - e^(-kn/m))^k rate; md5 arithmetic end-to-end, so the oracle
+    * replays the exact hit set, false positives included.
+    */
+  def decontaminateBloom(corpus: DataFrame, evalDocs: DataFrame, n: Int = 8,
+      numBits: Int = 1 << 20, numHashes: Int = 5,
+      minHits: Long = 1L): DataFrame = {
+    require(numBits > 0 && numBits % 32 == 0,
+      s"numBits=$numBits must be a positive multiple of 32")
+    val evalGrams = evalDocs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .where(size(col("t")) >= n)
+      .select(explode(distinctGrams(n)).as("gram"))
+      .distinct()
+    val bloom = bloomFilterOf(evalGrams, "gram", numBits, numHashes)
+    val member = expr("forall(ps, p -> (shiftright(coalesce(" +
+      "try_element_at(bloom, p div 32), CAST(0 AS BIGINT)), " +
+      "CAST(p % 32 AS INT)) & 1) = 1)")
+    corpusGrams(corpus, n)
+      .crossJoin(broadcast(bloom))
+      .withColumn("ps", array((0 until numHashes).map(h =>
+        bloomPos(col("gram"), h, numBits)): _*))
+      .where(member)
       .groupBy("doc_id", "n_grams").agg(count(lit(1)).as("n_hits"))
       .where(col("n_hits") >= minHits)
       .select(col("doc_id"), col("n_hits"),

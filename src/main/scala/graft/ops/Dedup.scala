@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale training-data pipelines.
@@ -390,5 +391,52 @@ object Dedup {
         expr("bit_count(a.simhash ^ b.simhash)").cast("int").as("hamming"))
       .where(col("hamming") <= maxHamming)
       .distinct()
+  }
+
+  /** Duplicate SUBSTRING spans — sub-document dedup in the distributable
+    * gram-marking form (the sequence-level pass of Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better", whose
+    * single-node suffix-array construction does not shard; marking every
+    * position whose `k`-token gram repeats recovers exactly the substrings
+    * of length >= k that occur >= `dupThreshold` times): token position
+    * `i` of a document is covered when the k-gram starting there occurs at
+    * least `dupThreshold` times corpus-wide (within-document repeats
+    * count). Covered grams whose coverage overlaps or touches merge into
+    * maximal spans — one output row per span with 1-based inclusive token
+    * bounds `[start_tok, end_tok]` (every maximal duplicated substring of
+    * length >= k becomes one span; nothing shorter than k can be flagged).
+    *
+    * Shape at 100 TB: gram rows are hashed to 16-byte keys immediately
+    * (positions ride along; the gram text never shuffles), then ONE
+    * count aggregation with map-side combine, one equi-join back on the
+    * gram hash — both sides arrive partitioned by that hash, so the join
+    * reuses the aggregation's exchange — and ONE per-doc window for the
+    * gap-and-island merge. Cost is gram-grain (≈ one row per token),
+    * independent of how long the duplicated substrings get.
+    */
+  def duplicateSpans(docs: DataFrame, k: Int, dupThreshold: Long = 2L,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val grams = docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("t"))
+      .where(size(col("t")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, size(t) - ${k - 1}),
+           |  i -> struct(i AS pos, concat_ws(' ', slice(t, i, $k)) AS gram))"""
+          .stripMargin)).as("g"))
+      .select(col("doc_id"), col("g.pos").cast("long").as("pos"),
+        md5(col("g.gram")).as("gh"))
+    val dup = grams.groupBy("gh").agg(count(lit(1)).as("occ"))
+      .where(col("occ") >= dupThreshold)
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    grams.join(dup, "gh")
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(w) > k, 1).otherwise(0))
+      .withColumn("island", sum("brk").over(w))
+      .groupBy("doc_id", "island")
+      .agg(min("pos").as("start_tok"),
+        (max("pos") + lit(k - 1)).as("end_tok"),
+        count(lit(1)).as("n_dup_grams"))
+      .select("doc_id", "start_tok", "end_tok", "n_dup_grams")
   }
 }

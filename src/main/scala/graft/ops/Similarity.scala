@@ -571,4 +571,42 @@ object Similarity {
         (dot(col("e1"), col("e2")) / (col("n1") * col("n2"))).as("cos"))
       .where(col("cos") >= minCos)
   }
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): prune semantic
+    * near-duplicates — paraphrases, boilerplate re-renderings, and
+    * translations that no lexical dedup can see — by clustering the
+    * embedding space and dropping, within each cluster, every vector with
+    * a LOWER-id cluster member at cosine >= `threshold` (the
+    * deterministic keep-first form of the paper's one-representative-per-
+    * ε-group rule; the min-id survivor is the cluster group's canonical
+    * row, mirroring [[Dedup.dropNearDups]]). Returns the surviving rows
+    * with their cluster id.
+    *
+    * Shape at 100 TB: cluster assignment is a narrow broadcast-centroid
+    * projection ([[ivfIndexDeterministic]]); the quadratic cosine scoring
+    * is CONFINED to same-cluster pairs — the whole point of clustering
+    * first (the paper's key observation: cross-cluster pairs are never
+    * semantic duplicates at sensible thresholds), with `nlist` sized so
+    * per-cluster lists stay bounded; the drop set comes back through one
+    * broadcast-able left-anti join. Deterministic end-to-end: data-point
+    * centroids, IEEE double cosine in array order — a SQL oracle replays
+    * the exact survivor set.
+    */
+  def semanticDedup(corpus: DataFrame, nlist: Int,
+      threshold: Double): DataFrame = {
+    val (_, assigned) = ivfIndexDeterministic(corpus, nlist)
+    val a = assigned.select(col("cid"), col("vec_id").as("id_a"),
+      col("embedding").as("va")).withColumn("na", norm(col("va")))
+    val b = assigned.select(col("cid"), col("vec_id").as("id_b"),
+      col("embedding").as("vb")).withColumn("nb", norm(col("vb")))
+    val dropped = a.join(b, Seq("cid"))
+      .where(col("id_a") < col("id_b"))
+      .where(dot(col("va"), col("vb")) / (col("na") * col("nb"))
+        >= threshold)
+      .select(col("id_b").as("vec_id"))
+      .distinct()
+    assigned.select(col("vec_id"), col("cid"))
+      .join(dropped, Seq("vec_id"), "left_anti")
+  }
 }

@@ -47,6 +47,13 @@ object TrainingOps {
        |      + strpos('0123456789abcdef', substr(md5('$salt' || text), 4, 1)) - 1)
        |      / 65536.0""".stripMargin
 
+  /** DuckDB mirror of the 8-hex-digit md5 prefix as an int64 (the
+    * [[graft.ops.Sketch.bucket]] / Bloom-position convention).
+    */
+  private def hex8Sql(x: String): String = (1 to 8)
+    .map(i => s"(strpos('0123456789abcdef', substr($x, $i, 1)) - 1)")
+    .reduceLeft((a, b) => s"($a * 16 + $b)")
+
   private def shinglesSql(cond: String = "TRUE") =
     s"""toks AS (SELECT doc_id id, string_split(text, ' ') l FROM documents
       |          WHERE $cond AND len(string_split(text, ' ')) >= 3),
@@ -1683,5 +1690,106 @@ object TrainingOps {
              |  CAST(n_hits AS DOUBLE) / n_grams AS hit_frac
              |FROM h JOIN n USING (doc_id)
              |WHERE n_hits >= 1 ORDER BY doc_id""".stripMargin)),
+
+    // q89's fixture through the Bloom-filter path: same benchmark split,
+    // the eval grams folded into a 2^20-bit / 5-hash filter (128 KiB
+    // broadcast regardless of benchmark size). Deterministic md5 positions
+    // — DuckDB rebuilds the identical bit array and replays the hit set,
+    // false positives included.
+    QueryDef("q113_decontaminate_bloom",
+      (s, d) => Curation.decontaminateBloom(
+          table(s, d, "documents").where(col("doc_id") % 100 =!= 0),
+          table(s, d, "documents").where(col("doc_id") % 100 === 0),
+          n = 5, numBits = 1 << 20, numHashes = 5)
+        .orderBy("doc_id"),
+      Some {
+        val pos = hex8Sql("md5(CAST(h AS VARCHAR) || ':' || gram)") +
+          " % 1048576"
+        s"""WITH g AS (SELECT doc_id, UNNEST(list_distinct(
+           |      [array_to_string(t[i:i+4], ' ')
+           |       FOR i IN generate_series(1, len(t) - 4)])) AS gram
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS t
+           |        FROM documents
+           |        WHERE len(string_split(text, ' ')) >= 5) s),
+           |e AS (SELECT DISTINCT gram FROM g WHERE doc_id % 100 = 0),
+           |w AS (SELECT pos // 32 AS widx,
+           |    bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS word
+           |  FROM (SELECT $pos AS pos
+           |        FROM e, UNNEST(generate_series(0, 4)) s(h)) t
+           |  GROUP BY 1),
+           |c AS (SELECT doc_id, gram FROM g WHERE doc_id % 100 <> 0),
+           |n AS (SELECT doc_id, COUNT(*) AS n_grams FROM c GROUP BY 1),
+           |cp AS (SELECT doc_id, gram, $pos AS pos
+           |  FROM c, UNNEST(generate_series(0, 4)) s(h)),
+           |cb AS (SELECT doc_id, gram, COUNT(*) FILTER (
+           |    ((coalesce(word, 0) >> CAST(pos % 32 AS INT)) & 1) = 1)
+           |    AS nset
+           |  FROM cp LEFT JOIN w ON cp.pos // 32 = w.widx GROUP BY 1, 2),
+           |h AS (SELECT doc_id, COUNT(*) AS n_hits FROM cb
+           |  WHERE nset = 5 GROUP BY 1)
+           |SELECT doc_id, n_hits,
+           |  CAST(n_hits AS DOUBLE) / n_grams AS hit_frac
+           |FROM h JOIN n USING (doc_id)
+           |WHERE n_hits >= 1 ORDER BY doc_id""".stripMargin
+      }),
+
+    // Sub-document duplicate-substring spans (Lee et al. 2022 in the
+    // distributable gram-marking form): every maximal token run covered by
+    // corpus-repeated 5-grams, with 1-based inclusive bounds.
+    QueryDef("q114_duplicate_spans",
+      (s, d) => Dedup.duplicateSpans(table(s, d, "documents"), k = 5)
+        .orderBy("doc_id", "start_tok"),
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+             |  FROM documents WHERE len(string_split(text, ' ')) >= 5),
+             |g AS (SELECT doc_id, i AS pos,
+             |    md5(array_to_string(t[i:i+4], ' ')) AS gh
+             |  FROM d, UNNEST(generate_series(1, len(t) - 4)) s(i)),
+             |c AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) >= 2),
+             |m AS (SELECT doc_id, pos FROM g JOIN c USING (gh)),
+             |b AS (SELECT doc_id, pos, CASE WHEN pos - LAG(pos) OVER (
+             |    PARTITION BY doc_id ORDER BY pos) > 5 THEN 1 ELSE 0 END
+             |    AS brk FROM m),
+             |i AS (SELECT doc_id, pos, SUM(brk) OVER (
+             |    PARTITION BY doc_id ORDER BY pos) AS island FROM b)
+             |SELECT doc_id, MIN(pos) AS start_tok, MAX(pos) + 4 AS end_tok,
+             |  COUNT(*) AS n_dup_grams
+             |FROM i GROUP BY doc_id, island
+             |ORDER BY doc_id, start_tok""".stripMargin)),
+
+    // SemDeDup over the embeddings: deterministic 8-list coarse clustering,
+    // then within-cluster cosine >= 0.3 drops the higher id; survivors
+    // with their cluster. The oracle rebuilds the identical index and
+    // replays the exact survivor set. Fixed-id gate (q44's pattern): the
+    // oracle's correlated-subquery cosines stay constant-cost at any SF
+    // while covering exactly the original rows; the operator itself is
+    // ungated (cluster-confined quadratic — see the scaladoc).
+    QueryDef("q115_semantic_dedup",
+      (s, d) => Similarity.semanticDedup(
+          table(s, d, "embeddings").where(col("vec_id") < 4000),
+          nlist = 8, threshold = 0.3)
+        .orderBy("vec_id"),
+      Some(s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings
+              |  WHERE vec_id < 4000),
+              |cents AS (
+              |  SELECT CAST(rn - 1 AS INT) AS cid, embedding FROM (
+              |    SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS rn,
+              |      embedding FROM emb) t
+              |  WHERE rn <= 8),
+              |assign AS (
+              |  SELECT vec_id, embedding, cid FROM (
+              |    SELECT e.vec_id, e.embedding, c.cid,
+              |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+              |        ${dot64.format("e", "c")} /
+              |          (SQRT(${norm2("e")}) * SQRT(${norm2("c")})) DESC,
+              |        c.cid ASC) AS ark
+              |    FROM emb e CROSS JOIN cents c) t WHERE ark = 1),
+              |dropped AS (SELECT DISTINCT b.vec_id
+              |  FROM assign a JOIN assign b
+              |    ON a.cid = b.cid AND a.vec_id < b.vec_id
+              |  WHERE ${dot64.format("a", "b")} /
+              |    (SQRT(${norm2("a")}) * SQRT(${norm2("b")})) >= 0.3)
+              |SELECT vec_id, cid FROM assign
+              |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+              |ORDER BY vec_id""".stripMargin)),
   )
 }

@@ -490,6 +490,86 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(out(3L) == 5L) // all five eval 5-grams appear
   }
 
+  test("bloom decontamination can only overcount the exact hit set") {
+    val s2 = spark; import s2.implicits._
+    val eval = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "intro text then the quick brown fox jumps here"),
+      (2L, "quick brown dog sleeps all day long"),
+      (3L, "the quick brown fox jumps over the lazy dog end"))
+      .toDF("doc_id", "text")
+    val exact = Curation.decontaminate(corpus, eval, n = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // roomy filter: kn/m is tiny, so the deterministic hit set IS exact's
+    val roomy = Curation.decontaminateBloom(corpus, eval, n = 5,
+      numBits = 1 << 20, numHashes = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(roomy == exact)
+    // saturated filter: false positives may appear, but NEVER false
+    // negatives — every true eval gram has all its bits set by build
+    val tight = Curation.decontaminateBloom(corpus, eval, n = 5,
+      numBits = 256, numHashes = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    exact.foreach { case (doc, n) =>
+      assert(tight.contains(doc) && tight(doc) >= n,
+        s"doc $doc: bloom ${tight.get(doc)} undercounts exact $n")
+    }
+  }
+
+  test("duplicate spans mark exactly the corpus-repeated k-token runs") {
+    val s2 = spark; import s2.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta unique1 tail1 end1"),
+      (2L, "head2 alpha beta gamma delta epsilon zeta eta other2 end2"),
+      (3L, "solo tokens nothing shared here at all ok fine yes"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(docs, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // the shared 7-token run yields ONE merged span per doc covering it
+    assert(spans.toSet == Set((1L, 1L, 7L, 3L), (2L, 2L, 8L, 3L)))
+
+    // within-document repetition counts; coverage-touching grams merge
+    // (gap == k), distant repeats stay separate spans (gap > k)
+    val rep = Seq(
+      (10L, "p q r s t p q r s t"),
+      (11L, "one two three four five x y z w one two three four five"))
+      .toDF("doc_id", "text")
+    val repSpans = Dedup.duplicateSpans(rep, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(repSpans.filter(_._1 == 10L).toSet == Set((10L, 1L, 10L)))
+    assert(repSpans.filter(_._1 == 11L).toSet ==
+      Set((11L, 1L, 5L), (11L, 10L, 14L)))
+
+    // shared runs shorter than k are invisible by construction
+    val short = Seq(
+      (20L, "only four shared tokens here plus unique padding one"),
+      (21L, "only four shared tokens differ completely after that two"))
+      .toDF("doc_id", "text")
+    assert(Dedup.duplicateSpans(short, k = 5).count() == 0L)
+  }
+
+  test("semantic dedup drops the higher id of a near-dup, keeps the rest") {
+    val s2 = spark; import s2.implicits._
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0f, 1f, 0f, 0f)),
+      (2L, Array(0.999f, 0.04f, 0f, 0f)), // same direction as vec 0
+      (3L, Array(0f, 0f, 1f, 0f)))        // orthogonal to everything
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(vecs, nlist = 2, threshold = 0.95)
+      .collect().map(_.getLong(0)).toSet
+    assert(out == Set(0L, 1L, 3L))
+
+    // survivors are monotone in the threshold (stricter similarity bar
+    // drops fewer rows) and never exceed the corpus
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val loose = Similarity.semanticDedup(emb, 8, 0.3).count()
+    val strict = Similarity.semanticDedup(emb, 8, 0.6).count()
+    assert(loose <= strict && strict <= emb.count())
+  }
+
   test("language id prefers the language whose stopwords appear") {
     val withThe = docs.where(col("text").contains(" the "))
     val preds = TextAnalysis.langId(withThe).collect()

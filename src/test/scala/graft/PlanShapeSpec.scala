@@ -167,6 +167,44 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("bloom decontamination keeps the corpus side join-free") {
+    val corpus = docs.where(col("doc_id") % 100 =!= 0)
+    val eval = docs.where(col("doc_id") % 100 === 0)
+    val p = plan(Curation.decontaminateBloom(corpus, eval, n = 5,
+      numBits = 1 << 20, numHashes = 5))
+    // the one-row filter arrives by broadcast and the membership probe is
+    // a projection — a SortMergeJoin would mean corpus grams are being
+    // shuffled against the benchmark side, which is exactly the shape the
+    // Bloom filter exists to remove
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("BroadcastExchange".r.findAllIn(p).size >= 1, p)
+    // ONE corpus-grain exchange (the per-doc hit count); the rest are
+    // benchmark-grain — eval gram distinct, word groupBy, one-row fold
+    assert(exchanges(Curation.decontaminateBloom(corpus, eval, n = 5,
+      numBits = 1 << 20, numHashes = 5)) <= 5)
+  }
+
+  test("duplicate spans: gram-grain shuffles only, join reuses the " +
+      "count aggregation's partitioning") {
+    val df = Dedup.duplicateSpans(docs, k = 5)
+    val p = plan(df)
+    // grams→count agg, grams→join side, per-doc window; the final
+    // (doc_id, island) aggregation is satisfied by the window's doc_id
+    // partitioning and the dup side arrives already hashed by gh from its
+    // aggregation — more exchanges means a branch re-shuffles gram rows
+    assert(exchanges(df) <= 4, p)
+  }
+
+  test("semantic dedup assigns clusters narrowly (broadcast centroids)") {
+    val df = Similarity.semanticDedup(emb, nlist = 4, threshold = 0.5)
+    val p = plan(df)
+    // centroid assignment must be a broadcast cross join (never a shuffle
+    // of the corpus against nlist rows); the only corpus-grain shuffles
+    // are the within-cluster pair join and the anti join
+    assert("BroadcastExchange".r.findAllIn(p).size >= 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("curate→chunk→pack composes into exactly two shuffles") {
     // cap = one lang-window exchange; the chunk explode must stay NARROW
     // between it and the pack windows (no exchange of its own); pack =
