@@ -255,4 +255,59 @@ object TextAnalysis {
           (log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))) + 1.0))
           .as("tfidf"))
   }
+
+  /** BM25 top-k retrieval — the ranked-search companion to [[tfidf]]:
+    * score(q, d) = Σ_{t ∈ q∩d} idf(t) · tf·(k1+1) / (tf + k1·(1 − b +
+    * b·dl/avgdl)) with the Robertson/Sparck-Jones idf in its
+    * always-positive form ln(1 + (N − df + ½)/(df + ½)) (Lucene's
+    * convention). This is the retrieval pass a curation pipeline runs to
+    * FIND contamination and near-matches (free-text search against the
+    * corpus), where [[graft.ops.Curation.decontaminate]] only tests exact
+    * n-gram membership.
+    *
+    * Shape at 100 TB: the corpus pays ONE tokenize + one (doc, term)
+    * aggregation; everything downstream is gated to query-vocabulary
+    * terms by a broadcast semi-join BEFORE df/idf are computed (df over
+    * non-query terms is never built), so scoring cost follows the match
+    * set, not the corpus vocabulary. Per-(query, doc) scores fold the
+    * term weights in ascending-term order over a sorted collected list —
+    * bit-identical across engines regardless of partitioning, which is
+    * what lets ties rank identically everywhere (ties then break by
+    * doc_id).
+    */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .select(col("doc_id"), size(col("ts")).cast("double").as("dl"),
+        explode(col("ts")).as("term"))
+      .groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val qterms = queries
+      .select(col("query_id"),
+        explode(array_distinct(split(col("text"), " "))).as("term"))
+    val stats = docs.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(size(split(col("text"), " "))).as("avgdl"))
+    val posts = tf
+      .join(broadcast(qterms.select("term").distinct()), Seq("term"),
+        "left_semi")
+    val df = posts.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    posts
+      .join(broadcast(df), "term")
+      .join(broadcast(qterms), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("w",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))) *
+        (col("tf") * lit(k1 + 1.0)) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") /
+          col("avgdl"))))
+      .groupBy("query_id", "doc_id")
+      .agg(expr("aggregate(transform(array_sort(collect_list(" +
+        "struct(term, w))), s -> s.w), 0D, (a, v) -> a + v)").as("score"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("doc_id").asc)))
+      .where(col("rk") <= k)
+  }
 }

@@ -1791,5 +1791,61 @@ object TrainingOps {
               |SELECT vec_id, cid FROM assign
               |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
               |ORDER BY vec_id""".stripMargin)),
+
+    // BM25 retrieval: every 250th document's text is a free-text query
+    // against the whole corpus (self-retrieval makes the expected top hit
+    // obvious); scores fold term weights in ascending-term order, so the
+    // oracle replays them bit-for-bit via an ordered list_reduce. The
+    // query set carries the fixed-id gate (q44's pattern): the CORPUS
+    // side still scales with SF, but the oracle's scored-pair expansion
+    // is bounded by a fixed query count (ungated, the replay's
+    // query-vocabulary join OOMs DuckDB at sf1).
+    QueryDef("q116_bm25_search",
+      (s, d) => TextAnalysis.bm25TopK(
+          table(s, d, "documents"),
+          table(s, d, "documents")
+            .where(col("doc_id") % 250 === 0 && col("doc_id") < 100000)
+            .select(col("doc_id").as("query_id"), col("text")),
+          k = 5)
+        .select(col("query_id"), col("rk"), col("doc_id"),
+          round(col("score"), 5).as("score"))
+        .orderBy("query_id", "rk"),
+      // AS MATERIALIZED on every multiply-referenced CTE — the q98
+      // lesson: DuckDB's inlining planner re-evaluates the chain per
+      // reference and the un-pinned replay OOMs at sf1 (observed 85 GB;
+      // 52 s bounded with the pins)
+      Some("""WITH toks AS MATERIALIZED (SELECT doc_id,
+             |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl,
+             |    UNNEST(string_split(text, ' ')) AS term FROM documents),
+             |tf AS MATERIALIZED (SELECT doc_id, dl, term,
+             |    CAST(COUNT(*) AS DOUBLE) AS tf
+             |  FROM toks GROUP BY 1, 2, 3),
+             |qt AS MATERIALIZED (SELECT doc_id AS query_id,
+             |    UNNEST(list_distinct(string_split(text, ' '))) AS term
+             |  FROM documents
+             |  WHERE doc_id % 250 = 0 AND doc_id < 100000),
+             |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             |    AVG(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS avgdl
+             |  FROM documents),
+             |posts AS MATERIALIZED (SELECT * FROM tf
+             |  WHERE term IN (SELECT term FROM qt)),
+             |df AS MATERIALIZED (SELECT term, CAST(COUNT(*) AS DOUBLE)
+             |    AS df
+             |  FROM posts GROUP BY 1),
+             |w AS (SELECT q.query_id, p.doc_id, p.term,
+             |    ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+             |      (p.tf * 2.2) /
+             |      (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl)) AS w
+             |  FROM posts p JOIN df d USING (term) JOIN qt q USING (term)
+             |  CROSS JOIN stats s),
+             |sc AS (SELECT query_id, doc_id,
+             |    list_reduce(list(w ORDER BY term), (a, b) -> a + b)
+             |      AS score
+             |  FROM w GROUP BY 1, 2),
+             |r AS (SELECT query_id, doc_id, score, ROW_NUMBER() OVER (
+             |    PARTITION BY query_id ORDER BY score DESC, doc_id ASC)
+             |    AS rk FROM sc)
+             |SELECT query_id, rk, doc_id, ROUND(score, 5) AS score
+             |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin)),
   )
 }

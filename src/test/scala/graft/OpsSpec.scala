@@ -714,6 +714,44 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(nov(3L) == 1.0)                   // every bigram unique
   }
 
+  test("bm25 retrieves matching docs; rare terms dominate; self ranks " +
+      "near the top") {
+    val s2 = spark; import s2.implicits._
+    val corpus = Seq(
+      (1L, "apple banana cherry"),
+      (2L, "apple apple apple dog"),
+      (3L, "totally unrelated words here"))
+      .toDF("doc_id", "text")
+    val queries = Seq((10L, "apple banana")).toDF("query_id", "text")
+    val hits = TextAnalysis.bm25TopK(corpus, queries, k = 5).collect()
+      .sortBy(_.getAs[Int]("rk"))
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score"))
+    // zero-overlap docs never appear; the two-term match with the rare
+    // term (banana, df=1) outranks the term-stuffed single-term match
+    assert(hits.map(_._1).toSeq == Seq(1L, 2L))
+    assert(hits.forall(_._2 > 0.0))
+
+    // self-retrieval over the real corpus: a query drawn from the corpus
+    // retrieves itself near the top (matching every one of its own
+    // terms). Top-1 is NOT guaranteed — a shorter doc dense in the
+    // query's rare terms can legitimately outscore the longer source
+    // (BM25 length normalization); at sf0.01 one query ranks self 2nd
+    // behind exactly such a doc
+    val docs01 = spark.read
+      .parquet("/root/testdata/sf0.01/documents.parquet")
+    val q = docs01.where(col("doc_id") % 250 === 0)
+      .select(col("doc_id").as("query_id"), col("text"))
+    val top = TextAnalysis.bm25TopK(docs01, q, k = 5).collect()
+    val selfRank = top
+      .filter(r => r.getAs[Long]("doc_id") == r.getAs[Long]("query_id"))
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Int]("rk")).toMap
+    val queryIds = q.select("query_id").collect().map(_.getLong(0)).toSet
+    queryIds.foreach { qid =>
+      assert(selfRank.contains(qid) && selfRank(qid) <= 3,
+        s"query $qid self-rank ${selfRank.get(qid)} not in top 3")
+    }
+  }
+
   test("tfidf ranks a term higher in the doc where it is concentrated") {
     val s2 = spark; import s2.implicits._
     val corpus = Seq(

@@ -195,6 +195,18 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(exchanges(df) <= 4, p)
   }
 
+  test("bm25 gates the corpus to query vocabulary by broadcast, " +
+      "df/idf arrive broadcast too") {
+    val q = docs.limit(3)
+      .select(col("doc_id").as("query_id"), col("text"))
+    val p = plan(TextAnalysis.bm25TopK(docs, q, k = 5))
+    // the query-vocab semi-join, the df table, the query-terms join, and
+    // the one-row stats each arrive by broadcast; a SortMergeJoin would
+    // mean corpus-grain postings are shuffling against a tiny side
+    assert("BroadcastExchange".r.findAllIn(p).size >= 3, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("semantic dedup assigns clusters narrowly (broadcast centroids)") {
     val df = Similarity.semanticDedup(emb, nlist = 4, threshold = 0.5)
     val p = plan(df)
