@@ -127,4 +127,35 @@ object Sampling {
         floor((sum("n_tokens").over(w) - col("n_tokens")) / budgetTokens)
           .cast("long")))
   }
+
+  /** Cluster-balanced subsample over an embedding table: assign every
+    * vector to its nearest deterministic coarse centroid
+    * ([[Similarity.ivfIndexDeterministic]]), then keep at most
+    * `maxPerCluster` vectors per cluster, chosen in content-hash order.
+    * This is the embedding-space form of topic rebalancing: a web corpus
+    * is dominated by a few dense modes (boilerplate, SEO spam, one
+    * over-represented domain), and capping per semantic cluster flattens
+    * the mode distribution the way [[capPerKey]] flattens an explicit
+    * key — without needing labels.
+    *
+    * Deterministic end-to-end: data-point centroids, md5-ordered
+    * selection within each cluster (ties impossible — the tiebreak IS
+    * the unique vec_id), so a SQL oracle replays the exact survivor set.
+    *
+    * Shape at 100 TB: assignment is a narrow broadcast-centroid
+    * projection (no shuffle); the cap is ONE per-cluster window —
+    * bounded-size partitions when `nlist` is sized to the corpus, the
+    * same discipline as [[packShards]]' per-bucket windows.
+    */
+  def clusterBalancedSample(embeddings: DataFrame, nlist: Int,
+      maxPerCluster: Int): DataFrame = {
+    require(maxPerCluster > 0, s"maxPerCluster=$maxPerCluster must be positive")
+    val (_, assigned) = Similarity.ivfIndexDeterministic(embeddings, nlist)
+    val w = Window.partitionBy("cid")
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    assigned.select(col("vec_id"), col("cid"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= maxPerCluster)
+      .select(col("vec_id"), col("cid"))
+  }
 }

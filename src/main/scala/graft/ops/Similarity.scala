@@ -572,6 +572,37 @@ object Similarity {
       .where(col("cos") >= minCos)
   }
 
+  /** Hard-negative mining for contrastive / metric-learning training
+    * data: for each query vector, the top `k` most-cosine-similar corpus
+    * vectors carrying a DIFFERENT label — maximally confusable
+    * non-matches, which is exactly the negative set that makes a
+    * contrastive objective informative (random negatives are trivially
+    * separable). `queries` must be a subset projection of `corpus` with
+    * columns (vec_id, label, embedding).
+    *
+    * Shape at 100 TB: [[cosineTopK]]'s discipline — norms once per
+    * vector, the bounded query set broadcast, the corpus never shuffled;
+    * the label-inequality predicate rides the same broadcast
+    * nested-loop join that scores the pairs. For unbounded query sets,
+    * gate through [[lshBuckets]] / [[ivfTopK]] candidates first and
+    * re-rank the candidates with this.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame,
+      k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("label").as("q_label"), col("embedding").as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val c = corpus.withColumn("cn", norm(col("embedding")))
+    val scored = c.join(broadcast(q), col("label") =!= col("q_label"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("label").as("neg_label"),
+        (dot(col("qv"), col("embedding")) / (col("qn") * col("cn")))
+          .as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+  }
+
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication"): prune semantic
     * near-duplicates — paraphrases, boilerplate re-renderings, and

@@ -310,4 +310,122 @@ object TextAnalysis {
           .orderBy(col("score").desc, col("doc_id").asc)))
       .where(col("rk") <= k)
   }
+
+  /** CCNet-style n-gram LM quality scoring (Wenzek et al. 2020): score
+    * every document by its perplexity under an add-one-smoothed bigram
+    * language model trained on `refDocs` (a curated reference slice — the
+    * paper uses Wikipedia). Low perplexity ≈ fluent in-domain text; high
+    * perplexity flags boilerplate, non-language noise, and OCR garbage —
+    * the standard pretraining-corpus quality gate next to the heuristic
+    * ratios in [[quality]].
+    *
+    * Model: p(w₁) = (c₁(w₁)+1)/(N+V); p(wᵢ|wᵢ₋₁) =
+    * (c₂(wᵢ₋₁,wᵢ)+1)/(c₁(wᵢ₋₁)+V) with N = reference token count and V =
+    * reference vocabulary size. ppl = exp(−Σ ln p / n_tokens), the sum
+    * folded in token-position order over a sorted collected list —
+    * bit-identical across engines regardless of partitioning
+    * ([[bm25TopK]]'s convention), so a SQL oracle replays it exactly.
+    *
+    * Shape at 100 TB: the model is built from the BOUNDED reference slice
+    * and broadcast (unigram + bigram count maps — a curated LM corpus is
+    * orders of magnitude smaller than the corpus being scored); scoring
+    * is then one narrow pass over `docs`: tokenize, explode bigrams
+    * in-place (no self-join, no window — the previous token comes from
+    * the same array), three broadcast lookups, one per-doc aggregation.
+    */
+  def perplexity(docs: DataFrame, refDocs: DataFrame): DataFrame = {
+    val uni = refDocs
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c1"))
+    val refStats = uni.agg(
+      sum("c1").cast("double").as("ref_tokens"),
+      count(lit(1)).cast("double").as("vocab"))
+    val big = refDocs
+      .select(split(col("text"), " ").as("ts"))
+      .select(explode(expr(
+        "transform(sequence(2, size(ts)), i -> struct(" +
+          "element_at(ts, i - 1) AS prev, element_at(ts, i) AS cur))"))
+        .as("bg"))
+      .groupBy(col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+      .agg(count(lit(1)).as("c2"))
+    val toks = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .select(col("doc_id"), size(col("ts")).as("n_tokens"),
+        explode(expr(
+          "transform(sequence(1, size(ts)), i -> struct(i AS pos, " +
+            "CASE WHEN i = 1 THEN CAST(NULL AS STRING) " +
+            "ELSE element_at(ts, i - 1) END AS prev, " +
+            "element_at(ts, i) AS cur))")).as("t"))
+      .select(col("doc_id"), col("n_tokens"), col("t.pos").as("pos"),
+        col("t.prev").as("prev"), col("t.cur").as("cur"))
+    toks
+      .join(broadcast(big), Seq("prev", "cur"), "left")
+      .join(broadcast(uni.select(col("term").as("prev"),
+        col("c1").as("c_prev"))), Seq("prev"), "left")
+      .join(broadcast(uni.select(col("term").as("cur"),
+        col("c1").as("c_cur"))), Seq("cur"), "left")
+      .crossJoin(broadcast(refStats))
+      .withColumn("logp", when(col("pos") === 1,
+          log((coalesce(col("c_cur"), lit(0L)) + lit(1.0)) /
+            (col("ref_tokens") + col("vocab"))))
+        .otherwise(
+          log((coalesce(col("c2"), lit(0L)) + lit(1.0)) /
+            (coalesce(col("c_prev"), lit(0L)) + col("vocab")))))
+      .groupBy("doc_id", "n_tokens")
+      .agg(expr("aggregate(transform(array_sort(collect_list(" +
+        "struct(pos, logp))), s -> s.logp), 0D, (a, v) -> a + v)")
+        .as("sum_logp"))
+      .select(col("doc_id"), col("n_tokens"),
+        exp(-col("sum_logp") / col("n_tokens")).as("ppl"))
+  }
+
+  /** Hybrid retrieval by reciprocal-rank fusion (Cormack et al. 2009):
+    * fuse [[bm25TopK]]'s term-weighted ranking with a token-set Jaccard
+    * ranking of the same queries — rrf(q,d) = Σ_systems 1/(`rrfK` + rank),
+    * absent-from-a-list contributing 0 — and return the top `k` by fused
+    * score. RRF needs no score calibration between systems (only ranks),
+    * which is why it is the standard fusion for lexical + secondary
+    * signals in retrieval-augmented curation.
+    *
+    * Determinism: both input rankings break ties by doc_id; the fused
+    * score is a two-term sum of exact-rank reciprocals, so equal-rrf ties
+    * (common — rrf's value set is tiny) again break by doc_id. A SQL
+    * oracle replays both rankings and the fusion exactly.
+    *
+    * Shape at 100 TB: both rankers share the gating discipline — corpus
+    * tokenization is one scan each, candidate scoring is confined to
+    * query-term matches via broadcast semi-joins, and the fusion itself
+    * is a full-outer join of two ≤(|Q|·`kInner`)-row relations: driver-
+    * bounded, never corpus-bounded.
+    */
+  def hybridTopK(docs: DataFrame, queries: DataFrame, k: Int,
+      kInner: Int = 20, rrfK: Int = 60): DataFrame = {
+    val bm = bm25TopK(docs, queries, kInner)
+      .select(col("query_id"), col("doc_id"), col("rk").as("rk_bm25"))
+    val dterms = docs.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("term"))
+    val qterms = queries.select(col("query_id"),
+      explode(array_distinct(split(col("text"), " "))).as("term"))
+    val dsize = dterms.groupBy("doc_id").agg(count(lit(1)).as("d_n"))
+    val qsize = qterms.groupBy("query_id").agg(count(lit(1)).as("q_n"))
+    val jac = dterms.join(broadcast(qterms), "term")
+      .groupBy("query_id", "doc_id").agg(count(lit(1)).as("n_common"))
+      .join(dsize, "doc_id")
+      .join(broadcast(qsize), "query_id")
+      .withColumn("jaccard", col("n_common") /
+        (col("d_n") + col("q_n") - col("n_common")))
+      .withColumn("rk_jac", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("jaccard").desc, col("doc_id").asc)))
+      .where(col("rk_jac") <= kInner)
+      .select(col("query_id"), col("doc_id"), col("rk_jac"))
+    bm.join(jac, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(rrfK) + col("rk_bm25")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(rrfK) + col("rk_jac")), lit(0.0)))
+      .withColumn("rk", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("rrf").desc, col("doc_id").asc)))
+      .where(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("doc_id"), col("rrf"))
+  }
 }

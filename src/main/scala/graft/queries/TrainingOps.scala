@@ -1847,5 +1847,186 @@ object TrainingOps {
              |    AS rk FROM sc)
              |SELECT query_id, rk, doc_id, ROUND(score, 5) AS score
              |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin)),
+
+    // CCNet-style perplexity quality gate: every 10th document is the
+    // curated reference slice, the add-one bigram LM it trains scores the
+    // other 90%. The per-doc log-prob sum folds in token-position order
+    // (the q116 ordered-fold convention), so the oracle replays it
+    // bit-for-bit.
+    QueryDef("q117_lm_perplexity",
+      (s, d) => TextAnalysis.perplexity(
+          table(s, d, "documents").where(col("doc_id") % 10 =!= 0),
+          table(s, d, "documents").where(col("doc_id") % 10 === 0))
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          round(col("ppl"), 5).as("ppl"))
+        .orderBy("doc_id"),
+      Some("""WITH refu AS MATERIALIZED (SELECT
+             |    UNNEST(string_split(text, ' ')) AS term
+             |  FROM documents WHERE doc_id % 10 = 0),
+             |uni AS MATERIALIZED (SELECT term,
+             |    CAST(COUNT(*) AS BIGINT) AS c1 FROM refu GROUP BY 1),
+             |stats AS (SELECT CAST(SUM(c1) AS DOUBLE) AS ref_tokens,
+             |    CAST(COUNT(*) AS DOUBLE) AS vocab FROM uni),
+             |refb AS (SELECT t[i] AS prev, t[i+1] AS cur
+             |  FROM (SELECT string_split(text, ' ') AS t FROM documents
+             |        WHERE doc_id % 10 = 0) s,
+             |       UNNEST(generate_series(1, len(t) - 1)) g(i)),
+             |big AS MATERIALIZED (SELECT prev, cur,
+             |    CAST(COUNT(*) AS BIGINT) AS c2 FROM refb GROUP BY 1, 2),
+             |toks AS MATERIALIZED (SELECT doc_id, len(t) AS n_tokens,
+             |    i AS pos, CASE WHEN i = 1 THEN NULL ELSE t[i-1] END AS prev,
+             |    t[i] AS cur
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS t
+             |        FROM documents WHERE doc_id % 10 <> 0) s,
+             |       UNNEST(generate_series(1, len(t))) g(i)),
+             |lp AS (SELECT t.doc_id, t.n_tokens, t.pos,
+             |    CASE WHEN t.pos = 1 THEN
+             |      ln((COALESCE(u2.c1, 0) + CAST(1 AS DOUBLE)) /
+             |         (s.ref_tokens + s.vocab))
+             |    ELSE
+             |      ln((COALESCE(b.c2, 0) + CAST(1 AS DOUBLE)) /
+             |         (COALESCE(u1.c1, 0) + s.vocab)) END AS logp
+             |  FROM toks t
+             |  LEFT JOIN big b ON t.prev = b.prev AND t.cur = b.cur
+             |  LEFT JOIN uni u1 ON t.prev = u1.term
+             |  LEFT JOIN uni u2 ON t.cur = u2.term
+             |  CROSS JOIN stats s),
+             |agg AS (SELECT doc_id, n_tokens,
+             |    list_reduce(list(logp ORDER BY pos), (a, b) -> a + b)
+             |      AS sum_logp
+             |  FROM lp GROUP BY 1, 2)
+             |SELECT doc_id, n_tokens,
+             |  ROUND(exp(-sum_logp / n_tokens), 5) AS ppl
+             |FROM agg ORDER BY doc_id""".stripMargin)),
+
+    // Reciprocal-rank fusion of BM25 and token-set Jaccard rankings over
+    // q116's query set (same fixed-id gate, same MATERIALIZED pins — the
+    // corpus side scales, the scored expansion is query-bounded). Equal
+    // rrf ties (its value set is tiny) break by doc_id on both sides.
+    QueryDef("q118_hybrid_rrf",
+      (s, d) => TextAnalysis.hybridTopK(
+          table(s, d, "documents"),
+          table(s, d, "documents")
+            .where(col("doc_id") % 250 === 0 && col("doc_id") < 100000)
+            .select(col("doc_id").as("query_id"), col("text")),
+          k = 5, kInner = 20)
+        .select(col("query_id"), col("rk"), col("doc_id"),
+          round(col("rrf"), 6).as("rrf"))
+        .orderBy("query_id", "rk"),
+      Some("""WITH toks AS MATERIALIZED (SELECT doc_id,
+             |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl,
+             |    UNNEST(string_split(text, ' ')) AS term FROM documents),
+             |tf AS MATERIALIZED (SELECT doc_id, dl, term,
+             |    CAST(COUNT(*) AS DOUBLE) AS tf
+             |  FROM toks GROUP BY 1, 2, 3),
+             |qt AS MATERIALIZED (SELECT doc_id AS query_id,
+             |    UNNEST(list_distinct(string_split(text, ' '))) AS term
+             |  FROM documents
+             |  WHERE doc_id % 250 = 0 AND doc_id < 100000),
+             |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             |    AVG(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS avgdl
+             |  FROM documents),
+             |posts AS MATERIALIZED (SELECT * FROM tf
+             |  WHERE term IN (SELECT term FROM qt)),
+             |df AS MATERIALIZED (SELECT term, CAST(COUNT(*) AS DOUBLE)
+             |    AS df
+             |  FROM posts GROUP BY 1),
+             |w AS (SELECT q.query_id, p.doc_id, p.term,
+             |    ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+             |      (p.tf * 2.2) /
+             |      (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl)) AS w
+             |  FROM posts p JOIN df d USING (term) JOIN qt q USING (term)
+             |  CROSS JOIN stats s),
+             |sc AS (SELECT query_id, doc_id,
+             |    list_reduce(list(w ORDER BY term), (a, b) -> a + b)
+             |      AS score
+             |  FROM w GROUP BY 1, 2),
+             |bmk AS MATERIALIZED (SELECT query_id, doc_id, rk FROM (
+             |    SELECT query_id, doc_id, ROW_NUMBER() OVER (
+             |      PARTITION BY query_id ORDER BY score DESC, doc_id ASC)
+             |      AS rk FROM sc) t
+             |  WHERE rk <= 20),
+             |dn AS MATERIALIZED (SELECT doc_id, COUNT(*) AS d_n FROM tf
+             |  GROUP BY 1),
+             |qn AS (SELECT query_id, COUNT(*) AS q_n FROM qt GROUP BY 1),
+             |inter AS (SELECT q.query_id, p.doc_id, COUNT(*) AS n_common
+             |  FROM posts p JOIN qt q USING (term) GROUP BY 1, 2),
+             |jac AS MATERIALIZED (SELECT query_id, doc_id, rk_jac FROM (
+             |    SELECT query_id, doc_id, ROW_NUMBER() OVER (
+             |      PARTITION BY query_id ORDER BY
+             |        CAST(n_common AS DOUBLE) / (d_n + q_n - n_common)
+             |          DESC, doc_id ASC) AS rk_jac
+             |    FROM inter JOIN dn USING (doc_id) JOIN qn
+             |      USING (query_id)) t
+             |  WHERE rk_jac <= 20),
+             |f AS (SELECT COALESCE(b.query_id, j.query_id) AS query_id,
+             |    COALESCE(b.doc_id, j.doc_id) AS doc_id,
+             |    COALESCE(CAST(1 AS DOUBLE) / (60 + b.rk), 0) +
+             |    COALESCE(CAST(1 AS DOUBLE) / (60 + j.rk_jac), 0) AS rrf
+             |  FROM bmk b FULL OUTER JOIN jac j
+             |    ON b.query_id = j.query_id AND b.doc_id = j.doc_id),
+             |r AS (SELECT query_id, doc_id, rrf, ROW_NUMBER() OVER (
+             |    PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC)
+             |    AS rk FROM f)
+             |SELECT query_id, rk, doc_id, ROUND(rrf, 6) AS rrf
+             |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin)),
+
+    // Hard-negative mining: q45's query gate, but candidates are confined
+    // to DIFFERENT-label vectors — the maximally confusable non-matches a
+    // contrastive objective trains against.
+    QueryDef("q119_hard_negatives",
+      (s, d) => {
+        val emb = table(s, d, "embeddings")
+        Similarity.hardNegatives(emb, emb.where(col("vec_id") % 50 === 0),
+            k = 10)
+          .select(col("query_id"), col("rk"), col("neighbor_id"),
+            col("neg_label"), round(col("cos"), 5).as("cos"))
+          .orderBy("query_id", "rk")
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS query_id, label AS q_label,
+              |    embedding FROM embeddings WHERE vec_id % 50 = 0),
+              |scored AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+              |    e.label AS neg_label,
+              |    ${dot64.format("q", "e")} /
+              |      (SQRT(${norm2("q")}) * SQRT(${norm2("e")})) AS cos
+              |  FROM embeddings e JOIN q ON e.label <> q.q_label),
+              |r AS (SELECT query_id, neighbor_id, neg_label, cos,
+              |    ROW_NUMBER() OVER (PARTITION BY query_id
+              |      ORDER BY cos DESC, neighbor_id ASC) AS rk
+              |  FROM scored)
+              |SELECT query_id, rk, neighbor_id, neg_label,
+              |  ROUND(cos, 5) AS cos
+              |FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)),
+
+    // Cluster-balanced subsample: q115's deterministic coarse index
+    // (same fixed-id gate — the oracle's assignment cross join stays
+    // constant-cost at any SF), nlist=16, at most 25 survivors per
+    // cluster in md5(vec_id) order.
+    QueryDef("q120_cluster_balanced",
+      (s, d) => Sampling.clusterBalancedSample(
+          table(s, d, "embeddings").where(col("vec_id") < 4000),
+          nlist = 16, maxPerCluster = 25)
+        .orderBy("vec_id"),
+      Some(s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings
+              |  WHERE vec_id < 4000),
+              |cents AS (
+              |  SELECT CAST(rn - 1 AS INT) AS cid, embedding FROM (
+              |    SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS rn,
+              |      embedding FROM emb) t
+              |  WHERE rn <= 16),
+              |assign AS (
+              |  SELECT vec_id, cid FROM (
+              |    SELECT e.vec_id, c.cid,
+              |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+              |        ${dot64.format("e", "c")} /
+              |          (SQRT(${norm2("e")}) * SQRT(${norm2("c")})) DESC,
+              |        c.cid ASC) AS ark
+              |    FROM emb e CROSS JOIN cents c) t WHERE ark = 1),
+              |sel AS (SELECT vec_id, cid, ROW_NUMBER() OVER (
+              |    PARTITION BY cid
+              |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+              |  FROM assign)
+              |SELECT vec_id, cid FROM sel WHERE rn <= 25
+              |ORDER BY vec_id""".stripMargin)),
   )
 }

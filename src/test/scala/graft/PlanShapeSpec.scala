@@ -207,6 +207,48 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("perplexity broadcasts the LM; the scored corpus never shuffles " +
+      "against it") {
+    val ref = docs.where(col("doc_id") % 10 === 0)
+    val p = plan(TextAnalysis.perplexity(
+      docs.where(col("doc_id") % 10 =!= 0), ref))
+    // bigram counts, two unigram lookups, and the one-row stats all
+    // arrive broadcast — the scored corpus's only shuffle is its own
+    // per-doc aggregation; a SortMergeJoin would mean token-grain rows
+    // shuffling against the bounded reference model
+    assert("BroadcastExchange".r.findAllIn(p).size >= 4, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("hybrid RRF's fusion join is rank-grain, not corpus-grain") {
+    val q = docs.limit(3).select(col("doc_id").as("query_id"), col("text"))
+    val p = plan(TextAnalysis.hybridTopK(docs, q, k = 5))
+    // both rankers keep bm25's broadcast gating; the full-outer fusion
+    // joins two ≤|Q|·kInner relations — nothing corpus-grain may
+    // cartesian
+    assert("BroadcastExchange".r.findAllIn(p).size >= 4, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("hard negatives broadcast the query set (cosineTopK discipline)") {
+    val p = plan(Similarity.hardNegatives(emb,
+      emb.where(col("vec_id") % 50 === 0), k = 5))
+    assert("BroadcastExchange".r.findAllIn(p).size >= 1, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("cluster-balanced sample: broadcast assignment + ONE cap window " +
+      "shuffle") {
+    val df = Sampling.clusterBalancedSample(emb, nlist = 8,
+      maxPerCluster = 10)
+    val p = plan(df)
+    assert(!p.contains("SortMergeJoin"), p)
+    // corpus-grain hash exchanges: the assignment window (per vec_id)
+    // and the per-cluster cap window — no third corpus rewrite
+    val hashEx = "(?i)exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx <= 2, p)
+  }
+
   test("semantic dedup assigns clusters narrowly (broadcast centroids)") {
     val df = Similarity.semanticDedup(emb, nlist = 4, threshold = 0.5)
     val p = plan(df)
