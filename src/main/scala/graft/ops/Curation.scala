@@ -227,23 +227,43 @@ object Curation {
     * md5-portable convention as [[Sketch.bucket]], so any engine with md5
     * replays the filter bit-for-bit.
     */
+  /** Bloom bit position `h` for a value: hex digits [h·6+1, h·6+6] of ONE
+    * md5 digest, mod `numBits` — the digest-chunking form of
+    * Kirsch–Mitzenmacher double hashing (one hash evaluation feeds all k
+    * probe positions; md5's bits are uniform, so 24-bit chunks are
+    * independent enough for the Bloom bound). One md5 per value instead
+    * of one per (value, h): at `numHashes` = 5 that is 5× less hashing on
+    * the corpus-side probe, which IS the probe's dominant cost (Spark's
+    * subexpression elimination shares the digest across the positions).
+    * Requires `(h+1)·6 <= 32` hex chars, i.e. numHashes <= 5.
+    */
   private def bloomPos(c: Column, h: Int, numBits: Int): Column =
-    pmod(conv(substring(md5(concat(lit(s"$h:"), c)), 1, 8), 16, 10)
+    pmod(conv(substring(md5(c), h * 6 + 1, 6), 16, 10)
       .cast("long"), lit(numBits.toLong))
 
-  /** Bloom filter over `valueCol` as ONE row holding a word-indexed map
-    * (`numBits/32` entries at most): each value sets `numHashes` bits,
-    * positions per [[bloomPos]], packed 32 bits per 64-bit word with
-    * `bit_or` — the half-word packing keeps every shift <= 31, which both
-    * Java's wrapping and SQL engines' overflow-checked `<<` agree on (a
-    * shift into bit 63 would wrap to the sign bit on the JVM and be
-    * rejected as overflow by e.g. DuckDB). Build cost is two tiny
-    * aggregations over the value set; the result broadcasts at any corpus
-    * scale because its size is fixed by `numBits` (2^20 bits = 32 Ki
-    * words = 256 KiB), NOT by how many values went in.
+  /** Bloom filter over `valueCol` as ONE row holding a DENSE word array
+    * (`numBits/32` elements): each value sets `numHashes` bits, positions
+    * per [[bloomPos]], packed 32 bits per 64-bit word with `bit_or` — the
+    * half-word packing keeps every shift <= 31, which both Java's
+    * wrapping and SQL engines' overflow-checked `<<` agree on (a shift
+    * into bit 63 would wrap to the sign bit on the JVM and be rejected as
+    * overflow by e.g. DuckDB). The final one-row fold densifies the
+    * sparse (widx, word) set by walking `sequence(0, words-1)` against a
+    * word map, so the probe side's `element_at(bloom, widx + 1)` is a
+    * constant-time array index — NOT a map lookup, which Spark evaluates
+    * as a linear scan per probe and which made the corpus-side probe
+    * O(words) per gram (measured 42 s → 1.3 s at sf0.1 on q113).
+    * Densifying inside the fold (rather than unioning zero rows) keeps
+    * the build at exactly two tiny aggregations; the result broadcasts at
+    * any corpus scale because its size is fixed by `numBits` (2^20 bits =
+    * 32 Ki words = 256 KiB), NOT by how many values went in.
     */
   def bloomFilterOf(values: DataFrame, valueCol: String,
-      numBits: Int, numHashes: Int): DataFrame =
+      numBits: Int, numHashes: Int): DataFrame = {
+    require(numHashes >= 1 && numHashes * 6 <= 32,
+      s"numHashes=$numHashes must be in [1, 5]: positions are 6-hex-digit " +
+        "chunks of one 32-hex md5 digest")
+    val words = numBits / 32
     values
       .select(explode(array((0 until numHashes).map(h =>
         bloomPos(col(valueCol), h, numBits)): _*)).as("pos"))
@@ -251,7 +271,11 @@ object Curation {
       .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), " +
         "CAST(pos % 32 AS INT)))").as("word"))
       .agg(map_from_entries(collect_list(struct(col("widx"), col("word"))))
-        .as("bloom"))
+        .as("m"))
+      .select(expr(s"transform(sequence(0, ${words - 1}), i -> " +
+        "coalesce(try_element_at(m, CAST(i AS BIGINT)), " +
+        "CAST(0 AS BIGINT)))").as("bloom"))
+  }
 
   /** [[decontaminate]] with the benchmark gram set folded into a Bloom
     * filter — the 100 TB shape when the held-out suite is itself large
@@ -277,8 +301,8 @@ object Curation {
       .select(explode(distinctGrams(n)).as("gram"))
       .distinct()
     val bloom = bloomFilterOf(evalGrams, "gram", numBits, numHashes)
-    val member = expr("forall(ps, p -> (shiftright(coalesce(" +
-      "try_element_at(bloom, p div 32), CAST(0 AS BIGINT)), " +
+    val member = expr("forall(ps, p -> (shiftright(" +
+      "element_at(bloom, CAST(p div 32 AS INT) + 1), " +
       "CAST(p % 32 AS INT)) & 1) = 1)")
     corpusGrams(corpus, n)
       .crossJoin(broadcast(bloom))

@@ -439,4 +439,42 @@ object Dedup {
         count(lit(1)).as("n_dup_grams"))
       .select("doc_id", "start_tok", "end_tok", "n_dup_grams")
   }
+
+  /** Blocked fuzzy (edit-distance) join: all (left, right) pairs whose
+    * key strings are within Levenshtein distance `maxDist` — the
+    * entity-resolution join for titles, URLs, and short identifiers
+    * where token-level dedup is too coarse.
+    *
+    * Blocking makes it scale: `lev(a, b) <= d` implies
+    * `|len(a) − len(b)| <= d`, so with length buckets of width d+1 a
+    * matching pair's buckets differ by at most 1. The left side explodes
+    * to its own and both adjacent buckets (a fixed 3× inflation), the
+    * join is a plain equi-join on the bucket key, and the quadratic
+    * `levenshtein` evaluation runs only within length-blocks — never
+    * corpus × corpus. Exactly the banded-equi-join discipline of
+    * [[graft.ops.AsOf.rangeJoin]]. Completeness is by the length bound
+    * (no candidate is lost); each qualifying pair emerges exactly once
+    * (its left row explodes onto the right row's bucket once).
+    *
+    * Returns (left columns, right columns, dist). For a self-join, pass
+    * the same relation twice with distinct id column names and filter
+    * `id_l < id_r` on the result to drop self/mirror pairs.
+    */
+  def fuzzyJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, maxDist: Int): DataFrame = {
+    require(maxDist >= 0, s"maxDist=$maxDist must be >= 0")
+    val w = maxDist + 1
+    val l = left
+      .withColumn("lb", (length(col(leftKey)) / w).cast("long"))
+      .withColumn("blk", explode(array(col("lb") - 1, col("lb"),
+        col("lb") + 1)))
+      .drop("lb")
+    val r = right
+      .withColumn("blk", (length(col(rightKey)) / w).cast("long"))
+    l.join(r, "blk")
+      .where(abs(length(col(leftKey)) - length(col(rightKey))) <= maxDist)
+      .withColumn("dist", levenshtein(col(leftKey), col(rightKey)))
+      .where(col("dist") <= maxDist)
+      .drop("blk")
+  }
 }

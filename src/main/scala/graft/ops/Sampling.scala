@@ -128,6 +128,31 @@ object Sampling {
           .cast("long")))
   }
 
+  /** Deterministic mixture sampling: downsample each source to its
+    * target rate — the data-mixing pass that turns raw per-source corpus
+    * volumes into a training mixture (e.g. 100% curated reference, 25%
+    * web crawl). A source absent from `rates` is dropped entirely: the
+    * mixture is an explicit allowlist, so a new upstream source can never
+    * silently leak into a training run at full volume.
+    *
+    * Draws are content-hashed ([[hashUnit]], salt `"mix:"`): the same
+    * document keeps/drops identically on every run and engine, and exact
+    * duplicates sample identically. The bounded rates table arrives by
+    * broadcast; the corpus side is one narrow filter — no shuffle.
+    */
+  def mixtureSample(df: DataFrame, rates: Map[String, Double],
+      mixCol: String = "source", textCol: String = "text"): DataFrame = {
+    require(rates.nonEmpty, "rates must be non-empty")
+    require(rates.values.forall(r => r >= 0.0 && r <= 1.0),
+      s"rates must be in [0, 1]: $rates")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ratesDf = rates.toSeq.toDF(mixCol, "mix_rate")
+    df.join(broadcast(ratesDf), mixCol)
+      .where(hashUnit(col(textCol), "mix:") < col("mix_rate"))
+      .drop("mix_rate")
+  }
+
   /** Cluster-balanced subsample over an embedding table: assign every
     * vector to its nearest deterministic coarse centroid
     * ([[Similarity.ivfIndexDeterministic]]), then keep at most

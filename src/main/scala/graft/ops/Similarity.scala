@@ -572,6 +572,38 @@ object Similarity {
       .where(col("cos") >= minCos)
   }
 
+  /** Per-label mean embedding (class centroids): the pooled
+    * representation that backs nearest-class-mean classification,
+    * per-class drift monitoring, and chunk→document embedding pooling
+    * (group by doc instead of label). Sums run per dimension in vec_id
+    * order over a sorted collected list — bit-identical across engines
+    * and partitionings ([[graft.ops.TextAnalysis.bm25TopK]]'s ordered-
+    * fold convention) — then reassemble into an array in dimension order.
+    *
+    * Shape at 100 TB: vectors explode to (group, dim, value) rows — a
+    * d× narrow inflation — then ONE (group, dim) aggregation and one
+    * group-grain reassembly; per-partition state stays bounded (one
+    * (group, dim) cell at a time), unlike collecting whole vectors per
+    * group. The fold cost is the price of exact cross-engine replay;
+    * drop to float-sum `posexplode` + `avg` when bit-parity isn't
+    * needed.
+    */
+  def labelCentroids(corpus: DataFrame,
+      groupCol: String = "label"): DataFrame = {
+    val cells = corpus
+      .select(col(groupCol), col("vec_id"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+    val sums = cells.groupBy(col(groupCol), col("dim"))
+      .agg(expr("aggregate(transform(array_sort(collect_list(" +
+        "struct(vec_id, CAST(v AS DOUBLE) AS v))), s -> s.v), 0D, " +
+        "(a, x) -> a + x)").as("s"),
+        count(lit(1)).as("n"))
+    sums.groupBy(col(groupCol))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, " +
+        "s / n AS m))), c -> c.m)").as("centroid"),
+        max("n").as("n_members"))
+  }
+
   /** Hard-negative mining for contrastive / metric-learning training
     * data: for each query vector, the top `k` most-cosine-similar corpus
     * vectors carrying a DIFFERENT label — maximally confusable

@@ -379,6 +379,24 @@ object TextAnalysis {
         exp(-col("sum_logp") / col("n_tokens")).as("ppl"))
   }
 
+  /** Dataset-card report: the per-(source, language) summary a corpus
+    * release ships — document counts, token volume, and exact token-count
+    * quantiles at every rollup grain (per source+lang, per source, and
+    * the corpus total) in ONE aggregation pass. `ROLLUP` keeps the three
+    * grains in a single shuffle instead of three scans; exact
+    * `percentile` (not the sketch) because a dataset card is a published
+    * artifact — [[graft.queries]]' q99 covers the one-pass sketch tier
+    * for interactive use.
+    */
+  def datasetCard(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .rollup("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        round(expr("percentile(n_tokens, 0.5)"), 6).as("p50_tokens"),
+        round(expr("percentile(n_tokens, 0.9)"), 6).as("p90_tokens"))
+
   /** Hybrid retrieval by reciprocal-rank fusion (Cormack et al. 2009):
     * fuse [[bm25TopK]]'s term-weighted ranking with a token-set Jaccard
     * ranking of the same queries — rrf(q,d) = Σ_systems 1/(`rrfK` + rank),

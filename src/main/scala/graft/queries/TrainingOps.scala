@@ -1703,8 +1703,12 @@ object TrainingOps {
           n = 5, numBits = 1 << 20, numHashes = 5)
         .orderBy("doc_id"),
       Some {
-        val pos = hex8Sql("md5(CAST(h AS VARCHAR) || ':' || gram)") +
-          " % 1048576"
+        // digest-chunking double hashing: position h = hex digits
+        // [h*6+1, h*6+6] of ONE md5(gram), mod 2^20 (bloomPos's form)
+        val pos = "(" + (1 to 6)
+          .map(k => "(strpos('0123456789abcdef', substr(md5(gram), " +
+            s"CAST(h * 6 + $k AS INT), 1)) - 1)")
+          .reduceLeft((a, b) => s"($a * 16 + $b)") + ") % 1048576"
         s"""WITH g AS (SELECT doc_id, UNNEST(list_distinct(
            |      [array_to_string(t[i:i+4], ' ')
            |       FOR i IN generate_series(1, len(t) - 4)])) AS gram
@@ -2028,5 +2032,89 @@ object TrainingOps {
               |  FROM assign)
               |SELECT vec_id, cid FROM sel WHERE rn <= 25
               |ORDER BY vec_id""".stripMargin)),
+
+    // Training-mixture sampling: each source keeps its target share by a
+    // content-hash draw; sources off the allowlist (src5-src9) vanish.
+    QueryDef("q121_mixture_sample",
+      (s, d) => Sampling.mixtureSample(table(s, d, "documents"),
+          Map("src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5,
+            "src3" -> 0.25, "src4" -> 0.1))
+        .select("doc_id", "source")
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, source FROM documents d
+              |JOIN (VALUES ('src0', 1.0), ('src1', 0.75), ('src2', 0.5),
+              |             ('src3', 0.25), ('src4', 0.1)) r(source, rate)
+              |  USING (source)
+              |WHERE ${drawSql("mix:")} < rate
+              |ORDER BY doc_id""".stripMargin)),
+
+    // Dataset-card report: ROLLUP keeps per-(source, lang), per-source,
+    // and corpus-total grains in one aggregation; exact percentiles
+    // (q25's quantile_cont correspondence).
+    QueryDef("q122_dataset_card",
+      (s, d) => TextAnalysis.datasetCard(table(s, d, "documents"))
+        .select(coalesce(col("source"), lit("ALL")).as("source"),
+          coalesce(col("lang"), lit("ALL")).as("lang"),
+          col("n_docs"), col("total_tokens"),
+          col("p50_tokens"), col("p90_tokens"))
+        .orderBy("source", "lang"),
+      Some("""SELECT COALESCE(source, 'ALL') AS source,
+             |  COALESCE(lang, 'ALL') AS lang,
+             |  COUNT(*) AS n_docs,
+             |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+             |    AS total_tokens,
+             |  ROUND(quantile_cont(len(string_split(text, ' ')), 0.5), 6)
+             |    AS p50_tokens,
+             |  ROUND(quantile_cont(len(string_split(text, ' ')), 0.9), 6)
+             |    AS p90_tokens
+             |FROM documents GROUP BY ROLLUP (source, lang)
+             |ORDER BY source, lang""".stripMargin)),
+
+    // Class centroids by ordered per-dimension fold — the mean-pooling
+    // pass, grouped by label so the oracle's replay is bounded by the
+    // label count at any SF.
+    QueryDef("q123_label_centroids",
+      (s, d) => Similarity.labelCentroids(table(s, d, "embeddings"))
+        .select(col("label"),
+          expr("transform(centroid, x -> round(x, 6))").as("centroid"),
+          col("n_members"))
+        .orderBy("label"),
+      Some("""WITH cells AS (SELECT label, vec_id, g.i - 1 AS dim,
+             |    CAST(embedding[g.i] AS DOUBLE) AS v
+             |  FROM embeddings,
+             |       UNNEST(generate_series(1, len(embedding))) g(i)),
+             |sums AS (SELECT label, dim,
+             |    list_reduce(list(v ORDER BY vec_id), (a, b) -> a + b)
+             |      AS s, COUNT(*) AS n
+             |  FROM cells GROUP BY 1, 2)
+             |SELECT label,
+             |  list(ROUND(s / n, 6) ORDER BY dim) AS centroid,
+             |  MAX(n) AS n_members
+             |FROM sums GROUP BY label ORDER BY label""".stripMargin)),
+
+    // Blocked fuzzy join: near-identical 40-char prefixes within edit
+    // distance 3 (the planted near-dup pairs), fixed-id gate so the
+    // oracle's all-pairs levenshtein stays constant-cost at any SF —
+    // the operator itself blocks by length bucket instead.
+    QueryDef("q124_fuzzy_join",
+      (s, d) => {
+        val base = table(s, d, "documents").where(col("doc_id") < 1000)
+          .select(col("doc_id"), substring(col("text"), 1, 40).as("k"))
+        Dedup.fuzzyJoin(
+            base.select(col("doc_id").as("id_l"), col("k").as("k_l")),
+            base.select(col("doc_id").as("id_r"), col("k").as("k_r")),
+            "k_l", "k_r", maxDist = 3)
+          .where(col("id_l") < col("id_r"))
+          .select("id_l", "id_r", "dist")
+          .orderBy("id_l", "id_r")
+      },
+      Some("""WITH b AS (SELECT doc_id, substr(text, 1, 40) AS k
+             |  FROM documents WHERE doc_id < 1000)
+             |SELECT a.doc_id AS id_l, c.doc_id AS id_r,
+             |  levenshtein(a.k, c.k) AS dist
+             |FROM b a JOIN b c ON a.doc_id < c.doc_id
+             |WHERE abs(len(a.k) - len(c.k)) <= 3
+             |  AND levenshtein(a.k, c.k) <= 3
+             |ORDER BY 1, 2""".stripMargin)),
   )
 }

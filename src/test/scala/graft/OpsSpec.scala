@@ -1138,6 +1138,105 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(out(0).getAs[Double]("cos") > out(1).getAs[Double]("cos"))
   }
 
+  test("mixture sample keeps allowlisted sources near their rates and " +
+      "drops everything else") {
+    val docs01 = spark.read
+      .parquet("/root/testdata/sf0.01/documents.parquet")
+    val rates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.0)
+    val kept = Sampling.mixtureSample(docs01, rates)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs01.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // rate 1.0 keeps everything, rate 0.0 and off-allowlist keep nothing
+    assert(kept("src0") == totals("src0"))
+    assert(!kept.contains("src2"))
+    assert(kept.keySet.subsetOf(Set("src0", "src1")))
+    // rate 0.5 lands near half (content-hash draw, not exact)
+    val frac = kept("src1").toDouble / totals("src1")
+    assert(frac > 0.2 && frac < 0.8, s"src1 kept $frac")
+    // deterministic
+    val again = Sampling.mixtureSample(docs01, rates).count()
+    assert(again == kept.values.sum)
+  }
+
+  test("dataset card grains are consistent: per-lang rows sum to the " +
+      "source row, sources sum to the corpus total") {
+    val card = TextAnalysis.datasetCard(docs).collect()
+    def row(s: Option[String], l: Option[String]) = card.find(r =>
+      Option(r.getString(0)) == s && Option(r.getString(1)) == l).get
+    val total = row(None, None)
+    assert(total.getLong(2) == docs.count())
+    val perSource = card.filter(r => r.getString(0) != null &&
+      r.getString(1) == null)
+    assert(perSource.map(_.getLong(2)).sum == total.getLong(2))
+    assert(perSource.map(_.getLong(3)).sum == total.getLong(3))
+    val fine = card.filter(r => r.getString(0) != null &&
+      r.getString(1) != null)
+    perSource.foreach { sr =>
+      val mine = fine.filter(_.getString(0) == sr.getString(0))
+      assert(mine.map(_.getLong(2)).sum == sr.getLong(2))
+    }
+  }
+
+  test("label centroids equal the driver-computed per-label mean") {
+    val s2 = spark; import s2.implicits._
+    val vecs = Seq(
+      (0L, 0, Array(1f, 3f)), (1L, 0, Array(3f, 5f)),
+      (2L, 1, Array(2f, 2f)))
+      .toDF("vec_id", "label", "embedding")
+    val got = Similarity.labelCentroids(vecs).collect()
+      .map(r => r.getInt(0) -> ((r.getSeq[Double](1), r.getLong(2)))).toMap
+    assert(got(0)._1 == Seq(2.0, 4.0) && got(0)._2 == 2L)
+    assert(got(1)._1 == Seq(2.0, 2.0) && got(1)._2 == 1L)
+
+    // on the real vectors: centroid equals the naive avg to 1e-9 per dim
+    val emb01 = spark.read
+      .parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val fold = Similarity.labelCentroids(emb01).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    val naive = emb01
+      .select(col("label"), posexplode(col("embedding")).as(Seq("d", "v")))
+      .groupBy("label", "d").agg(avg("v").as("m"))
+      .collect().groupBy(_.getInt(0))
+      .map { case (l, rs) =>
+        l -> rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq }
+    fold.foreach { case (l, c) =>
+      c.zip(naive(l)).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-6, s"label $l: $a vs $b") }
+    }
+  }
+
+  test("blocked fuzzy join finds exactly the brute-force pair set") {
+    val s2 = spark; import s2.implicits._
+    val names = Seq((0L, "kitten"), (1L, "sitting"), (2L, "kitchen"),
+      (3L, "mitten"), (4L, "completely unrelated"), (5L, "kitten"))
+      .toDF("id", "k")
+    val l = names.select(col("id").as("id_l"), col("k").as("k_l"))
+    val r = names.select(col("id").as("id_r"), col("k").as("k_r"))
+    val blocked = Dedup.fuzzyJoin(l, r, "k_l", "k_r", maxDist = 3)
+      .where(col("id_l") < col("id_r"))
+      .select("id_l", "id_r", "dist").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+    // brute force over all pairs
+    val rows = names.collect().map(x => (x.getLong(0), x.getString(1)))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val brute = (for {
+      (ia, ka) <- rows; (ib, kb) <- rows if ia < ib
+      d = lev(ka, kb) if d <= 3
+    } yield (ia, ib, d)).toSet
+    assert(blocked == brute, s"blocked=$blocked brute=$brute")
+    assert(brute.contains((0L, 5L, 0))) // exact dup survives blocking
+    assert(brute.contains((0L, 3L, 1)))
+  }
+
   test("cluster-balanced sample caps every cluster and is deterministic") {
     val emb01 = spark.read
       .parquet("/root/testdata/sf0.01/embeddings.parquet")
