@@ -323,4 +323,43 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       .findAllIn(plan(merged)).size
     assert(hashEx == 1, plan(merged))
   }
+
+  test("mixture sample is a broadcast-gated narrow filter, no shuffle") {
+    val out = Sampling.mixtureSample(docs, Map("src0" -> 1.0, "src1" -> 0.5))
+    val p = plan(out)
+    // the rates table must arrive by broadcast and the corpus side must
+    // stay narrow — a hash exchange here would shuffle 100 TB to apply a
+    // 5-row allowlist
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert("(?i)exchange hashpartitioning".r.findAllIn(p).isEmpty, p)
+  }
+
+  test("dataset card is ONE rollup aggregation pass") {
+    val df = TextAnalysis.datasetCard(docs)
+    // Expand feeds a single partial+final aggregate: one hash exchange
+    // total; more would mean the three grains scan or shuffle separately
+    assert("(?i)exchange hashpartitioning".r.findAllIn(plan(df)).size == 1,
+      plan(df))
+  }
+
+  test("label centroids: (group, dim) agg + group reassembly only") {
+    val df = Similarity.labelCentroids(emb)
+    // one exchange per aggregation grain; a third means the exploded
+    // cell relation is being re-shuffled
+    assert("(?i)exchange hashpartitioning".r.findAllIn(plan(df)).size <= 2,
+      plan(df))
+  }
+
+  test("fuzzy join stays an equi-join on the length bucket") {
+    val l = docs.select(col("doc_id").as("id_l"),
+      substring(col("text"), 1, 30).as("k_l"))
+    val r = docs.select(col("doc_id").as("id_r"),
+      substring(col("text"), 1, 30).as("k_r"))
+    val p = plan(Dedup.fuzzyJoin(l, r, "k_l", "k_r", maxDist = 2))
+    // blocking exists precisely to avoid the quadratic plan: any nested-
+    // loop or cartesian join here means the levenshtein predicate is
+    // being evaluated corpus × corpus
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
