@@ -124,6 +124,16 @@ object Dedup {
     * near-dup detection feasible at 100 TB.
     */
   def minhashCandidates(docs: DataFrame, n: Int, numHashes: Int,
+      rowsPerBand: Int): DataFrame =
+    bucketPairs(minhashBandKeys(docs, n, numHashes, rowsPerBand),
+      Seq("band", "band_key")).distinct()
+
+  /** (id, band, band_key) rows for [[minhashCandidates]] /
+    * [[minhashCrossCandidates]]: signatures split into bands of
+    * `rowsPerBand` slots, each band keyed by the md5 of its slot-ordered
+    * "hh=minhash" parts.
+    */
+  private def minhashBandKeys(docs: DataFrame, n: Int, numHashes: Int,
       rowsPerBand: Int): DataFrame = {
     val numBands = (numHashes + rowsPerBand - 1) / rowsPerBand
     val bandCols = (0 until numBands).map { b =>
@@ -133,11 +143,34 @@ object Dedup {
       }
       struct(lit(b).as("band"), md5(concat_ws("|", parts: _*)).as("band_key"))
     }
-    val bandKeys = minhashSignatures(docs, n, numHashes)
+    minhashSignatures(docs, n, numHashes)
       .select(col("id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"),
         col("bk.band_key").as("band_key"))
-    bucketPairs(bandKeys, Seq("band", "band_key")).distinct()
+  }
+
+  /** Cross-corpus MinHash-LSH candidates: (corpus id, reference id) pairs
+    * sharing a band key — fuzzy decontamination. Where
+    * [[graft.ops.Curation.decontaminate]] tests EXACT n-gram membership
+    * against a held-out set, this surfaces NEAR-duplicate overlap (a
+    * benchmark item lightly paraphrased into the training corpus), which
+    * exact-gram screens structurally miss. Feed the candidates through
+    * [[jaccardPairs]]-style exact re-scoring when a similarity floor is
+    * needed.
+    *
+    * Shape at 100 TB: each side pays its own ONE signature aggregation;
+    * the reference side (a benchmark suite — bounded) broadcasts its band
+    * keys, so the corpus side is never shuffled against it; one distinct
+    * on the emitted pairs. No corpus × corpus and no corpus × reference
+    * quadratic step anywhere.
+    */
+  def minhashCrossCandidates(corpus: DataFrame, reference: DataFrame,
+      n: Int, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val cb = minhashBandKeys(corpus, n, numHashes, rowsPerBand)
+    val rb = minhashBandKeys(reference, n, numHashes, rowsPerBand)
+      .select(col("id").as("ref_id"), col("band"), col("band_key"))
+    cb.join(broadcast(rb), Seq("band", "band_key"))
+      .select(col("id"), col("ref_id")).distinct()
   }
 
   /** Signature width in bits: 15 md5 hex digits — the widest md5 prefix

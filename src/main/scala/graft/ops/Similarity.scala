@@ -604,6 +604,78 @@ object Similarity {
         max("n").as("n_members"))
   }
 
+  /** Nearest-class-mean classification: assign every corpus vector the
+    * label of its most-cosine-similar class centroid ([[labelCentroids]]
+    * over the `labeled` exemplar set). The standard cheap weak-labeler /
+    * taxonomy-assignment pass over an embedded corpus: no training beyond
+    * one mean per class, yet calibrated enough to route documents by
+    * topic at corpus scale. Ties break toward the smallest label via an
+    * order-inverting struct min — `min(struct(-cos, label))` picks max
+    * cosine then min label in ONE aggregate with map-side combine, so no
+    * per-vector window shuffle is needed.
+    *
+    * Shape at 100 TB: the bounded centroid table broadcasts; scoring is a
+    * narrow |labels|-way expansion per vector followed by one vec-grain
+    * aggregation. All dot/norm sums fold in array order (bit-identical
+    * across engines).
+    */
+  def classifyByCentroid(corpus: DataFrame, labeled: DataFrame,
+      groupCol: String = "label"): DataFrame = {
+    val cents = labelCentroids(labeled, groupCol)
+      .select(col(groupCol).as("pred"), col("centroid"))
+      .withColumn("cnorm", sqrt(aggregate(
+        transform(col("centroid"), c => c * c),
+        lit(0.0), (a, v) => a + v)))
+    corpus
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("vnorm", norm(col("embedding")))
+      .crossJoin(broadcast(cents))
+      .withColumn("cos", aggregate(
+        zip_with(col("embedding"), col("centroid"),
+          (x, c) => x.cast("double") * c),
+        lit(0.0), (a, v) => a + v) / (col("vnorm") * col("cnorm")))
+      .groupBy(col("vec_id"))
+      .agg(min(struct((-col("cos")).as("nc"), col("pred").as("pl"))).as("m"))
+      .select(col("vec_id"), col("m.pl").as("pred_label"),
+        (-col("m.nc")).as("cos"))
+  }
+
+  /** Deterministic ±1 sign for random-projection cell (k, d): +1 iff the
+    * first hex digit of md5("rp:k:d") is >= 8 — one fair md5 bit,
+    * replayable by any engine with md5 and computable driver-side so the
+    * projection matrix is a literal (no matrix-table join).
+    */
+  private def rpSign(k: Int, d: Int): Double = {
+    val dig = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"rp:$k:$d".getBytes("UTF-8"))
+    if (((dig(0) >> 4) & 0xf) >= 8) 1.0 else -1.0
+  }
+
+  /** Johnson–Lindenstrauss random projection: embed `dims`-dimensional
+    * vectors into `outDims` dimensions as `rp[k] = Σ_d v[d]·sign(k,d) /
+    * √outDims` with the deterministic ±1 matrix of [[rpSign]] (the
+    * Achlioptas 2003 database-friendly construction, density 1). Pairwise
+    * distances are preserved within the JL distortion bound in
+    * expectation, so ANN / clustering / near-dup stages can run on the
+    * reduced vectors at `outDims/dims` of the I/O and arithmetic — the
+    * standard pre-ANN pass when production embeddings are 768-wide.
+    *
+    * Purely NARROW: the matrix is `outDims` literal weight arrays folded
+    * per row in array order (bit-identical to the SQL oracle's replay);
+    * no shuffle, no join, one corpus pass at any scale.
+    */
+  def randomProject(corpus: DataFrame, outDims: Int, dims: Int): DataFrame = {
+    require(outDims >= 1 && dims >= 1, s"bad dims $outDims/$dims")
+    val scale = math.sqrt(outDims.toDouble)
+    val rp = array((0 until outDims).map { k =>
+      val signs = array((0 until dims).map(d => lit(rpSign(k, d))): _*)
+      aggregate(
+        zip_with(col("embedding"), signs, (x, s) => x.cast("double") * s),
+        lit(0.0), (a, v) => a + v) / scale
+    }: _*)
+    corpus.withColumn("rp", rp)
+  }
+
   /** Hard-negative mining for contrastive / metric-learning training
     * data: for each query vector, the top `k` most-cosine-similar corpus
     * vectors carrying a DIFFERENT label — maximally confusable

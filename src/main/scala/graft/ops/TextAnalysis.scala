@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -446,4 +446,91 @@ object TextAnalysis {
       .where(col("rk") <= k)
       .select(col("query_id"), col("rk"), col("doc_id"), col("rrf"))
   }
+
+  /** A word as its character-symbol array — the BPE start state. */
+  private def charSyms(word: Column): Column =
+    transform(sequence(lit(1), length(word)),
+      i => substring(word, i, lit(1).cast("int")))
+
+  /** One BPE merge applied to a symbol array: greedy left-to-right
+    * replacement of adjacent (`a`, `b`) with their concatenation, via an
+    * ordered fold — the accumulator appends each symbol unless it
+    * completes the pair, in which case the pair collapses. Left-to-right
+    * greediness falls out of the fold order (`"aaaa"` with merge (a,a) →
+    * `[aa, aa]`), matching reference BPE implementations and the SQL
+    * oracle's `list_reduce` replay exactly.
+    */
+  private def mergeFold(syms: Column, a: String, b: String): Column =
+    aggregate(syms, lit(Array.empty[String]),
+      (acc, s) => when(
+        try_element_at(acc, lit(-1)) === lit(a) && s === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(s))))
+
+  /** Byte-pair-encoding merge training (Sennrich et al. 2016): learn the
+    * `numMerges` highest-frequency adjacent-symbol merges over the
+    * corpus's word vocabulary. Returns the learned merge table
+    * (step, a, b, cnt) — the tokenizer artifact; apply it with
+    * [[bpeApply]]. Ties break deterministically (count desc, then (a, b)
+    * lexicographic), so the merge sequence is identical on every run and
+    * engine.
+    *
+    * Shape at 100 TB: the corpus is scanned ONCE (the word-frequency
+    * aggregation); every iteration then runs on the weighted VOCABULARY —
+    * bounded by distinct words, not corpus size — exactly the reference
+    * algorithm's trick. Per merge: one adjacent-pair aggregation over the
+    * vocab + one driver-side 1-row argmax (the PageRank per-iteration
+    * scalar pattern) + one narrow fold rewrite. Vocab snapshots persist
+    * across iterations and release as soon as superseded.
+    */
+  def bpeTrain(docs: DataFrame, numMerges: Int,
+      textCol: String = "text"): DataFrame = {
+    require(numMerges >= 1, s"numMerges=$numMerges must be >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var vocab = docs
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .withColumn("syms", charSyms(col("w")))
+      .persist()
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var exhausted = false
+    for (step <- 1 to numMerges if !exhausted) {
+      val top = vocab.where(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), i -> " +
+            "struct(element_at(syms, i) AS a, " +
+            "element_at(syms, i + 1) AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        merges += ((step, a, b, top(0).getLong(2)))
+        val next = vocab
+          .withColumn("syms", mergeFold(col("syms"), a, b)).persist()
+        next.count() // materialize before releasing the parent snapshot
+        vocab.unpersist()
+        vocab = next
+      }
+    }
+    vocab.unpersist()
+    merges.toSeq.toDF("step", "a", "b", "cnt")
+  }
+
+  /** Segment a word column with a learned merge sequence ([[bpeTrain]]'s
+    * (a, b) pairs in step order): character symbols, then each merge's
+    * fold in order. Purely narrow — the tokenizer is baked into the
+    * expression, so tokenization costs one corpus pass and no join. Keep
+    * the merge list bounded (hundreds); for production-size vocabularies
+    * move the loop into a `mapPartitions` ranker over a broadcast merge
+    * table.
+    */
+  def bpeApply(word: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(charSyms(word)) {
+      case (syms, (a, b)) => mergeFold(syms, a, b)
+    }
 }

@@ -2116,5 +2116,140 @@ object TrainingOps {
              |WHERE abs(len(a.k) - len(c.k)) <= 3
              |  AND levenshtein(a.k, c.k) <= 3
              |ORDER BY 1, 2""".stripMargin)),
+
+    // Nearest-class-mean classification: q123's unrounded centroids
+    // broadcast against every vector; argmax cosine with a (cos desc,
+    // label asc) tie-break both engines replay exactly.
+    QueryDef("q125_classify_centroid",
+      (s, d) => {
+        val emb = table(s, d, "embeddings")
+        Similarity.classifyByCentroid(emb, emb)
+          .select(col("vec_id"), col("pred_label"),
+            round(col("cos"), 6).as("cos"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH cells AS (SELECT label, vec_id, g.i - 1 AS dim,
+             |    CAST(embedding[g.i] AS DOUBLE) AS v
+             |  FROM embeddings,
+             |       UNNEST(generate_series(1, len(embedding))) g(i)),
+             |sums AS (SELECT label, dim,
+             |    list_reduce(list(v ORDER BY vec_id), (a, b) -> a + b)
+             |      AS s, COUNT(*) AS n
+             |  FROM cells GROUP BY 1, 2),
+             |cent AS (SELECT label, list(s / n ORDER BY dim) AS centroid
+             |  FROM sums GROUP BY label),
+             |cn AS (SELECT label, centroid,
+             |    sqrt(list_reduce(list_transform(centroid, c -> c * c),
+             |      (a, b) -> a + b)) AS cnorm
+             |  FROM cent),
+             |sc AS (SELECT e.vec_id, c.label,
+             |    list_reduce([CAST(e.embedding[g] AS DOUBLE) * c.centroid[g]
+             |        FOR g IN generate_series(1, len(e.embedding))],
+             |      (a, b) -> a + b)
+             |      / (sqrt(list_reduce([CAST(e.embedding[g] AS DOUBLE) *
+             |          CAST(e.embedding[g] AS DOUBLE)
+             |          FOR g IN generate_series(1, len(e.embedding))],
+             |        (a, b) -> a + b)) * c.cnorm) AS cos
+             |  FROM embeddings e CROSS JOIN cn c)
+             |SELECT vec_id, label AS pred_label, ROUND(cos, 6) AS cos
+             |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+             |    ORDER BY cos DESC, label) AS rn FROM sc)
+             |WHERE rn = 1 ORDER BY vec_id""".stripMargin)),
+
+    // Johnson-Lindenstrauss projection 64 -> 16: the deterministic +-1
+    // matrix rebuilt from md5 arithmetic on both engines, folds in
+    // dimension order.
+    QueryDef("q126_random_projection",
+      (s, d) => Similarity.randomProject(table(s, d, "embeddings"), 16, 64)
+        .select(col("vec_id"),
+          expr("transform(rp, x -> round(x, 6))").as("rp"))
+        .orderBy("vec_id"),
+      Some("""WITH sgn AS (SELECT k,
+             |    list(CASE WHEN strpos('0123456789abcdef',
+             |        substr(md5('rp:' || k || ':' || d), 1, 1)) - 1 >= 8
+             |      THEN 1.0 ELSE -1.0 END ORDER BY d) AS sl
+             |  FROM generate_series(0, 15) t(k),
+             |       generate_series(0, 63) u(d)
+             |  GROUP BY k),
+             |proj AS (SELECT e.vec_id, s.k,
+             |    list_reduce([CAST(e.embedding[g] AS DOUBLE) * s.sl[g]
+             |        FOR g IN generate_series(1, 64)],
+             |      (a, b) -> a + b) / sqrt(16.0) AS v
+             |  FROM embeddings e CROSS JOIN sgn s)
+             |SELECT vec_id, list(ROUND(v, 6) ORDER BY k) AS rp
+             |FROM proj GROUP BY vec_id ORDER BY vec_id""".stripMargin)),
+
+    // Fuzzy decontamination: cross-corpus MinHash-LSH candidates between
+    // an even-id "reference benchmark" slice and the odd-id corpus —
+    // signatures are per-doc, so the oracle derives bands once over all
+    // docs and applies the parity split at the join.
+    QueryDef("q127_cross_decontaminate",
+      (s, d) => {
+        val all = table(s, d, "documents")
+        Dedup.minhashCrossCandidates(
+            all.where(col("doc_id") % 2 === 1),
+            all.where(col("doc_id") % 2 === 0), 3, 8, 2)
+          .orderBy("id", "ref_id")
+      },
+      Some(s"""WITH ${shinglesSql()},
+              |sigs AS (SELECT id, h,
+              |    MIN(md5(CAST(h AS VARCHAR) || ':' || shingle)) AS mh
+              |  FROM sh, UNNEST(generate_series(0, 7)) t(h) GROUP BY 1, 2),
+              |bands AS (SELECT id, h // 2 AS band,
+              |    md5(array_to_string(list_sort(
+              |      list(lpad(CAST(h AS VARCHAR), 2, '0') || '=' || mh)), '|'))
+              |      AS band_key
+              |  FROM sigs GROUP BY 1, 2)
+              |SELECT DISTINCT a.id AS id, b.id AS ref_id
+              |FROM bands a JOIN bands b
+              |  ON a.band = b.band AND a.band_key = b.band_key
+              |WHERE a.id % 2 = 1 AND b.id % 2 = 0
+              |ORDER BY 1, 2""".stripMargin)),
+
+    // BPE merge training: 6 learned merges over the corpus vocabulary;
+    // the oracle unrolls each (count -> argmax -> greedy fold) step as
+    // materialized CTEs (the PageRank unrolled-iteration pattern).
+    QueryDef("q128_bpe_train",
+      (s, d) => TextAnalysis.bpeTrain(table(s, d, "documents"), 6),
+      Some(bpeOracleSql(6))),
   )
+
+  /** Unrolled DuckDB replay of [[graft.ops.TextAnalysis.bpeTrain]]:
+    * per step, adjacent-pair counts over the current vocabulary, a 1-row
+    * argmax (count desc, pair asc), and the greedy left-to-right merge
+    * fold via `list_reduce` with list-of-list accumulation.
+    */
+  private def bpeOracleSql(k: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH v0 AS MATERIALIZED (
+             |  SELECT w, COUNT(*) AS freq
+             |  FROM (SELECT UNNEST(string_split(text, ' ')) AS w
+             |        FROM documents)
+             |  WHERE len(w) > 0 GROUP BY w),
+             |s0 AS MATERIALIZED (SELECT freq,
+             |  [substr(w, g, 1) FOR g IN generate_series(1, len(w))] AS syms
+             |  FROM v0)""".stripMargin
+    for (i <- 1 to k) {
+      sb ++= s""",
+               |p$i AS (SELECT syms[t.g] AS a, syms[t.g + 1] AS b,
+               |    SUM(freq) AS cnt
+               |  FROM s${i - 1},
+               |       UNNEST(generate_series(1, len(syms) - 1)) t(g)
+               |  GROUP BY 1, 2),
+               |m$i AS MATERIALIZED (SELECT a, b, cnt FROM p$i
+               |  ORDER BY cnt DESC, a, b LIMIT 1)""".stripMargin
+      if (i < k) sb ++= s""",
+               |s$i AS MATERIALIZED (SELECT freq,
+               |  list_reduce(list_transform(syms, x -> [x]), (acc, x) ->
+               |    CASE WHEN acc[-1] = m.a AND x[1] = m.b
+               |      THEN acc[:-2] || [m.a || m.b]
+               |      ELSE acc || x END) AS syms
+               |  FROM s${i - 1}, m$i m)""".stripMargin
+    }
+    sb ++= (1 to k)
+      .map(i => s"SELECT $i AS step, a, b, CAST(cnt AS BIGINT) AS cnt " +
+        s"FROM m$i")
+      .mkString("\n", "\nUNION ALL\n", "\nORDER BY step")
+    sb.toString
+  }
 }

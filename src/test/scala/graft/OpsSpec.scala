@@ -1256,4 +1256,131 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(ids.subsetOf(
       emb01.select("vec_id").collect().map(_.getLong(0)).toSet))
   }
+
+  test("nearest-class-mean classification: separable fixture + tie to " +
+      "the smaller label") {
+    val s2 = spark; import s2.implicits._
+    val labeled = Seq(
+      (0L, 0, Array(1f, 0f)), (1L, 0, Array(0.9f, 0.1f)),
+      (2L, 1, Array(0f, 1f)), (3L, 1, Array(0.1f, 0.9f)))
+      .toDF("vec_id", "label", "embedding")
+    val corpus = Seq(
+      (10L, Array(0.8f, 0.05f)),  // clearly class 0
+      (11L, Array(0.02f, 0.7f)),  // clearly class 1
+      (12L, Array(1f, 1f)))       // exact tie -> label 0
+      .toDF("vec_id", "embedding")
+    val got = Similarity.classifyByCentroid(corpus, labeled).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(10L -> 0, 11L -> 1, 12L -> 0))
+
+    // total on the real vectors: every vector gets exactly one label
+    // from the label set, deterministically
+    val emb01 = spark.read
+      .parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val out = Similarity.classifyByCentroid(emb01, emb01)
+    assert(out.count() == emb01.count())
+    val labels = emb01.select("label").distinct().collect()
+      .map(_.getInt(0)).toSet
+    assert(out.select("pred_label").distinct().collect()
+      .map(_.getInt(0)).toSet.subsetOf(labels))
+  }
+
+  test("random projection: deterministic, right width, JL-scale norm " +
+      "preservation on the real vectors") {
+    val emb01 = spark.read
+      .parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val out = Similarity.randomProject(emb01, 16, 64)
+      .select(col("vec_id"), col("rp"),
+        graft.ops.Similarity.norm(col("embedding")).as("vn"))
+    val rows = out.collect()
+    assert(rows.forall(_.getSeq[Double](1).size == 16))
+    // E[||rp||^2] = ||v||^2 for a +-1/sqrt(k) JL matrix: the corpus mean
+    // ratio should land near 1 (individual vectors vary with k=16)
+    val ratios = rows.map { r =>
+      val rp = r.getSeq[Double](1)
+      val n2 = rp.map(x => x * x).sum
+      val vn = r.getDouble(2)
+      n2 / (vn * vn)
+    }
+    val mean = ratios.sum / ratios.length
+    assert(mean > 0.8 && mean < 1.2, s"mean norm ratio $mean")
+    val again = Similarity.randomProject(emb01, 16, 64)
+      .select("rp").collect().map(_.getSeq[Double](0))
+    assert(rows.map(_.getSeq[Double](1)).zip(again)
+      .forall { case (a, b) => a == b })
+  }
+
+  test("cross-corpus minhash candidates flag the planted near-dup and " +
+      "nothing for the disjoint doc") {
+    val s2 = spark; import s2.implicits._
+    val mk = (s: String) => s + " " + ("tok " * 40).trim
+    val corpus = Seq(
+      (1L, mk("alpha shared body of text here")),
+      (3L, "completely different content with no overlap at all " +
+        "xq wz vv uu tt ss rr qq pp oo nn mm ll kk jj ii hh gg"))
+      .toDF("doc_id", "text")
+    val reference = Seq(
+      (100L, mk("alpha shared body of text here slightly changed")),
+      (101L, "unrelated reference benchmark item entirely elsewhere " +
+        "zz yy xx ww vv2 uu2 tt2 ss2 rr2 qq2 pp2 oo2 nn2 mm2 ll2 kk2"))
+      .toDF("doc_id", "text")
+    val got = Dedup.minhashCrossCandidates(corpus, reference, 3, 8, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 100L)), s"missing planted pair: $got")
+    assert(!got.exists(_._1 == 3L), s"disjoint doc flagged: $got")
+    // cross(c, c) must cover the self-candidates (same band keys)
+    val self = Dedup.minhashCandidates(corpus, 3, 8, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cross = Dedup.minhashCrossCandidates(corpus, corpus, 3, 8, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(self.forall(p => cross.contains(p)))
+  }
+
+  test("bpe training reproduces a naive driver-side BPE exactly") {
+    val s2 = spark; import s2.implicits._
+    // the classic Sennrich fixture, expressed as a corpus whose word
+    // frequencies are (low 5, lower 2, newest 6, widest 3)
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val docs = Seq((0L, words.mkString(" "))).toDF("doc_id", "text")
+    val k = 5
+    val got = TextAnalysis.bpeTrain(docs, k).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+
+    // naive reference BPE over the same weighted vocabulary
+    var vocab: Map[Vector[String], Long] = words.groupBy(identity)
+      .map { case (w, ws) => w.split("").toVector -> ws.size.toLong }
+    def applyMerge(syms: Vector[String], a: String, b: String) = {
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      for (s <- syms) {
+        if (out.nonEmpty && out.last == a && s == b)
+          out(out.length - 1) = a + b
+        else out += s
+      }
+      out.toVector
+    }
+    val expect = (1 to k).map { step =>
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      for ((syms, f) <- vocab; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) =
+          counts.getOrElse((syms(i), syms(i + 1)), 0L) + f
+      val ((a, b), c) = counts.toSeq
+        .minBy { case ((a, b), c) => (-c, a, b) }
+      vocab = vocab.groupBy { case (syms, _) => applyMerge(syms, a, b) }
+        .map { case (syms, m) => syms -> m.values.sum }
+      (step, a, b, c)
+    }
+    assert(got.toSeq == expect, s"got ${got.toSeq}\nexpect $expect")
+
+    // bpeApply segments a held-out word with the learned merges the same
+    // way the naive fold does
+    val merges = got.map(t => (t._2, t._3)).toSeq
+    val seg = Seq(Tuple1("lowest")).toDF("w")
+      .select(TextAnalysis.bpeApply(col("w"), merges).as("syms"))
+      .first().getSeq[String](0)
+    val naive = merges.foldLeft("lowest".split("").toVector) {
+      case (syms, (a, b)) => applyMerge(syms, a, b)
+    }
+    assert(seg == naive, s"$seg vs $naive")
+  }
 }

@@ -350,6 +350,31 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       plan(df))
   }
 
+  test("random projection is a narrow, shuffle-free projection") {
+    assert(exchanges(Similarity.randomProject(emb, 16, 64)) == 0)
+  }
+
+  test("classify-by-centroid broadcasts the centroid table") {
+    val p = plan(Similarity.classifyByCentroid(emb, emb))
+    // the bounded class-centroid relation must arrive by broadcast; a
+    // SortMergeJoin would shuffle the corpus against a |labels|-row table
+    assert(!p.contains("SortMergeJoin"), p)
+    // (group, dim) agg + label reassembly + the final vec-grain argmax
+    assert("(?i)exchange hashpartitioning".r.findAllIn(p).size <= 3, p)
+  }
+
+  test("cross-corpus minhash broadcasts the reference band keys") {
+    val ref = docs.where(col("doc_id") % 2 === 0)
+    val cor = docs.where(col("doc_id") % 2 === 1)
+    val p = plan(Dedup.minhashCrossCandidates(cor, ref, 3, 8, 2))
+    // the benchmark side is bounded: its band keys broadcast, the corpus
+    // is never shuffled against it
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // one signature agg per side + the final distinct
+    assert("(?i)exchange hashpartitioning".r.findAllIn(p).size <= 3, p)
+  }
+
   test("fuzzy join stays an equi-join on the length bucket") {
     val l = docs.select(col("doc_id").as("id_l"),
       substring(col("text"), 1, 30).as("k_l"))
