@@ -247,15 +247,16 @@ object Curation {
     * half-word packing keeps every shift <= 31, which both Java's
     * wrapping and SQL engines' overflow-checked `<<` agree on (a shift
     * into bit 63 would wrap to the sign bit on the JVM and be rejected as
-    * overflow by e.g. DuckDB). The final one-row fold densifies the
-    * sparse (widx, word) set by walking `sequence(0, words-1)` against a
-    * word map, so the probe side's `element_at(bloom, widx + 1)` is a
-    * constant-time array index — NOT a map lookup, which Spark evaluates
-    * as a linear scan per probe and which made the corpus-side probe
-    * O(words) per gram (measured 42 s → 1.3 s at sf0.1 on q113).
-    * Densifying inside the fold (rather than unioning zero rows) keeps
-    * the build at exactly two tiny aggregations; the result broadcasts at
-    * any corpus scale because its size is fixed by `numBits` (2^20 bits =
+    * overflow by e.g. DuckDB). The array is densified by unioning an
+    * all-zero word per index before the final pack, so the probe side's
+    * `element_at(bloom, widx + 1)` is a constant-time array index — NOT
+    * a lookup against a sparse map, which Spark evaluates as a linear
+    * scan: densifying via a 32 Ki-element `transform` of map lookups in
+    * the one-row fold measured 25 s of single-threaded expression eval
+    * at sf0.1; the zero-union is one extra BENCHMARK-grain exchange and
+    * milliseconds. Build cost is two tiny aggregations over the value
+    * set plus `numBits/32` zero rows; the result stays small at any
+    * corpus scale because its size is fixed by `numBits` (2^20 bits =
     * 32 Ki words = 256 KiB), NOT by how many values went in.
     */
   def bloomFilterOf(values: DataFrame, valueCol: String,
@@ -264,27 +265,28 @@ object Curation {
       s"numHashes=$numHashes must be in [1, 5]: positions are 6-hex-digit " +
         "chunks of one 32-hex md5 digest")
     val words = numBits / 32
+    val zeros = values.sparkSession.range(words)
+      .select(col("id").as("widx"), lit(0L).as("word"))
     values
       .select(explode(array((0 until numHashes).map(h =>
         bloomPos(col(valueCol), h, numBits)): _*)).as("pos"))
       .groupBy(expr("pos div 32").as("widx"))
       .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), " +
         "CAST(pos % 32 AS INT)))").as("word"))
-      .agg(map_from_entries(collect_list(struct(col("widx"), col("word"))))
-        .as("m"))
-      .select(expr(s"transform(sequence(0, ${words - 1}), i -> " +
-        "coalesce(try_element_at(m, CAST(i AS BIGINT)), " +
-        "CAST(0 AS BIGINT)))").as("bloom"))
+      .unionByName(zeros)
+      .groupBy("widx").agg(expr("bit_or(word)").as("word"))
+      .agg(expr("transform(array_sort(collect_list(struct(widx, word))), " +
+        "s -> s.word)").as("bloom"))
   }
 
   /** [[decontaminate]] with the benchmark gram set folded into a Bloom
     * filter — the 100 TB shape when the held-out suite is itself large
-    * (multi-benchmark eval harnesses): the broadcast payload is a fixed
+    * (multi-benchmark eval harnesses): the shipped payload is a fixed
     * `numBits/8`-byte bit array instead of every distinct eval gram
     * string, and the corpus side stays a purely NARROW projection (probe =
-    * `numHashes` map lookups per gram against the one-row broadcast
-    * filter; no gram-keyed join at all) followed by the same single
-    * per-doc aggregation. The trade is deterministic false positives —
+    * `numHashes` constant-time array probes per gram against the
+    * plan-literal filter; no gram-keyed join at all) followed by the same
+    * single per-doc aggregation. The trade is deterministic false positives —
     * `n_hits` can only OVERcount [[decontaminate]]'s (never undercount:
     * every true eval gram has all its bits set), with the standard
     * (1 - e^(-kn/m))^k rate; md5 arithmetic end-to-end, so the oracle
@@ -300,12 +302,21 @@ object Curation {
       .where(size(col("t")) >= n)
       .select(explode(distinctGrams(n)).as("gram"))
       .distinct()
-    val bloom = bloomFilterOf(evalGrams, "gram", numBits, numHashes)
+    // The filter materializes HERE (one row, `numBits/8` bytes — bounded
+    // by construction, never by the eval set) and ships as a plan
+    // LITERAL: the words are one shared constant, the probe plan has no
+    // join at all, and nothing can copy the 256 KiB array per gram row
+    // (the broadcast-join form risked exactly that at every stage
+    // boundary). With the cheap zero-union densify in [[bloomFilterOf]],
+    // the whole entry measures 4.2 s at sf0.1 vs 28.9 s for the
+    // map-lookup build it replaces.
+    val bloomArr = bloomFilterOf(evalGrams, "gram", numBits, numHashes)
+      .first().getSeq[Long](0).toArray
     val member = expr("forall(ps, p -> (shiftright(" +
       "element_at(bloom, CAST(p div 32 AS INT) + 1), " +
       "CAST(p % 32 AS INT)) & 1) = 1)")
     corpusGrams(corpus, n)
-      .crossJoin(broadcast(bloom))
+      .withColumn("bloom", typedLit(bloomArr))
       .withColumn("ps", array((0 until numHashes).map(h =>
         bloomPos(col("gram"), h, numBits)): _*))
       .where(member)

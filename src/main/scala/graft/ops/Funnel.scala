@@ -89,4 +89,33 @@ object Funnel {
     }
     rows.reduce(_.unionByName(_))
   }
+
+  /** Per-key ordered event sequences, capped at the FIRST `maxLen`
+    * events: the assembly pass that turns a raw event log into
+    * behavioral-sequence training examples (next-event prediction,
+    * session modeling). Returns (key, seq: array of `valueCol`,
+    * n_events = the key's TOTAL event count — so downstream can tell a
+    * naturally-short sequence from a truncated one).
+    *
+    * `orderCols` must totally order events within a key (pass a
+    * tie-breaking id after the timestamp); the cap is applied by a
+    * per-key `row_number` window BEFORE collection, so per-key state in
+    * the aggregation is bounded by `maxLen` — a hot key with 10^9 events
+    * costs its window scan, never an unbounded in-memory list. The final
+    * groupBy reuses the window's key partitioning: ONE shuffle total.
+    */
+  def eventSequences(events: DataFrame, keyCol: String,
+      orderCols: Seq[String], valueCol: String, maxLen: Int): DataFrame = {
+    require(maxLen >= 1, s"maxLen=$maxLen must be >= 1")
+    val w = Window.partitionBy(keyCol)
+      .orderBy(orderCols.map(col(_).asc): _*)
+    events
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(keyCol)))
+      .where(col("__rn") <= maxLen)
+      .groupBy(keyCol)
+      .agg(expr(s"transform(array_sort(collect_list(struct(__rn, " +
+        s"$valueCol AS v))), s -> s.v)").as("seq"),
+        max("__n").as("n_events"))
+  }
 }

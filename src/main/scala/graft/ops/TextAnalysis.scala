@@ -521,6 +521,46 @@ object TextAnalysis {
     merges.toSeq.toDF("step", "a", "b", "cnt")
   }
 
+  /** Content-defined chunking (the rsync/LBFS boundary scheme applied to
+    * token streams): a chunk boundary falls after token `i` whenever the
+    * md5 of the `w`-token window ending at `i` is ≡ 0 mod `divisor` —
+    * boundaries depend only on LOCAL content, so inserting or deleting a
+    * sentence reshuffles at most the chunks it touches, and every other
+    * chunk (and its hash) survives verbatim. That is the property
+    * fixed-width chunking ([[chunk]]) lacks, and what makes chunk-hash
+    * dedup robust to edits: two near-identical documents share most
+    * `chunk_hash` values even when their token offsets diverge. Expected
+    * chunk length ≈ `divisor` tokens.
+    *
+    * Purely NARROW: boundary tests, cut assembly, and chunk slicing are
+    * array expressions inside one projection; the 1→N explode adds no
+    * shuffle. md5-derived boundaries replay exactly in any engine.
+    */
+  def cdcChunks(docs: DataFrame, w: Int = 4, divisor: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(w >= 1, s"w=$w must be >= 1")
+    require(divisor >= 1, s"divisor=$divisor must be >= 1")
+    val prep = docs
+      .select(col(idCol), split(col(textCol), " ").as("toks"))
+      .withColumn("n", size(col("toks")))
+      .withColumn("cuts", expr(
+        s"""filter(CASE WHEN n >= $w THEN sequence($w, n)
+           |       ELSE CAST(array() AS array<int>) END,
+           |  i -> i < n AND pmod(CAST(conv(substring(md5(
+           |    concat_ws(' ', slice(toks, i - ${w - 1}, $w))), 1, 8),
+           |    16, 10) AS BIGINT), $divisor) = 0)""".stripMargin))
+      .withColumn("ac", expr("concat(array(0), cuts, array(n))"))
+    prep
+      .select(col(idCol), expr(
+        """explode(transform(sequence(1, size(ac) - 1), j ->
+          |  struct(j - 1 AS chunk_id,
+          |    concat_ws(' ', slice(toks, element_at(ac, j) + 1,
+          |      element_at(ac, j + 1) - element_at(ac, j))) AS chunk)))"""
+          .stripMargin).as("c"))
+      .select(col(idCol), col("c.chunk_id"), col("c.chunk"),
+        md5(col("c.chunk")).as("chunk_hash"))
+  }
+
   /** Segment a word column with a learned merge sequence ([[bpeTrain]]'s
     * (a, b) pairs in step order): character symbols, then each merge's
     * fold in order. Purely narrow — the tokenizer is baked into the

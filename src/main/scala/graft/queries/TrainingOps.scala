@@ -2098,7 +2098,10 @@ object TrainingOps {
     // the operator itself blocks by length bucket instead.
     QueryDef("q124_fuzzy_join",
       (s, d) => {
-        val base = table(s, d, "documents").where(col("doc_id") < 1000)
+        // validation gate at 500 docs: 40-char prefixes are uniform
+        // length, so length blocking deliberately degenerates here and
+        // the entry pays the quadratic tier it exists to validate
+        val base = table(s, d, "documents").where(col("doc_id") < 500)
           .select(col("doc_id"), substring(col("text"), 1, 40).as("k"))
         Dedup.fuzzyJoin(
             base.select(col("doc_id").as("id_l"), col("k").as("k_l")),
@@ -2109,7 +2112,7 @@ object TrainingOps {
           .orderBy("id_l", "id_r")
       },
       Some("""WITH b AS (SELECT doc_id, substr(text, 1, 40) AS k
-             |  FROM documents WHERE doc_id < 1000)
+             |  FROM documents WHERE doc_id < 500)
              |SELECT a.doc_id AS id_l, c.doc_id AS id_r,
              |  levenshtein(a.k, c.k) AS dist
              |FROM b a JOIN b c ON a.doc_id < c.doc_id
@@ -2212,6 +2215,48 @@ object TrainingOps {
     QueryDef("q128_bpe_train",
       (s, d) => TextAnalysis.bpeTrain(table(s, d, "documents"), 6),
       Some(bpeOracleSql(6))),
+
+    // Behavioral-sequence assembly: per-user first-50 event types in
+    // (µs, event_id) order — both engines see identical microseconds
+    // (Spark ts DIV 1000 == DuckDB's ns→µs truncation on read).
+    QueryDef("q129_event_sequences",
+      (s, d) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val ev = table(s, d, "events")
+          .withColumn("ts_us", expr("ts DIV 1000"))
+        graft.ops.Funnel.eventSequences(ev, "user_id",
+            Seq("ts_us", "event_id"), "event_type", maxLen = 50)
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (SELECT user_id, event_type,
+             |    ROW_NUMBER() OVER (PARTITION BY user_id
+             |      ORDER BY epoch_us(ts), event_id) AS rn,
+             |    COUNT(*) OVER (PARTITION BY user_id) AS n
+             |  FROM events)
+             |SELECT user_id, list(event_type ORDER BY rn) AS seq,
+             |  n AS n_events
+             |FROM e WHERE rn <= 50 GROUP BY user_id, n
+             |ORDER BY user_id""".stripMargin)),
+
+    // Content-defined chunking: md5-gated boundaries (w=4, divisor=8) —
+    // the edit-robust chunk-hash substrate for chunk-level dedup.
+    QueryDef("q130_cdc_chunks",
+      (s, d) => TextAnalysis.cdcChunks(table(s, d, "documents"), 4, 8)
+        .orderBy("doc_id", "chunk_id"),
+      Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+              |    len(string_split(text, ' ')) AS n FROM documents),
+              |c AS (SELECT doc_id, toks, n,
+              |    [0] || [CAST(i AS INT) FOR i IN generate_series(4, n)
+              |            IF i < n AND
+              |              ${hex8Sql("md5(array_to_string(" +
+                               "toks[i-3:i], ' '))")} % 8 = 0] || [n] AS ac
+              |  FROM t),
+              |ch AS (SELECT doc_id, CAST(u.j - 1 AS INT) AS chunk_id,
+              |    array_to_string(toks[ac[u.j] + 1:ac[u.j + 1]], ' ')
+              |      AS chunk
+              |  FROM c, UNNEST(generate_series(1, len(ac) - 1)) u(j))
+              |SELECT doc_id, chunk_id, chunk, md5(chunk) AS chunk_hash
+              |FROM ch ORDER BY doc_id, chunk_id""".stripMargin)),
   )
 
   /** Unrolled DuckDB replay of [[graft.ops.TextAnalysis.bpeTrain]]:

@@ -1336,6 +1336,48 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(self.forall(p => cross.contains(p)))
   }
 
+  test("event sequences: ordered, capped, with the true total count") {
+    val s2 = spark; import s2.implicits._
+    val ev = Seq(
+      (1L, 3L, 30L, "c"), (1L, 1L, 10L, "a"), (1L, 2L, 20L, "b"),
+      (2L, 4L, 5L, "x"),
+      // user 3: a timestamp tie broken by event_id
+      (3L, 6L, 7L, "late"), (3L, 5L, 7L, "early"))
+      .toDF("user_id", "event_id", "ts_us", "event_type")
+    val got = graft.ops.Funnel
+      .eventSequences(ev, "user_id", Seq("ts_us", "event_id"),
+        "event_type", maxLen = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[String](1), r.getLong(2))))
+      .toMap
+    assert(got(1L) == ((Seq("a", "b"), 3L)))  // capped at 2 of 3
+    assert(got(2L) == ((Seq("x"), 1L)))
+    assert(got(3L) == ((Seq("early", "late"), 2L)))
+  }
+
+  test("cdc chunks reconstruct the document and survive a prefix edit") {
+    val chunks = TextAnalysis.cdcChunks(docs, 4, 8)
+    // chunks joined in order reproduce every document byte-for-byte
+    val rebuilt = chunks.groupBy("doc_id")
+      .agg(expr("concat_ws(' ', transform(array_sort(collect_list(" +
+        "struct(chunk_id, chunk AS c))), s -> s.c))").as("r"))
+      .join(docs, "doc_id")
+      .where(col("r") =!= col("text"))
+    assert(rebuilt.count() == 0)
+    // edit robustness: prepending tokens preserves most chunk hashes of a
+    // long doc (fixed-width chunking would shift every boundary)
+    val s2 = spark; import s2.implicits._
+    val base = (0 until 400).map(i => s"tok${i % 97}x$i").mkString(" ")
+    val pair = Seq((0L, base), (1L, "inserted prefix tokens " + base))
+      .toDF("doc_id", "text")
+    val hs = TextAnalysis.cdcChunks(pair, 4, 8)
+      .select("doc_id", "chunk_hash").collect()
+      .groupBy(_.getLong(0))
+      .map { case (k, rs) => k -> rs.map(_.getString(1)).toSet }
+    val shared = hs(0L).intersect(hs(1L)).size.toDouble / hs(0L).size
+    assert(shared > 0.5, s"only $shared of chunk hashes survived the edit")
+  }
+
   test("bpe training reproduces a naive driver-side BPE exactly") {
     val s2 = spark; import s2.implicits._
     // the classic Sennrich fixture, expressed as a corpus whose word

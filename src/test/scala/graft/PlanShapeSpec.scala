@@ -170,18 +170,15 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
   test("bloom decontamination keeps the corpus side join-free") {
     val corpus = docs.where(col("doc_id") % 100 =!= 0)
     val eval = docs.where(col("doc_id") % 100 === 0)
-    val p = plan(Curation.decontaminateBloom(corpus, eval, n = 5,
-      numBits = 1 << 20, numHashes = 5))
-    // the one-row filter arrives by broadcast and the membership probe is
-    // a projection — a SortMergeJoin would mean corpus grams are being
-    // shuffled against the benchmark side, which is exactly the shape the
-    // Bloom filter exists to remove
-    assert(!p.contains("SortMergeJoin"), p)
-    assert("BroadcastExchange".r.findAllIn(p).size >= 1, p)
-    // ONE corpus-grain exchange (the per-doc hit count); the rest are
-    // benchmark-grain — eval gram distinct, word groupBy, one-row fold
-    assert(exchanges(Curation.decontaminateBloom(corpus, eval, n = 5,
-      numBits = 1 << 20, numHashes = 5)) <= 5)
+    val df = Curation.decontaminateBloom(corpus, eval, n = 5,
+      numBits = 1 << 20, numHashes = 5)
+    val p = plan(df)
+    // the filter is a plan LITERAL: the probe side must contain no join
+    // of any kind (a join would copy the word array into every gram row
+    // — the 28.9 s regression this shape replaced) and exactly ONE
+    // exchange, the per-doc hit count
+    assert(!"(?i)join".r.findFirstIn(p).isDefined, p)
+    assert(exchanges(df) == 1, p)
   }
 
   test("duplicate spans: gram-grain shuffles only, join reuses the " +
