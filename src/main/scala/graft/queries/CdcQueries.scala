@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ops.Cdc
-import graft.queries.QueryDef.table
+import graft.queries.QueryDef.{eventsMicros, table}
 
 /** CDC / MERGE INTO battery entries: the events table doubles as a
   * changelog over customer account state (key = user_id, sequence =
@@ -16,10 +16,9 @@ object CdcQueries {
 
   /** The synthetic changelog: one change row per event. */
   private def changes(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
+    eventsMicros(s, d)
       .select(col("user_id"),
-        expr("ts DIV 1000").as("seq_us"),
+        col("ts_us").as("seq_us"),
         col("event_id"),
         when(col("event_type") === "error", "D").otherwise("U").as("op"),
         round(col("value"), 2).as("value"),

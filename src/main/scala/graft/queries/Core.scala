@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import QueryDef.table
+import QueryDef.{eventsMicros, table}
 
 /** Core relational battery: aggregation, joins of every kind, windows, set
   * ops, grouping sets, sorts/limits, scalar function families — the operator
@@ -17,16 +17,11 @@ object Core {
   private def ord(s: SparkSession, d: String) = table(s, d, "orders")
   private def cust(s: SparkSession, d: String) = table(s, d, "customer")
 
-  /** The events table carries nanosecond parquet timestamps, which Spark
-    * refuses by default. Read them as raw nanos longs and derive exact
-    * integer microseconds (`ts DIV 1000`) — bit-identical to DuckDB, which
-    * truncates ns→µs on read (`epoch_us(ts)`), so event-time arithmetic
-    * compares exactly with no float/boundary fuzz.
+  /** Events with `ts_us` exact-microsecond event time — see
+    * [[QueryDef.eventsMicros]] for the encoding-adaptive normalization.
     */
-  private def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events").withColumn("ts_us", expr("ts DIV 1000"))
-  }
+  private def events(s: SparkSession, d: String): DataFrame =
+    eventsMicros(s, d)
 
   val all: Seq[QueryDef] = Seq(
 

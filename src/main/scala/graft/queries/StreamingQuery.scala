@@ -25,6 +25,7 @@ object StreamingQuery {
       transform: DataFrame => DataFrame)(
       shape: DataFrame => DataFrame): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set("spark.sql.session.timeZone", "UTC")
     // stateful operators allocate state stores (a stream-stream join: four)
     // PER shuffle partition PER micro-batch — at the battery's bounded
     // input that's pure fixed overhead and the entry's cost degrades
@@ -41,8 +42,14 @@ object StreamingQuery {
         java.nio.file.Paths.get(s"$d/events.parquet"),
         dir.resolve("events.parquet"))
       val schema = s.read.parquet(s"$d/events.parquet").schema
-      val stream = s.readStream.schema(schema).parquet(dir.toString)
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      // encoding-adaptive event time (see QueryDef.eventsMicros): nanos
+      // int64 truncates DIV 1000; native µs timestamps cast in pinned UTC
+      val raw = s.readStream.schema(schema).parquet(dir.toString)
+      val stream = schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+      }
       val name = s"${sinkName}_${System.nanoTime()}"
       val q = transform(stream)
         .writeStream.format("memory").queryName(name)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.ops.{AsOf, Curation, Dedup, Funnel, Multimodal, Sampling,
   Similarity, Sketch, TextAnalysis}
-import QueryDef.table
+import QueryDef.{eventsMicros, table}
 
 /** Training-data pipeline operators as oracle-checked queries: dedup
   * (exact, n-gram Jaccard, MinHash-LSH, SimHash), similarity search
@@ -670,8 +670,7 @@ object TrainingOps {
     // chained min-when windows over ONE user shuffle (plan-pinned)
     QueryDef("q103_event_funnel",
       (s, d) => {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val ev = table(s, d, "events").withColumn("ts_us", expr("ts DIV 1000"))
+        val ev = eventsMicros(s, d)
         Funnel.counts(ev, "user_id", "event_type", "ts_us",
             Seq("signup", "click", "purchase"))
           .orderBy("stage_idx")
@@ -1051,8 +1050,7 @@ object TrainingOps {
     // distinct users active k weeks later — integer DIV boundaries
     QueryDef("q104_cohort_retention",
       (s, d) => {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val ev = table(s, d, "events").withColumn("ts_us", expr("ts DIV 1000"))
+        val ev = eventsMicros(s, d)
         Funnel.cohortRetention(ev, "user_id", "ts_us",
             periodUs = 604800000000L, maxPeriods = 4)
           .orderBy("cohort", "period")
@@ -1309,8 +1307,7 @@ object TrainingOps {
     // ASOF LEFT JOIN.
     QueryDef("q76_asof_join",
       (s, d) => {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val ev = table(s, d, "events").withColumn("ts_us", expr("ts DIV 1000"))
+        val ev = eventsMicros(s, d)
         val purchases = ev.where(col("event_type") === "purchase")
           .select("event_id", "user_id", "ts_us")
         val signups = ev.where(col("event_type") === "signup")
@@ -1337,8 +1334,7 @@ object TrainingOps {
     // re-filter inside bins (never a theta/cartesian plan).
     QueryDef("q77_range_join",
       (s, d) => {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val ev = table(s, d, "events").withColumn("ts_us", expr("ts DIV 1000"))
+        val ev = eventsMicros(s, d)
         val purchases = ev.where(col("event_type") === "purchase")
           .select("event_id", "user_id", "ts_us")
         val windows = ev.where(col("event_type") === "signup")
@@ -2218,12 +2214,10 @@ object TrainingOps {
 
     // Behavioral-sequence assembly: per-user first-50 event types in
     // (µs, event_id) order — both engines see identical microseconds
-    // (Spark ts DIV 1000 == DuckDB's ns→µs truncation on read).
+    // ([[QueryDef.eventsMicros]] ≡ DuckDB's epoch_us on read).
     QueryDef("q129_event_sequences",
       (s, d) => {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val ev = table(s, d, "events")
-          .withColumn("ts_us", expr("ts DIV 1000"))
+        val ev = eventsMicros(s, d)
         graft.ops.Funnel.eventSequences(ev, "user_id",
             Seq("ts_us", "event_id"), "event_type", maxLen = 50)
           .orderBy("user_id")
