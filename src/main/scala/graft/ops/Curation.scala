@@ -143,6 +143,56 @@ object Curation {
         lit("href=\"([^\"]*)\""), lit(1)))
         .as("href"))
 
+  /** URL canonicalization: collapse the spelling variants that make one
+    * resource look like many — the first step of link-graph dedup and
+    * per-host corpus accounting (a crawl frontier that treats
+    * `HTTP://WWW.Example.com:80/a/?utm_source=x` and `http://example.com/a`
+    * as different URLs re-crawls everything). Appends `canon_url` and
+    * `host`:
+    *
+    *  - fragment dropped; query split at the FIRST `?`
+    *  - tracking params removed (`utm_*`, `fbclid`, `gclid`, `ref`),
+    *    survivors sorted and rejoined — param order never distinguishes
+    *  - absolute URLs (containing `://`): scheme and host lowercased,
+    *    default ports `:80`/`:443` and a leading `www.` stripped; path
+    *    case preserved, trailing `/` trimmed
+    *  - relative URLs: trailing `/` trimmed, params processed the same;
+    *    `host` is empty
+    *
+    * Pure narrow column expressions (split / array ops / anchored
+    * regexes in the Java∩RE2 dialect) — no UDF, no shuffle, and a SQL
+    * oracle replays every step.
+    */
+  def canonicalizeUrls(links: DataFrame,
+      urlCol: String = "href"): DataFrame = {
+    val u0 = substring_index(col(urlCol), "#", 1)
+    val qpos = locate("?", u0)
+    val base = when(qpos > 0, u0.substr(lit(1), qpos - 1)).otherwise(u0)
+    val query = when(qpos > 0, u0.substr(qpos + 1, lit(1 << 20)))
+      .otherwise(lit(""))
+    val keep = array_sort(filter(split(query, "&"), p =>
+      p =!= "" && !startswith(p, lit("utm_")) &&
+        !startswith(p, lit("fbclid=")) && !startswith(p, lit("gclid=")) &&
+        !startswith(p, lit("ref="))))
+    val qstr = when(size(keep) > 0, concat(lit("?"), array_join(keep, "&")))
+      .otherwise(lit(""))
+    val isAbs = locate("://", base) > 0
+    val parts = split(base, "/")
+    val host = regexp_replace(
+      regexp_replace(lower(coalesce(try_element_at(parts, lit(3)), lit(""))),
+        ":(80|443)$", ""),
+      "^www\\.", "")
+    val path = rtrim(
+      when(size(parts) > 3,
+        concat(lit("/"), array_join(slice(parts, lit(4), size(parts) - 3), "/")))
+        .otherwise(lit("")), "/")
+    val canon = when(isAbs,
+        concat(lower(element_at(parts, 1)), lit("//"), host, path, qstr))
+      .otherwise(concat(rtrim(base, "/"), qstr))
+    links.withColumn("canon_url", canon)
+      .withColumn("host", when(isAbs, host).otherwise(lit("")))
+  }
+
   /** C4-style line-level corpus dedup: drop every line (segment between
     * `sep`s) whose exact content appears in more than `maxDf` documents —
     * corpus-wide boilerplate (headers, footers, cookie banners) vanishes

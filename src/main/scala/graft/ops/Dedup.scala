@@ -96,6 +96,38 @@ object Dedup {
       .where(col("jaccard") >= minJaccard)
   }
 
+  /** Exact pairwise n-gram CONTAINMENT: for each co-shingle pair the
+    * fraction of the smaller direction's distinct grams found in the
+    * other, `c_1in2 = |A∩B| / |A|` and `c_2in1 = |A∩B| / |B|`. Jaccard
+    * misses near-supersets — a document quoted whole inside a 100×
+    * longer page scores J ≈ 0.01 but containment 1.0 — so this is the
+    * measure for quote/wrapper/boilerplate-envelope detection
+    * (Broder's resemblance-vs-containment distinction). Kept pairs have
+    * `max(c_1in2, c_2in1) >= minContainment`.
+    *
+    * Same exact-tier shape as [[jaccardPairs]] (one shingle pass, one
+    * bucket-pair expansion, quadratic only in co-shingle pairs); at
+    * 100 TB gate with [[minhashCandidates]] first and re-score the
+    * candidates here.
+    */
+  def containmentPairs(docs: DataFrame, n: Int,
+      minContainment: Double): DataFrame = {
+    require(minContainment >= 0.0 && minContainment <= 1.0,
+      s"minContainment=$minContainment must be in [0, 1]")
+    val sh = shingles(docs, n)
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val inter = bucketPairs(sh, Seq("shingle"))
+      .groupBy("id1", "id2")
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.select(col("id").as("id1"), col("n_sh").as("n1")), "id1")
+      .join(sizes.select(col("id").as("id2"), col("n_sh").as("n2")), "id2")
+      .select(col("id1"), col("id2"),
+        (col("n_common").cast("double") / col("n1")).as("c_1in2"),
+        (col("n_common").cast("double") / col("n2")).as("c_2in1"))
+      .where(greatest(col("c_1in2"), col("c_2in1")) >= minContainment)
+  }
+
   /** Portable MinHash signatures, one row per document in wide form:
     * column `mh_h` is the lexicographic minimum of `md5(h || ':' ||
     * shingle)` over the document's shingles (a string-valued minwise hash

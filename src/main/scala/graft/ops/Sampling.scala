@@ -183,4 +183,101 @@ object Sampling {
       .where(col("rk") <= maxPerCluster)
       .select(col("vec_id"), col("cid"))
   }
+
+  /** Hashed-n-gram bucket of one gram (DSIR feature hashing): first 8 md5
+    * hex digits of "dsir:gram" (32 bits) mod `numBuckets` — the
+    * [[Sketch.bucket]] convention, so a SQL oracle replays it digit by
+    * digit.
+    */
+  private[graft] def dsirBucket(gram: Column, numBuckets: Int): Column =
+    pmod(conv(substring(md5(concat(lit("dsir:"), gram)), 1, 8), 16, 10)
+      .cast("long"), lit(numBuckets.toLong))
+
+  /** Per-document feature grams in a DEFINED order — all unigrams in
+    * token order, then all bigrams in token order. The fixed order makes
+    * the downstream log-weight fold bit-reproducible across engines.
+    */
+  private def dsirGrams(textCol: String): Column = {
+    val ts = split(col(textCol), " ")
+    val bigrams = when(size(ts) >= 2, expr(
+      s"""transform(sequence(2, size(split($textCol, ' '))),
+         |  i -> concat(element_at(split($textCol, ' '), i - 1), ' ',
+         |              element_at(split($textCol, ' '), i)))""".stripMargin))
+      .otherwise(array().cast("array<string>"))
+    concat(ts, bigrams)
+  }
+
+  /** Importance weights for data selection via importance resampling
+    * (DSIR, Xie et al. 2023): score every raw-corpus document by how much
+    * more likely its hashed-n-gram features are under a target-domain
+    * bag-of-ngrams model than under the raw-corpus model,
+    * `log_w(doc) = Σ_g [ln p̂_target(bucket(g)) − ln p̂_raw(bucket(g))]`
+    * with add-`alpha` smoothing over `numBuckets` feature-hash buckets
+    * (unigrams + bigrams, the paper's featurization). Documents with
+    * `log_w > 0` look more target-like than raw-like; selection takes the
+    * top tail (see [[importanceTopK]]) or resamples ∝ exp(log_w).
+    *
+    * Determinism: both bucket-count models come from exact integer
+    * groupBy counts; each gram's log ratio is computed from those
+    * integers per engine, and the per-document sum is an ORDERED fold
+    * over gram position ([[dsirGrams]]' defined order) — the q117
+    * perplexity discipline, so a DuckDB oracle reproduces the doubles to
+    * rounding.
+    *
+    * Shape at 100 TB: the two model aggregations shuffle down to at most
+    * `numBuckets` rows each (map-side combine does almost all the work)
+    * and come back as broadcasts; the scoring pass is explode → broadcast
+    * join → ONE document-grain aggregation. The target corpus is
+    * typically tiny (a quality reference like WikiText); the raw corpus
+    * is scanned exactly twice (model + scoring), never joined to itself.
+    *
+    * Returns (idCol, n_feat, log_w) — one row per raw document; an
+    * empty text still carries one unigram (the empty string `split`
+    * yields), so every raw document scores.
+    */
+  def importanceWeights(raw: DataFrame, target: DataFrame, numBuckets: Int,
+      alpha: Double = 1.0, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(numBuckets > 0, s"numBuckets=$numBuckets must be positive")
+    require(alpha > 0, s"alpha=$alpha must be positive (unsmoothed " +
+      "buckets with zero target mass would send log_w to -Inf)")
+    def model(docs: DataFrame, cnt: String) = docs
+      .select(explode(dsirGrams(textCol)).as("gram"))
+      .select(dsirBucket(col("gram"), numBuckets).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as(cnt))
+    val tgt = model(target, "ct")
+    val rw = model(raw, "cr")
+    val totals = tgt.agg(sum("ct").cast("double").as("nt"))
+      .crossJoin(rw.agg(sum("cr").cast("double").as("nr")))
+    val ab = alpha * numBuckets
+    val grams = raw
+      .select(col(idCol), posexplode(dsirGrams(textCol)).as(Seq("pos", "gram")))
+      .select(col(idCol), col("pos"),
+        dsirBucket(col("gram"), numBuckets).as("bucket"))
+    grams
+      .join(broadcast(tgt), Seq("bucket"), "left")
+      .join(broadcast(rw), Seq("bucket"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("logr",
+        log((coalesce(col("ct"), lit(0L)) + lit(alpha)) / (col("nt") + ab)) -
+          log((coalesce(col("cr"), lit(0L)) + lit(alpha)) / (col("nr") + ab)))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_feat"),
+        expr("aggregate(transform(array_sort(collect_list(" +
+          "struct(pos, logr))), s -> s.logr), 0D, (a, v) -> a + v)")
+          .as("log_w"))
+  }
+
+  /** DSIR selection: the `k` raw documents whose features look most
+    * target-like ([[importanceWeights]]), ties broken by id — a global
+    * top-k (TakeOrdered), never a full sort.
+    */
+  def importanceTopK(raw: DataFrame, target: DataFrame, numBuckets: Int,
+      k: Int, alpha: Double = 1.0, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    importanceWeights(raw, target, numBuckets, alpha, textCol, idCol)
+      .orderBy(col("log_w").desc, col(idCol).asc)
+      .limit(k)
+  }
 }

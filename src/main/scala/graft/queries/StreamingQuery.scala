@@ -152,5 +152,35 @@ object StreamingQuery {
       Some("""SELECT event_id, user_id, event_type,
              |  epoch_us(ts) AS ts_us, ROUND(value, 4) AS value
              |FROM events ORDER BY event_id""".stripMargin)),
+
+    // stream-static enrichment: broadcast the bounded nation dim into the
+    // stream (stateless — no join state store), then the q65 tumbling
+    // aggregation per nation; oracle = plain join + group + the same
+    // append-mode watermark cutoff
+    QueryDef("q132_streaming_enrich",
+      (s, d) => runStream(s, d, "stream_enrich")(df =>
+        Streams.enrichedCounts(df,
+          s.read.parquet(s"$d/nation.parquet")
+            .select(col("n_nationkey"), col("n_name")),
+          pmod(col("user_id"), lit(25L)) === col("n_nationkey"),
+          "n_name"))(df =>
+        df.select(col("window_start"), col("n_name"), col("n"),
+            round(col("total_value"), 4).as("total_value"))
+          .orderBy("window_start", "n_name")),
+      Some("""WITH cutoff AS (
+             |  SELECT MAX(epoch_us(ts)) - 1800000000 AS wm FROM events),
+             |agg AS (
+             |  SELECT STRFTIME(make_timestamp(
+             |      (epoch_us(ts) // 3600000000) * 3600000000),
+             |      '%Y-%m-%d %H:%M:%S') AS window_start,
+             |    (epoch_us(ts) // 3600000000) * 3600000000 + 3600000000
+             |      AS window_end_us,
+             |    n_name,
+             |    COUNT(*) AS n, ROUND(SUM(value), 4) AS total_value
+             |  FROM events JOIN nation ON user_id % 25 = n_nationkey
+             |  GROUP BY 1, 2, 3)
+             |SELECT window_start, n_name, n, total_value
+             |FROM agg, cutoff WHERE window_end_us <= wm
+             |ORDER BY window_start, n_name""".stripMargin)),
   )
 }

@@ -2251,6 +2251,147 @@ object TrainingOps {
               |  FROM c, UNNEST(generate_series(1, len(ac) - 1)) u(j))
               |SELECT doc_id, chunk_id, chunk, md5(chunk) AS chunk_hash
               |FROM ch ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    // DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
+    // bucket models (B=256, add-1) for a target split (doc_id % 10 = 0)
+    // vs the raw rest; per-doc log-ratio sum via the q117 ordered-fold
+    // discipline so both engines produce identical doubles to rounding.
+    QueryDef("q131_dsir_weights",
+      (s, d) => Sampling.importanceWeights(
+          table(s, d, "documents").where(col("doc_id") % 10 =!= 0),
+          table(s, d, "documents").where(col("doc_id") % 10 === 0),
+          numBuckets = 256)
+        .select(col("doc_id"), col("n_feat"),
+          round(col("log_w"), 5).as("log_w"))
+        .orderBy("doc_id"),
+      Some {
+        val bucket = s"(${hex8Sql("md5('dsir:' || gram)")} % 256)"
+        s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts,
+           |    len(string_split(text, ' ')) AS n FROM documents),
+           |g AS (SELECT doc_id, i AS pos,
+           |    $bucket AS bucket
+           |  FROM (SELECT doc_id, n, ts ||
+           |      [ts[i-1] || ' ' || ts[i] FOR i IN generate_series(2, n)]
+           |      AS lg FROM t) s,
+           |    UNNEST(generate_series(1, 2 * n - 1)) u(i),
+           |    LATERAL (SELECT lg[i] AS gram) l),
+           |tm AS MATERIALIZED (SELECT bucket, COUNT(*) AS ct FROM g
+           |  WHERE doc_id % 10 = 0 GROUP BY 1),
+           |rm AS MATERIALIZED (SELECT bucket, COUNT(*) AS cr FROM g
+           |  WHERE doc_id % 10 <> 0 GROUP BY 1),
+           |tot AS (SELECT (SELECT CAST(SUM(ct) AS DOUBLE) FROM tm) AS nt,
+           |    (SELECT CAST(SUM(cr) AS DOUBLE) FROM rm) AS nr),
+           |lp AS (SELECT g.doc_id, g.pos,
+           |    ln((COALESCE(tm.ct, 0) + CAST(1 AS DOUBLE)) / (tot.nt + 256))
+           |    - ln((COALESCE(rm.cr, 0) + CAST(1 AS DOUBLE)) / (tot.nr + 256))
+           |      AS logr
+           |  FROM g LEFT JOIN tm USING (bucket) LEFT JOIN rm USING (bucket)
+           |  CROSS JOIN tot WHERE g.doc_id % 10 <> 0)
+           |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feat,
+           |  ROUND(list_reduce(list(logr ORDER BY pos), (a, b) -> a + b), 5)
+           |    AS log_w
+           |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      }),
+
+    // URL canonicalization over a deterministically-messied URL corpus
+    // (case, www, default ports, tracking params, fragments, trailing
+    // slashes, relative links) — every step a string/array op both
+    // engines replay identically.
+    QueryDef("q133_url_canonicalize",
+      (s, d) => {
+        val urls = table(s, d, "documents").select(col("doc_id"), concat(
+          when(col("doc_id") % 4 === 0, lit("HTTP://WWW."))
+            .when(col("doc_id") % 4 === 1, lit("https://"))
+            .when(col("doc_id") % 4 === 2, lit("http://Sub."))
+            .otherwise(lit("")),
+          when(col("doc_id") % 4 =!= 3,
+            concat(upper(col("source")), lit(".Example.com"),
+              when(col("doc_id") % 3 === 0, lit(":80"))
+                .when(col("doc_id") % 3 === 1, lit(":443"))
+                .otherwise(lit(""))))
+            .otherwise(lit("")),
+          lit("/"), col("lang"), lit("/Doc"), col("doc_id") % 50,
+          when(col("doc_id") % 5 === 0, lit("/")).otherwise(lit("")),
+          when(col("doc_id") % 2 === 0,
+              lit("?utm_campaign=Spring&z=26&a=1&gclid=g1"))
+            .otherwise(lit("?ref=home")),
+          when(col("doc_id") % 3 === 0,
+              concat(lit("#Sec"), col("doc_id") % 7))
+            .otherwise(lit(""))).as("href"))
+        Curation.canonicalizeUrls(urls)
+          .select(col("doc_id"), col("href"), col("canon_url"), col("host"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH u AS (SELECT doc_id,
+             |    CASE doc_id % 4 WHEN 0 THEN 'HTTP://WWW.'
+             |      WHEN 1 THEN 'https://' WHEN 2 THEN 'http://Sub.'
+             |      ELSE '' END ||
+             |    CASE WHEN doc_id % 4 <> 3 THEN
+             |      upper(source) || '.Example.com' ||
+             |      (CASE doc_id % 3 WHEN 0 THEN ':80' WHEN 1 THEN ':443'
+             |       ELSE '' END) ELSE '' END ||
+             |    '/' || lang || '/Doc' || (doc_id % 50) ||
+             |    CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END ||
+             |    CASE WHEN doc_id % 2 = 0
+             |      THEN '?utm_campaign=Spring&z=26&a=1&gclid=g1'
+             |      ELSE '?ref=home' END ||
+             |    CASE WHEN doc_id % 3 = 0 THEN '#Sec' || (doc_id % 7)
+             |      ELSE '' END AS href
+             |  FROM documents),
+             |s1 AS (SELECT doc_id, href, split_part(href, '#', 1) AS u0
+             |  FROM u),
+             |s2 AS (SELECT *, strpos(u0, '?') AS qp FROM s1),
+             |s3 AS (SELECT *,
+             |    CASE WHEN qp > 0 THEN substr(u0, 1, qp - 1) ELSE u0 END
+             |      AS base,
+             |    CASE WHEN qp > 0 THEN substr(u0, qp + 1) ELSE '' END
+             |      AS qs FROM s2),
+             |s4 AS (SELECT *, CASE WHEN len(keep) > 0
+             |      THEN '?' || array_to_string(keep, '&') ELSE '' END AS qstr
+             |  FROM (SELECT *, list_sort([p FOR p IN string_split(qs, '&')
+             |      IF p <> '' AND NOT starts_with(p, 'utm_')
+             |      AND NOT starts_with(p, 'fbclid=')
+             |      AND NOT starts_with(p, 'gclid=')
+             |      AND NOT starts_with(p, 'ref=')]) AS keep FROM s3) t),
+             |s5 AS (SELECT *, strpos(base, '://') > 0 AS isabs,
+             |    string_split(base, '/') AS parts FROM s4),
+             |s6 AS (SELECT *, regexp_replace(regexp_replace(
+             |      lower(coalesce(parts[3], '')), ':(80|443)$', ''),
+             |      '^www\.', '') AS host,
+             |    rtrim(CASE WHEN len(parts) > 3 THEN
+             |        '/' || array_to_string(parts[4:len(parts)], '/')
+             |      ELSE '' END, '/') AS path FROM s5)
+             |SELECT doc_id, href,
+             |  CASE WHEN isabs THEN
+             |      lower(parts[1]) || '//' || host || path || qstr
+             |    ELSE rtrim(base, '/') || qstr END AS canon_url,
+             |  CASE WHEN isabs THEN host ELSE '' END AS host
+             |FROM s6 ORDER BY doc_id""".stripMargin)),
+
+    // exact n-gram CONTAINMENT (Broder): catches near-supersets Jaccard
+    // misses; q41's fixed-id SF gate keeps the quadratic tier
+    // constant-cost above sf0.1.
+    QueryDef("q134_containment_pairs",
+      (s, d) => Dedup.containmentPairs(
+          table(s, d, "documents").where(col("doc_id") < 6000), 3, 0.9)
+        .select(col("id1"), col("id2"),
+          round(col("c_1in2"), 4).as("c_1in2"),
+          round(col("c_2in1"), 4).as("c_2in1"))
+        .orderBy("id1", "id2"),
+      Some(s"""WITH ${shinglesSql("doc_id < 6000")},
+              |sizes AS (SELECT id, COUNT(*) n_sh FROM sh GROUP BY 1),
+              |inter AS (SELECT a.id id1, b.id id2, COUNT(*) n_common
+              |          FROM sh a JOIN sh b
+              |            ON a.shingle = b.shingle AND a.id < b.id
+              |          GROUP BY 1, 2)
+              |SELECT id1, id2,
+              |  ROUND(CAST(n_common AS DOUBLE) / na.n_sh, 4) AS c_1in2,
+              |  ROUND(CAST(n_common AS DOUBLE) / nb.n_sh, 4) AS c_2in1
+              |FROM inter
+              |JOIN sizes na ON na.id = id1 JOIN sizes nb ON nb.id = id2
+              |WHERE GREATEST(CAST(n_common AS DOUBLE) / na.n_sh,
+              |               CAST(n_common AS DOUBLE) / nb.n_sh) >= 0.9
+              |ORDER BY 1, 2""".stripMargin)),
   )
 
   /** Unrolled DuckDB replay of [[graft.ops.TextAnalysis.bpeTrain]]:

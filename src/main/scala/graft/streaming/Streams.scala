@@ -43,6 +43,32 @@ object Streams {
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** Stream-static enrichment: join each streaming event to a bounded
+    * dimension table (`dim`, broadcast — it is static for the life of
+    * the query, so Spark re-plans no state for it), then the usual
+    * watermarked tumbling aggregation per dimension attribute. This is
+    * the canonical streaming-ETL shape — events arrive keyless of
+    * business context, the dimension supplies it — and it costs no
+    * state store beyond the window aggregation's: a stream-STATIC join
+    * is stateless, unlike the stream-stream interval join
+    * ([[attributedPurchases]]).
+    *
+    * `joinCond` relates the stream's columns to `dim`'s;
+    * `dimAttr` is the dimension column to aggregate by.
+    */
+  def enrichedCounts(events: DataFrame, dim: DataFrame,
+      joinCond: org.apache.spark.sql.Column, dimAttr: String,
+      windowLen: String = "1 hour",
+      watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .join(broadcast(dim), joinCond)
+      .groupBy(window(col("ts"), windowLen), col(dimAttr))
+      .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("window_start"),
+        col(dimAttr), col("n"), col("total_value"))
+
   /** Gap-based session aggregation via the built-in session window
     * (streaming analog of q20_events_sessionize).
     */

@@ -1425,4 +1425,102 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(seg == naive, s"$seg vs $naive")
   }
+
+  test("containment catches near-supersets jaccard misses") {
+    val s2 = spark; import s2.implicits._
+    val inner = "a b c d e f g h i j"
+    val outer = inner + " k l m n o p q r s t u v w x y z aa bb cc dd"
+    val other = "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10"
+    val fx = Seq((1L, inner), (2L, outer), (3L, other))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(fx, 3, 0.9).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got.keySet == Set((1L, 2L)), s"pairs: ${got.keySet}")
+    val (c12, c21) = got((1L, 2L))
+    assert(c12 == 1.0, s"all of doc 1's shingles are in doc 2: $c12")
+    assert(c21 < 0.5, s"doc 2 is much larger: $c21")
+    // the motivating gap: the same pair falls below a 0.8 Jaccard bar
+    val j = Dedup.jaccardPairs(fx, 3, 0.8).collect()
+    assert(j.isEmpty, s"jaccard should miss the containment pair: ${j.toSeq}")
+  }
+
+  test("dsir weights rank target-like docs above off-domain docs") {
+    val s2 = spark; import s2.implicits._
+    val target = Seq((100L, "cat sat mat cat purred"),
+      (101L, "cat chased the yarn ball")).toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "bond yields rose as markets fell"),
+      (3L, "cat purred and chased yarn"),
+      (4L, "quarterly earnings beat bond forecasts")).toDF("doc_id", "text")
+    val w = Sampling.importanceWeights(raw, target, numBuckets = 64)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(Set(1L, 2L, 3L, 4L) == w.keySet)
+    assert(math.min(w(1L), w(3L)) > math.max(w(2L), w(4L)),
+      s"cat docs must outrank finance docs: $w")
+    val top = Sampling.importanceTopK(raw, target, 64, k = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(top == Set(1L, 3L), s"topK: $top")
+  }
+
+  test("dsir weights match a naive driver-side model") {
+    val s2 = spark; import s2.implicits._
+    val rawSeq = Seq((1L, "a b c"), (2L, "c d"), (3L, "e"))
+    val tgtSeq = Seq((10L, "a b"), (11L, "b c d"))
+    val b = 32
+    def grams(t: String): Seq[String] = {
+      val ts = t.split(" ", -1).toSeq
+      ts ++ ts.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+    }
+    def bucket(g: String): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(("dsir:" + g).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      (java.lang.Long.parseLong(hex, 16) % b).toInt
+    }
+    val tc = tgtSeq.flatMap(d => grams(d._2)).groupBy(bucket)
+      .map { case (k, v) => k -> v.size.toLong }
+    val rc = rawSeq.flatMap(d => grams(d._2)).groupBy(bucket)
+      .map { case (k, v) => k -> v.size.toLong }
+    val (nt, nr) = (tc.values.sum.toDouble, rc.values.sum.toDouble)
+    val expect = rawSeq.map { case (id, t) =>
+      id -> grams(t).foldLeft(0.0) { (acc, g) =>
+        val bk = bucket(g)
+        acc + math.log((tc.getOrElse(bk, 0L) + 1.0) / (nt + b)) -
+          math.log((rc.getOrElse(bk, 0L) + 1.0) / (nr + b))
+      }
+    }.toMap
+    val got = Sampling.importanceWeights(
+        rawSeq.toDF("doc_id", "text"), tgtSeq.toDF("doc_id", "text"), b)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    expect.foreach { case (id, e) =>
+      assert(math.abs(got(id) - e) < 1e-12, s"doc $id: ${got(id)} vs $e")
+    }
+  }
+
+  test("url canonicalization collapses spelling variants") {
+    val s2 = spark; import s2.implicits._
+    val cases = Seq(
+      ("HTTP://WWW.Example.com:80/a/b/?utm_source=x&b=2&a=1#frag",
+        "http://example.com/a/b?a=1&b=2", "example.com"),
+      ("https://Example.com:443/Path", "https://example.com/Path",
+        "example.com"),
+      ("http://sub.example.com/", "http://sub.example.com",
+        "sub.example.com"),
+      ("http://example.com", "http://example.com", "example.com"),
+      ("https://example.com/?fbclid=abc&gclid=x&ref=nav",
+        "https://example.com", "example.com"),
+      ("/Rel/Path/?ref=x", "/Rel/Path", ""),
+      ("page.html?a=1", "page.html?a=1", ""))
+    val got = Curation.canonicalizeUrls(
+        cases.zipWithIndex.map { case ((u, _, _), i) => (i.toLong, u) }
+          .toDF("doc_id", "href"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getString(2), r.getString(3)))
+    cases.zip(got).foreach { case ((in, canon, host), (gc, gh)) =>
+      assert(gc == canon, s"$in → $gc, want $canon")
+      assert(gh == host, s"$in host → $gh, want $host")
+    }
+  }
 }
