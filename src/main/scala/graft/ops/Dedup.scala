@@ -128,6 +128,34 @@ object Dedup {
       .where(greatest(col("c_1in2"), col("c_2in1")) >= minContainment)
   }
 
+  /** Inter-source n-gram overlap matrix: for every pair of corpus
+    * sources, the count and Jaccard of shared distinct n-grams — the
+    * dataset-governance report that quantifies how much two upstreams
+    * duplicate each other (mirrored crawls, syndicated feeds, a vendor
+    * reselling another's scrape) BEFORE mixing decides their rates.
+    *
+    * Shape at 100 TB: one shingle pass deduped to (source, gram) —
+    * gram-grain with map-side combine — then the single-branch
+    * bucket-pair expansion per gram ([[bucketPairsOf]]): each gram's
+    * source list is bounded by |sources| (tiny), so the quadratic step
+    * is |sources|² per gram worst-case, never corpus². Output is at most
+    * |sources|² rows.
+    */
+  def sourceOverlapMatrix(docs: DataFrame, n: Int,
+      groupCol: String = "source"): DataFrame = {
+    val sh = shingles(docs, n, idCol = groupCol)
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val inter = bucketPairsOf(sh, Seq("shingle"), col("id"))
+      .groupBy(col("a").as("src1"), col("b").as("src2"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.select(col("id").as("src1"), col("n_sh").as("n1")), "src1")
+      .join(sizes.select(col("id").as("src2"), col("n_sh").as("n2")), "src2")
+      .select(col("src1"), col("src2"), col("n_common"),
+        (col("n_common").cast("double") /
+          (col("n1") + col("n2") - col("n_common"))).as("jaccard"))
+  }
+
   /** Portable MinHash signatures, one row per document in wide form:
     * column `mh_h` is the lexicographic minimum of `md5(h || ':' ||
     * shingle)` over the document's shingles (a string-valued minwise hash

@@ -744,4 +744,41 @@ object Similarity {
     assigned.select(col("vec_id"), col("cid"))
       .join(dropped, Seq("vec_id"), "left_anti")
   }
+
+  /** Approximate k-NN graph over the embedding table: each vector's top-k
+    * cosine neighbors WITHIN its coarse cluster
+    * ([[ivfIndexDeterministic]] assignment) — the substrate for
+    * graph-based curation (SemDeDup's ε-groups, k-NN clustering,
+    * density/outlier scoring, graph-propagated quality labels). The
+    * cluster confinement is the standard ANN trade: recall loss only for
+    * true neighbors that straddle a centroid boundary, in exchange for
+    * pair work confined to per-cluster blocks instead of corpus².
+    *
+    * Shape at 100 TB: narrow broadcast-centroid assignment, ONE
+    * same-cluster equi-join (never corpus × corpus), one per-node top-k
+    * window; `nlist` sized to the corpus bounds both the join blocks and
+    * the window partitions. Deterministic end-to-end (data-point
+    * centroids, IEEE cosine in array order, id tie-break) — a SQL oracle
+    * replays the exact edge set.
+    *
+    * Returns (vec_id, neighbor_id, cid, cos, rk) with rk 1..k; vectors
+    * alone in their cluster emit no edges (observable as missing
+    * vec_ids, not as fabricated neighbors).
+    */
+  def knnGraph(corpus: DataFrame, nlist: Int, k: Int): DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    val (_, assigned) = ivfIndexDeterministic(corpus, nlist)
+    val a = assigned.select(col("cid"), col("vec_id"),
+      col("embedding").as("va")).withColumn("na", norm(col("va")))
+    val b = assigned.select(col("cid"), col("vec_id").as("neighbor_id"),
+      col("embedding").as("vb")).withColumn("nb", norm(col("vb")))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    a.join(b, Seq("cid"))
+      .where(col("vec_id") =!= col("neighbor_id"))
+      .select(col("vec_id"), col("neighbor_id"), col("cid"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+  }
 }

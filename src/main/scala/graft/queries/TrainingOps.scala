@@ -2392,6 +2392,70 @@ object TrainingOps {
               |WHERE GREATEST(CAST(n_common AS DOUBLE) / na.n_sh,
               |               CAST(n_common AS DOUBLE) / nb.n_sh) >= 0.9
               |ORDER BY 1, 2""".stripMargin)),
+
+    // approximate k-NN graph: per-vector top-3 cosine neighbors confined
+    // to the deterministic 8-list coarse clusters (q115's index); the
+    // oracle rebuilds the index and replays the exact edge set. Fixed-id
+    // gate (q44's pattern) keeps the oracle constant-cost at any SF.
+    QueryDef("q135_knn_graph",
+      (s, d) => Similarity.knnGraph(
+          table(s, d, "embeddings").where(col("vec_id") < 4000),
+          nlist = 8, k = 3)
+        .select(col("vec_id"), col("neighbor_id"), col("cid"),
+          round(col("cos"), 5).as("cos"), col("rk"))
+        .orderBy("vec_id", "rk"),
+      Some(s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings
+              |  WHERE vec_id < 4000),
+              |cents AS (
+              |  SELECT CAST(rn - 1 AS INT) AS cid, embedding FROM (
+              |    SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS rn,
+              |      embedding FROM emb) t
+              |  WHERE rn <= 8),
+              |assign AS (
+              |  SELECT vec_id, embedding, cid FROM (
+              |    SELECT e.vec_id, e.embedding, c.cid,
+              |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+              |        ${dot64.format("e", "c")} /
+              |          (SQRT(${norm2("e")}) * SQRT(${norm2("c")})) DESC,
+              |        c.cid ASC) AS ark
+              |    FROM emb e CROSS JOIN cents c) t WHERE ark = 1),
+              |edges AS (
+              |  SELECT a.vec_id, b.vec_id AS neighbor_id, a.cid,
+              |    ${dot64.format("a", "b")} /
+              |      (SQRT(${norm2("a")}) * SQRT(${norm2("b")})) AS cos
+              |  FROM assign a JOIN assign b
+              |    ON a.cid = b.cid AND a.vec_id <> b.vec_id),
+              |rk AS (SELECT vec_id, neighbor_id, cid, cos,
+              |    ROW_NUMBER() OVER (PARTITION BY vec_id
+              |      ORDER BY cos DESC, neighbor_id ASC) AS rk
+              |  FROM edges)
+              |SELECT vec_id, neighbor_id, cid, ROUND(cos, 5) AS cos,
+              |  CAST(rk AS INT) AS rk
+              |FROM rk WHERE rk <= 3 ORDER BY vec_id, rk""".stripMargin)),
+
+    // inter-source n-gram overlap matrix: the governance report behind
+    // mixture decisions — at most |sources|² rows regardless of SF.
+    QueryDef("q136_source_overlap",
+      (s, d) => Dedup.sourceOverlapMatrix(table(s, d, "documents"), 3)
+        .select(col("src1"), col("src2"), col("n_common"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("src1", "src2"),
+      Some("""WITH toks AS (SELECT source grp, string_split(text, ' ') l
+             |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+             |sh AS (SELECT DISTINCT grp,
+             |    array_to_string(l[i:i+2], ' ') AS shingle
+             |  FROM toks, UNNEST(generate_series(1, len(l) - 2)) t(i)),
+             |sizes AS (SELECT grp, COUNT(*) n_sh FROM sh GROUP BY 1),
+             |inter AS (SELECT a.grp src1, b.grp src2, COUNT(*) n_common
+             |  FROM sh a JOIN sh b
+             |    ON a.shingle = b.shingle AND a.grp < b.grp
+             |  GROUP BY 1, 2)
+             |SELECT src1, src2, n_common,
+             |  ROUND(CAST(n_common AS DOUBLE) /
+             |        (na.n_sh + nb.n_sh - n_common), 6) AS jaccard
+             |FROM inter
+             |JOIN sizes na ON na.grp = src1 JOIN sizes nb ON nb.grp = src2
+             |ORDER BY 1, 2""".stripMargin)),
   )
 
   /** Unrolled DuckDB replay of [[graft.ops.TextAnalysis.bpeTrain]]:

@@ -1499,6 +1499,57 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("knn graph: per-node top-k within cluster, brute-force agreement") {
+    val g = Similarity.knnGraph(emb, nlist = 4, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3),
+        r.getInt(4)))
+    assert(g.nonEmpty)
+    // per-node: ranks are 1..min(k, cluster-1) and cosines non-increasing
+    g.groupBy(_._1).foreach { case (v, edges) =>
+      val sorted = edges.sortBy(_._5)
+      assert(sorted.map(_._5).toSeq == (1 to edges.length),
+        s"ranks for $v: ${sorted.map(_._5).toSeq}")
+      assert(sorted.map(_._4).sliding(2).forall {
+        case Array(x, y) => x >= y; case _ => true
+      }, s"cosines not monotone for $v")
+    }
+    // agreement with a brute-force in-cluster top-k on the same index
+    val (_, assigned) = Similarity.ivfIndexDeterministic(emb, 4)
+    val rows = assigned.select("vec_id", "cid", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).toArray))
+    def cos(x: Array[Float], y: Array[Float]): Double = {
+      var (d, nx, ny) = (0.0, 0.0, 0.0)
+      var i = 0
+      while (i < x.length) {
+        d += x(i).toDouble * y(i); nx += x(i).toDouble * x(i)
+        ny += y(i).toDouble * y(i); i += 1
+      }
+      d / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    val expect = rows.flatMap { case (v, c, xv) =>
+      rows.filter(r => r._2 == c && r._1 != v)
+        .map { case (n, _, yv) => (v, n, cos(xv, yv)) }
+        .sortBy { case (_, n, s) => (-s, n) }.take(3).map(e => (e._1, e._2))
+    }.toSet
+    assert(g.map(e => (e._1, e._2)).toSet == expect)
+  }
+
+  test("source overlap matrix matches hand-computed jaccard") {
+    val s2 = spark; import s2.implicits._
+    val fx = Seq(
+      ("a", "w1 w2 w3 w4 w5"),     // grams: 3
+      ("b", "w1 w2 w3 x1 x2"),     // shares 1 gram with a
+      ("c", "z1 z2 z3 z4 z5"))     // disjoint
+      .toDF("source", "text")
+    val got = Dedup.sourceOverlapMatrix(fx, 3).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet == Set(("a", "b")), s"pairs: ${got.keySet}")
+    val (n, j) = got(("a", "b"))
+    assert(n == 1L && math.abs(j - 1.0 / 5.0) < 1e-12, s"($n, $j)")
+  }
+
   test("url canonicalization collapses spelling variants") {
     val s2 = spark; import s2.implicits._
     val cases = Seq(

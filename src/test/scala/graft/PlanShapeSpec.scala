@@ -384,4 +384,20 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("url canonicalization is a narrow, shuffle-free projection") {
+    val links = docs.select(col("doc_id"),
+      concat(lit("http://h/"), col("source")).as("href"))
+    assert(exchanges(Curation.canonicalizeUrls(links)) == 0)
+  }
+
+  test("dsir scoring broadcasts the bucket models, never sort-merges") {
+    val raw = docs.where(col("doc_id") % 10 =!= 0)
+    val tgt = docs.where(col("doc_id") % 10 === 0)
+    val p = plan(Sampling.importanceWeights(raw, tgt, 64))
+    // the ≤B-row models must come back as broadcasts; a SortMergeJoin
+    // here means the gram stream is being shuffled against a model
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }

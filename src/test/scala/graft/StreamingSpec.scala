@@ -131,6 +131,34 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins the dim and finalizes by watermark") {
+    val s2 = spark; import s2.implicits._
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("u", "tier")
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = Streams.enrichedCounts(input.toDF(), dim,
+        col("user_id") === col("u"), "tier", "1 hour", "30 minutes")
+      .writeStream.format("memory").queryName("enrich")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        ev(1, "2024-01-01 10:00:00", 1, 2.0),
+        ev(2, "2024-01-01 10:10:00", 1, 3.0),
+        ev(3, "2024-01-01 10:05:00", 2, 5.0),
+        ev(4, "2024-01-01 10:07:00", 9, 7.0)) // no dim row: dropped by join
+      q.processAllAvailable()
+      input.addData(ev(5, "2024-01-01 14:00:00", 1)) // finalize 10:00
+      q.processAllAvailable()
+      val rows = spark.table("enrich")
+        .select("window_start", "tier", "n", "total_value").collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getDouble(3)))).toMap
+      assert(rows(("2024-01-01 10:00:00", "gold")) == ((2L, 5.0)), s"$rows")
+      assert(rows(("2024-01-01 10:00:00", "basic")) == ((1L, 5.0)), s"$rows")
+      assert(!rows.keySet.exists(_._2 == "9"), s"unmatched user leaked: $rows")
+    } finally q.stop()
+  }
+
   test("sliding windows overlap, finalize by watermark, and match batch") {
     val s2 = spark; import s2.implicits._
     implicit val ctx = spark.sqlContext

@@ -8,7 +8,9 @@ exactly the original rows and stay constant-cost at any factor.
 Documents get a per-copy suffix token (" repN") so replicas are NEAR-dups,
 not exact dups — the realistic shape for the dedup pipelines. Timestamps are
 written with pyarrow version 2.6 and no coercion so the events table keeps
-its int64-nanos physical encoding (the engine reads it via nanosAsLong).
+the source's physical encoding exactly (int64-nanos or microsecond
+timestamps, depending on testdata generation — the engine adapts via
+QueryDef.eventsMicros either way).
 
 Usage: make_scale.py <src_dir> <dst_dir> <factor>
 """
