@@ -533,6 +533,46 @@ object Dedup {
       .select("doc_id", "start_tok", "end_tok", "n_dup_grams")
   }
 
+  /** The rewrite pass over [[duplicateSpans]]: drop every token covered
+    * by a duplicated span and reassemble the remaining tokens in order —
+    * the "remove the repeated substring" step of Lee et al. 2022 in its
+    * distributable drop-all form (every occurrence goes; the paper's
+    * keep-one-occurrence variant needs a global occurrence order, which
+    * at corpus scale buys little — a substring repeated enough to be
+    * flagged is boilerplate, and its one canonical copy usually lives in
+    * a curated source anyway). Appends `clean_text` and
+    * `n_removed_tokens` to every input row; documents with no flagged
+    * span (including those shorter than `k` tokens) pass through with
+    * `clean_text == text` and 0 removed.
+    *
+    * Shape at 100 TB: [[duplicateSpans]]' gram-grain pipeline, one
+    * per-doc span aggregation (spans per doc are few and bounded by
+    * len/k), one equi-join back to the corpus, then a purely narrow
+    * rewrite — position filtering against the doc's own span list via
+    * array expressions, no second corpus shuffle.
+    */
+  def removeDuplicateSpans(docs: DataFrame, k: Int,
+      dupThreshold: Long = 2L, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spans = duplicateSpans(docs, k, dupThreshold, idCol, textCol)
+      .groupBy(col("doc_id").as(idCol))
+      .agg(collect_list(struct(col("start_tok"), col("end_tok")))
+        .as("_spans"))
+    docs.join(spans, Seq(idCol), "left")
+      .withColumn("_t", split(col(textCol), " "))
+      .withColumn("_kept", when(col("_spans").isNull,
+          expr("sequence(1, size(_t))"))
+        .otherwise(expr(
+          """filter(sequence(1, size(_t)), i ->
+            |  NOT exists(_spans, sp ->
+            |    i >= sp.start_tok AND i <= sp.end_tok))""".stripMargin)))
+      .withColumn("clean_text",
+        array_join(expr("transform(_kept, i -> element_at(_t, i))"), " "))
+      .withColumn("n_removed_tokens",
+        (size(col("_t")) - size(col("_kept"))).cast("long"))
+      .drop("_spans", "_t", "_kept")
+  }
+
   /** Blocked fuzzy (edit-distance) join: all (left, right) pairs whose
     * key strings are within Levenshtein distance `maxDist` — the
     * entity-resolution join for titles, URLs, and short identifiers

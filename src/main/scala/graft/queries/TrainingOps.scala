@@ -2456,6 +2456,49 @@ object TrainingOps {
              |FROM inter
              |JOIN sizes na ON na.grp = src1 JOIN sizes nb ON nb.grp = src2
              |ORDER BY 1, 2""".stripMargin)),
+
+    // the q114 rewrite pass: drop every token inside a duplicated span,
+    // reassemble, and pin the cleaned text by md5 — oracle extends the
+    // q114 span CTEs with the same position-filtered reassembly.
+    QueryDef("q137_remove_dup_spans",
+      (s, d) => Dedup.removeDuplicateSpans(table(s, d, "documents"), k = 5)
+        .select(col("doc_id"), col("n_removed_tokens"),
+          md5(col("clean_text")).as("clean_hash"))
+        .orderBy("doc_id"),
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+             |  FROM documents WHERE len(string_split(text, ' ')) >= 5),
+             |g AS (SELECT doc_id, i AS pos,
+             |    md5(array_to_string(t[i:i+4], ' ')) AS gh
+             |  FROM d, UNNEST(generate_series(1, len(t) - 4)) s(i)),
+             |c AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) >= 2),
+             |m AS (SELECT doc_id, pos FROM g JOIN c USING (gh)),
+             |b AS (SELECT doc_id, pos, CASE WHEN pos - LAG(pos) OVER (
+             |    PARTITION BY doc_id ORDER BY pos) > 5 THEN 1 ELSE 0 END
+             |    AS brk FROM m),
+             |i AS (SELECT doc_id, pos, SUM(brk) OVER (
+             |    PARTITION BY doc_id ORDER BY pos) AS island FROM b),
+             |sp AS (SELECT doc_id, MIN(pos) AS st, MAX(pos) + 4 AS en
+             |  FROM i GROUP BY doc_id, island),
+             |spl AS (SELECT doc_id,
+             |    list(struct_pack(st := st, en := en)) AS spans
+             |  FROM sp GROUP BY 1),
+             |alltoks AS (SELECT doc_id, string_split(text, ' ') AS t
+             |  FROM documents),
+             |r AS (SELECT a.doc_id, t,
+             |    coalesce(spans, CAST([] AS STRUCT(st BIGINT, en BIGINT)[]))
+             |      AS spans
+             |  FROM alltoks a LEFT JOIN spl USING (doc_id)),
+             |k2 AS (SELECT doc_id, t,
+             |    list_filter(generate_series(1, len(t)), i ->
+             |      len(list_filter(spans, x ->
+             |        i >= x.st AND i <= x.en)) = 0) AS kept
+             |  FROM r)
+             |SELECT doc_id, CAST(len(t) - len(kept) AS BIGINT)
+             |    AS n_removed_tokens,
+             |  md5(coalesce(array_to_string(
+             |    list_transform(kept, i -> t[i]), ' '), ''))
+             |    AS clean_hash
+             |FROM k2 ORDER BY doc_id""".stripMargin)),
   )
 
   /** Unrolled DuckDB replay of [[graft.ops.TextAnalysis.bpeTrain]]:

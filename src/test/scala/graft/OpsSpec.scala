@@ -1550,6 +1550,26 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(n == 1L && math.abs(j - 1.0 / 5.0) < 1e-12, s"($n, $j)")
   }
 
+  test("remove duplicate spans drops exactly the flagged tokens") {
+    val s2 = spark; import s2.implicits._
+    val boiler = "copyright acme corp all rights reserved"  // 6 tokens
+    val fx = Seq(
+      (1L, s"alpha beta $boiler gamma delta"),
+      (2L, s"$boiler epsilon zeta eta theta iota"),
+      (3L, "unique text with no repeats here at all"),
+      (4L, "tiny"))
+      .toDF("doc_id", "text")
+    val got = Dedup.removeDuplicateSpans(fx, k = 5).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(2), r.getLong(3)))).toMap
+    // the 6-token boilerplate (every 5-gram inside it repeats) vanishes
+    // from both carriers; all other tokens survive in order
+    assert(got(1L) == (("alpha beta gamma delta", 6L)), got(1L))
+    assert(got(2L) == (("epsilon zeta eta theta iota", 6L)), got(2L))
+    assert(got(3L) == (("unique text with no repeats here at all", 0L)))
+    assert(got(4L) == (("tiny", 0L)))
+  }
+
   test("url canonicalization collapses spelling variants") {
     val s2 = spark; import s2.implicits._
     val cases = Seq(
