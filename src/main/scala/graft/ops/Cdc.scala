@@ -95,4 +95,35 @@ object Cdc {
       .withColumn("is_current", col("valid_to").isNull)
       .drop(opCol)
   }
+
+  /** Snapshot diff: classify every key across two corpus versions as
+    * `added` / `removed` / `changed` / `unchanged` by content hash — the
+    * release-to-release audit (what did the new crawl/curation run
+    * actually do?) that gates promoting a corpus version, and the input
+    * to incremental downstream recomputation (only `added`+`changed`
+    * keys need re-embedding/re-scoring).
+    *
+    * Content identity is md5 over the concatenated `valueCols` with a
+    * unit separator (avoids `("ab","c")` colliding with `("a","bc")`),
+    * so the diff never shuffles the payloads themselves — each side
+    * reduces to (key, 16-byte hash) before the ONE full-outer equi-join.
+    * At 100 TB both sides arrive partitioned by key; the join is the
+    * only exchange.
+    */
+  def snapshotDiff(before: DataFrame, after: DataFrame, keyCol: String,
+      valueCols: Seq[String]): DataFrame = {
+    require(valueCols.nonEmpty, "valueCols must be non-empty")
+    requireCols(before, keyCol +: valueCols)
+    requireCols(after, keyCol +: valueCols)
+    def hashed(df: DataFrame, h: String) = df.select(col(keyCol),
+      md5(concat_ws("\u001f", valueCols.map(c =>
+        col(c).cast("string")): _*)).as(h))
+    hashed(before, "h_before")
+      .join(hashed(after, "h_after"), Seq(keyCol), "full_outer")
+      .select(col(keyCol),
+        when(col("h_before").isNull, "added")
+          .when(col("h_after").isNull, "removed")
+          .when(col("h_before") === col("h_after"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
 }

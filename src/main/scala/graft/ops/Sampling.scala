@@ -196,16 +196,17 @@ object Sampling {
   /** Per-document feature grams in a DEFINED order — all unigrams in
     * token order, then all bigrams in token order. The fixed order makes
     * the downstream log-weight fold bit-reproducible across engines.
+    *
+    * `ts` must be a MATERIALIZED token-array column (not an inline
+    * `split(...)`): the bigrams come from `zip_with` over two slices of
+    * it, and an inline split would be re-evaluated per slice — worse, a
+    * per-element `element_at(split(...))` lambda form measured O(n²) per
+    * document (q131 at sf1: 39 s before, ~4 s after this shape).
     */
-  private def dsirGrams(textCol: String): Column = {
-    val ts = split(col(textCol), " ")
-    val bigrams = when(size(ts) >= 2, expr(
-      s"""transform(sequence(2, size(split($textCol, ' '))),
-         |  i -> concat(element_at(split($textCol, ' '), i - 1), ' ',
-         |              element_at(split($textCol, ' '), i)))""".stripMargin))
-      .otherwise(array().cast("array<string>"))
-    concat(ts, bigrams)
-  }
+  private def dsirGrams(ts: Column): Column =
+    concat(ts,
+      zip_with(slice(ts, lit(1), size(ts) - 1), slice(ts, lit(2), size(ts) - 1),
+        (a, b) => concat_ws(" ", a, b)))
 
   /** Importance weights for data selection via importance resampling
     * (DSIR, Xie et al. 2023): score every raw-corpus document by how much
@@ -242,7 +243,8 @@ object Sampling {
     require(alpha > 0, s"alpha=$alpha must be positive (unsmoothed " +
       "buckets with zero target mass would send log_w to -Inf)")
     def model(docs: DataFrame, cnt: String) = docs
-      .select(explode(dsirGrams(textCol)).as("gram"))
+      .select(split(col(textCol), " ").as("_ts"))
+      .select(explode(dsirGrams(col("_ts"))).as("gram"))
       .select(dsirBucket(col("gram"), numBuckets).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as(cnt))
     val tgt = model(target, "ct")
@@ -251,7 +253,9 @@ object Sampling {
       .crossJoin(rw.agg(sum("cr").cast("double").as("nr")))
     val ab = alpha * numBuckets
     val grams = raw
-      .select(col(idCol), posexplode(dsirGrams(textCol)).as(Seq("pos", "gram")))
+      .select(col(idCol), split(col(textCol), " ").as("_ts"))
+      .select(col(idCol),
+        posexplode(dsirGrams(col("_ts"))).as(Seq("pos", "gram")))
       .select(col(idCol), col("pos"),
         dsirBucket(col("gram"), numBuckets).as("bucket"))
     grams

@@ -79,5 +79,42 @@ object CdcQueries {
               |  (valid_to IS NULL) AS is_current, value, status
               |FROM versions WHERE op <> 'D'
               |ORDER BY user_id, valid_from, event_id""".stripMargin)),
+
+    // snapshot diff: documents vs a deterministically mutated release
+    // (removals at %97, text edits at %31, additions at %53 with shifted
+    // ids) classified added/removed/changed/unchanged by content hash —
+    // both engines hash (text, lang) with a 0x1F separator.
+    QueryDef("q138_snapshot_diff",
+      (s, d) => {
+        val before = table(s, d, "documents")
+          .select("doc_id", "text", "lang")
+        val changed = before.where(col("doc_id") % 31 === 0)
+          .withColumn("text", concat(col("text"), lit(" v2")))
+        val added = before.where(col("doc_id") % 53 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L)
+        val after = before
+          .where(col("doc_id") % 97 =!= 0 && col("doc_id") % 31 =!= 0)
+          .unionByName(changed).unionByName(added)
+        Cdc.snapshotDiff(before, after, "doc_id", Seq("text", "lang"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH b AS (SELECT doc_id,
+             |    md5(concat_ws(chr(31), text, lang)) AS h FROM documents),
+             |a0 AS (
+             |  SELECT doc_id, text, lang FROM documents
+             |    WHERE doc_id % 97 <> 0 AND doc_id % 31 <> 0
+             |  UNION ALL SELECT doc_id, text || ' v2', lang
+             |    FROM documents WHERE doc_id % 31 = 0
+             |  UNION ALL SELECT doc_id + 1000000, text, lang
+             |    FROM documents WHERE doc_id % 53 = 0),
+             |a AS (SELECT doc_id,
+             |    md5(concat_ws(chr(31), text, lang)) AS h FROM a0)
+             |SELECT COALESCE(b.doc_id, a.doc_id) AS doc_id,
+             |  CASE WHEN b.h IS NULL THEN 'added'
+             |    WHEN a.h IS NULL THEN 'removed'
+             |    WHEN b.h = a.h THEN 'unchanged'
+             |    ELSE 'changed' END AS status
+             |FROM b FULL OUTER JOIN a ON b.doc_id = a.doc_id
+             |ORDER BY doc_id""".stripMargin)),
   )
 }

@@ -104,4 +104,21 @@ class CdcSpec extends AnyFunSuite with SparkTestBase {
         Option(x.getMessage).toSeq ++ messages(x.getCause))
     assert(messages(e).exists(_.contains("non-negative")), e.getMessage)
   }
+
+  test("snapshot diff classifies every key case") {
+    val s2 = spark; import s2.implicits._
+    val before = Seq(
+      (1L, "same", "en"), (2L, "edited", "en"), (3L, "dropped", "de"),
+      (5L, "ab", "c"))
+      .toDF("k", "text", "lang")
+    val after = Seq(
+      (1L, "same", "en"), (2L, "edited v2", "en"), (4L, "brand new", "fr"),
+      // the separator matters: ("a","bc") must NOT hash like ("ab","c")
+      (5L, "a", "bc"))
+      .toDF("k", "text", "lang")
+    val got = Cdc.snapshotDiff(before, after, "k", Seq("text", "lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "added", 5L -> "changed"), got.toString)
+  }
 }
