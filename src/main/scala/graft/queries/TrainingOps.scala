@@ -2499,6 +2499,20 @@ object TrainingOps {
              |    list_transform(kept, i -> t[i]), ' '), ''))
              |    AS clean_hash
              |FROM k2 ORDER BY doc_id""".stripMargin)),
+
+    // partial top-k per key: the Aggregator form shuffles <= k rows per
+    // (key, partition) where the window form shuffles the corpus —
+    // result pinned identical to the oracle's ROW_NUMBER replay.
+    QueryDef("q139_topk_per_group",
+      (s, d) => graft.ops.TopK.perKey(
+          table(s, d, "documents"), "source", "n_chars", "doc_id", 3)
+        .orderBy("source", "rk"),
+      Some("""SELECT source, n_chars, doc_id, rk FROM (
+             |  SELECT source, n_chars, doc_id,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+             |      ORDER BY n_chars DESC, doc_id ASC) AS INT) AS rk
+             |  FROM documents) t
+             |WHERE rk <= 3 ORDER BY source, rk""".stripMargin)),
   )
 
   /** Unrolled DuckDB replay of [[graft.ops.TextAnalysis.bpeTrain]]:

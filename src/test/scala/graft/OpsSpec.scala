@@ -1550,6 +1550,36 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(n == 1L && math.abs(j - 1.0 / 5.0) < 1e-12, s"($n, $j)")
   }
 
+  test("partial top-k per key equals the window form on any partitioning") {
+    val s2 = spark; import s2.implicits._
+    import org.apache.spark.sql.expressions.Window
+    def windowForm(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("rk", row_number().over(Window.partitionBy("source")
+        .orderBy(col("n_chars").desc, col("doc_id").asc)))
+      .where(col("rk") <= 3)
+      .select(col("source"), col("n_chars"), col("doc_id"), col("rk"))
+    val expect = windowForm(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    // merge correctness must not depend on how rows land in partitions
+    for (parts <- Seq(1, 7)) {
+      val got = graft.ops.TopK.perKey(docs.repartition(parts),
+          "source", "n_chars", "doc_id", 3)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+        .toSet
+      assert(got == expect, s"parts=$parts")
+    }
+    // enumerable tie fixture: equal ord → smaller id wins, ranks stable
+    val fx = Seq(("a", 5L, 1L), ("a", 5L, 2L), ("a", 9L, 3L), ("a", 1L, 4L),
+      ("b", 2L, 5L)).toDF("k", "v", "id")
+    val got = graft.ops.TopK.perKey(fx, "k", "v", "id", 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    assert(got == Set(("a", 9L, 3L, 1), ("a", 5L, 1L, 2),
+      ("b", 2L, 5L, 1)), got.toString)
+  }
+
   test("remove duplicate spans drops exactly the flagged tokens") {
     val s2 = spark; import s2.implicits._
     val boiler = "copyright acme corp all rights reserved"  // 6 tokens

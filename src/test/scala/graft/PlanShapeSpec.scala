@@ -400,4 +400,15 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("partial top-k aggregates map-side; the corpus is never sorted") {
+    val df = graft.ops.TopK.perKey(docs, "source", "n_chars", "doc_id", 3)
+    val p = plan(df)
+    // the whole point vs the window form: a partial ObjectHashAggregate
+    // before the exchange (≤ k rows per key per map task cross the
+    // wire), ONE exchange, and no per-key Sort of corpus rows
+    assert("(?i)objecthashaggregate".r.findAllIn(p).size >= 2, p)
+    assert(exchanges(df) == 1, p)
+    assert(!p.contains("Sort "), p)
+  }
 }
