@@ -184,6 +184,33 @@ object Sampling {
       .select(col("vec_id"), col("cid"))
   }
 
+  /** Weighted without-replacement sample of `maxN` rows per key
+    * (Efraimidis–Spirakis A-Res): each row draws a content-hash
+    * `u ∈ [0,1)` and ranks by `u^(1/w)` — the top `maxN` per key are a
+    * weighted sample without replacement, so e.g. "5 representative docs
+    * per source, longer docs proportionally likelier" needs no per-key
+    * weight totals and no rejection loop. Zero/negative weights drop
+    * (never sampled). Deterministic: the draw is md5 arithmetic and ties
+    * (same u, same w) break by `idCol`, so engines agree row-for-row.
+    *
+    * Shape at 100 TB: one narrow rank projection + ONE per-key window —
+    * identical cost profile to [[capPerKey]], which is the unweighted
+    * special case (all weights equal ⇒ rank order is draw order).
+    */
+  def weightedCapPerKey(df: DataFrame, keyCol: String, weightCol: String,
+      maxN: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(maxN > 0, s"maxN=$maxN must be positive")
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col("_ares").desc, col(idCol).asc)
+    df.where(col(weightCol) > 0)
+      .withColumn("_ares",
+        pow(hashUnit(col(textCol), "wcap:"), lit(1.0) / col(weightCol)))
+      .withColumn("_rk", row_number().over(w))
+      .where(col("_rk") <= maxN)
+      .drop("_ares", "_rk")
+  }
+
   /** Hashed-n-gram bucket of one gram (DSIR feature hashing): first 8 md5
     * hex digits of "dsir:gram" (32 bits) mod `numBuckets` — the
     * [[Sketch.bucket]] convention, so a SQL oracle replays it digit by

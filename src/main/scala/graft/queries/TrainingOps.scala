@@ -2513,6 +2513,24 @@ object TrainingOps {
              |      ORDER BY n_chars DESC, doc_id ASC) AS INT) AS rk
              |  FROM documents) t
              |WHERE rk <= 3 ORDER BY source, rk""".stripMargin)),
+
+    // A-Res weighted per-key sample: 5 docs per source, selection
+    // probability ∝ n_chars; both engines rank by POWER(u, 1/w) on the
+    // identical 16-bit content-hash draw.
+    QueryDef("q140_weighted_cap_per_key",
+      (s, d) => Sampling.weightedCapPerKey(
+          table(s, d, "documents"), "source", "n_chars", 5)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id"),
+      Some(s"""WITH r AS (SELECT doc_id, source, n_chars,
+              |    POWER(${drawSql("wcap:")}, 1.0 / n_chars) AS ares
+              |  FROM documents WHERE n_chars > 0),
+              |rk AS (SELECT doc_id, source, n_chars,
+              |    ROW_NUMBER() OVER (PARTITION BY source
+              |      ORDER BY ares DESC, doc_id ASC) AS rk
+              |  FROM r)
+              |SELECT doc_id, source, n_chars FROM rk
+              |WHERE rk <= 5 ORDER BY doc_id""".stripMargin)),
   )
 
   /** Unrolled DuckDB replay of [[graft.ops.TextAnalysis.bpeTrain]]:

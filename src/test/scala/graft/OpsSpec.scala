@@ -1550,6 +1550,36 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(n == 1L && math.abs(j - 1.0 / 5.0) < 1e-12, s"($n, $j)")
   }
 
+  test("weighted per-key sample: equal weights reduce to capPerKey; " +
+      "dominant weight wins; zero weight never sampled") {
+    val s2 = spark; import s2.implicits._
+    // equal weights ⇒ rank u^(1/w) is monotone in u for every row, but
+    // A-Res uses salt "wcap:" vs capPerKey's "cap:" — compare against a
+    // same-salt replay instead of capPerKey itself
+    val withW = docs.withColumn("w1", lit(1L))
+    val ares = Sampling.weightedCapPerKey(withW, "source", "w1", 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    import org.apache.spark.sql.expressions.Window
+    val replay = withW
+      .withColumn("u", Sampling.hashUnit(col("text"), "wcap:"))
+      .withColumn("rk", row_number().over(Window.partitionBy("source")
+        .orderBy(col("u").desc, col("doc_id").asc)))
+      .where(col("rk") <= 3).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ares == replay)
+    // dominant weight: u^(1/huge) → 1 beats every unit-weight draw
+    val fx = Seq((1L, "aa bb cc", "k", 1L), (2L, "dd ee ff", "k", 1L),
+      (3L, "gg hh ii", "k", 1000000000L), (4L, "jj kk ll", "k", 0L))
+      .toDF("doc_id", "text", "source", "wt")
+    val got = Sampling.weightedCapPerKey(fx, "source", "wt", 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(3L), got.toString)
+    // zero weight never sampled even when maxN covers everything
+    val all = Sampling.weightedCapPerKey(fx, "source", "wt", 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(all == Set(1L, 2L, 3L), all.toString)
+  }
+
   test("partial top-k per key equals the window form on any partitioning") {
     val s2 = spark; import s2.implicits._
     import org.apache.spark.sql.expressions.Window
