@@ -103,5 +103,34 @@ object Storage {
              |  CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
              |  ROUND(SUM(l_extendedprice), 2) AS sum_price
              |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Hive-style partitioned sink + partition-PRUNED source: documents
+    // written partitionBy(lang), read back with a lang predicate — at
+    // 100 TB the layout turns that predicate into directory pruning (the
+    // scan's PartitionFilters; pinned in PlanShapeSpec) instead of a
+    // full-corpus read. Aggregates must equal the direct oracle.
+    QueryDef("q141_partitioned_pruning",
+      (s, d) => {
+        val docs = table(s, d, "documents")
+          .select("doc_id", "source", "n_chars", "lang")
+        val tmp = java.nio.file.Files.createTempDirectory("graft_part")
+        docs.write.mode("overwrite").partitionBy("lang")
+          .parquet(tmp.toString)
+        val res = s.read.parquet(tmp.toString)
+          .where(col("lang").isin("en", "de"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n"),
+            sum("n_chars").cast("long").as("total_chars"),
+            countDistinct("source").as("n_sources"))
+          .orderBy("lang")
+        val rows = res.collect()
+        QueryDef.deleteRecursively(tmp)
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+      },
+      Some("""SELECT lang, COUNT(*) AS n,
+             |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             |  COUNT(DISTINCT source) AS n_sources
+             |FROM documents WHERE lang IN ('en', 'de')
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 }

@@ -401,6 +401,21 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("partitioned sink + lang predicate prunes partitions at the scan") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_prune")
+    try {
+      docs.select("doc_id", "source", "n_chars", "lang")
+        .write.mode("overwrite").partitionBy("lang").parquet(tmp.toString)
+      val df = spark.read.parquet(tmp.toString)
+        .where(col("lang") === "en").select("doc_id", "n_chars")
+      val p = df.queryExecution.executedPlan.toString
+      // the predicate must land in PartitionFilters (directory pruning),
+      // not ride as a post-scan Filter over the whole corpus
+      assert("PartitionFilters: \\[[^\\]]*lang".r.findFirstIn(p).isDefined, p)
+      assert(!p.contains("Filter (lang"), p)
+    } finally graft.queries.QueryDef.deleteRecursively(tmp)
+  }
+
   test("partial top-k aggregates map-side; the corpus is never sorted") {
     val df = graft.ops.TopK.perKey(docs, "source", "n_chars", "doc_id", 3)
     val p = plan(df)
