@@ -49,4 +49,33 @@ object Sketch {
       .join(broadcast(sketch), Seq("depth", "bucket"), "left")
       .groupBy(keyCol)
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+
+  /** Rolling distinct keys over trailing `windowLen` periods via
+    * MERGEABLE DataSketches HLL: one sketch per period (ONE corpus-grain
+    * aggregation — after it, raw keys never move again), then every
+    * trailing window is a union of `windowLen` fixed-size sketches. This
+    * is the 100 TB pattern for "rolling 7-day distinct users": the naive
+    * form re-scans and re-shuffles every key for every window, while
+    * sketch rollup pays period-grain × windowLen for ANY window length —
+    * which is also why `approx_count_distinct` (HLL++ but finalized at
+    * aggregation time) cannot express it.
+    *
+    * HLL register updates are max-operations, so the estimate is
+    * deterministic for a given key SET regardless of order/partitioning.
+    * Returns (period, approx) — validate against an exact count on a
+    * bounded slice, as q142 does (the q63 self-validation discipline).
+    */
+  def rollingDistinct(df: DataFrame, periodCol: String, keyCol: String,
+      windowLen: Int): DataFrame = {
+    require(windowLen >= 1, s"windowLen=$windowLen must be >= 1")
+    val perPeriod = df.groupBy(col(periodCol).as("period"))
+      .agg(hll_sketch_agg(col(keyCol)).as("sk"))
+    val anchors = perPeriod.select(col("period").as("_anchor"))
+    perPeriod
+      .join(anchors, col("period").between(
+        col("_anchor") - (windowLen - 1), col("_anchor")))
+      .groupBy(col("_anchor").as("period"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+        .cast("long").as("approx"))
+  }
 }

@@ -2531,6 +2531,35 @@ object TrainingOps {
               |  FROM r)
               |SELECT doc_id, source, n_chars FROM rk
               |WHERE rk <= 5 ORDER BY doc_id""".stripMargin)),
+
+    // rolling 7-day distinct users via mergeable HLL sketch rollup
+    // (daily sketches unioned per trailing window — raw keys shuffle
+    // ONCE); validated q63-style against the exact rolling count, which
+    // the oracle recomputes.
+    QueryDef("q142_rolling_distinct",
+      (s, d) => {
+        val ev = eventsMicros(s, d)
+          .select(expr("ts_us div 86400000000").as("day"), col("user_id"))
+        val approx = Sketch.rollingDistinct(ev, "day", "user_id", 7)
+          .withColumnRenamed("period", "day")
+        val days = ev.select(col("day").as("_anchor")).distinct()
+        val exact = ev
+          .join(days, col("day").between(col("_anchor") - 6, col("_anchor")))
+          .groupBy(col("_anchor").as("day"))
+          .agg(countDistinct("user_id").as("exact_users"))
+        exact.join(approx, "day")
+          .select(col("day"), col("exact_users"),
+            (abs(col("approx") - col("exact_users")) <=
+              col("exact_users") * 0.05).as("approx_ok"))
+          .orderBy("day")
+      },
+      Some("""WITH e AS (SELECT DISTINCT
+             |    epoch_us(ts) // 86400000000 AS day, user_id FROM events),
+             |days AS (SELECT DISTINCT day AS anchor FROM e)
+             |SELECT anchor AS day,
+             |  COUNT(DISTINCT user_id) AS exact_users, TRUE AS approx_ok
+             |FROM e JOIN days ON day BETWEEN anchor - 6 AND anchor
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 
   /** Unrolled DuckDB replay of [[graft.ops.TextAnalysis.bpeTrain]]:

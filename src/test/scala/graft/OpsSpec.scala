@@ -1550,6 +1550,21 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(n == 1L && math.abs(j - 1.0 / 5.0) < 1e-12, s"($n, $j)")
   }
 
+  test("hll rolling distinct: exact at small cardinality, window algebra") {
+    val s2 = spark; import s2.implicits._
+    // days 0..3, users overlap across days; HLL is exact at these sizes
+    val fx = Seq((0L, 1L), (0L, 2L), (1L, 2L), (1L, 3L), (2L, 4L),
+      (3L, 1L), (3L, 5L)).toDF("day", "u")
+    val w1 = Sketch.rollingDistinct(fx, "day", "u", 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w1 == Map(0L -> 2L, 1L -> 2L, 2L -> 1L, 3L -> 2L), w1.toString)
+    val w4 = Sketch.rollingDistinct(fx, "day", "u", 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // day 3's trailing-4 window covers everything: 5 distinct users
+    assert(w4(3L) == 5L, w4.toString)
+    assert(w4(0L) == 2L, w4.toString)
+  }
+
   test("weighted per-key sample: equal weights reduce to capPerKey; " +
       "dominant weight wins; zero weight never sampled") {
     val s2 = spark; import s2.implicits._
