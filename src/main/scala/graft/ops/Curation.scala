@@ -178,10 +178,12 @@ object Curation {
       .otherwise(lit(""))
     val isAbs = locate("://", base) > 0
     val parts = split(base, "/")
+    // "(www\.)+" not "www\.": stripping only one leading www would make
+    // canonicalization non-idempotent on pathological www.www. hosts
     val host = regexp_replace(
       regexp_replace(lower(coalesce(try_element_at(parts, lit(3)), lit(""))),
         ":(80|443)$", ""),
-      "^www\\.", "")
+      "^(www\\.)+", "")
     val path = rtrim(
       when(size(parts) > 3,
         concat(lit("/"), array_join(slice(parts, lit(4), size(parts) - 3), "/")))

@@ -2357,7 +2357,7 @@ object TrainingOps {
              |    string_split(base, '/') AS parts FROM s4),
              |s6 AS (SELECT *, regexp_replace(regexp_replace(
              |      lower(coalesce(parts[3], '')), ':(80|443)$', ''),
-             |      '^www\.', '') AS host,
+             |      '^(www\.)+', '') AS host,
              |    rtrim(CASE WHEN len(parts) > 3 THEN
              |        '/' || array_to_string(parts[4:len(parts)], '/')
              |      ELSE '' END, '/') AS path FROM s5)

@@ -1645,6 +1645,41 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got(4L) == (("tiny", 0L)))
   }
 
+  test("url canonicalization is idempotent over adversarial inputs") {
+    val s2 = spark; import s2.implicits._
+    // combinatorial adversarial corpus: schemes × hosts × paths × queries
+    // × fragments, including empty/pathological pieces
+    val schemes = Seq("", "http://", "HTTP://", "https://WWW.",
+      "ftp://www.www.")
+    val hosts = Seq("", "Ex.com", "ex.com:80", "EX.com:443", "ex.com:8080",
+      "www.ex.com")
+    val paths = Seq("", "/", "/A/b", "/a/b/", "//x", "/a b")
+    val queries = Seq("", "?", "?utm_a=1", "?b=2&a=1", "?a=1&utm_b=2&ref=x",
+      "?x=1?y=2", "?&&")
+    val frags = Seq("", "#f", "#a#b")
+    val urls = for {
+      s <- schemes; h <- hosts; p <- paths; q <- queries; f <- frags
+    } yield s + h + p + q + f
+    val in = urls.zipWithIndex.map { case (u, i) => (i.toLong, u) }
+      .toDF("doc_id", "href")
+    val once = Curation.canonicalizeUrls(in)
+      .select(col("doc_id"), col("canon_url").as("href"),
+        col("canon_url"), col("host"))
+    val c1 = once.select("doc_id", "canon_url", "host").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    val twice = Curation.canonicalizeUrls(
+        once.select(col("doc_id"), col("href")))
+      .select("doc_id", "canon_url", "host").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(c1.size == urls.size)
+    c1.foreach { case (id, v) =>
+      assert(twice(id) == v, s"not idempotent for ${urls(id.toInt)}: " +
+        s"$v vs ${twice(id)}")
+    }
+    // totality: no nulls anywhere
+    assert(c1.values.forall(v => v._1 != null && v._2 != null))
+  }
+
   test("url canonicalization collapses spelling variants") {
     val s2 = spark; import s2.implicits._
     val cases = Seq(
