@@ -104,8 +104,12 @@ object Cdc {
     * keys need re-embedding/re-scoring).
     *
     * Content identity is md5 over the concatenated `valueCols` with a
-    * unit separator (avoids `("ab","c")` colliding with `("a","bc")`),
-    * so the diff never shuffles the payloads themselves — each side
+    * unit separator (avoids `("ab","c")` colliding with `("a","bc")`)
+    * and a NUL sentinel for NULLs — `concat_ws` silently skips NULL
+    * operands, so without the sentinel `("x",NULL,"y")` vs
+    * `("x","y",NULL)` (a value shifting across columns through NULL)
+    * would hash identically and be misreported as `unchanged`.
+    * The diff never shuffles the payloads themselves — each side
     * reduces to (key, 16-byte hash) before the ONE full-outer equi-join.
     * At 100 TB both sides arrive partitioned by key; the join is the
     * only exchange.
@@ -117,7 +121,7 @@ object Cdc {
     requireCols(after, keyCol +: valueCols)
     def hashed(df: DataFrame, h: String) = df.select(col(keyCol),
       md5(concat_ws("\u001f", valueCols.map(c =>
-        col(c).cast("string")): _*)).as(h))
+        coalesce(col(c).cast("string"), lit("\u0000"))): _*)).as(h))
     hashed(before, "h_before")
       .join(hashed(after, "h_after"), Seq(keyCol), "full_outer")
       .select(col(keyCol),

@@ -154,7 +154,8 @@ object Curation {
     *  - tracking params removed (`utm_*`, `fbclid`, `gclid`, `ref`),
     *    survivors sorted and rejoined — param order never distinguishes
     *  - absolute URLs (containing `://`): scheme and host lowercased,
-    *    default ports `:80`/`:443` and a leading `www.` stripped; path
+    *    the scheme's OWN default port (`:80` for http, `:443` for https
+    *    — never cross-scheme) and a leading `www.` stripped; path
     *    case preserved, trailing `/` trimmed
     *  - relative URLs: trailing `/` trimmed, params processed the same;
     *    `host` is empty
@@ -178,18 +179,27 @@ object Curation {
       .otherwise(lit(""))
     val isAbs = locate("://", base) > 0
     val parts = split(base, "/")
+    val scheme = lower(element_at(parts, 1))
+    // default port is scheme-specific: :80 only for http, :443 only for
+    // https — stripping either for both schemes would conflate the
+    // distinct resources http://h:443/x and https://h:80/x. "[^\s\S]"
+    // never matches (valid in Java regex AND RE2, unlike lookahead), so
+    // other schemes keep any explicit port.
+    val portPat = when(scheme === "http:", lit(":80$"))
+      .when(scheme === "https:", lit(":443$"))
+      .otherwise(lit("[^\\s\\S]"))
     // "(www\.)+" not "www\.": stripping only one leading www would make
     // canonicalization non-idempotent on pathological www.www. hosts
     val host = regexp_replace(
       regexp_replace(lower(coalesce(try_element_at(parts, lit(3)), lit(""))),
-        ":(80|443)$", ""),
-      "^(www\\.)+", "")
+        portPat, lit("")),
+      lit("^(www\\.)+"), lit(""))
     val path = rtrim(
       when(size(parts) > 3,
         concat(lit("/"), array_join(slice(parts, lit(4), size(parts) - 3), "/")))
         .otherwise(lit("")), "/")
     val canon = when(isAbs,
-        concat(lower(element_at(parts, 1)), lit("//"), host, path, qstr))
+        concat(scheme, lit("//"), host, path, qstr))
       .otherwise(concat(rtrim(base, "/"), qstr))
     links.withColumn("canon_url", canon)
       .withColumn("host", when(isAbs, host).otherwise(lit("")))

@@ -763,11 +763,16 @@ object Similarity {
     *
     * Returns (vec_id, neighbor_id, cid, cos, rk) with rk 1..k; vectors
     * alone in their cluster emit no edges (observable as missing
-    * vec_ids, not as fabricated neighbors).
+    * vec_ids, not as fabricated neighbors). Zero-norm embeddings are
+    * excluded BEFORE the index is even built: cos against one is
+    * 0/0 — an ANSI divide-by-zero in assignment, and were it NaN, Spark
+    * orders NaN above every double, so a single zero vector would rank
+    * as the top neighbor of all its cluster-mates.
     */
   def knnGraph(corpus: DataFrame, nlist: Int, k: Int): DataFrame = {
     require(k > 0, s"k=$k must be positive")
-    val (_, assigned) = ivfIndexDeterministic(corpus, nlist)
+    val (_, assigned) =
+      ivfIndexDeterministic(corpus.where(norm(col("embedding")) > 0), nlist)
     val a = assigned.select(col("cid"), col("vec_id"),
       col("embedding").as("va")).withColumn("na", norm(col("va")))
     val b = assigned.select(col("cid"), col("vec_id").as("neighbor_id"),

@@ -83,7 +83,8 @@ object CdcQueries {
     // snapshot diff: documents vs a deterministically mutated release
     // (removals at %97, text edits at %31, additions at %53 with shifted
     // ids) classified added/removed/changed/unchanged by content hash —
-    // both engines hash (text, lang) with a 0x1F separator.
+    // both engines hash (text, lang) with a 0x1F separator and a NUL
+    // sentinel for NULLs (mirrors [[Cdc.snapshotDiff]]).
     QueryDef("q138_snapshot_diff",
       (s, d) => {
         val before = table(s, d, "documents")
@@ -99,7 +100,8 @@ object CdcQueries {
           .orderBy("doc_id")
       },
       Some("""WITH b AS (SELECT doc_id,
-             |    md5(concat_ws(chr(31), text, lang)) AS h FROM documents),
+             |    md5(concat_ws(chr(31), COALESCE(text, chr(0)),
+             |      COALESCE(lang, chr(0)))) AS h FROM documents),
              |a0 AS (
              |  SELECT doc_id, text, lang FROM documents
              |    WHERE doc_id % 97 <> 0 AND doc_id % 31 <> 0
@@ -108,7 +110,8 @@ object CdcQueries {
              |  UNION ALL SELECT doc_id + 1000000, text, lang
              |    FROM documents WHERE doc_id % 53 = 0),
              |a AS (SELECT doc_id,
-             |    md5(concat_ws(chr(31), text, lang)) AS h FROM a0)
+             |    md5(concat_ws(chr(31), COALESCE(text, chr(0)),
+             |      COALESCE(lang, chr(0)))) AS h FROM a0)
              |SELECT COALESCE(b.doc_id, a.doc_id) AS doc_id,
              |  CASE WHEN b.h IS NULL THEN 'added'
              |    WHEN a.h IS NULL THEN 'removed'

@@ -182,5 +182,42 @@ object StreamingQuery {
              |SELECT window_start, n_name, n, total_value
              |FROM agg, cutoff WHERE window_end_us <= wm
              |ORDER BY window_start, n_name""".stripMargin)),
+
+    // gap-based session windows (the streaming analog of batch q20):
+    // per-user sessions close after 30 minutes of silence, and append
+    // mode emits a session once the watermark passes its end
+    // (last event + gap). The oracle replays Spark's exact merge rule —
+    // an event landing EXACTLY gap after the previous one still merges
+    // (session windows are [ts, ts+gap) and touching windows coalesce;
+    // pinned by StreamingSpec's boundary fixture) — so islands split
+    // only on strictly-greater-than-gap silences.
+    QueryDef("q143_streaming_session",
+      (s, d) => runStream(s, d, "stream_session")(
+        Streams.sessionAggs(_, "30 minutes", "30 minutes"))(df =>
+        df.select(col("user_id"), col("session_start"), col("n_events"),
+            round(col("total_value"), 4).as("total_value"))
+          .orderBy("user_id", "session_start")),
+      Some("""WITH cutoff AS (
+             |  SELECT MAX(epoch_us(ts)) - 1800000000 AS wm FROM events),
+             |e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+             |flagged AS (SELECT user_id, us, value,
+             |    CASE WHEN us - LAG(us) OVER (PARTITION BY user_id
+             |        ORDER BY us) > 1800000000
+             |      THEN 1 ELSE 0 END AS new_s
+             |  FROM e),
+             |sess AS (SELECT user_id, us, value,
+             |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+             |      ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM flagged),
+             |agg AS (SELECT user_id, sid, MIN(us) AS start_us,
+             |    MAX(us) + 1800000000 AS end_us,
+             |    COUNT(*) AS n_events, ROUND(SUM(value), 4) AS total_value
+             |  FROM sess GROUP BY 1, 2)
+             |SELECT user_id,
+             |  STRFTIME(make_timestamp(start_us), '%Y-%m-%d %H:%M:%S')
+             |    AS session_start,
+             |  n_events, total_value
+             |FROM agg, cutoff WHERE end_us <= wm
+             |ORDER BY user_id, session_start""".stripMargin)),
   )
 }

@@ -1768,8 +1768,8 @@ object TrainingOps {
           table(s, d, "embeddings").where(col("vec_id") < 4000),
           nlist = 8, threshold = 0.3)
         .orderBy("vec_id"),
-      Some(s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings
-              |  WHERE vec_id < 4000),
+      Some(s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings e
+              |  WHERE vec_id < 4000 AND ${norm2("e")} > 0),
               |cents AS (
               |  SELECT CAST(rn - 1 AS INT) AS cid, embedding FROM (
               |    SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS rn,
@@ -2007,8 +2007,8 @@ object TrainingOps {
           table(s, d, "embeddings").where(col("vec_id") < 4000),
           nlist = 16, maxPerCluster = 25)
         .orderBy("vec_id"),
-      Some(s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings
-              |  WHERE vec_id < 4000),
+      Some(s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings e
+              |  WHERE vec_id < 4000 AND ${norm2("e")} > 0),
               |cents AS (
               |  SELECT CAST(rn - 1 AS INT) AS cid, embedding FROM (
               |    SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS rn,
@@ -2069,10 +2069,15 @@ object TrainingOps {
     // Class centroids by ordered per-dimension fold — the mean-pooling
     // pass, grouped by label so the oracle's replay is bounded by the
     // label count at any SF.
+    // Array output serialized to a micro-scaled integer string so the
+    // driver's pandas comparator can sort/hash it (raw array<double>
+    // columns are unhashable there); round(x*1e6)->bigint is
+    // half-away-from-zero in BOTH engines, unlike float formatting.
     QueryDef("q123_label_centroids",
       (s, d) => Similarity.labelCentroids(table(s, d, "embeddings"))
         .select(col("label"),
-          expr("transform(centroid, x -> round(x, 6))").as("centroid"),
+          expr("array_join(transform(centroid, " +
+            "x -> cast(round(x * 1e6) as bigint)), ' ')").as("centroid"),
           col("n_members"))
         .orderBy("label"),
       Some("""WITH cells AS (SELECT label, vec_id, g.i - 1 AS dim,
@@ -2084,7 +2089,8 @@ object TrainingOps {
              |      AS s, COUNT(*) AS n
              |  FROM cells GROUP BY 1, 2)
              |SELECT label,
-             |  list(ROUND(s / n, 6) ORDER BY dim) AS centroid,
+             |  array_to_string(list(CAST(ROUND(s / n * 1000000) AS BIGINT)
+             |    ORDER BY dim), ' ') AS centroid,
              |  MAX(n) AS n_members
              |FROM sums GROUP BY label ORDER BY label""".stripMargin)),
 
@@ -2158,10 +2164,13 @@ object TrainingOps {
     // Johnson-Lindenstrauss projection 64 -> 16: the deterministic +-1
     // matrix rebuilt from md5 arithmetic on both engines, folds in
     // dimension order.
+    // rp serialized like q123's centroid: micro-scaled bigints joined
+    // with spaces, hashable by the driver's pandas gate.
     QueryDef("q126_random_projection",
       (s, d) => Similarity.randomProject(table(s, d, "embeddings"), 16, 64)
         .select(col("vec_id"),
-          expr("transform(rp, x -> round(x, 6))").as("rp"))
+          expr("array_join(transform(rp, " +
+            "x -> cast(round(x * 1e6) as bigint)), ' ')").as("rp"))
         .orderBy("vec_id"),
       Some("""WITH sgn AS (SELECT k,
              |    list(CASE WHEN strpos('0123456789abcdef',
@@ -2175,7 +2184,9 @@ object TrainingOps {
              |        FOR g IN generate_series(1, 64)],
              |      (a, b) -> a + b) / sqrt(16.0) AS v
              |  FROM embeddings e CROSS JOIN sgn s)
-             |SELECT vec_id, list(ROUND(v, 6) ORDER BY k) AS rp
+             |SELECT vec_id,
+             |  array_to_string(list(CAST(ROUND(v * 1000000) AS BIGINT)
+             |    ORDER BY k), ' ') AS rp
              |FROM proj GROUP BY vec_id ORDER BY vec_id""".stripMargin)),
 
     // Fuzzy decontamination: cross-corpus MinHash-LSH candidates between
@@ -2215,11 +2226,15 @@ object TrainingOps {
     // Behavioral-sequence assembly: per-user first-50 event types in
     // (µs, event_id) order — both engines see identical microseconds
     // ([[QueryDef.eventsMicros]] ≡ DuckDB's epoch_us on read).
+    // seq serialized with '|' (event types are space-free identifiers)
+    // so the driver's pandas comparator can hash the column.
     QueryDef("q129_event_sequences",
       (s, d) => {
         val ev = eventsMicros(s, d)
         graft.ops.Funnel.eventSequences(ev, "user_id",
             Seq("ts_us", "event_id"), "event_type", maxLen = 50)
+          .select(col("user_id"),
+            expr("array_join(seq, '|')").as("seq"), col("n_events"))
           .orderBy("user_id")
       },
       Some("""WITH e AS (SELECT user_id, event_type,
@@ -2227,7 +2242,8 @@ object TrainingOps {
              |      ORDER BY epoch_us(ts), event_id) AS rn,
              |    COUNT(*) OVER (PARTITION BY user_id) AS n
              |  FROM events)
-             |SELECT user_id, list(event_type ORDER BY rn) AS seq,
+             |SELECT user_id,
+             |  array_to_string(list(event_type ORDER BY rn), '|') AS seq,
              |  n AS n_events
              |FROM e WHERE rn <= 50 GROUP BY user_id, n
              |ORDER BY user_id""".stripMargin)),
@@ -2356,7 +2372,10 @@ object TrainingOps {
              |s5 AS (SELECT *, strpos(base, '://') > 0 AS isabs,
              |    string_split(base, '/') AS parts FROM s4),
              |s6 AS (SELECT *, regexp_replace(regexp_replace(
-             |      lower(coalesce(parts[3], '')), ':(80|443)$', ''),
+             |      lower(coalesce(parts[3], '')),
+             |      CASE lower(parts[1]) WHEN 'http:' THEN ':80$'
+             |        WHEN 'https:' THEN ':443$'
+             |        ELSE '[^\s\S]' END, ''),
              |      '^(www\.)+', '') AS host,
              |    rtrim(CASE WHEN len(parts) > 3 THEN
              |        '/' || array_to_string(parts[4:len(parts)], '/')
@@ -2404,8 +2423,8 @@ object TrainingOps {
         .select(col("vec_id"), col("neighbor_id"), col("cid"),
           round(col("cos"), 5).as("cos"), col("rk"))
         .orderBy("vec_id", "rk"),
-      Some(s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings
-              |  WHERE vec_id < 4000),
+      Some(s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings e
+              |  WHERE vec_id < 4000 AND ${norm2("e")} > 0),
               |cents AS (
               |  SELECT CAST(rn - 1 AS INT) AS cid, embedding FROM (
               |    SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS rn,
@@ -2560,6 +2579,32 @@ object TrainingOps {
              |  COUNT(DISTINCT user_id) AS exact_users, TRUE AS approx_ok
              |FROM e JOIN days ON day BETWEEN anchor - 6 AND anchor
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // BPE APPLY: tokenize the corpus with q128's trained merge table —
+    // the artifact a user actually ships. The 6 merges are a bounded
+    // driver-side collect (the tokenizer, not data); application is a
+    // purely NARROW per-word fold baked into one projection, so at
+    // 100 TB tokenization costs one corpus pass and zero joins. The
+    // oracle retrains identically (q128's CTEs, vocab carrying the
+    // word) and re-applies via the distinct-word vocabulary.
+    QueryDef("q144_bpe_apply",
+      (s, d) => {
+        val docs = table(s, d, "documents")
+        val merges = TextAnalysis.bpeTrain(docs, 6).orderBy("step")
+          .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+        docs
+          .select(col("doc_id"),
+            filter(split(col("text"), " "), w => length(w) > 0).as("ws"))
+          .where(size(col("ws")) > 0)
+          .select(col("doc_id"),
+            flatten(transform(col("ws"),
+              w => TextAnalysis.bpeApply(w, merges))).as("toks"))
+          .select(col("doc_id"),
+            size(col("toks")).cast("long").as("n_tokens"),
+            array_join(col("toks"), " ").as("tokens"))
+          .orderBy("doc_id")
+      },
+      Some(bpeApplyOracleSql(6))),
   )
 
   /** Unrolled DuckDB replay of [[graft.ops.TextAnalysis.bpeTrain]]:
@@ -2598,6 +2643,53 @@ object TrainingOps {
       .map(i => s"SELECT $i AS step, a, b, CAST(cnt AS BIGINT) AS cnt " +
         s"FROM m$i")
       .mkString("\n", "\nUNION ALL\n", "\nORDER BY step")
+    sb.toString
+  }
+
+  /** DuckDB replay of train-then-APPLY ([[q144]]): q128's training CTEs
+    * with the vocabulary carrying its word (and the final merge's fold
+    * materialized too, which training itself skips), then each document's
+    * in-order words joined to their tokenized symbol lists — the oracle
+    * tokenizes via the distinct-word vocab where the engine bakes the
+    * fold into a narrow per-occurrence expression.
+    */
+  private def bpeApplyOracleSql(k: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH v0 AS MATERIALIZED (
+             |  SELECT w, COUNT(*) AS freq
+             |  FROM (SELECT UNNEST(string_split(text, ' ')) AS w
+             |        FROM documents)
+             |  WHERE len(w) > 0 GROUP BY w),
+             |s0 AS MATERIALIZED (SELECT w, freq,
+             |  [substr(w, g, 1) FOR g IN generate_series(1, len(w))] AS syms
+             |  FROM v0)""".stripMargin
+    for (i <- 1 to k) {
+      sb ++= s""",
+               |p$i AS (SELECT syms[t.g] AS a, syms[t.g + 1] AS b,
+               |    SUM(freq) AS cnt
+               |  FROM s${i - 1},
+               |       UNNEST(generate_series(1, len(syms) - 1)) t(g)
+               |  GROUP BY 1, 2),
+               |m$i AS MATERIALIZED (SELECT a, b, cnt FROM p$i
+               |  ORDER BY cnt DESC, a, b LIMIT 1),
+               |s$i AS MATERIALIZED (SELECT w, freq,
+               |  list_reduce(list_transform(syms, x -> [x]), (acc, x) ->
+               |    CASE WHEN acc[-1] = m.a AND x[1] = m.b
+               |      THEN acc[:-2] || [m.a || m.b]
+               |      ELSE acc || x END) AS syms
+               |  FROM s${i - 1}, m$i m)""".stripMargin
+    }
+    sb ++= s"""
+              |, dw AS (SELECT doc_id, ws[t.g] AS w, t.g AS pos
+              |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+              |        FROM documents) dd,
+              |       UNNEST(generate_series(1, len(ws))) t(g)
+              |  WHERE len(ws[t.g]) > 0)
+              |SELECT doc_id, CAST(SUM(len(s.syms)) AS BIGINT) AS n_tokens,
+              |  array_to_string(flatten(list(s.syms ORDER BY pos)), ' ')
+              |    AS tokens
+              |FROM dw JOIN s$k s USING (w)
+              |GROUP BY doc_id ORDER BY doc_id""".stripMargin
     sb.toString
   }
 }

@@ -121,4 +121,22 @@ class CdcSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
       4L -> "added", 5L -> "changed"), got.toString)
   }
+
+  test("snapshot diff sees a value shifting across columns through NULL") {
+    val s2 = spark; import s2.implicits._
+    // concat_ws skips NULL operands, so without the NUL sentinel both
+    // rows would concatenate to the same bytes and read as 'unchanged'
+    val before = Seq((1L, Some("x"), None: Option[String], Some("y")),
+      (2L, Some("a"), None: Option[String], None: Option[String]),
+      (3L, Some("a"), Some("b"), None: Option[String]))
+      .toDF("k", "c1", "c2", "c3")
+    val after = Seq((1L, Some("x"), Some("y"), None: Option[String]),
+      (2L, None: Option[String], Some("a"), None: Option[String]),
+      (3L, Some("a"), Some("b"), None: Option[String]))
+      .toDF("k", "c1", "c2", "c3")
+    val got = Cdc.snapshotDiff(before, after, "k", Seq("c1", "c2", "c3"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "changed", 2L -> "changed", 3L -> "unchanged"),
+      got.toString)
+  }
 }

@@ -1535,6 +1535,26 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(g.map(e => (e._1, e._2)).toSet == expect)
   }
 
+  test("knn graph excludes zero-norm vectors instead of ranking NaN first") {
+    val s2 = spark; import s2.implicits._
+    // 1 and 2 are near-identical; 3 is orthogonal-ish; 99 is all-zero.
+    // cos(x, 0) = 0/0 = NaN, which Spark orders ABOVE every double — an
+    // unguarded zero vector would be every node's top neighbor.
+    val fx = Seq(
+      (1L, Array(1.0f, 0.1f)), (2L, Array(1.0f, 0.2f)),
+      (3L, Array(0.1f, 1.0f)), (99L, Array(0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val g = Similarity.knnGraph(fx, nlist = 1, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(g.nonEmpty)
+    assert(!g.exists(e => e._1 == 99L || e._2 == 99L),
+      s"zero vector leaked into the graph: ${g.mkString(",")}")
+    assert(g.forall(e => !e._3.isNaN), s"NaN cosine: ${g.mkString(",")}")
+    // and node 1's best neighbor is 2, not the zero vector
+    val top1 = g.filter(_._1 == 1L).minBy(-_._3)
+    assert(top1._2 == 2L, top1.toString)
+  }
+
   test("source overlap matrix matches hand-computed jaccard") {
     val s2 = spark; import s2.implicits._
     val fx = Seq(
@@ -1693,7 +1713,14 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
       ("https://example.com/?fbclid=abc&gclid=x&ref=nav",
         "https://example.com", "example.com"),
       ("/Rel/Path/?ref=x", "/Rel/Path", ""),
-      ("page.html?a=1", "page.html?a=1", ""))
+      ("page.html?a=1", "page.html?a=1", ""),
+      // cross-scheme ports are NOT default and must survive
+      ("http://example.com:443/x", "http://example.com:443/x",
+        "example.com:443"),
+      ("https://example.com:80/x", "https://example.com:80/x",
+        "example.com:80"),
+      ("ftp://example.com:80/x", "ftp://example.com:80/x",
+        "example.com:80"))
     val got = Curation.canonicalizeUrls(
         cases.zipWithIndex.map { case ((u, _, _), i) => (i.toLong, u) }
           .toDF("doc_id", "href"))

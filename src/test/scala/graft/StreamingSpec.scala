@@ -67,6 +67,33 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("session boundary: an event EXACTLY gap after the last one merges") {
+    // session windows are [ts, ts+gap) and touching windows coalesce —
+    // the q143 oracle's islands split only on silences STRICTLY greater
+    // than the gap, and this fixture pins that rule against regressions
+    val s2 = spark; import s2.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = Streams.sessionAggs(input.toDF(), "30 minutes", "30 minutes")
+      .writeStream.format("memory").queryName("sessions_boundary")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        ev(1, "2024-01-01 10:00:00", 1),
+        ev(2, "2024-01-01 10:30:00", 1),   // exactly gap later: merges
+        ev(3, "2024-01-01 11:00:00.000001", 1)) // gap + 1 µs: splits
+      q.processAllAvailable()
+      input.addData(ev(4, "2024-01-01 15:00:00", 2)) // advance watermark
+      q.processAllAvailable()
+      val rows = spark.table("sessions_boundary")
+        .where(col("user_id") === 1L)
+        .select("session_start", "n_events").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rows == Map("2024-01-01 10:00:00" -> 2L,
+        "2024-01-01 11:00:00" -> 1L), s"got $rows")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState accumulates running user totals across batches") {
     val s2 = spark; import s2.implicits._
     implicit val ctx = spark.sqlContext

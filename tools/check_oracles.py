@@ -18,16 +18,28 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
-    df = df.reindex(sorted(df.columns), axis=1)
+    return df.reindex(sorted(df.columns), axis=1).reset_index(drop=True)
+
+
+def array_cols(df: pd.DataFrame):
+    """Driver parity: the driver's pandas comparator dies on array-typed
+    cells (unhashable ndarray in sort_values), so an array output column
+    must FAIL here too instead of being quietly normalized away."""
+    bad = []
     for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].apply(
-                lambda v: tuple(v) if isinstance(v, (list, tuple)) or
-                type(v).__name__ == "ndarray" else v)
-    return df.reset_index(drop=True)
+        if df[c].dtype == object and df[c].apply(
+                lambda v: isinstance(v, (list, tuple)) or
+                type(v).__name__ == "ndarray").any():
+            bad.append(c)
+    return bad
 
 
 def cmp_frames(name, spark_df, duck_df):
+    bad = array_cols(spark_df) + array_cols(duck_df)
+    if bad:
+        return (f"ARRAY cols {sorted(set(bad))}: raw array outputs are "
+                "unhashable in the driver's comparator - serialize them "
+                "(array_join / md5) in BOTH engines")
     a, b = norm(spark_df), norm(duck_df)
     if list(a.columns) != list(b.columns):
         return f"SCHEMA: spark={list(a.columns)} duck={list(b.columns)}"
