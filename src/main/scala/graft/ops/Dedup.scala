@@ -23,6 +23,28 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
 
+  /** The near-exact normalization used by production curation stacks
+    * (Dolma / CCNet-style "fuzzy exact" dedup): lowercase, strip
+    * everything but letters/digits/whitespace, collapse whitespace
+    * runs, trim. Catches the re-hosted copy that differs only in
+    * casing, punctuation, or spacing — which plain [[exactGroups]]
+    * misses and MinHash wastes a full signature pass on. Pure narrow
+    * column expression, replayable in SQL.
+    */
+  def normalizeForDedup(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9\\s]", ""), "\\s+", " "))
+
+  /** Near-exact duplicate groups: [[exactGroups]] keyed on the
+    * [[normalizeForDedup]] hash instead of the raw text hash. Same
+    * 100 TB shape — ONE partial-aggregated shuffle on a 16-byte hash;
+    * the normalization adds only narrow CPU at the scan.
+    */
+  def normalizedGroups(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.groupBy(md5(normalizeForDedup(col(textCol))).as("norm_hash"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
+
   /** Distinct word n-gram shingles per document (narrow stage, no UDF).
     * `dedup = false` skips the distinct (a full shuffle of the shingle
     * stream) for consumers whose downstream aggregation is idempotent

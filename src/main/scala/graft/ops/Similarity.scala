@@ -26,6 +26,55 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Int8 scalar quantization (SQ8) of the embedding column — the third
+    * member of the quantization family next to [[pqIndex]] (PQ) and
+    * [[ivfPqTopK]] (IVF-PQ), mirroring FAISS's `ScalarQuantizer`: each
+    * DIMENSION gets an affine [lo, hi] range mapped onto 256 levels, so
+    * a d-dim float32 vector stores as d bytes (4× smaller) with a known
+    * reconstruction error — the standard storage tier for trillion-scale
+    * embedding tables where PQ's distortion is too coarse.
+    *
+    * Returns (vec_id, codes, recon_mse): `codes` is the space-joined
+    * int code string (comparator-agnostic — see q123's discipline);
+    * `recon_mse` the per-vector mean squared dequantization error, an
+    * ordered fold over dimensions so both engines produce identical
+    * doubles. Constant dimensions (hi == lo) code as 0 and reconstruct
+    * exactly as `lo`.
+    *
+    * Shape at 100 TB: per-dimension bounds are ONE partial-aggregated
+    * groupBy(dim) over exploded cells (the shuffle carries dims ×
+    * partitions rows, not the corpus), packed into a single broadcast
+    * row; coding + error are then purely NARROW expressions. No second
+    * shuffle, no self-join.
+    */
+  def scalarQuantize(corpus: DataFrame): DataFrame = {
+    val cells = corpus.select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("dim"), col("v").cast("double").as("v"))
+    val packed = cells.groupBy("dim")
+      .agg(min("v").as("lo"), max("v").as("hi"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("lo"),
+        col("hi")))).as("b"))
+      .select(transform(col("b"), x => x.getField("lo")).as("los"),
+        transform(col("b"), x => x.getField("hi")).as("his"))
+    corpus.crossJoin(broadcast(packed))
+      .withColumn("codes", expr(
+        """transform(sequence(1, size(embedding)), i ->
+          |  CASE WHEN element_at(his, i) > element_at(los, i)
+          |    THEN cast(round((cast(element_at(embedding, i) as double)
+          |           - element_at(los, i)) * 255.0D
+          |           / (element_at(his, i) - element_at(los, i))) as int)
+          |    ELSE 0 END)""".stripMargin))
+      .withColumn("recon_mse", expr(
+        """aggregate(sequence(1, size(embedding)), cast(0.0 as double),
+          |  (acc, i) -> acc + pow(
+          |    element_at(los, i) + element_at(codes, i)
+          |      * (element_at(his, i) - element_at(los, i)) / 255.0D
+          |      - cast(element_at(embedding, i) as double), 2))
+          |  / size(embedding)""".stripMargin))
+      .select(col("vec_id"), array_join(col("codes"), " ").as("codes"),
+        col("recon_mse"))
+  }
+
   /** Exact top-k cosine neighbors for each query vector (self excluded).
     * `queries` must be a subset projection of `corpus` with columns
     * (vec_id, embedding). Brute force: |queries| × |corpus| scored pairs —

@@ -2605,6 +2605,62 @@ object TrainingOps {
           .orderBy("doc_id")
       },
       Some(bpeApplyOracleSql(6))),
+
+    // int8 scalar quantization: per-dimension affine [min,max] → 256
+    // levels (FAISS SQ8) — the 4×-compression storage tier next to
+    // PQ/IVF-PQ. Bounds are one dim-grain agg both engines replay;
+    // codes and the ordered-fold reconstruction error are narrow.
+    QueryDef("q145_scalar_quantize",
+      (s, d) => Similarity.scalarQuantize(table(s, d, "embeddings"))
+        .select(col("vec_id"), col("codes"),
+          round(col("recon_mse"), 9).as("recon_mse"))
+        .orderBy("vec_id"),
+      Some("""WITH cells AS (SELECT g.i - 1 AS dim,
+             |    CAST(embedding[g.i] AS DOUBLE) AS v
+             |  FROM embeddings,
+             |       UNNEST(generate_series(1, len(embedding))) g(i)),
+             |b AS (SELECT dim, MIN(v) AS lo, MAX(v) AS hi
+             |  FROM cells GROUP BY 1),
+             |pk AS (SELECT list(lo ORDER BY dim) AS los,
+             |    list(hi ORDER BY dim) AS his FROM b),
+             |q AS (SELECT vec_id, embedding, los, his,
+             |    [CASE WHEN his[i] > los[i]
+             |       THEN CAST(ROUND((CAST(embedding[i] AS DOUBLE) - los[i])
+             |              * 255.0 / (his[i] - los[i])) AS INT)
+             |       ELSE 0 END
+             |     FOR i IN generate_series(1, len(embedding))] AS codes
+             |  FROM embeddings CROSS JOIN pk)
+             |SELECT vec_id, array_to_string(codes, ' ') AS codes,
+             |  ROUND(list_reduce(
+             |    [POW(los[i] + codes[i] * (his[i] - los[i]) / 255.0
+             |        - CAST(embedding[i] AS DOUBLE), 2)
+             |     FOR i IN generate_series(1, len(embedding))],
+             |    (a, b) -> a + b) / len(embedding), 9) AS recon_mse
+             |FROM q ORDER BY vec_id""".stripMargin)),
+
+    // near-exact ("fuzzy exact") dedup: exact groups keyed on the
+    // Dolma/CCNet normalization (lowercase, strip punctuation, collapse
+    // whitespace) — catches re-hosted copies differing only in casing/
+    // punctuation/spacing. The entry plants such variants (%41 docs
+    // re-enter uppercased with added punctuation) so the op has real
+    // work at every SF; output is per-group, ordered by hash.
+    QueryDef("q146_normalized_dedup",
+      (s, d) => {
+        val docs = table(s, d, "documents").select("doc_id", "text")
+        val variants = docs.where(col("doc_id") % 41 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            concat(upper(col("text")), lit("!!")).as("text"))
+        Dedup.normalizedGroups(docs.unionByName(variants))
+          .orderBy("norm_hash")
+      },
+      Some("""WITH all_docs AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL SELECT doc_id + 2000000, upper(text) || '!!'
+             |    FROM documents WHERE doc_id % 41 = 0)
+             |SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+             |    '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS norm_hash,
+             |  MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+             |FROM all_docs GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 
   /** Unrolled DuckDB replay of [[graft.ops.TextAnalysis.bpeTrain]]:

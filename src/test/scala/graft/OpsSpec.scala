@@ -1555,6 +1555,54 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(top1._2 == 2L, top1.toString)
   }
 
+  test("scalar quantization: codes bounded, constant dims exact, " +
+      "reconstruction within half a quantization step") {
+    val s2 = spark; import s2.implicits._
+    // dim bounds: d0 [0,10], d1 [5,5] (constant), d2 [-2,2]
+    val raw = Seq(
+      (1L, Array(0.0f, 5.0f, 2.0f)),
+      (2L, Array(10.0f, 5.0f, -2.0f)),
+      (3L, Array(4.0f, 5.0f, 0.5f)))
+    val fx = raw.toDF("vec_id", "embedding")
+    val rows = Similarity.scalarQuantize(fx).collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).split(" ").map(_.toInt), r.getDouble(2))).toList
+    assert(rows.map(_._1).sorted == List(1L, 2L, 3L))
+    val lows = Array(0.0, 5.0, -2.0)
+    val ranges = Array(10.0, 0.0, 4.0)
+    rows.foreach { case (id, codes, mse) =>
+      assert(codes.length == 3 && codes.forall(c => c >= 0 && c <= 255),
+        s"vec $id codes: ${codes.mkString(",")}")
+      assert(codes(1) == 0, s"constant dim must code as 0, got ${codes(1)}")
+      // per-dim round-trip within half a step; constant dim exact
+      val x = raw.collect { case (i, e) if i == id => e }.head
+      val err = codes.indices.map { d =>
+        val deq = lows(d) + codes(d) * ranges(d) / 255.0
+        math.abs(deq - x(d))
+      }
+      err.indices.foreach { d =>
+        val tol = if (ranges(d) == 0) 1e-12 else ranges(d) / 255.0 / 2 + 1e-9
+        assert(err(d) <= tol, s"vec $id dim $d err ${err(d)} > $tol")
+      }
+      val expectMse = err.map(e => e * e).sum / 3.0
+      assert(math.abs(mse - expectMse) < 1e-12, s"vec $id mse $mse")
+    }
+  }
+
+  test("normalized dedup collapses case/punctuation/whitespace variants") {
+    val s2 = spark; import s2.implicits._
+    val fx = Seq(
+      (1L, "Hello, World!"),
+      (2L, "hello   world"),
+      (3L, "HELLO WORLD."),
+      (4L, "goodbye world"),
+      (5L, "hello worlds"))   // NOT a variant: extra letter
+      .toDF("doc_id", "text")
+    val got = Dedup.normalizedGroups(fx).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 3L), (4L, 1L), (5L, 1L)), got.toString)
+  }
+
   test("source overlap matrix matches hand-computed jaccard") {
     val s2 = spark; import s2.implicits._
     val fx = Seq(
