@@ -60,9 +60,14 @@ object Bench {
 
     // round-5 postmortem entries: their artifact minima inflated 2–5× on a
     // contended host with UNTOUCHED code; always take 3 samples so the
-    // recorded min survives a mid-run load spike
+    // recorded min survives a mid-run load spike. q62/q60 join the set in
+    // round 6: isolated 6-sample probes show BIMODAL samples (q62:
+    // 4.4–13 s, gc ≤ 0.5 s, identical plans — shuffle-I/O variance on the
+    // sandbox disk, not plan cost), so min-of-2 regularly lands on the
+    // slow mode and reads as a 2× regression that is not there.
     val deepSample = Set("q72_neardup_components", "q84_leakage_scan",
-      "q85_streaming_sliding")
+      "q85_streaming_sliding", "q62_pipeline_synthetic",
+      "q60_classify_report")
     val loadStart = loadavg
     val results = SparkEntry.defs.sortBy(_.name).map { q =>
       // Session hygiene between entries AND between samples: any relation a
