@@ -205,6 +205,33 @@ object Curation {
       .withColumn("host", when(isAbs, host).otherwise(lit("")))
   }
 
+  /** Per-group quality-quantile retention — the FineWeb-style "keep the
+    * best X% per domain" curation pass: within each `byCol` group, rows
+    * rank by (`scoreCol` DESC, `idCol` ASC) and the top
+    * `max(1, floor(keepFrac × n))` survive. The cutoff is integer
+    * arithmetic on the group count (not `percent_rank`), so the exact
+    * survivor set replays on any engine, and every group — however small
+    * — keeps at least its best row (a tiny domain never vanishes from
+    * the mixture entirely).
+    *
+    * Shape at 100 TB: ONE per-group window carrying (score, id); no
+    * joins, no second shuffle — the count rides the same window
+    * partitioning.
+    */
+  def qualityQuantileFilter(df: DataFrame, byCol: String, scoreCol: String,
+      keepFrac: Double, idCol: String = "doc_id"): DataFrame = {
+    require(keepFrac > 0.0 && keepFrac <= 1.0,
+      s"keepFrac=$keepFrac must be in (0, 1]")
+    val w = Window.partitionBy(byCol)
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    df.withColumn("q_rk", row_number().over(w))
+      .withColumn("q_n",
+        count(lit(1)).over(Window.partitionBy(byCol)))
+      .where(col("q_rk") <=
+        greatest(lit(1L), floor(lit(keepFrac) * col("q_n"))))
+      .drop("q_rk", "q_n")
+  }
+
   /** C4-style line-level corpus dedup: drop every line (segment between
     * `sep`s) whose exact content appears in more than `maxDf` documents —
     * corpus-wide boilerplate (headers, footers, cookie banners) vanishes

@@ -153,6 +153,38 @@ object Sampling {
       .drop("mix_rate")
   }
 
+  /** Temperature-scaled source balancing (the multilingual-LM mixing
+    * rule of Conneau & Lample 2019 / mT5): keep rate per source
+    * `r_s = (n_min / n_s)^(1 - alpha)`, so surviving counts are
+    * proportional to `n_s^alpha` — `alpha = 1` keeps everything (natural
+    * proportions), `alpha = 0` equalizes every source to the smallest,
+    * and the usual `alpha ≈ 0.3–0.7` lifts small sources without letting
+    * the biggest one drown the mixture. Unlike [[mixtureSample]] the
+    * rates are DERIVED from the corpus itself — no hand-tuned allowlist
+    * to go stale as source volumes drift.
+    *
+    * Draws are content-hashed ([[hashUnit]], salt `"tmix:"`):
+    * deterministic on every run and engine. Shape at 100 TB: one tiny
+    * per-source count aggregation (map-side combined), its global min as
+    * a 1-row cross join, rates broadcast back — the corpus-side pass is
+    * a single narrow filter, exactly [[mixtureSample]]'s cost.
+    */
+  def temperatureMixture(df: DataFrame, alpha: Double,
+      mixCol: String = "source", textCol: String = "text"): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha=$alpha must be in [0, 1]")
+    val counts = df.groupBy(mixCol).agg(count(lit(1)).as("n_src"))
+    val minN = counts.agg(min("n_src").as("n_min"))
+    // the rate rounds to 6 places: pow() may differ by 1 ulp between
+    // libm implementations, and the kept set must not hinge on it
+    val rates = counts.crossJoin(broadcast(minN))
+      .select(col(mixCol),
+        round(pow(col("n_min").cast("double") / col("n_src"), 1.0 - alpha),
+          6).as("mix_rate"))
+    df.join(broadcast(rates), mixCol)
+      .where(hashUnit(col(textCol), "tmix:") < col("mix_rate"))
+      .drop("mix_rate")
+  }
+
   /** Cluster-balanced subsample over an embedding table: assign every
     * vector to its nearest deterministic coarse centroid
     * ([[Similarity.ivfIndexDeterministic]]), then keep at most

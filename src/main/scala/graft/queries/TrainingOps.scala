@@ -2661,6 +2661,76 @@ object TrainingOps {
              |    '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS norm_hash,
              |  MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
              |FROM all_docs GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // per-source quality-quantile retention (FineWeb's "keep the best
+    // X% per domain"): q48's quality score, one per-source window,
+    // integer cutoff max(1, floor(0.3 n)) — the exact survivor set
+    // replays on both engines.
+    QueryDef("q147_quality_filter",
+      (s, d) => Curation.qualityQuantileFilter(
+          TextAnalysis.withQuality(table(s, d, "documents")),
+          "source", "quality", 0.3)
+        .select(col("doc_id"), col("source"),
+          round(col("quality"), 9).as("quality"))
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, source,
+             |    CAST(LENGTH(text) AS BIGINT) AS n_chars,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |    CAST(len(list_distinct(string_split(text, ' ')))
+             |      AS BIGINT) AS n_uniq,
+             |    CAST(len(list_filter(string_split(text, ' '),
+             |      x -> x IN ('the','a','of','and','to','in','is','it')))
+             |      AS DOUBLE) / len(string_split(text, ' ')) AS stop_ratio
+             |  FROM documents),
+             |q AS (SELECT doc_id, source,
+             |    LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.3
+             |      + stop_ratio * 0.2
+             |      + (CAST(n_uniq AS DOUBLE) / n_tokens) * 0.2
+             |      + LEAST((CAST(n_chars - (n_tokens - 1) AS DOUBLE)
+             |          / n_tokens) / 10.0, 1.0) * 0.3 AS quality
+             |  FROM t),
+             |r AS (SELECT doc_id, source, quality,
+             |    ROW_NUMBER() OVER (PARTITION BY source
+             |      ORDER BY quality DESC, doc_id) AS rk,
+             |    COUNT(*) OVER (PARTITION BY source) AS n
+             |  FROM q)
+             |SELECT doc_id, source, ROUND(quality, 9) AS quality
+             |FROM r WHERE rk <= GREATEST(1, FLOOR(0.3 * n))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // temperature-scaled source balancing (Conneau & Lample 2019):
+    // keep rate (n_min/n_s)^(1-alpha) derived from the corpus itself,
+    // content-hash draws, rate rounded to 6 on both engines so a 1-ulp
+    // pow() divergence can never flip a draw. The synthetic sources are
+    // equal-sized, so the entry re-buckets docs into a deterministic
+    // 60/30/10 skew first — otherwise every rate is 1.0 and the
+    // operator is untested.
+    QueryDef("q148_temperature_mix",
+      (s, d) => {
+        val skewed = table(s, d, "documents").withColumn("src_bucket",
+          when(col("doc_id") % 10 < 6, "heavy")
+            .when(col("doc_id") % 10 < 9, "mid").otherwise("tail"))
+        Sampling.temperatureMixture(skewed, alpha = 0.5,
+            mixCol = "src_bucket")
+          .select(col("doc_id"), col("src_bucket"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH d AS (SELECT doc_id, text,
+              |    CASE WHEN doc_id % 10 < 6 THEN 'heavy'
+              |      WHEN doc_id % 10 < 9 THEN 'mid'
+              |      ELSE 'tail' END AS src_bucket
+              |  FROM documents),
+              |c AS (SELECT src_bucket, COUNT(*) AS n_src
+              |  FROM d GROUP BY 1),
+              |m AS (SELECT MIN(n_src) AS n_min FROM c),
+              |r AS (SELECT src_bucket,
+              |    ROUND(POW(CAST(n_min AS DOUBLE) / n_src, 0.5), 6)
+              |      AS rate
+              |  FROM c, m)
+              |SELECT doc_id, src_bucket
+              |FROM d JOIN r USING (src_bucket)
+              |WHERE ${drawSql("tmix:")} < rate
+              |ORDER BY doc_id""".stripMargin)),
   )
 
   /** Unrolled DuckDB replay of [[graft.ops.TextAnalysis.bpeTrain]]:

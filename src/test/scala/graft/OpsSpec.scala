@@ -1603,6 +1603,42 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Set((1L, 3L), (4L, 1L), (5L, 1L)), got.toString)
   }
 
+  test("quality quantile filter keeps exactly max(1, floor(frac*n)) " +
+      "best rows per group") {
+    val s2 = spark; import s2.implicits._
+    val fx = Seq(
+      ("a", 1L, 0.9), ("a", 2L, 0.8), ("a", 3L, 0.7), ("a", 4L, 0.6),
+      ("b", 5L, 0.5), ("b", 6L, 0.4), ("b", 7L, 0.9),
+      ("c", 8L, 0.1)).toDF("source", "doc_id", "q")
+    val got = Curation.qualityQuantileFilter(fx, "source", "q", 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // a: n=4 keeps its best 2; b: n=3 keeps floor(1.5)=1 (doc 7);
+    // c: n=1 keeps its single row (the at-least-one floor)
+    assert(got == Set(1L, 2L, 7L, 8L), got.toString)
+    // equal scores resolve by id asc — deterministic survivor set
+    val tie = Seq(("s", 10L, 1.0), ("s", 11L, 1.0), ("s", 12L, 1.0),
+      ("s", 13L, 1.0)).toDF("source", "doc_id", "q")
+    val keep = Curation.qualityQuantileFilter(tie, "source", "q", 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keep == Set(10L, 11L), keep.toString)
+  }
+
+  test("temperature mixture: alpha=1 keeps all, alpha=0 keeps all of " +
+      "the smallest source, draws deterministic") {
+    val s2 = spark; import s2.implicits._
+    val fx = (1 to 8).map(i => ("big", i.toLong, s"text number $i")) ++
+      Seq(("small", 100L, "s one"), ("small", 101L, "s two"))
+    val df = fx.toDF("source", "doc_id", "text")
+    assert(Sampling.temperatureMixture(df, 1.0).count() == 10L)
+    val a0 = Sampling.temperatureMixture(df, 0.0)
+    assert(a0.where(col("source") === "small").count() == 2L)
+    val k1 = Sampling.temperatureMixture(df, 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val k2 = Sampling.temperatureMixture(df, 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(k1 == k2 && k1.nonEmpty, s"$k1 vs $k2")
+  }
+
   test("source overlap matrix matches hand-computed jaccard") {
     val s2 = spark; import s2.implicits._
     val fx = Seq(
