@@ -232,6 +232,71 @@ object Curation {
       .drop("q_rk", "q_n")
   }
 
+  /** Gopher-style rule filter (Rae et al. 2021 §A.1.1, adapted to
+    * whitespace tokens): per-document heuristic quality rules, each
+    * emitting a named reason when violated — word-count bounds, mean
+    * word-length bounds, minimum alphabetic-word ratio, and repetition
+    * caps on the most frequent unigram/bigram (the single-line adaptation
+    * of MassiveText's duplicate-line and top-2-gram rules). Returns every
+    * metric (unrounded per-row IEEE arithmetic — the q48 convention), the
+    * comma-joined `reasons` string, and the `keep` verdict.
+    *
+    * Shape at 100 TB: narrow metrics are one projection; the repetition
+    * metrics are one (doc, gram)-grain aggregation (map-side combine, the
+    * same shape as token counting) collapsed to doc grain and equi-joined
+    * back on doc_id — two shuffles on the SAME key, no self-join, bigrams
+    * built with `zip_with` over slices (the q131 materialized-array
+    * lesson, never a per-element re-split).
+    */
+  def gopherRules(docs: DataFrame,
+      minWords: Int = 20, maxWords: Int = 80,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 6.0,
+      minAlphaRatio: Double = 0.8,
+      maxTopWordFrac: Double = 0.15,
+      maxTopBigramFrac: Double = 0.10): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("text"),
+      split(col("text"), " ").as("__t"))
+      .withColumn("n_words", size(col("__t")).cast("long"))
+    val narrow = toks.select(col("doc_id"), col("n_words"), col("__t"),
+      ((length(col("text")) - (col("n_words") - 1)).cast("double") /
+        col("n_words")).as("mean_word_len"),
+      (size(filter(col("__t"), w => w.rlike("[a-z]"))).cast("double") /
+        col("n_words")).as("alpha_ratio"))
+    val grams = narrow.select(col("doc_id"),
+      explode(concat(
+        transform(col("__t"),
+          t => struct(lit(1).as("ng"), t.as("g"))),
+        zip_with(
+          slice(col("__t"), lit(1), size(col("__t")) - 1),
+          slice(col("__t"), lit(2), size(col("__t")) - 1),
+          (a, b) => struct(lit(2).as("ng"),
+            concat(a, lit(" "), b).as("g"))))).as("gr"))
+    val top = grams
+      .groupBy(col("doc_id"), col("gr.ng").as("ng"), col("gr.g").as("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max(when(col("ng") === 1, col("c"))).as("mx1"),
+        max(when(col("ng") === 2, col("c"))).as("mx2"))
+    val m = narrow.drop("__t").join(top, "doc_id")
+      .withColumn("top_word_frac",
+        col("mx1").cast("double") / col("n_words"))
+      .withColumn("top_bigram_frac",
+        when(col("n_words") > 1,
+          col("mx2").cast("double") / (col("n_words") - 1))
+          .otherwise(lit(0.0)))
+      .drop("mx1", "mx2")
+    m.withColumn("reasons", concat_ws(",",
+        when(col("n_words") < minWords, lit("too_short")),
+        when(col("n_words") > maxWords, lit("too_long")),
+        when(col("mean_word_len") < minMeanLen, lit("short_words")),
+        when(col("mean_word_len") > maxMeanLen, lit("long_words")),
+        when(col("alpha_ratio") < minAlphaRatio, lit("low_alpha")),
+        when(col("top_word_frac") > maxTopWordFrac, lit("rep_word")),
+        when(col("top_bigram_frac") > maxTopBigramFrac,
+          lit("rep_bigram"))))
+      .withColumn("keep", col("reasons") === "")
+  }
+
   /** C4-style line-level corpus dedup: drop every line (segment between
     * `sep`s) whose exact content appears in more than `maxDf` documents —
     * corpus-wide boilerplate (headers, footers, cookie banners) vanishes

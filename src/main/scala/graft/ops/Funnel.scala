@@ -118,4 +118,33 @@ object Funnel {
         s"$valueCol AS v))), s -> s.v)").as("seq"),
         max("__n").as("n_events"))
   }
+
+  /** First-order Markov transition statistics over per-key event streams:
+    * for each ordered adjacent pair within a key, count (from_event,
+    * to_event) and the conditional probability `p = n / Σ n(from_event)`
+    * — the behavioral-model substrate (next-event prediction priors,
+    * anomalous-flow detection, journey visualization).
+    *
+    * Shape at 100 TB: `lead` is ONE key-partitioned window shuffle over
+    * the event log; the pair count is one aggregation whose cardinality is
+    * |event types|² (tiny), so the normalizing window runs on an
+    * already-collapsed relation. No joins, no self-reads.
+    *
+    * `orderCols` must totally order events within a key (timestamp plus a
+    * tie-breaking id), or `lead` is nondeterministic.
+    */
+  def transitionMatrix(events: DataFrame, keyCol: String,
+      orderCols: Seq[String], valueCol: String): DataFrame = {
+    require(orderCols.nonEmpty, "orderCols must be non-empty")
+    val w = Window.partitionBy(keyCol)
+      .orderBy(orderCols.map(col(_).asc): _*)
+    events
+      .withColumn("__next", lead(col(valueCol), 1).over(w))
+      .where(col("__next").isNotNull)
+      .groupBy(col(valueCol).as("from_event"), col("__next").as("to_event"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p",
+        col("n").cast("double") /
+          sum("n").over(Window.partitionBy("from_event")))
+  }
 }

@@ -61,6 +61,55 @@ object Graph {
     out
   }
 
+  /** Semi-supervised label propagation (Zhu & Ghahramani 2002 majority
+    * variant): seed nodes are CLAMPED to their label; every round each
+    * unlabeled node adopts the most common label among its in-neighbors
+    * (ties to the smallest label — deterministic). Pass symmetrized edges
+    * for the undirected formulation. Returns `(node, label)` with `label`
+    * null for nodes no seed ever reached.
+    *
+    * Shape at 100 TB: per round ONE `|E|` equi-shuffle (edges ⋈ current
+    * labels) + a vote aggregation whose grain is (node, label) — bounded
+    * by `|V| × |labels|` — + an argmax window on that collapsed relation.
+    * `localCheckpoint` pins plan growth exactly as [[pageRank]] does.
+    */
+  def labelPropagation(edges: DataFrame, seeds: DataFrame,
+      iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"iters=$iters must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val uniq = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .distinct().localCheckpoint(true)
+    val nodes = uniq.select(col("src").as("node"))
+      .union(uniq.select(col("dst").as("node"))).distinct()
+    val seed = seeds.select(col("node").cast("long"),
+      col("label").cast("long").as("seed_label"))
+    var labels = nodes.join(seed, Seq("node"), "left")
+      .select(col("node"), col("seed_label"),
+        col("seed_label").as("label"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val votes = uniq
+        .join(labels.where(col("label").isNotNull)
+          .select(col("node").as("src"), col("label").as("cand")), "src")
+        .groupBy(col("dst").as("node"), col("cand"))
+        .agg(count(lit(1)).as("votes"))
+      val win = Window.partitionBy("node")
+        .orderBy(col("votes").desc, col("cand").asc)
+      val best = votes.withColumn("rk", row_number().over(win))
+        .where(col("rk") === 1).select(col("node"), col("cand"))
+      val next = labels.join(best, Seq("node"), "left")
+        .select(col("node"), col("seed_label"),
+          coalesce(col("seed_label"), col("cand"), col("label"))
+            .as("label"))
+        .localCheckpoint(true)
+      ckptStorage(labels).foreach(_.unpersist(blocking = false))
+      labels = next
+    }
+    val out = labels.select("node", "label")
+    ckptStorage(uniq).foreach(_.unpersist(blocking = false))
+    out
+  }
+
   private def ckptStorage(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
     df.queryExecution.analyzed match {
       case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)

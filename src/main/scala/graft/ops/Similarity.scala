@@ -155,6 +155,39 @@ object Similarity {
     scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
   }
 
+  /** Multi-probe hyperplane LSH (Lv et al. 2007): each query probes its
+    * own sign-bucket PLUS every Hamming-1 neighbor bucket (one hyperplane
+    * sign flipped), so near-misses that landed one plane away are
+    * recovered — recall strictly dominates [[lshTopK]] (its candidate set
+    * is a superset; spec-pinned) at `numPlanes + 1` probes per query,
+    * WITHOUT adding hash tables or re-bucketing the corpus.
+    *
+    * Shape at 100 TB: the corpus is bucketed once (narrow projection —
+    * [[lshBuckets]]); probe expansion happens on the SMALL query side
+    * (`numPlanes + 1` rows per query, all distinct buckets by
+    * construction), which stays broadcast; one broadcast join + per-query
+    * ranking, identical to single-probe cost up to the probe fan-out.
+    */
+  def lshTopKMultiProbe(corpus: DataFrame, queries: DataFrame, k: Int,
+      numPlanes: Int, dims: Int): DataFrame = {
+    val corpusB = lshBuckets(corpus, numPlanes, dims)
+    val queryB = lshBuckets(
+      queries.select(col("vec_id").as("query_id"), col("embedding")),
+      numPlanes, dims)
+      .select(col("query_id"), col("embedding").as("qv"),
+        col("bucket").as("qbucket"))
+    val probes = queryB.withColumn("probe", explode(array(
+      col("qbucket") +: (0 until numPlanes).map(p =>
+        col("qbucket").bitwiseXOR(lit(1L << p))): _*)))
+    val scored = corpusB.join(broadcast(probes),
+      col("bucket") === col("probe") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qv"), col("embedding")).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+  }
+
   /** IVF (inverted-file) index: a k-means coarse quantizer over the
     * embeddings; each vector belongs to its nearest centroid's list.
     * Returns (centroids as (cid, centroid: array<float>), assignments as

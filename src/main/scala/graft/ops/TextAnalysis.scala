@@ -103,6 +103,34 @@ object TextAnalysis {
       md5(concat_ws(" ", sort_array(array_distinct(split(col("text"), " ")))))
         .as("fingerprint"))
 
+  /** Per-document Shannon entropy of the character distribution (bits),
+    * plus distinct-character count: low entropy flags degenerate or
+    * machine-generated text (repeated runs, padding, base64-ish blobs sit
+    * high; natural language ~4 bits/char) — a standard cheap quality
+    * signal next to [[quality]] and [[repetitionStats]].
+    *
+    * The per-doc sum folds over character classes in CODEPOINT order
+    * (`sort_array` + ordered `aggregate`), the q116/q117 ordered-fold
+    * discipline, so both engines produce identical doubles.
+    *
+    * Shape at 100 TB: explode to (doc, char) → grouped count with
+    * map-side combine (char-class grain, ≤ alphabet size per doc) → one
+    * doc-grain collapse. Linear in corpus bytes, no joins.
+    */
+  def charEntropy(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .where(col("ch") =!= "")
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("ch"), col("c")))).as("cs"),
+        sum("c").as("n"))
+      .select(col("doc_id"), col("n").as("n_chars"),
+        size(col("cs")).cast("long").as("n_distinct_chars"),
+        expr("""aggregate(cs, CAST(0.0 AS DOUBLE),
+                (acc, s) -> acc - (CAST(s.c AS DOUBLE) / n)
+                  * ln(CAST(s.c AS DOUBLE) / n) / ln(2.0))""")
+          .as("entropy_bits"))
+
   /** Gopher-style repetition metrics (Rae et al. 2021, "Scaling Language
     * Models", Table A1): per document, the fraction of characters covered
     * by (a) the single most frequent word 2-gram and (b) all word 3-grams

@@ -2731,6 +2731,196 @@ object TrainingOps {
               |FROM d JOIN r USING (src_bucket)
               |WHERE ${drawSql("tmix:")} < rate
               |ORDER BY doc_id""".stripMargin)),
+
+    // first-order Markov transition matrix over per-user event streams:
+    // ONE key-window shuffle for lead + a tiny |event types|² count agg;
+    // p = n / Σ n(from) is a single exact-integer division, bit-identical
+    // on both engines, so it ships unrounded (the q48 convention).
+    QueryDef("q149_markov_transitions",
+      (s, d) => Funnel.transitionMatrix(eventsMicros(s, d), "user_id",
+          Seq("ts_us", "event_id"), "event_type")
+        .orderBy("from_event", "to_event"),
+      Some("""WITH p AS (SELECT event_type AS from_event,
+             |    LEAD(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY epoch_us(ts), event_id) AS to_event
+             |  FROM events),
+             |c AS (SELECT from_event, to_event,
+             |    CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM p WHERE to_event IS NOT NULL GROUP BY 1, 2)
+             |SELECT from_event, to_event, n,
+             |  CAST(n AS DOUBLE) /
+             |    CAST(SUM(n) OVER (PARTITION BY from_event) AS DOUBLE) AS p
+             |FROM c ORDER BY 1, 2""".stripMargin)),
+
+    // semi-supervised label propagation over the symmetrized
+    // customer–supplier graph (q98's edge build): every 10th customer is
+    // seeded with its nation, 3 majority-vote rounds spread labels to
+    // suppliers and unseeded customers. Deterministic (ties to smallest
+    // label); the oracle unrolls the rounds as MATERIALIZED CTEs (the
+    // q98 lesson — each round is referenced twice).
+    QueryDef("q150_label_propagation",
+      (s, d) => {
+        val e0 = table(s, d, "lineitem")
+          .join(table(s, d, "orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("src"),
+            (col("l_suppkey") + 100000L).as("dst"))
+        val edges = e0.union(
+          e0.select(col("dst").as("src"), col("src").as("dst")))
+        val seeds = table(s, d, "customer")
+          .where(col("c_custkey") % 10 === 0)
+          .select(col("c_custkey").as("node"),
+            col("c_nationkey").as("label"))
+        graft.ops.Graph.labelPropagation(edges, seeds, iters = 3)
+          .orderBy("node")
+      },
+      Some {
+        val iter = (k: Int) => {
+          val p = s"l${k - 1}"
+          s"""l$k AS MATERIALIZED (
+             |  SELECT l.node, l.seed_label,
+             |    COALESCE(l.seed_label, b.cand, l.label) AS label
+             |  FROM $p l LEFT JOIN (
+             |    SELECT node, cand FROM (
+             |      SELECT e.dst AS node, r.label AS cand,
+             |        ROW_NUMBER() OVER (PARTITION BY e.dst
+             |          ORDER BY COUNT(*) DESC, r.label ASC) AS rk
+             |      FROM e JOIN $p r ON e.src = r.node
+             |      WHERE r.label IS NOT NULL
+             |      GROUP BY e.dst, r.label) t
+             |    WHERE rk = 1) b ON l.node = b.node)"""
+        }
+        (s"""WITH e0 AS MATERIALIZED (
+            |  SELECT DISTINCT o.o_custkey AS src, 100000 + l.l_suppkey AS dst
+            |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+            |e AS MATERIALIZED (SELECT src, dst FROM e0
+            |  UNION SELECT dst AS src, src AS dst FROM e0),
+            |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM e),
+            |seeds AS (SELECT c_custkey AS node,
+            |    CAST(c_nationkey AS BIGINT) AS label
+            |  FROM customer WHERE c_custkey % 10 = 0),
+            |l0 AS MATERIALIZED (
+            |  SELECT n.node, s.label AS seed_label, s.label AS label
+            |  FROM nodes n LEFT JOIN seeds s USING (node)),
+            |""" + (1 to 3).map(iter).mkString(",\n") + """
+            |SELECT node, label FROM l3 ORDER BY node""").stripMargin
+      }),
+
+    // multi-probe LSH (Lv et al. 2007): q46's buckets, but each query
+    // probes its own bucket plus every 1-bit-flip neighbor — recall
+    // strictly dominates single-probe at numPlanes+1 probes, with the
+    // probe fan-out confined to the broadcast query side.
+    QueryDef("q151_sim_lsh_multiprobe",
+      (s, d) => {
+        val emb = table(s, d, "embeddings")
+        Similarity.lshTopKMultiProbe(emb,
+            emb.where(col("vec_id") % 50 === 0), k = 5,
+            numPlanes = 6, dims = 64)
+          .select(col("query_id"), col("rk"), col("neighbor_id"),
+            round(col("cos"), 5).as("cos"))
+          .orderBy("query_id", "rk")
+      },
+      Some(s"""WITH planes AS (SELECT p, i,
+              |    (strpos('0123456789abcdef',
+              |       substr(md5(CAST(p AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 1))
+              |     - 1 - 7.5) / 7.5 AS w
+              |  FROM UNNEST(generate_series(0, 5)) tp(p),
+              |       UNNEST(generate_series(0, 63)) ti(i)),
+              |comps AS (SELECT vec_id, i - 1 AS i, CAST(e AS DOUBLE) AS x
+              |  FROM (SELECT vec_id, UNNEST(embedding) e,
+              |          generate_subscripts(embedding, 1) i FROM embeddings) t),
+              |proj AS (SELECT vec_id, p, SUM(x * w) AS proj
+              |  FROM comps JOIN planes USING (i) GROUP BY 1, 2),
+              |bucket AS MATERIALIZED (SELECT vec_id,
+              |    CAST(SUM(CASE WHEN proj > 0
+              |      THEN (CAST(1 AS BIGINT) << CAST(p AS INT)) ELSE 0 END) AS BIGINT)
+              |      AS bucket
+              |  FROM proj GROUP BY 1),
+              |probes AS (SELECT q.vec_id AS query_id,
+              |    CASE WHEN u.p = -1 THEN q.bucket
+              |      ELSE xor(q.bucket, CAST(1 AS BIGINT) << CAST(u.p AS INT))
+              |      END AS probe
+              |  FROM bucket q, UNNEST(generate_series(-1, 5)) u(p)
+              |  WHERE q.vec_id % 50 = 0),
+              |cand AS (SELECT p.query_id, b.vec_id AS neighbor_id
+              |  FROM probes p JOIN bucket b
+              |    ON b.bucket = p.probe AND b.vec_id <> p.query_id),
+              |scored AS (SELECT c.query_id, c.neighbor_id,
+              |    ${dot64.format("q", "e")} /
+              |      (SQRT(${norm2("q")}) * SQRT(${norm2("e")})) AS cos
+              |  FROM cand c
+              |  JOIN embeddings q ON q.vec_id = c.query_id
+              |  JOIN embeddings e ON e.vec_id = c.neighbor_id),
+              |r AS (SELECT query_id, neighbor_id, cos,
+              |    ROW_NUMBER() OVER (PARTITION BY query_id
+              |      ORDER BY cos DESC, neighbor_id ASC) AS rk
+              |  FROM scored)
+              |SELECT query_id, rk, neighbor_id, ROUND(cos, 5) AS cos
+              |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin)),
+
+    // Gopher rule filter (Rae et al. 2021 A.1.1): named-reason heuristic
+    // rules — word-count / mean-word-length bounds, alpha-word ratio,
+    // top-unigram/bigram repetition caps. Metrics ship unrounded (narrow
+    // per-row IEEE arithmetic, the q48 convention).
+    QueryDef("q152_gopher_rules",
+      (s, d) => Curation.gopherRules(table(s, d, "documents"))
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts,
+             |    len(string_split(text, ' ')) AS n,
+             |    LENGTH(text) AS nc FROM documents),
+             |uni AS (SELECT doc_id, 1 AS ng, UNNEST(ts) AS g FROM t),
+             |bi AS (SELECT doc_id, 2 AS ng, UNNEST(
+             |    [ts[i] || ' ' || ts[i + 1] FOR i IN generate_series(1, n - 1)])
+             |    AS g FROM t),
+             |cnt AS (SELECT doc_id, ng, g, COUNT(*) AS c
+             |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+             |  GROUP BY 1, 2, 3),
+             |mx AS (SELECT doc_id,
+             |    MAX(CASE WHEN ng = 1 THEN c END) AS mx1,
+             |    MAX(CASE WHEN ng = 2 THEN c END) AS mx2
+             |  FROM cnt GROUP BY 1),
+             |f AS (SELECT t.doc_id, CAST(n AS BIGINT) AS n_words,
+             |    CAST(nc - (n - 1) AS DOUBLE) / n AS mean_word_len,
+             |    CAST(len(list_filter(ts, x -> regexp_matches(x, '[a-z]')))
+             |      AS DOUBLE) / n AS alpha_ratio,
+             |    CAST(mx1 AS DOUBLE) / n AS top_word_frac,
+             |    CASE WHEN n > 1 THEN CAST(mx2 AS DOUBLE) / (n - 1)
+             |      ELSE 0.0 END AS top_bigram_frac
+             |  FROM t JOIN mx USING (doc_id)),
+             |r AS (SELECT *, concat_ws(',',
+             |    CASE WHEN n_words < 20 THEN 'too_short' END,
+             |    CASE WHEN n_words > 80 THEN 'too_long' END,
+             |    CASE WHEN mean_word_len < 3.0 THEN 'short_words' END,
+             |    CASE WHEN mean_word_len > 6.0 THEN 'long_words' END,
+             |    CASE WHEN alpha_ratio < 0.8 THEN 'low_alpha' END,
+             |    CASE WHEN top_word_frac > 0.15 THEN 'rep_word' END,
+             |    CASE WHEN top_bigram_frac > 0.10 THEN 'rep_bigram' END)
+             |    AS reasons FROM f)
+             |SELECT doc_id, n_words, mean_word_len, alpha_ratio,
+             |  top_word_frac, top_bigram_frac, reasons,
+             |  reasons = '' AS keep
+             |FROM r ORDER BY doc_id""".stripMargin)),
+
+    // character-distribution Shannon entropy: the q116/q117 ordered-fold
+    // discipline (codepoint-ordered term fold) makes the double
+    // bit-identical on both engines, so it ships unrounded.
+    QueryDef("q153_char_entropy",
+      (s, d) => TextAnalysis.charEntropy(table(s, d, "documents"))
+        .orderBy("doc_id"),
+      Some("""WITH c AS (SELECT doc_id, UNNEST(string_split(text, ''))
+             |    AS ch FROM documents),
+             |g AS (SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM c WHERE ch <> '' GROUP BY 1, 2),
+             |a AS (SELECT doc_id, list(c ORDER BY ch) AS cs,
+             |    CAST(SUM(c) AS BIGINT) AS n,
+             |    CAST(COUNT(*) AS BIGINT) AS nd
+             |  FROM g GROUP BY 1)
+             |SELECT doc_id, n AS n_chars, nd AS n_distinct_chars,
+             |  list_reduce([CAST(0.0 AS DOUBLE)] ||
+             |    list_transform(cs, x -> (CAST(x AS DOUBLE) / n)
+             |      * ln(CAST(x AS DOUBLE) / n) / ln(2.0)),
+             |    (acc, t) -> acc - t) AS entropy_bits
+             |FROM a ORDER BY doc_id""".stripMargin)),
   )
 
   /** Unrolled DuckDB replay of [[graft.ops.TextAnalysis.bpeTrain]]:

@@ -89,6 +89,46 @@ class FunnelSpec extends AnyFunSuite with SparkTestBase {
     ), s"got $cells")
   }
 
+  test("transition matrix counts adjacent pairs and normalizes per source") {
+    val s2 = spark; import s2.implicits._
+    // user 1: a→b→a→b ; user 2: a→b→c ; adjacency only WITHIN a user
+    val ev = Seq((1L, "a", 1L, 10L), (1L, "b", 2L, 20L), (1L, "a", 3L, 30L),
+        (1L, "b", 4L, 40L), (2L, "a", 5L, 10L), (2L, "b", 6L, 20L),
+        (2L, "c", 7L, 30L))
+      .toDF("user_id", "event_type", "event_id", "ts_us")
+    val got = Funnel.transitionMatrix(ev, "user_id",
+        Seq("ts_us", "event_id"), "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == Map(
+      ("a", "b") -> ((3L, 1.0)),     // every a is followed by b
+      ("b", "a") -> ((1L, 0.5)),     // b → a once, b → c once
+      ("b", "c") -> ((1L, 0.5))), s"got $got")
+  }
+
+  test("transition probabilities sum to 1 per source event") {
+    val ev = graft.queries.QueryDef.eventsMicros(spark,
+      "/root/testdata/sf0.001")
+    val sums = Funnel.transitionMatrix(ev, "user_id",
+        Seq("ts_us", "event_id"), "event_type")
+      .groupBy("from_event").agg(sum("p").as("s"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1))
+    assert(sums.nonEmpty)
+    sums.foreach { case (e, s) =>
+      assert(math.abs(s - 1.0) < 1e-9, s"from=$e sums to $s") }
+  }
+
+  test("transition ties break on the id order column") {
+    val s2 = spark; import s2.implicits._
+    // same timestamp: event_id orders b before c deterministically
+    val ev = Seq((1L, "a", 1L, 10L), (1L, "b", 2L, 20L), (1L, "c", 3L, 20L))
+      .toDF("user_id", "event_type", "event_id", "ts_us")
+    val got = Funnel.transitionMatrix(ev, "user_id",
+        Seq("ts_us", "event_id"), "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("a", "b"), ("b", "c")), s"got $got")
+  }
+
   test("stage times are ONE key shuffle (windows stack on it)") {
     val plan = Funnel.stageTimes(fixture, "user_id", "event_type", "ts_us",
       Seq("signup", "click", "purchase")).queryExecution.executedPlan.toString

@@ -68,4 +68,44 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     // parallel edges must not double-count contributions
     assert(run(fixture ++ fixture, 5) == got)
   }
+
+  private def runLpa(edges: Seq[(Long, Long)], seeds: Seq[(Long, Long)],
+      iters: Int): Map[Long, Option[Long]] = {
+    val s2 = spark; import s2.implicits._
+    val sym = edges ++ edges.map(_.swap)
+    Graph.labelPropagation(sym.toDF("src", "dst"),
+        seeds.toDF("node", "label"), iters)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+  }
+
+  test("label propagation: seeds clamp, labels flood a path") {
+    // path 1-2-3-4-5 seeded at the ends with different labels;
+    // synchronous rounds: r1 labels 2←10 and 4←20 (their only labeled
+    // neighbor); r2 labels 3 via the 10-vs-20 tie → smallest (10)
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val r2 = runLpa(path, Seq((1L, 10L), (5L, 20L)), iters = 2)
+    assert(r2 == Map(1L -> Some(10L), 2L -> Some(10L), 3L -> Some(10L),
+      4L -> Some(20L), 5L -> Some(20L)), s"got $r2")
+    // r3: node 4 now hears 10 (from 3) and 20 (from 5) — the same tie
+    // rule cascades the smaller label one hop further; the seeds
+    // themselves NEVER move (clamped)
+    val r3 = runLpa(path, Seq((1L, 10L), (5L, 20L)), iters = 3)
+    assert(r3 == Map(1L -> Some(10L), 2L -> Some(10L), 3L -> Some(10L),
+      4L -> Some(10L), 5L -> Some(20L)), s"got $r3")
+  }
+
+  test("label propagation: unreached components stay unlabeled") {
+    val got = runLpa(Seq((1L, 2L), (8L, 9L)), Seq((1L, 7L)), iters = 3)
+    assert(got(2L) == Some(7L))
+    assert(got(8L).isEmpty && got(9L).isEmpty, s"got $got")
+  }
+
+  test("label propagation: majority vote wins over single dissenter") {
+    // node 0 has three neighbors labeled 5 and one labeled 1: majority 5
+    // must win even though 1 < 5 (tie-break must not override counts)
+    val star = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L))
+    val got = runLpa(star, Seq((1L, 5L), (2L, 5L), (3L, 5L), (4L, 1L)), 1)
+    assert(got(0L) == Some(5L), s"got $got")
+  }
 }

@@ -195,6 +195,78 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("multi-probe LSH candidates strictly contain the single-probe set " +
+      "and recall dominates") {
+    val queries = emb.where(col("vec_id") % 100 === 0)
+    def hits(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = hits(Similarity.cosineTopK(emb, queries, 5))
+    val single = hits(Similarity.lshTopK(emb, queries, 5, 6, 64))
+    val multi = hits(Similarity.lshTopKMultiProbe(emb, queries, 5, 6, 64))
+    val rs = (single & exact).size.toDouble / exact.size
+    val rm = (multi & exact).size.toDouble / exact.size
+    assert(rm >= rs, s"multi-probe recall $rm < single-probe $rs")
+    // the candidate pool is a superset, so any single-probe top hit that
+    // multi-probe drops must have been displaced by a strictly better one
+    assert(rm > 0.0 && multi.nonEmpty)
+    // every multi-probe pair is within Hamming 1 of the query's bucket
+    val buckets = Similarity.lshBuckets(emb, 6, 64)
+      .select("vec_id", "bucket")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Similarity.lshTopKMultiProbe(emb, queries, 5, 6, 64).collect()
+      .foreach { r =>
+        val d = java.lang.Long.bitCount(
+          buckets(r.getAs[Long]("query_id")) ^
+            buckets(r.getAs[Long]("neighbor_id")))
+        assert(d <= 1, s"candidate at Hamming $d")
+      }
+  }
+
+  test("gopher rules flag each violation by name, keep iff no reasons") {
+    val s2 = spark; import s2.implicits._
+    val good = (1 to 30).map(i => s"word$i").mkString(" ")   // 30 distinct
+    val cases = Seq(
+      (1L, good),                                     // passes everything
+      (2L, "one two three"),                          // too_short
+      (3L, (1 to 100).map(i => s"w$i").mkString(" ")), // too_long+short_words
+      (4L, (1 to 30).map(_ => "aa").mkString(" ")),    // rep_word (+ others)
+      (5L, (1 to 30).map(i => s"extraordinarily$i").mkString(" "))) // long_words
+      .toDF("doc_id", "text")
+    val got = Curation.gopherRules(cases)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("reasons"), r.getAs[Boolean]("keep")))).toMap
+    assert(got(1L) == (("", true)), s"got ${got(1L)}")
+    assert(got(2L)._1.contains("too_short") && !got(2L)._2)
+    assert(got(3L)._1.contains("too_long"), s"got ${got(3L)}")
+    assert(got(3L)._1.contains("short_words"), s"got ${got(3L)}")
+    assert(got(4L)._1.contains("rep_word") &&
+      got(4L)._1.contains("rep_bigram"), s"got ${got(4L)}")
+    assert(got(5L)._1.contains("long_words") && !got(5L)._2)
+    // keep ⇔ reasons empty, corpus-wide
+    Curation.gopherRules(docs).collect().foreach { r =>
+      assert(r.getAs[Boolean]("keep") == r.getAs[String]("reasons").isEmpty)
+    }
+  }
+
+  test("char entropy: uniform string hits log2(k), constant string 0") {
+    val s2 = spark; import s2.implicits._
+    val cases = Seq((1L, "abcd"), (2L, "aaaa"), (3L, "aabb"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.charEntropy(cases)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L)._1 == 4L && got(1L)._2 == 4L &&
+      math.abs(got(1L)._3 - 2.0) < 1e-12, s"got ${got(1L)}")
+    assert(got(2L)._2 == 1L && math.abs(got(2L)._3) < 1e-12)
+    assert(math.abs(got(3L)._3 - 1.0) < 1e-12)
+    // entropy is bounded by log2(distinct chars) corpus-wide
+    TextAnalysis.charEntropy(docs).collect().foreach { r =>
+      val bound = math.log(r.getLong(2).toDouble) / math.log(2.0)
+      assert(r.getDouble(3) <= bound + 1e-9 && r.getDouble(3) >= -1e-12)
+    }
+  }
+
   test("IVF with nprobe == nlist equals exact brute-force ranking") {
     val queries = emb.where(col("vec_id") % 100 === 0)
     val exact = Similarity.cosineTopK(emb, queries, 5)
