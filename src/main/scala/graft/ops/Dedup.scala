@@ -476,6 +476,30 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Near-dedup with QUALITY-aware canonical selection: where
+    * [[dropNearDups]] keeps each cluster's minimum id, this keeps the
+    * member with the best `scoreCol` (ties to the smallest id) — the
+    * curation policy real pipelines want ("of these 40 mirrors, keep the
+    * cleanest copy, not the first-crawled one"). Docs in no cluster pass
+    * through untouched.
+    *
+    * Shape at 100 TB: one [[components]] run + an inner join to rank the
+    * CLUSTERED docs only (near-dup clusters are a small fraction of the
+    * corpus, so the argmax window runs on that fraction) + one left-anti
+    * join for the pass-through rows. No corpus-wide window.
+    */
+  def canonicalByScore(docs: DataFrame, pairs: DataFrame, scoreCol: String,
+      idCol: String = "doc_id"): DataFrame = {
+    val comp = components(pairs).withColumnRenamed("id", idCol)
+    val clustered = docs.join(comp, Seq(idCol))
+    val w = Window.partitionBy("label")
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    val winners = clustered
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") === 1).drop("__rk", "label")
+    winners.unionByName(docs.join(comp, Seq(idCol), "left_anti"))
+  }
+
   /** SimHash near-dup pairs via pigeonhole banding — the 100 TB scale path
     * (mirror of [[minhashCandidates]]): if two signatures differ in at most
     * `maxHamming` bits and there are more than `maxHamming` bands, at least

@@ -2921,6 +2921,60 @@ object TrainingOps {
              |      * ln(CAST(x AS DOUBLE) / n) / ln(2.0)),
              |    (acc, t) -> acc - t) AS entropy_bits
              |FROM a ORDER BY doc_id""".stripMargin)),
+
+    // quality-aware canonical selection: q72's MinHash clusters, but each
+    // cluster keeps its BEST-quality member (ties to smallest id) instead
+    // of dropNearDups' min-id policy; unclustered docs pass through.
+    QueryDef("q154_canonical_by_quality",
+      (s, d) => Dedup.canonicalByScore(
+          TextAnalysis.withQuality(table(s, d, "documents")),
+          Dedup.minhashCandidates(table(s, d, "documents"), 3, 8, 2),
+          "quality")
+        .select(col("doc_id"), round(col("quality"), 9).as("quality"))
+        .orderBy("doc_id"),
+      Some(s"""WITH RECURSIVE ${shinglesSql()},
+              |sigs AS (SELECT id, h,
+              |    MIN(md5(CAST(h AS VARCHAR) || ':' || shingle)) AS mh
+              |  FROM sh, UNNEST(generate_series(0, 7)) t(h) GROUP BY 1, 2),
+              |bands AS (SELECT id, h // 2 AS band,
+              |    md5(array_to_string(list_sort(
+              |      list(lpad(CAST(h AS VARCHAR), 2, '0') || '=' || mh)), '|'))
+              |      AS band_key
+              |  FROM sigs GROUP BY 1, 2),
+              |cand AS (SELECT DISTINCT a.id AS id1, b.id AS id2
+              |  FROM bands a JOIN bands b
+              |    ON a.band = b.band AND a.band_key = b.band_key
+              |      AND a.id < b.id),
+              |edges AS (SELECT id1 AS src, id2 AS dst FROM cand
+              |  UNION ALL SELECT id2, id1 FROM cand),
+              |reach(a, b) AS (
+              |  SELECT src, dst FROM edges
+              |  UNION
+              |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+              |lab AS (SELECT a AS id, LEAST(a, MIN(b)) AS component
+              |  FROM reach GROUP BY a),
+              |q AS (SELECT doc_id,
+              |    LEAST(len(string_split(text, ' ')) / 100.0, 1.0) * 0.3
+              |    + (len(list_filter(string_split(text, ' '),
+              |        x -> list_contains(['the','a','of','and','to','in','is','it'], x)))
+              |       * 1.0 / len(string_split(text, ' '))) * 0.2
+              |    + (len(list_distinct(string_split(text, ' ')))
+              |       * 1.0 / len(string_split(text, ' '))) * 0.2
+              |    + LEAST(((LENGTH(text) - (len(string_split(text, ' ')) - 1))
+              |       * 1.0 / len(string_split(text, ' '))) / 10.0, 1.0) * 0.3
+              |      AS quality
+              |  FROM documents),
+              |win AS (SELECT doc_id FROM (
+              |    SELECT l.id AS doc_id,
+              |      ROW_NUMBER() OVER (PARTITION BY l.component
+              |        ORDER BY q.quality DESC, l.id ASC) AS rk
+              |    FROM lab l JOIN q ON q.doc_id = l.id) t WHERE rk = 1),
+              |keep AS (SELECT doc_id FROM q
+              |    WHERE doc_id NOT IN (SELECT id FROM lab)
+              |  UNION ALL SELECT doc_id FROM win)
+              |SELECT k.doc_id, ROUND(q.quality, 9) AS quality
+              |FROM keep k JOIN q USING (doc_id)
+              |ORDER BY doc_id""".stripMargin)),
   )
 
   /** Unrolled DuckDB replay of [[graft.ops.TextAnalysis.bpeTrain]]:

@@ -249,6 +249,30 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("canonicalByScore keeps the best-scoring cluster member, " +
+      "not the min id") {
+    val s2 = spark; import s2.implicits._
+    val d = Seq((1L, 0.2), (2L, 0.9), (3L, 0.5),  // cluster A: 2 wins
+        (10L, 0.7), (11L, 0.7),                   // cluster B: tie → 10
+        (20L, 0.1))                               // unclustered: passes
+      .toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
+    val kept = Dedup.canonicalByScore(d, pairs, "score")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept == Set(2L, 10L, 20L), s"got $kept")
+    // contrast with the min-id policy
+    val minId = Dedup.dropNearDups(d, pairs)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(minId == Set(1L, 10L, 20L), s"got $minId")
+    // corpus-level: canonical count == dropNearDups count (same clusters,
+    // different representatives), and every cluster keeps exactly one
+    val dq = TextAnalysis.withQuality(docs)
+    val cand = Dedup.minhashCandidates(docs, 3, 8, 2)
+    val a = Dedup.canonicalByScore(dq, cand, "quality").count()
+    val b = Dedup.dropNearDups(dq, cand).count()
+    assert(a == b, s"canonical=$a dropNearDups=$b")
+  }
+
   test("char entropy: uniform string hits log2(k), constant string 0") {
     val s2 = spark; import s2.implicits._
     val cases = Seq((1L, "abcd"), (2L, "aaaa"), (3L, "aabb"))

@@ -60,7 +60,7 @@ def cmp_frames(name, spark_df, duck_df):
     return None
 
 
-def main(sf_dir, out_dir, only=()):
+def main(sf_dir, out_dir, only=(), json_out=None):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * "
@@ -98,7 +98,19 @@ def main(sf_dir, out_dir, only=()):
         mark = "PASS" if passed else "FAIL"
         print(f"{mark} {k}: {v}")
     print(f"\n{ok}/{len(oracles)} oracle matches")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "n_oracles": len(oracles),
+                       "n_ok": ok, "results": results}, f, indent=1,
+                      sort_keys=True)
+        print(f"artifact: {json_out}")
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2], frozenset(sys.argv[3:]))
+    argv = sys.argv[1:]
+    jpath = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        jpath = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    main(argv[0], argv[1], frozenset(argv[2:]), jpath)
