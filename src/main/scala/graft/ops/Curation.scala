@@ -297,6 +297,47 @@ object Curation {
       .withColumn("keep", col("reasons") === "")
   }
 
+  /** Population-stability-index drift report between two corpus
+    * snapshots: a numeric feature is bucketed at fixed width, and each
+    * bucket contributes `(pA - pB) · ln(pA / pB)` with add-1 smoothing
+    * over the UNION bucket set (so a bucket present in only one snapshot
+    * contributes a finite term instead of ±∞) — the release-gate "did the
+    * distribution move" check next to [[graft.ops.Cdc.snapshotDiff]]'s
+    * row-identity audit. Returns one row per bucket (counts, smoothed
+    * shares, contribution); total PSI = Σ psi_term (> 0.2 is the
+    * conventional "significant drift" line).
+    *
+    * Every term is narrow arithmetic on exact integer counts, so the
+    * doubles are bit-identical cross-engine without any fold ordering.
+    *
+    * Shape at 100 TB: one count aggregation per snapshot (map-side
+    * combine, bucket-grain output), a full-outer equi-join of two tiny
+    * bucket tables, totals as broadcast 1-row aggregates. The corpora are
+    * each touched exactly once.
+    */
+  def psiDrift(snapA: DataFrame, snapB: DataFrame, valueCol: String,
+      bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth=$bucketWidth must be positive")
+    def buckets(df: DataFrame, out: String) = df
+      .select(floor(col(valueCol) / bucketWidth).cast("long").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as(out))
+    val joined = buckets(snapA, "n_a")
+      .join(buckets(snapB, "n_b"), Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    val totals = joined.agg(sum("n_a").as("tot_a"), sum("n_b").as("tot_b"),
+      count(lit(1)).as("n_buckets"))
+    joined.crossJoin(broadcast(totals))
+      .select(col("bucket"), col("n_a"), col("n_b"),
+        ((col("n_a") + 1).cast("double") /
+          (col("tot_a") + col("n_buckets"))).as("p_a"),
+        ((col("n_b") + 1).cast("double") /
+          (col("tot_b") + col("n_buckets"))).as("p_b"))
+      .withColumn("psi_term",
+        (col("p_a") - col("p_b")) * log(col("p_a") / col("p_b")))
+  }
+
   /** C4-style line-level corpus dedup: drop every line (segment between
     * `sep`s) whose exact content appears in more than `maxDf` documents —
     * corpus-wide boilerplate (headers, footers, cookie banners) vanishes

@@ -686,6 +686,45 @@ object Similarity {
         max("n").as("n_members"))
   }
 
+  /** Cross-group embedding-space similarity matrix: per-group centroids
+    * ([[labelCentroids]]' ordered-fold discipline, so every double is
+    * bit-identical cross-engine) and the pairwise cosine between each
+    * group pair — the embedding-space companion to
+    * [[Dedup.sourceOverlapMatrix]]'s lexical report: which sources cover
+    * the same semantic territory, feeding mixture and dedup-budget
+    * decisions. Returns `(grp1, grp2, cos)` for grp1 < grp2.
+    *
+    * Shape at 100 TB: ONE (group, dim)-grain aggregation over the corpus
+    * (map-side combine; ≤ |groups| × dims rows out) — the corpus is
+    * touched once — then the pair expansion runs on that tiny matrix
+    * (|groups|² × dims upper bound). The per-pair dot/norm sums fold in
+    * dim order over a sorted collect, never a partition-order sum.
+    */
+  def groupCentroidMatrix(corpus: DataFrame,
+      groupCol: String = "label"): DataFrame = {
+    val dims = corpus
+      .select(col(groupCol).as("grp"), col("vec_id"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("grp"), col("dim"))
+      .agg(expr("aggregate(transform(array_sort(collect_list(" +
+        "struct(vec_id, CAST(v AS DOUBLE) AS v))), s -> s.v), 0D, " +
+        "(a, x) -> a + x)").as("s"),
+        count(lit(1)).as("n"))
+      .select(col("grp"), col("dim"), (col("s") / col("n")).as("m"))
+    dims.as("a").join(dims.as("b"),
+        col("a.dim") === col("b.dim") && col("a.grp") < col("b.grp"))
+      .select(col("a.grp").as("grp1"), col("b.grp").as("grp2"),
+        col("a.dim").as("dim"), col("a.m").as("ma"), col("b.m").as("mb"))
+      .groupBy("grp1", "grp2")
+      .agg(sort_array(collect_list(
+        struct(col("dim"), col("ma"), col("mb")))).as("ds"))
+      .select(col("grp1"), col("grp2"),
+        (expr("aggregate(ds, 0D, (a, x) -> a + x.ma * x.mb)") /
+          (sqrt(expr("aggregate(ds, 0D, (a, x) -> a + x.ma * x.ma)")) *
+            sqrt(expr("aggregate(ds, 0D, (a, x) -> a + x.mb * x.mb)"))))
+          .as("cos"))
+  }
+
   /** Nearest-class-mean classification: assign every corpus vector the
     * label of its most-cosine-similar class centroid ([[labelCentroids]]
     * over the `labeled` exemplar set). The standard cheap weak-labeler /

@@ -2975,6 +2975,81 @@ object TrainingOps {
               |SELECT k.doc_id, ROUND(q.quality, 9) AS quality
               |FROM keep k JOIN q USING (doc_id)
               |ORDER BY doc_id""".stripMargin)),
+
+    // cross-source embedding-space similarity (semantic companion to
+    // q136's lexical overlap matrix): per-source centroids with the
+    // labelCentroids ordered-fold discipline, pair cosines folded in dim
+    // order — every double bit-identical, ships unrounded.
+    QueryDef("q155_source_centroid_sim",
+      (s, d) => {
+        val src = table(s, d, "documents")
+          .select(col("doc_id").as("vec_id"), col("source"))
+        Similarity.groupCentroidMatrix(
+            table(s, d, "embeddings").join(src, "vec_id"), "source")
+          .orderBy("grp1", "grp2")
+      },
+      Some("""WITH j AS (SELECT d.source AS grp, e.vec_id, e.embedding
+             |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+             |cells AS (SELECT grp, vec_id, i - 1 AS dim,
+             |    CAST(x AS DOUBLE) AS v
+             |  FROM (SELECT grp, vec_id, UNNEST(embedding) x,
+             |      generate_subscripts(embedding, 1) i FROM j) t),
+             |dims AS (SELECT grp, dim,
+             |    list_reduce([CAST(0.0 AS DOUBLE)] ||
+             |      list(v ORDER BY vec_id), (a, x) -> a + x)
+             |      / COUNT(*) AS m
+             |  FROM cells GROUP BY 1, 2),
+             |p AS (SELECT a.grp AS g1, b.grp AS g2, a.dim AS dim,
+             |    a.m AS ma, b.m AS mb
+             |  FROM dims a JOIN dims b
+             |    ON a.dim = b.dim AND a.grp < b.grp),
+             |f AS (SELECT g1, g2,
+             |    list_reduce([CAST(0.0 AS DOUBLE)] ||
+             |      list(ma * mb ORDER BY dim), (a, x) -> a + x) AS dot,
+             |    list_reduce([CAST(0.0 AS DOUBLE)] ||
+             |      list(ma * ma ORDER BY dim), (a, x) -> a + x) AS na2,
+             |    list_reduce([CAST(0.0 AS DOUBLE)] ||
+             |      list(mb * mb ORDER BY dim), (a, x) -> a + x) AS nb2
+             |  FROM p GROUP BY 1, 2)
+             |SELECT g1 AS grp1, g2 AS grp2,
+             |  dot / (SQRT(na2) * SQRT(nb2)) AS cos
+             |FROM f ORDER BY 1, 2""".stripMargin)),
+
+    // PSI distribution-drift report between two snapshot halves of the
+    // corpus on the token-count feature: add-1 smoothing over the union
+    // bucket set; every term is narrow arithmetic on exact integer
+    // counts, so the doubles ship unrounded.
+    QueryDef("q156_psi_drift",
+      (s, d) => {
+        val docs = table(s, d, "documents")
+          .withColumn("n_tokens", size(split(col("text"), " ")))
+        Curation.psiDrift(
+            docs.where(col("doc_id") % 2 === 0),
+            docs.where(col("doc_id") % 2 === 1),
+            "n_tokens", bucketWidth = 10.0)
+          .orderBy("bucket")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |    len(string_split(text, ' ')) AS n_tokens FROM documents),
+             |a AS (SELECT CAST(FLOOR(n_tokens / 10.0) AS BIGINT) AS bucket,
+             |    CAST(COUNT(*) AS BIGINT) AS n_a
+             |  FROM t WHERE doc_id % 2 = 0 GROUP BY 1),
+             |b AS (SELECT CAST(FLOOR(n_tokens / 10.0) AS BIGINT) AS bucket,
+             |    CAST(COUNT(*) AS BIGINT) AS n_b
+             |  FROM t WHERE doc_id % 2 = 1 GROUP BY 1),
+             |j AS (SELECT COALESCE(a.bucket, b.bucket) AS bucket,
+             |    COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+             |  FROM a FULL OUTER JOIN b ON a.bucket = b.bucket),
+             |tot AS (SELECT CAST(SUM(n_a) AS BIGINT) AS ta,
+             |    CAST(SUM(n_b) AS BIGINT) AS tb,
+             |    CAST(COUNT(*) AS BIGINT) AS nb FROM j),
+             |p AS (SELECT bucket, n_a, n_b,
+             |    CAST(n_a + 1 AS DOUBLE) / (ta + nb) AS p_a,
+             |    CAST(n_b + 1 AS DOUBLE) / (tb + nb) AS p_b
+             |  FROM j, tot)
+             |SELECT bucket, n_a, n_b, p_a, p_b,
+             |  (p_a - p_b) * ln(p_a / p_b) AS psi_term
+             |FROM p ORDER BY bucket""".stripMargin)),
   )
 
   /** Unrolled DuckDB replay of [[graft.ops.TextAnalysis.bpeTrain]]:

@@ -273,6 +273,49 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(a == b, s"canonical=$a dropNearDups=$b")
   }
 
+  test("group centroid matrix: hand-computed cosine, bounds, and " +
+      "agreement with labelCentroids") {
+    val s2 = spark; import s2.implicits._
+    // group x: members (1,0),(3,0) → centroid (2,0); y: (0,4) → (0,4);
+    // z: (1,1),(3,3) → (2,2). cos(x,y)=0, cos(x,z)=1/√2, cos(y,z)=1/√2
+    val fx = Seq((1L, "x", Seq(1f, 0f)), (2L, "x", Seq(3f, 0f)),
+        (3L, "y", Seq(0f, 4f)), (4L, "z", Seq(1f, 1f)),
+        (5L, "z", Seq(3f, 3f)))
+      .toDF("vec_id", "grp", "embedding")
+    val got = Similarity.groupCentroidMatrix(fx, "grp")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    assert(math.abs(got(("x", "y"))) < 1e-12, s"got $got")
+    assert(math.abs(got(("x", "z")) - 1.0 / math.sqrt(2)) < 1e-12)
+    assert(math.abs(got(("y", "z")) - 1.0 / math.sqrt(2)) < 1e-12)
+    // real embeddings: every pair emitted once (grp1 < grp2), |cos| <= 1
+    val rows = Similarity.groupCentroidMatrix(
+      emb.withColumn("grp", (col("vec_id") % 4).cast("string")), "grp")
+      .collect()
+    assert(rows.length == 6) // C(4,2)
+    rows.foreach(r => assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-12))
+  }
+
+  test("PSI drift: zero for identical snapshots, positive under shift") {
+    val s2 = spark; import s2.implicits._
+    val a = (1 to 100).map(i => i.toDouble % 50).toDF("v")
+    val same = Curation.psiDrift(a, a, "v", 10.0).collect()
+    same.foreach(r => assert(math.abs(r.getAs[Double]("psi_term")) < 1e-15))
+    // shifted snapshot: every bucket moved → strictly positive total PSI
+    val b = (1 to 100).map(i => i.toDouble % 50 + 30).toDF("v")
+    val drift = Curation.psiDrift(a, b, "v", 10.0)
+      .agg(sum("psi_term")).head.getDouble(0)
+    assert(drift > 0.2, s"expected significant drift, got $drift")
+    // bucket-union smoothing: buckets missing on one side still get a
+    // finite term (no NaN/Inf anywhere)
+    Curation.psiDrift(a, b, "v", 10.0).collect().foreach { r =>
+      val t = r.getAs[Double]("psi_term")
+      assert(!t.isNaN && !t.isInfinite)
+      // (p-q)·ln(p/q) is non-negative whatever the direction of the move
+      assert(t >= -1e-15, s"psi term must be >= 0, got $t")
+    }
+  }
+
   test("char entropy: uniform string hits log2(k), constant string 0") {
     val s2 = spark; import s2.implicits._
     val cases = Seq((1L, "abcd"), (2L, "aaaa"), (3L, "aabb"))
