@@ -128,6 +128,48 @@ object Sampling {
           .cast("long")))
   }
 
+  /** Fixed-length training-example assembly manifest — the pretraining
+    * "concat and chunk" pass: within each content-hash bucket, documents
+    * concatenate in `orderCols` order and the token stream is cut into
+    * examples of exactly `seqLen` tokens (the last example of a bucket
+    * may run short). Emits one row per (example, contributing doc) with
+    * the doc's 1-based inclusive token subrange `[from_tok, to_tok]` — a
+    * manifest the materialization job can apply with a narrow `slice`,
+    * so the full text never shuffles twice. Documents cross example
+    * boundaries exactly as real LLM pretraining packing does.
+    *
+    * Shape at 100 TB: the cumulative offset is a PER-BUCKET window (the
+    * bucket count bounds per-partition window state — never a global
+    * single-partition sort), the boundary explode emits
+    * `1 + spans` rows per doc, and everything else is narrow arithmetic.
+    * One shuffle total, on the bucket key.
+    */
+  def packExamples(df: DataFrame, seqLen: Long, numBuckets: Int,
+      textCol: String = "text",
+      orderCols: Seq[String] = Seq("doc_id")): DataFrame = {
+    require(seqLen > 0 && numBuckets > 0,
+      s"seqLen=$seqLen and numBuckets=$numBuckets must be positive")
+    require(orderCols.nonEmpty, "orderCols must be non-empty")
+    val w = Window.partitionBy("bucket").orderBy(orderCols.map(col): _*)
+    df
+      .withColumn("n_tokens", size(split(col(textCol), " ")).cast("long"))
+      .where(col("n_tokens") > 0)
+      .withColumn("bucket",
+        floor(hashUnit(col(textCol), "pack:") * numBuckets).cast("int"))
+      .withColumn("tok_end", sum("n_tokens").over(w))
+      .withColumn("tok_start", col("tok_end") - col("n_tokens"))
+      .withColumn("example_id", explode(sequence(
+        floor(col("tok_start") / seqLen).cast("long"),
+        floor((col("tok_end") - 1) / seqLen).cast("long"))))
+      .withColumn("slice_start",
+        greatest(col("tok_start"), col("example_id") * seqLen))
+      .withColumn("slice_end",
+        least(col("tok_end"), (col("example_id") + 1) * seqLen))
+      .select(col("bucket"), col("example_id"), col("doc_id"),
+        (col("slice_start") - col("tok_start") + 1).as("from_tok"),
+        (col("slice_end") - col("tok_start")).as("to_tok"))
+  }
+
   /** Deterministic mixture sampling: downsample each source to its
     * target rate — the data-mixing pass that turns raw per-source corpus
     * volumes into a training mixture (e.g. 100% curated reference, 25%

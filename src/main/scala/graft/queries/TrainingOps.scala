@@ -3050,6 +3050,33 @@ object TrainingOps {
              |SELECT bucket, n_a, n_b, p_a, p_b,
              |  (p_a - p_b) * ln(p_a / p_b) AS psi_term
              |FROM p ORDER BY bucket""".stripMargin)),
+
+    // fixed-length example packing (pretraining concat-and-chunk): the
+    // manifest rows that cut each bucket's doc_id-ordered token stream
+    // into 128-token examples, docs crossing boundaries as they do in
+    // real packing. Pure integer arithmetic — exact on both engines.
+    QueryDef("q157_pack_examples",
+      (s, d) => Sampling.packExamples(table(s, d, "documents"),
+          seqLen = 128, numBuckets = 4)
+        .orderBy("bucket", "example_id", "doc_id"),
+      Some(s"""WITH t AS (SELECT doc_id, text,
+              |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+              |  FROM documents WHERE len(string_split(text, ' ')) > 0),
+              |b AS (SELECT doc_id, n,
+              |    CAST(FLOOR((${drawSql("pack:")}) * 4) AS INT) AS bucket
+              |  FROM t),
+              |o AS (SELECT doc_id, n, bucket,
+              |    CAST(SUM(n) OVER (PARTITION BY bucket ORDER BY doc_id)
+              |      AS BIGINT) AS te
+              |  FROM b),
+              |e AS (SELECT bucket, doc_id, te, te - n AS ts,
+              |    UNNEST(generate_series((te - n) // 128, (te - 1) // 128))
+              |      AS example_id
+              |  FROM o)
+              |SELECT bucket, example_id, doc_id,
+              |  GREATEST(ts, example_id * 128) - ts + 1 AS from_tok,
+              |  LEAST(te, (example_id + 1) * 128) - ts AS to_tok
+              |FROM e ORDER BY bucket, example_id, doc_id""".stripMargin)),
   )
 
   /** Unrolled DuckDB replay of [[graft.ops.TextAnalysis.bpeTrain]]:

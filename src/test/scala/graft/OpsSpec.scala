@@ -273,6 +273,34 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(a == b, s"canonical=$a dropNearDups=$b")
   }
 
+  test("packExamples: every token lands in exactly one example, " +
+      "examples are full except each bucket's last") {
+    val m = Sampling.packExamples(docs, seqLen = 128, numBuckets = 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(m.nonEmpty)
+    // per doc: subranges tile [1, n_tokens] with no gap or overlap
+    val nTok = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    m.groupBy(_._3).foreach { case (doc, rows) =>
+      val spans = rows.sortBy(_._4).map(r => (r._4, r._5))
+      assert(spans.head._1 == 1L, s"doc $doc starts at ${spans.head._1}")
+      assert(spans.last._2 == nTok(doc), s"doc $doc ends early")
+      spans.sliding(2).filter(_.length == 2).foreach { p =>
+        assert(p(1)._1 == p(0)._2 + 1,
+          s"doc $doc gap/overlap at ${p(0)._2} → ${p(1)._1}")
+      }
+    }
+    // per (bucket, example): exactly seqLen tokens except the bucket max
+    m.groupBy(r => (r._1, r._2)).foreach { case ((b, ex), rows) =>
+      val tot = rows.map(r => r._5 - r._4 + 1).sum
+      val isLast = ex == m.filter(_._1 == b).map(_._2).max
+      if (isLast) assert(tot <= 128, s"bucket $b last example $tot")
+      else assert(tot == 128L, s"bucket $b example $ex has $tot tokens")
+    }
+  }
+
   test("group centroid matrix: hand-computed cosine, bounds, and " +
       "agreement with labelCentroids") {
     val s2 = spark; import s2.implicits._
