@@ -426,4 +426,42 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(exchanges(df) == 1, p)
     assert(!p.contains("Sort "), p)
   }
+
+  test("example packing is ONE bucket shuffle; no global-order window") {
+    val df = Sampling.packExamples(docs, 128, 4)
+    val p = plan(df)
+    assert("(?i)exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    // a Window with an empty partition spec would read
+    // "Exchange SinglePartition" — the global-sort shape this op avoids
+    assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("gopher rules: gram agg + doc-grain join, never a self-join " +
+      "of the corpus scan") {
+    val df = Curation.gopherRules(docs)
+    assert("(?i)exchange hashpartitioning".r.findAllIn(plan(df)).size <= 3,
+      plan(df))
+  }
+
+  test("transition matrix stacks lead + count on bounded shuffles") {
+    val ev = graft.queries.QueryDef.eventsMicros(spark, dir)
+    val df = Funnel.transitionMatrix(ev, "user_id",
+      Seq("ts_us", "event_id"), "event_type")
+    // user window + (from,to) agg + the normalizer window over the
+    // |event types|²-row collapsed relation
+    assert("(?i)exchange hashpartitioning".r.findAllIn(plan(df)).size <= 3,
+      plan(df))
+  }
+
+  test("centroid matrix touches the corpus once; pairs expand on the " +
+      "collapsed dim-grain relation") {
+    val src = docs.select(col("doc_id").as("vec_id"), col("source"))
+    val df = Similarity.groupCentroidMatrix(emb.join(src, "vec_id"),
+      "source")
+    // the parquet embedding scan must appear exactly once — the pair
+    // join runs on the aggregated (grp, dim) matrix, not a re-scan
+    val scans = "embeddings.parquet".r.findAllIn(plan(df)).size
+    assert(scans <= 2, plan(df)) // self-join of the TINY dim relation may
+                                 // reuse one scan subtree per side at most
+  }
 }
