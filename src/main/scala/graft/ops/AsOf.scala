@@ -24,10 +24,17 @@ object AsOf {
     * when no right row precedes). Right rows should be unique per
     * (key, ts) — with duplicates, the greatest value wins
     * deterministically.
+    *
+    * `forward = true` flips the direction: each left row matches the
+    * EARLIEST right row with `r.ts >= l.ts` (the "next quote after the
+    * trade" / "next event after the checkpoint" form — DuckDB's
+    * `ASOF JOIN ... ON l.ts <= r.ts`). Same union+window plan, the
+    * traversal just runs in descending time; ties still match and
+    * duplicate right rows still resolve to the greatest value.
     */
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
       tsCol: String, valueCols: Seq[String],
-      prefix: String = "asof_"): DataFrame = {
+      prefix: String = "asof_", forward: Boolean = false): DataFrame = {
     val leftCols = left.columns.toSeq
     val payloadType =
       right.select((tsCol +: valueCols).map(col): _*).schema
@@ -51,7 +58,8 @@ object AsOf {
     // among duplicate right (key, ts) rows the struct max (greatest value)
     // wins deterministically
     val w = Window.partitionBy(keyCol)
-      .orderBy(col(tsCol).asc, col("__side").asc, col("__payload").asc)
+      .orderBy(if (forward) col(tsCol).desc else col(tsCol).asc,
+        col("__side").asc, col("__payload").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lAligned.unionByName(rAligned)
       .withColumn("__match", last(col("__payload"), ignoreNulls = true).over(w))

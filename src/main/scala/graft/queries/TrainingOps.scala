@@ -3077,6 +3077,34 @@ object TrainingOps {
               |  GREATEST(ts, example_id * 128) - ts + 1 AS from_tok,
               |  LEAST(te, (example_id + 1) * 128) - ts AS to_tok
               |FROM e ORDER BY bucket, example_id, doc_id""".stripMargin)),
+
+    // forward as-of: the NEXT signup at-or-after each purchase (q76's
+    // mirror) — same union+window plan traversed in descending time,
+    // DuckDB replays natively with ASOF ... ON l.ts <= r.ts.
+    QueryDef("q158_asof_forward",
+      (s, d) => {
+        val ev = eventsMicros(s, d)
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts_us")
+        val signups = ev.where(col("event_type") === "signup")
+          .groupBy("user_id", "ts_us").agg(max("value").as("value"))
+        AsOf.asofJoin(purchases, signups, "user_id", "ts_us",
+            Seq("value"), forward = true)
+          .select(col("event_id"), col("user_id"), col("ts_us"),
+            col("asof_ts_us"), round(col("asof_value"), 4).as("asof_value"))
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+             |    event_type, value FROM events),
+             |l AS (SELECT event_id, user_id, ts_us FROM e
+             |  WHERE event_type = 'purchase'),
+             |r AS (SELECT user_id, ts_us, MAX(value) AS value FROM e
+             |  WHERE event_type = 'signup' GROUP BY 1, 2)
+             |SELECT l.event_id, l.user_id, l.ts_us,
+             |  r.ts_us AS asof_ts_us, ROUND(r.value, 4) AS asof_value
+             |FROM l ASOF LEFT JOIN r
+             |  ON l.user_id = r.user_id AND l.ts_us <= r.ts_us
+             |ORDER BY l.event_id""".stripMargin)),
   )
 
   /** Unrolled DuckDB replay of [[graft.ops.TextAnalysis.bpeTrain]]:

@@ -789,6 +789,19 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got(4L) == ((Some(299L), Some(9.0))))
     assert(got(5L) == ((None, None)))            // key 30 has no right rows
     assert(got.size == 5)                        // exactly |left| rows out
+    // forward direction: earliest right row AT or AFTER each left ts
+    val fwd = AsOf.asofJoin(left, right, "k", "ts", Seq("v"),
+        forward = true)
+      .select("event_id", "asof_ts", "asof_v").collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.get(1)).map(_.asInstanceOf[Long]),
+          Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+    assert(fwd(1L) == ((Some(100L), Some(1.0)))) // tie: ts == counts
+    assert(fwd(2L) == ((Some(300L), Some(3.0)))) // next AFTER 205
+    assert(fwd(3L) == ((Some(100L), Some(1.0)))) // first at 100
+    assert(fwd(4L) == ((None, None)))            // nothing at or after 300
+    assert(fwd(5L) == ((None, None)))
+    assert(fwd.size == 5)
   }
 
   test("winnowing guarantees shared fingerprints for long shared runs") {
