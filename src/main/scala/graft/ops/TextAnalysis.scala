@@ -601,4 +601,67 @@ object TextAnalysis {
     merges.foldLeft(charSyms(word)) {
       case (syms, (a, b)) => mergeFold(syms, a, b)
     }
+
+  /** All-pairs sparse cosine similarity over n-gram-shingle TF-IDF
+    * vectors at a threshold — the inverted-index similarity join
+    * (Bayardo et al., "Scaling Up All Pairs Similarity Search", WWW'07
+    * shape): docs become sparse unit vectors over their shingles, and
+    * candidate pairs are generated ONLY through shared postings, never by
+    * pairing the corpus. With non-negative weights, a pair sharing no
+    * surviving term has cosine exactly 0, so the posting join is EXACT
+    * for any threshold > 0 — this is a pruning strategy, not an
+    * approximation (contrast [[graft.ops.Dedup.minhashCandidates]]).
+    *
+    * `maxDf` drops terms appearing in more than that many docs before
+    * weighting — the cosine is over the df-capped vocabulary (standard
+    * stop-shingle removal: a term in half the corpus carries ~zero idf
+    * but quadratic posting cost). That cap is also the scale contract:
+    * partial-product pairs are bounded by Σ_t df_t² ≤ maxDf · Σ_t df_t =
+    * maxDf · (corpus posting mass), i.e. LINEAR in corpus size at fixed
+    * maxDf, where the uncapped join is quadratic in the hottest posting.
+    * The documented upgrade at 100 TB is Bayardo prefix filtering
+    * (index only the head of each vector that could still reach the
+    * threshold); the plan shape — two aggs, one posting self-join, one
+    * pair agg — does not change.
+    *
+    * Every floating sum folds in ascending-term order over a sorted
+    * collected list (the [[bm25TopK]] determinism discipline), so scores
+    * are partition-invariant and bit-replayable by a SQL oracle.
+    */
+  def sparseCosinePairs(docs: DataFrame, minCos: Double, maxDf: Int,
+      n: Int = 3): DataFrame = {
+    require(minCos > 0, s"minCos=$minCos must be > 0 (the posting join " +
+      "only sees pairs with a shared term; at <= 0 it is not exact)")
+    require(maxDf >= 1, s"maxDf=$maxDf must be >= 1")
+    require(n >= 1, s"n=$n must be >= 1")
+    val toks = docs
+      .select(col("doc_id").as("id"), split(col("text"), " ").as("t"))
+      .where(size(col("t")) >= n)
+    val tf = toks.select(col("id"), explode(expr(
+        s"transform(sequence(1, size(t) - ${n - 1}), " +
+          s"i -> concat_ws(' ', slice(t, i, $n)))")).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf)
+    val nd = toks.agg(count(lit(1)).as("n_docs"))
+    val w = tf.join(dfreq, "term").crossJoin(broadcast(nd))
+      .select(col("id"), col("term"),
+        (col("tf") *
+          (log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))) + 1.0))
+          .as("w"))
+    val nrm = w.groupBy("id").agg(expr(
+      "sqrt(aggregate(array_sort(collect_list(struct(term, w))), " +
+        "cast(0.0 as double), (a, x) -> a + x.w * x.w))").as("nrm"))
+    val u = w.join(nrm, "id")
+      .select(col("id"), col("term"), (col("w") / col("nrm")).as("uw"))
+    u.as("a").join(u.as("b"), Seq("term"))
+      .where(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_l"), col("b.id").as("id_r"), col("term"),
+        (col("a.uw") * col("b.uw")).as("prod"))
+      .groupBy("id_l", "id_r")
+      .agg(expr("aggregate(array_sort(collect_list(struct(term, prod))), " +
+          "cast(0.0 as double), (a, x) -> a + x.prod)").as("cos"),
+        count(lit(1)).as("n_shared"))
+      .where(col("cos") >= minCos)
+  }
 }

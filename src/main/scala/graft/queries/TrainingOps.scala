@@ -3105,6 +3105,79 @@ object TrainingOps {
              |FROM l ASOF LEFT JOIN r
              |  ON l.user_id = r.user_id AND l.ts_us <= r.ts_us
              |ORDER BY l.event_id""".stripMargin)),
+
+    // All-pairs sparse cosine over 3-shingle TF-IDF at a threshold: the
+    // inverted-index similarity join. EXACT for cos >= 0.30 (non-negative
+    // vectors sharing no surviving term have cosine 0); df <= 50 caps
+    // posting lists so partial-product pairs stay linear in corpus size.
+    // Both engines fold every floating sum in ascending-term order.
+    QueryDef("q159_sparse_cosine_pairs",
+      (s, d) => TextAnalysis.sparseCosinePairs(table(s, d, "documents"),
+          minCos = 0.30, maxDf = 50, n = 3)
+        .select(col("id_l"), col("id_r"), round(col("cos"), 6).as("cos"),
+          col("n_shared"))
+        .orderBy("id_l", "id_r"),
+      Some("""WITH toks AS (SELECT doc_id id, string_split(text, ' ') l
+             |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+             |tf AS (SELECT id, array_to_string(l[i:i+2], ' ') AS term,
+             |    COUNT(*) tf
+             |  FROM toks, UNNEST(generate_series(1, len(l) - 2)) t(i)
+             |  GROUP BY 1, 2),
+             |df AS (SELECT term, COUNT(*) df FROM tf GROUP BY 1
+             |  HAVING COUNT(*) <= 50),
+             |n AS (SELECT COUNT(*) n_docs FROM toks),
+             |w AS (SELECT id, term,
+             |    tf * (ln((1 + n_docs) / (1.0 + df)) + 1) AS w
+             |  FROM tf JOIN df USING (term) CROSS JOIN n),
+             |nrm AS (SELECT id,
+             |    sqrt(list_reduce(list(w * w ORDER BY term),
+             |      (a, b) -> a + b)) AS nrm
+             |  FROM w GROUP BY 1),
+             |u AS (SELECT w.id, term, w / nrm AS uw
+             |  FROM w JOIN nrm USING (id)),
+             |p AS (SELECT a.id id_l, b.id id_r, a.term term,
+             |    a.uw * b.uw AS prod
+             |  FROM u a JOIN u b ON a.term = b.term AND a.id < b.id)
+             |SELECT id_l, id_r,
+             |  ROUND(list_reduce(list(prod ORDER BY term),
+             |    (a, b) -> a + b), 6) AS cos,
+             |  COUNT(*) AS n_shared
+             |FROM p GROUP BY 1, 2
+             |HAVING list_reduce(list(prod ORDER BY term),
+             |  (a, b) -> a + b) >= 0.30
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // Earliest-chain pattern match (MATCH_RECOGNIZE-lite): first
+    // view -> click -> purchase chain per user with strict progression;
+    // the oracle replays the same sequential min-chain, and the NULL
+    // cascade (rn > NULL -> NULL -> MIN none) is identical both sides.
+    QueryDef("q160_pattern_match",
+      (s, d) => Funnel.matchPattern(eventsMicros(s, d), "user_id",
+          Seq("ts_us", "event_id"), "event_type",
+          Seq("view", "click", "purchase"))
+        .select(col("key").as("user_id"), col("n_events"),
+          col("p1"), col("p2"), col("p3"), col("matched"))
+        .orderBy("user_id"),
+      Some("""WITH e AS (SELECT user_id, event_type,
+             |    ROW_NUMBER() OVER (PARTITION BY user_id
+             |      ORDER BY epoch_us(ts), event_id) AS rn
+             |  FROM events),
+             |s1 AS (SELECT user_id, COUNT(*) AS n_events,
+             |    MIN(CASE WHEN event_type = 'view' THEN rn END) AS p1
+             |  FROM e GROUP BY 1),
+             |s2 AS (SELECT e.user_id,
+             |    MIN(CASE WHEN event_type = 'click' AND rn > p1
+             |      THEN rn END) AS p2
+             |  FROM e JOIN s1 USING (user_id) GROUP BY 1),
+             |s3 AS (SELECT e.user_id,
+             |    MIN(CASE WHEN event_type = 'purchase' AND rn > p2
+             |      THEN rn END) AS p3
+             |  FROM e JOIN s2 USING (user_id) GROUP BY 1)
+             |SELECT user_id, n_events, p1, p2, p3,
+             |  CAST(p3 IS NOT NULL AS INT) AS matched
+             |FROM s1 LEFT JOIN s2 USING (user_id)
+             |  LEFT JOIN s3 USING (user_id)
+             |ORDER BY user_id""".stripMargin)),
   )
 
   /** Unrolled DuckDB replay of [[graft.ops.TextAnalysis.bpeTrain]]:

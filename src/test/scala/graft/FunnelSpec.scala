@@ -135,4 +135,47 @@ class FunnelSpec extends AnyFunSuite with SparkTestBase {
     val hashEx = "(?i)exchange hashpartitioning".r.findAllIn(plan).size
     assert(hashEx == 1, plan)
   }
+
+  private def patternFixture = {
+    val s2 = spark; import s2.implicits._
+    Seq(
+      // user 1: A at 1, stray B BEFORE the A must not count; chain is
+      // A(1) -> B(4) -> C(5), skipping the C at 3 that precedes the B
+      (1L, "B", 0L), (1L, "A", 1L), (1L, "C", 3L), (1L, "B", 4L),
+      (1L, "C", 5L),
+      // user 2: A then C but never a B after the A -> unmatched at p2
+      (2L, "A", 1L), (2L, "C", 2L),
+      // user 3: same-instant A and B — strict progression needs B to
+      // sort AFTER A via the event_id tie-break
+      (3L, "A", 10L), (3L, "B", 10L), (3L, "C", 11L),
+      // user 4: nothing relevant
+      (4L, "X", 1L)
+    ).zipWithIndex.map { case ((u, t, ts), i) => (u, t, ts, i.toLong) }
+      .toDF("user_id", "event_type", "ts_us", "event_id")
+  }
+
+  test("pattern match finds the earliest strict chain per key") {
+    val got = Funnel.matchPattern(patternFixture, "user_id",
+        Seq("ts_us", "event_id"), "event_type", Seq("A", "B", "C"))
+      .collect().map(r => r.getLong(0) -> (
+        Option(r.getAs[java.lang.Integer]("p1")),
+        Option(r.getAs[java.lang.Integer]("p2")),
+        Option(r.getAs[java.lang.Integer]("p3")),
+        r.getAs[Int]("matched"))).toMap
+    // user 1 order: B(0) A(1) C(3) B(4) C(5) -> positions 2, 4, 5
+    assert(got(1L) == ((Some(2), Some(4), Some(5), 1)), s"got ${got(1L)}")
+    assert(got(2L) == ((Some(1), None, None, 0)), s"got ${got(2L)}")
+    // user 3: A and B share ts; event_id orders A first, so B at pos 2
+    // satisfies the STRICT progression
+    assert(got(3L) == ((Some(1), Some(2), Some(3), 1)), s"got ${got(3L)}")
+    assert(got(4L) == ((None, None, None, 0)), s"got ${got(4L)}")
+  }
+
+  test("pattern match is ONE key shuffle (stage windows stack)") {
+    val plan = Funnel.matchPattern(patternFixture, "user_id",
+        Seq("ts_us", "event_id"), "event_type", Seq("A", "B", "C"))
+      .queryExecution.executedPlan.toString
+    val hashEx = "(?i)exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx == 1, plan)
+  }
 }

@@ -1995,4 +1995,56 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
       assert(gh == host, s"$in host → $gh, want $host")
     }
   }
+
+  test("sparse cosine pairs: exact on a hand-checkable fixture") {
+    val s2 = spark; import s2.implicits._
+    val fix = Seq(
+      (0L, "a b c d e f"),   // shares shingles "a b c".."c d e" with 1
+      (1L, "a b c d e g"),
+      (2L, "x y z w v u"),   // identical to 3
+      (3L, "x y z w v u"),
+      (4L, "p q r s t u")    // disjoint shingles from everyone
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.sparseCosinePairs(fix, minCos = 0.1, maxDf = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getLong(3)))
+      .toMap
+    // identical docs: unit vectors coincide -> cosine exactly ~1
+    val (cosId, nId) = got((2L, 3L))
+    assert(math.abs(cosId - 1.0) < 1e-12, s"identical pair cos $cosId")
+    assert(nId == 4L) // 4 shingles in a 6-token doc
+    // near-dup: 3 of 4 shingles shared, each side has 1 private — the
+    // shared ones have df=2, private df=1, so cos is strictly in (0, 1)
+    val (cosNd, nNd) = got((0L, 1L))
+    assert(nNd == 3L, s"shared shingles $nNd")
+    assert(cosNd > 0.5 && cosNd < 1.0, s"near-dup cos $cosNd")
+    // no other pair shares any surviving shingle
+    assert(got.keySet == Set((0L, 1L), (2L, 3L)), got.keySet.toString)
+    // brute-force cross-check of the near-dup cosine: each doc has 4
+    // shingles tf=1; shared have df=2, private df=1, N=5
+    def idf(df: Int) = math.log(6.0 / (1.0 + df)) + 1.0
+    val shared = idf(2); val priv = idf(1)
+    val nrm = math.sqrt(3 * shared * shared + priv * priv)
+    val want = 3 * shared * shared / (nrm * nrm)
+    assert(math.abs(cosNd - want) < 1e-12, s"$cosNd vs brute-force $want")
+  }
+
+  test("sparse cosine pairs: the df cap prunes ubiquitous shingles") {
+    val s2 = spark; import s2.implicits._
+    // every doc starts with the same 3 tokens: that shingle has df=4
+    val fix = Seq(
+      (0L, "s s s a b c"), (1L, "s s s a b d"),
+      (2L, "s s s x y z"), (3L, "s s s x y w")
+    ).toDF("doc_id", "text")
+    val capped = TextAnalysis.sparseCosinePairs(fix, 0.05, maxDf = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // with "s s s" (df=4) pruned, only genuinely-similar pairs remain
+    assert(capped == Set((0L, 1L), (2L, 3L)), capped.toString)
+    val uncapped = TextAnalysis.sparseCosinePairs(fix, 0.05, maxDf = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // without the cap every pair shares the ubiquitous prefix shingles
+    assert(uncapped.size == 6, uncapped.toString)
+    intercept[IllegalArgumentException](
+      TextAnalysis.sparseCosinePairs(fix, 0.0, 3))
+  }
 }
