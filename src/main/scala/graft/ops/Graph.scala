@@ -110,6 +110,36 @@ object Graph {
     out
   }
 
+  /** Co-citation graph: weight(u, v) = number of documents that cite BOTH
+    * nodes u and v (hosts, authors, entities …) — the classic relatedness
+    * signal from bibliometrics, and for a crawl corpus the cheap
+    * host-similarity graph (hosts co-linked by many pages are topically
+    * related) that feeds [[pageRank]] / [[labelPropagation]].
+    *
+    * Input is an exploded citation relation `(docCol, nodeCol)`; empty
+    * node strings are dropped, duplicate citations within one document
+    * collapse first (a page linking a host 50 times still co-cites once).
+    *
+    * Shape at 100 TB: one (doc, node) dedup shuffle, then the pair
+    * expansion joins the relation WITH ITSELF ON THE DOCUMENT KEY — cost
+    * is Σ_doc (links/doc)², bounded by the per-document link count (a
+    * page cites tens of hosts), never by corpus size or by node
+    * popularity. The final agg collapses onto the (node, node) grain.
+    * Contrast a node-keyed self-join, which would square the hottest
+    * node's postings.
+    */
+  def coCitation(citations: DataFrame, docCol: String,
+      nodeCol: String): DataFrame = {
+    val d = citations
+      .select(col(docCol).as("doc"), col(nodeCol).as("node"))
+      .where(col("node").isNotNull && col("node") =!= "")
+      .distinct()
+    d.as("a").join(d.as("b"), Seq("doc"))
+      .where(col("a.node") < col("b.node"))
+      .groupBy(col("a.node").as("node_l"), col("b.node").as("node_r"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   private def ckptStorage(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
     df.queryExecution.analyzed match {
       case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)

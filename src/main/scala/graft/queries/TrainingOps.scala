@@ -3178,6 +3178,65 @@ object TrainingOps {
              |FROM s1 LEFT JOIN s2 USING (user_id)
              |  LEFT JOIN s3 USING (user_id)
              |ORDER BY user_id""".stripMargin)),
+
+    // Host co-citation graph over q102-style synthesized hrefs (three
+    // absolute links per doc), canonicalized to hosts by the real
+    // extract->canonicalize chain; the oracle builds the same three
+    // hosts directly (the synthetic URLs are already canonical).
+    QueryDef("q161_cocitation",
+      (s, d) => {
+        val html = table(s, d, "documents").withColumn("text", concat(
+          lit("<a href=\"http://"), col("source"), lit(".example/doc"),
+          col("doc_id") % 50, lit("\">x</a> "),
+          lit("<a href=\"http://"), col("lang"), lit(".example/p/"),
+          col("doc_id") % 7, lit("\">y</a> "),
+          lit("<a href=\"http://cdn"), col("doc_id") % 3,
+          lit(".example/a\">z</a>")))
+        val hosts = Curation.canonicalizeUrls(Curation.extractLinks(html))
+        graft.ops.Graph.coCitation(hosts, "doc_id", "host")
+          .orderBy("node_l", "node_r")
+      },
+      Some("""WITH l AS (
+             |  SELECT doc_id, source || '.example' AS node FROM documents
+             |  UNION
+             |  SELECT doc_id, lang || '.example' FROM documents
+             |  UNION
+             |  SELECT doc_id, 'cdn' || CAST(doc_id % 3 AS VARCHAR)
+             |    || '.example' FROM documents)
+             |SELECT a.node AS node_l, b.node AS node_r,
+             |  COUNT(*) AS n_docs
+             |FROM l a JOIN l b
+             |  ON a.doc_id = b.doc_id AND a.node < b.node
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Exponentially-decayed per-user activity (half-life 7 d, anchored at
+    // the log's max event time); the two-level day-bucket fold is
+    // replayed ordered on both sides.
+    QueryDef("q162_decayed_activity",
+      (s, d) => graft.ops.Decay.decayedSum(eventsMicros(s, d), "user_id",
+          Seq("ts_us", "event_id"), "ts_us", "value",
+          halfLifeUs = 7L * 86400L * 1000000L,
+          bucketUs = 86400L * 1000000L)
+        .select(col("key").as("user_id"),
+          round(col("decayed"), 6).as("decayed"), col("n_events"))
+        .orderBy("user_id"),
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             |    value FROM events),
+             |n AS (SELECT MAX(ts_us) AS now FROM e),
+             |w AS (SELECT user_id, ts_us // 86400000000 AS bkt,
+             |    value * pow(0.5, (now - ts_us) / 604800000000.0) AS w,
+             |    ts_us, event_id
+             |  FROM e CROSS JOIN n),
+             |pb AS (SELECT user_id, bkt,
+             |    list_reduce(list(w ORDER BY ts_us, event_id),
+             |      (a, b) -> a + b) AS s,
+             |    COUNT(*) AS n
+             |  FROM w GROUP BY 1, 2)
+             |SELECT user_id,
+             |  ROUND(list_reduce(list(s ORDER BY bkt), (a, b) -> a + b), 6)
+             |    AS decayed,
+             |  CAST(SUM(n) AS BIGINT) AS n_events
+             |FROM pb GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 
   /** Unrolled DuckDB replay of [[graft.ops.TextAnalysis.bpeTrain]]:

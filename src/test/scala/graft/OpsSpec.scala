@@ -2047,4 +2047,48 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException](
       TextAnalysis.sparseCosinePairs(fix, 0.0, 3))
   }
+
+  test("co-citation counts docs citing both nodes, dups collapse") {
+    val s2 = spark; import s2.implicits._
+    val cites = Seq(
+      (1L, "a"), (1L, "b"), (1L, "c"),
+      (2L, "a"), (2L, "b"), (2L, "b"), // duplicate citation collapses
+      (3L, "a"), (3L, ""),             // empty node dropped
+      (4L, "c")                        // lone citation: no pair
+    ).toDF("doc", "node")
+    val got = Graph.coCitation(cites, "doc", "node")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(got == Map(("a", "b") -> 2L, ("a", "c") -> 1L, ("b", "c") -> 1L),
+      got.toString)
+  }
+
+  test("decayed sum: hand-checkable weights and anchor override") {
+    val s2 = spark; import s2.implicits._
+    val hl = 100L
+    val ev = Seq(
+      (1L, 1000L, 4.0, 1L),  // at anchor: weight 1
+      (1L, 900L, 8.0, 2L),   // one half-life old: weight 0.5
+      (2L, 800L, 16.0, 3L)   // two half-lives old: weight 0.25
+    ).toDF("user_id", "ts_us", "value", "event_id")
+    val got = Decay.decayedSum(ev, "user_id", Seq("ts_us", "event_id"),
+        "ts_us", "value", halfLifeUs = hl, bucketUs = 50L)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2)))
+      .toMap
+    assert(math.abs(got(1L)._1 - (4.0 + 8.0 * 0.5)) < 1e-12, got.toString)
+    assert(math.abs(got(2L)._1 - 16.0 * 0.25) < 1e-12, got.toString)
+    assert(got(1L)._2 == 2L && got(2L)._2 == 1L)
+    // explicit anchor shifts every weight by the same factor
+    val anchored = Decay.decayedSum(ev, "user_id", Seq("ts_us", "event_id"),
+        "ts_us", "value", hl, 50L, anchorUs = Some(1100L))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(anchored(1L) - (4.0 + 8.0 * 0.5) * 0.5) < 1e-12)
+    // bucket width must not change the answer beyond float reassociation
+    val wide = Decay.decayedSum(ev, "user_id", Seq("ts_us", "event_id"),
+        "ts_us", "value", hl, 1000000L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    got.foreach { case (k, (v, _)) =>
+      assert(math.abs(wide(k) - v) < 1e-9, s"bucketing changed $k")
+    }
+  }
 }
