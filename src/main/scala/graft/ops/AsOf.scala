@@ -94,4 +94,44 @@ object AsOf {
       .where(col(tsCol).between(col(startCol), col(endCol)))
       .drop("__bin")
   }
+
+  /** Gap-filled last-observation-carried-forward series: regularize an
+    * irregular per-key event stream onto a fixed `stepUs` grid from each
+    * key's first to last observed bucket, carrying the latest observed
+    * value across empty buckets — the standard densification before
+    * windowed feature extraction / model training on sensor, price, or
+    * metric streams. Returns `(key, bkt, filled, observed)`; `filled` is
+    * never null because each key's grid starts at an observed bucket.
+    *
+    * Within a bucket the "last" observation is the max by `orderCols`
+    * (pass timestamp + tie-breaker id), reduced by a lexicographic
+    * struct-max — an ordinary partial-aggregating `max`, no collect.
+    *
+    * Shape at 100 TB: one (key, bucket) aggregation; the spine is a
+    * narrow per-key `sequence` explode (rows = key's lifetime/step, the
+    * output's own size — no cross join against a global calendar); one
+    * equi-join back on (key, bucket); and the carry-forward is a single
+    * running `last(ignoreNulls)` window on the key partitioning the join
+    * already established.
+    */
+  def gapFillLocf(events: DataFrame, keyCol: String,
+      orderCols: Seq[String], tsCol: String, valueCol: String,
+      stepUs: Long): DataFrame = {
+    require(stepUs > 0, s"stepUs=$stepUs must be > 0")
+    require(orderCols.nonEmpty, "orderCols must be non-empty")
+    val b = events.select(col(keyCol).as("key"),
+      expr(s"CAST($tsCol AS BIGINT) DIV $stepUs").as("bkt"),
+      struct((orderCols.map(col) :+ col(valueCol)): _*).as("__s"))
+    val perBucket = b.groupBy("key", "bkt")
+      .agg(max("__s").getField(valueCol).as("obs"))
+    val spine = perBucket.groupBy("key")
+      .agg(min("bkt").as("b0"), max("bkt").as("b1"))
+      .select(col("key"), explode(sequence(col("b0"), col("b1"))).as("bkt"))
+    val w = Window.partitionBy("key").orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(perBucket, Seq("key", "bkt"), "left")
+      .select(col("key"), col("bkt"),
+        last(col("obs"), ignoreNulls = true).over(w).as("filled"),
+        col("obs").isNotNull.cast("int").as("observed"))
+  }
 }

@@ -907,4 +907,42 @@ object Similarity {
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= k)
   }
+
+  /** Cluster topic terms (BERTopic-style c-TF-IDF): cluster the corpus
+    * with the deterministic IVF quantizer, pool each cluster's documents
+    * into one pseudo-document, and rank terms by
+    * `score(t, c) = tf(t, c) · ln(1 + A / f(t))` where `f(t)` is the
+    * term's corpus frequency and `A` the average tokens per cluster —
+    * the class-based TF-IDF that surfaces what a cluster is ABOUT while
+    * damping corpus-wide filler. Returns the top `topK` terms per
+    * cluster `(cid, rk, term, tf, score)`, ties broken by term.
+    *
+    * Shape at 100 TB: the embedding side pays the IVF assignment
+    * (broadcast centroids, one argmin); the text side ONE tokenize into a
+    * (cluster, term) aggregation — grain `|clusters| × |vocab|`, already
+    * collapsed before the corpus-frequency join and the tiny broadcast
+    * stats row. The ranking window runs on that collapsed relation, so
+    * nothing downstream of the two first-pass aggs scales with corpus
+    * row count. Deterministic end-to-end (data-point centroids, integer
+    * counts, one `ln`) — a SQL oracle replays the whole thing.
+    */
+  def clusterTopics(emb: DataFrame, docs: DataFrame, nlist: Int,
+      topK: Int): DataFrame = {
+    require(topK >= 1, s"topK=$topK must be >= 1")
+    val assigned = ivfIndexDeterministic(emb, nlist)._2
+      .select(col("vec_id"), col("cid"))
+    val toks = docs.join(assigned, col("doc_id") === col("vec_id"))
+      .select(col("cid"), explode(split(col("text"), " ")).as("term"))
+    val tfc = toks.groupBy("cid", "term").agg(count(lit(1)).as("tf"))
+    val fT = tfc.groupBy("term").agg(sum("tf").as("f"))
+    val stats = tfc.agg(
+      (sum("tf").cast("double") / countDistinct("cid")).as("a"))
+    val w = Window.partitionBy("cid")
+      .orderBy(col("score").desc, col("term").asc)
+    tfc.join(fT, "term").crossJoin(broadcast(stats))
+      .withColumn("score", col("tf") * log(lit(1.0) + col("a") / col("f")))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= topK)
+      .select("cid", "rk", "term", "tf", "score")
+  }
 }

@@ -3237,6 +3237,75 @@ object TrainingOps {
              |    AS decayed,
              |  CAST(SUM(n) AS BIGINT) AS n_events
              |FROM pb GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Cluster topic terms (c-TF-IDF over deterministic-IVF clusters):
+    // the oracle reuses q66's cents/assign replay, pools per-cluster
+    // tokens, and ranks tf·ln(1 + A/f) with a term tie-break.
+    QueryDef("q163_cluster_topics",
+      (s, d) => Similarity.clusterTopics(table(s, d, "embeddings"),
+          table(s, d, "documents"), nlist = 8, topK = 5)
+        .select(col("cid"), col("rk"), col("term"), col("tf"),
+          round(col("score"), 6).as("score"))
+        .orderBy("cid", "rk"),
+      Some(s"""WITH cents AS (
+              |  SELECT CAST(rn - 1 AS INT) AS cid, embedding FROM (
+              |    SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS rn,
+              |      embedding FROM embeddings) t
+              |  WHERE rn <= 8),
+              |assign AS (
+              |  SELECT vec_id, cid FROM (
+              |    SELECT e.vec_id, c.cid,
+              |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+              |        ${dot64.format("e", "c")} /
+              |          (SQRT(${norm2("e")}) * SQRT(${norm2("c")})) DESC,
+              |        c.cid ASC) AS ark
+              |    FROM embeddings e CROSS JOIN cents c) t WHERE ark = 1),
+              |toks AS (SELECT a.cid,
+              |    UNNEST(string_split(dd.text, ' ')) AS term
+              |  FROM documents dd JOIN assign a ON a.vec_id = dd.doc_id),
+              |tfc AS (SELECT cid, term, COUNT(*) AS tf
+              |  FROM toks GROUP BY 1, 2),
+              |f AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS f
+              |  FROM tfc GROUP BY 1),
+              |st AS (SELECT CAST(SUM(tf) AS DOUBLE)
+              |    / COUNT(DISTINCT cid) AS a FROM tfc),
+              |sc AS (SELECT cid, term, tf,
+              |    tf * ln(1.0 + a / f) AS score
+              |  FROM tfc JOIN f USING (term) CROSS JOIN st)
+              |SELECT cid, rk, term, tf, ROUND(score, 6) AS score
+              |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY cid
+              |    ORDER BY score DESC, term) AS rk FROM sc)
+              |WHERE rk <= 5 ORDER BY cid, rk""".stripMargin)),
+
+    // LOCF gap-fill of per-user purchase values onto a daily grid; the
+    // oracle replays the bucket-last (ordered-list tail), the
+    // generate_series spine, and IGNORE NULLS carry-forward.
+    QueryDef("q164_gapfill_locf",
+      (s, d) => AsOf.gapFillLocf(
+          eventsMicros(s, d).where(col("event_type") === "purchase"),
+          "user_id", Seq("ts_us", "event_id"), "ts_us", "value",
+          stepUs = 86400L * 1000000L)
+        .select(col("key").as("user_id"), col("bkt"),
+          round(col("filled"), 6).as("filled"), col("observed"))
+        .orderBy("user_id", "bkt"),
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+             |    value FROM events WHERE event_type = 'purchase'),
+             |pb AS (SELECT user_id, ts_us // 86400000000 AS bkt,
+             |    list(value ORDER BY ts_us, event_id)[-1] AS obs
+             |  FROM e GROUP BY 1, 2),
+             |bounds AS (SELECT user_id, MIN(bkt) AS b0, MAX(bkt) AS b1
+             |  FROM pb GROUP BY 1),
+             |spine AS (SELECT user_id,
+             |    UNNEST(generate_series(b0, b1)) AS bkt FROM bounds),
+             |j AS (SELECT s.user_id, s.bkt, pb.obs
+             |  FROM spine s LEFT JOIN pb USING (user_id, bkt))
+             |SELECT user_id, bkt,
+             |  ROUND(last_value(obs IGNORE NULLS) OVER (
+             |    PARTITION BY user_id ORDER BY bkt
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+             |    AS filled,
+             |  CAST(obs IS NOT NULL AS INT) AS observed
+             |FROM j ORDER BY user_id, bkt""".stripMargin)),
   )
 
   /** Unrolled DuckDB replay of [[graft.ops.TextAnalysis.bpeTrain]]:

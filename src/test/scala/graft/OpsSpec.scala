@@ -2091,4 +2091,48 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
       assert(math.abs(wide(k) - v) < 1e-9, s"bucketing changed $k")
     }
   }
+
+  test("cluster topics rank each cluster's distinctive terms first") {
+    val s2 = spark; import s2.implicits._
+    // two obvious clusters in 2-d: ids 0,2 near (1,0); ids 1,3 near (0,1)
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(0.9f, 0.1f)), (3L, Array(0.1f, 0.9f))
+    ).toDF("vec_id", "embedding")
+    val d = Seq(
+      (0L, "common alpha alpha"), (2L, "common alpha beta"),
+      (1L, "common zeta zeta"), (3L, "common zeta eta")
+    ).toDF("doc_id", "text")
+    val top = Similarity.clusterTopics(e, d, nlist = 2, topK = 1)
+      .collect().map(r => r.getInt(0) -> r.getString(2)).toMap
+    // "common" appears everywhere -> damped; each cluster's own term wins
+    assert(top == Map(0 -> "alpha", 1 -> "zeta"), top.toString)
+    // scores are positive and tf is the pooled per-cluster count
+    val all = Similarity.clusterTopics(e, d, 2, 10).collect()
+    assert(all.forall(_.getDouble(4) > 0))
+    val alphaTf = all.find(r => r.getInt(0) == 0 && r.getString(2) == "alpha")
+      .get.getLong(3)
+    assert(alphaTf == 3L, s"pooled tf $alphaTf")
+  }
+
+  test("gap-fill LOCF: spine, carry-forward, and in-bucket last") {
+    val s2 = spark; import s2.implicits._
+    val step = 10L
+    val ev = Seq(
+      // user 1: buckets 1 and 4 observed; 2-3 carried from bucket 1;
+      // bucket 1 has TWO events — (ts,id) max picks value 5.0
+      (1L, 11L, 1L, 3.0), (1L, 15L, 2L, 5.0), (1L, 42L, 3L, 7.0),
+      // user 2: single observation -> single-row spine
+      (2L, 100L, 4L, 9.0)
+    ).toDF("user_id", "ts_us", "event_id", "value")
+    val got = AsOf.gapFillLocf(ev, "user_id", Seq("ts_us", "event_id"),
+        "ts_us", "value", step)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getInt(3)))
+      .toMap
+    assert(got == Map(
+      (1L, 1L) -> ((5.0, 1)), (1L, 2L) -> ((5.0, 0)),
+      (1L, 3L) -> ((5.0, 0)), (1L, 4L) -> ((7.0, 1)),
+      (2L, 10L) -> ((9.0, 1))), got.toString)
+  }
 }
