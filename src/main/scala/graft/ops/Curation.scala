@@ -91,6 +91,47 @@ object Curation {
     counted.withColumn(textCol, redacted)
   }
 
+  /** Consistent pseudonymization: replace every email with a surrogate
+    * token derived from a HASH of the value —
+    * `<EMAIL_xxxxxxxx>` (first 8 md5 hex chars) — so the SAME address
+    * maps to the SAME token everywhere in the corpus, across documents,
+    * partitions, and runs. Unlike [[redactPii]]'s uniform `<EMAIL>`,
+    * this preserves coreference ("did the same address appear in both
+    * docs?") while removing the identifier — what entity-aware training
+    * data and linkable audit logs need. Appends `pseudo` (rewritten
+    * text), `n_matches`, `n_distinct`; other columns pass through.
+    *
+    * Hash surrogates need NO coordination: no dictionary build, no join,
+    * no global counter — the rewrite is a purely narrow per-row fold
+    * over each row's own distinct matches (replace longest-first, so a
+    * match that is a substring of another cannot corrupt it; surrogate
+    * bodies are hex and contain no `@`, so folds never touch prior
+    * replacements). At 100 TB this pipelines with the scan exactly like
+    * [[redactPii]]. Collision odds at 8 hex chars are ~n²/2³³ (~2%
+    * for a million distinct addresses — widen `hexLen` for larger PII
+    * vocabularies).
+    */
+  def pseudonymize(docs: DataFrame, textCol: String = "text",
+      hexLen: Int = 8): DataFrame = {
+    require(hexLen >= 1 && hexLen <= 32, s"hexLen=$hexLen out of range")
+    val re = piiPatterns.head._2 // email
+    val cmp = "(l, r) -> CASE WHEN length(l) > length(r) THEN -1 " +
+      "WHEN length(l) < length(r) THEN 1 " +
+      "WHEN l < r THEN -1 WHEN l > r THEN 1 ELSE 0 END"
+    docs
+      // pattern goes through the Column API, not a SQL literal — SQL
+      // string parsing would eat the \. escapes
+      .withColumn("__all",
+        regexp_extract_all(col(textCol), lit(re), lit(0)))
+      .withColumn("__m", expr(s"array_sort(array_distinct(__all), $cmp)"))
+      .withColumn("pseudo", expr(s"aggregate(__m, $textCol, (acc, m) -> " +
+        s"replace(acc, m, concat('<EMAIL_', substr(md5(m), 1, $hexLen), " +
+        "'>')))"))
+      .withColumn("n_matches", size(col("__all")))
+      .withColumn("n_distinct", size(col("__m")))
+      .drop("__all", "__m")
+  }
+
   /** HTML entities [[stripMarkup]] decodes, applied in order — `&amp;`
     * LAST, so a double-escaped `&amp;lt;` correctly yields the literal
     * text `&lt;` rather than re-decoding it to `<`.

@@ -3306,6 +3306,59 @@ object TrainingOps {
              |    AS filled,
              |  CAST(obs IS NOT NULL AS INT) AS observed
              |FROM j ORDER BY user_id, bkt""".stripMargin)),
+
+    // Consistent pseudonymization: repeated addresses across docs map to
+    // the same md5-derived surrogate; the oracle replays the
+    // longest-first fold with list_prepend as the fold init.
+    QueryDef("q165_pseudonymize",
+      (s, d) => Curation.pseudonymize(
+          table(s, d, "documents").select(col("doc_id"),
+            concat(col("text"),
+              lit(" from user"), col("doc_id") % 20,
+              lit("@example.com to admin@corp"), col("doc_id") % 5,
+              lit(".org")).as("text")))
+        .select(col("doc_id"), md5(col("pseudo")).as("pseudo_md5"),
+          col("n_matches"), col("n_distinct"))
+        .orderBy("doc_id"),
+      Some("""WITH salted AS (SELECT doc_id,
+             |    text || ' from user' || (doc_id % 20) ||
+             |    '@example.com to admin@corp' || (doc_id % 5) ||
+             |    '.org' AS text
+             |  FROM documents),
+             |m AS (SELECT doc_id, text, regexp_extract_all(text,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')
+             |    AS alls FROM salted),
+             |s AS (SELECT doc_id, text, alls,
+             |    list_transform(list_sort(list_transform(
+             |      list_distinct(alls), v -> {'k': -length(v), 'v': v})),
+             |      x -> x.v) AS ms
+             |  FROM m)
+             |SELECT doc_id,
+             |  md5(list_reduce(list_prepend(text, ms), (acc, x) ->
+             |    replace(acc, x,
+             |      '<EMAIL_' || substr(md5(x), 1, 8) || '>')))
+             |    AS pseudo_md5,
+             |  CAST(len(alls) AS INT) AS n_matches,
+             |  CAST(len(ms) AS INT) AS n_distinct
+             |FROM s ORDER BY doc_id""".stripMargin)),
+
+    // Functional-dependency profile source -> lang: per-source majority
+    // language with the g3 repair count; violations = 0 iff the FD holds.
+    QueryDef("q166_fd_profile",
+      (s, d) => graft.ops.Profile.fdProfile(table(s, d, "documents"),
+          Seq("source"), "lang")
+        .orderBy("source"),
+      Some("""WITH cells AS (SELECT source, lang, COUNT(*) AS n
+             |  FROM documents GROUP BY 1, 2),
+             |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+             |    ORDER BY n DESC, lang) AS rk FROM cells)
+             |SELECT source, CAST(SUM(n) AS BIGINT) AS n_rows,
+             |  COUNT(*) AS n_rhs,
+             |  MAX(CASE WHEN rk = 1 THEN lang END) AS majority_rhs,
+             |  MAX(CASE WHEN rk = 1 THEN n END) AS majority_n,
+             |  CAST(SUM(n) - MAX(CASE WHEN rk = 1 THEN n END) AS BIGINT)
+             |    AS violations
+             |FROM rk GROUP BY source ORDER BY source""".stripMargin)),
   )
 
   /** Unrolled DuckDB replay of [[graft.ops.TextAnalysis.bpeTrain]]:

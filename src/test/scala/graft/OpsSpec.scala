@@ -2135,4 +2135,49 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
       (1L, 3L) -> ((5.0, 0)), (1L, 4L) -> ((7.0, 1)),
       (2L, 10L) -> ((9.0, 1))), got.toString)
   }
+
+  test("pseudonymization is consistent, substring-safe, and total") {
+    val s2 = spark; import s2.implicits._
+    val fix = Seq(
+      (1L, "mail a@b.com and xa@b.com plus a@b.com again"),
+      (2L, "other doc, same address a@b.com here"),
+      (3L, "no pii at all")
+    ).toDF("doc_id", "text")
+    val got = Curation.pseudonymize(fix)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[String]("pseudo"), r.getAs[Int]("n_matches"),
+          r.getAs[Int]("n_distinct"))).toMap
+    val (p1, m1, d1) = got(1L)
+    assert(m1 == 3 && d1 == 2, s"counts $m1/$d1")
+    // no raw address survives; the longer address was not corrupted by
+    // the shorter one's replacement
+    assert(!p1.contains("a@b.com"), p1)
+    val toks = "<EMAIL_[0-9a-f]{8}>".r.findAllIn(p1).toSeq
+    assert(toks.size == 3 && toks.distinct.size == 2, toks.toString)
+    // cross-document consistency: doc 2's token for a@b.com equals one
+    // of doc 1's tokens (the one that appears twice)
+    val (p2, _, _) = got(2L)
+    val tok2 = "<EMAIL_[0-9a-f]{8}>".r.findAllIn(p2).toSeq
+    assert(tok2.size == 1)
+    assert(toks.count(_ == tok2.head) == 2, s"$toks vs $tok2")
+    // untouched doc passes through with zero counts
+    assert(got(3L) == (("no pii at all", 0, 0)))
+  }
+
+  test("FD profile: violations are the g3 repair count") {
+    val s2 = spark; import s2.implicits._
+    val fix = Seq(
+      ("s1", "en"), ("s1", "en"), ("s1", "de"),   // majority en, 1 repair
+      ("s2", "fr"), ("s2", "fr"),                  // FD holds
+      ("s3", "a"), ("s3", "b")                     // tie -> smallest wins
+    ).toDF("source", "lang")
+    val got = graft.ops.Profile.fdProfile(fix, Seq("source"), "lang")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getLong(5))).toMap
+    assert(got("s1") == ((3L, 2L, "en", 1L)), got.toString)
+    assert(got("s2") == ((2L, 1L, "fr", 0L)), got.toString)
+    assert(got("s3") == ((2L, 2L, "a", 1L)), got.toString)
+    intercept[IllegalArgumentException](
+      graft.ops.Profile.fdProfile(fix, Seq("lang"), "lang"))
+  }
 }
