@@ -130,4 +130,48 @@ object Cdc {
           .when(col("h_before") === col("h_after"), "unchanged")
           .otherwise("changed").as("status"))
   }
+
+  /** Point-in-time join of facts against an [[scd2]] history: each fact
+    * `(key, ts)` row receives the dimension version whose validity
+    * interval `[valid_from, valid_to)` contains `ts` — the feature-store
+    * "time-travel correct" enrichment that keeps training features as
+    * they WERE at label time (no leakage from later updates), and the
+    * temporal companion to [[AsOf.asofJoin]]: as-of answers "latest at
+    * or before", PIT additionally respects deletions — a fact falling in
+    * a gap (the key was deleted, then re-created later) gets NULLs, not
+    * the stale pre-deletion version.
+    *
+    * `versionCols` must order same-instant versions (the [[scd2]]
+    * sequence tiebreak, e.g. the change id): the candidate is the
+    * LATEST-started version at-or-before `ts` (ties resolved by
+    * `versionCols`), whose interval is then checked against `valid_to`.
+    * Under SCD2's lead-based construction intervals partition the key's
+    * timeline, so this candidate is the only one that could contain `ts`
+    * — the validity check only voids deletion gaps.
+    *
+    * Shape at 100 TB: exactly [[AsOf.asofJoin]]'s union + ONE
+    * key-partitioned window — never the naive `BETWEEN` theta-join that
+    * Spark plans as a per-key nested loop. The gap check is a narrow
+    * projection on the join output.
+    */
+  def pointInTimeJoin(facts: DataFrame, history: DataFrame,
+      keyCol: String, tsCol: String, versionCols: Seq[String],
+      valueCols: Seq[String], prefix: String = "pit_"): DataFrame = {
+    require(versionCols.nonEmpty, "versionCols must be non-empty")
+    requireCols(history,
+      Seq(keyCol, "valid_from", "valid_to") ++ versionCols ++ valueCols)
+    requireCols(facts, Seq(keyCol, tsCol))
+    val payload = versionCols ++ Seq("valid_to") ++ valueCols
+    val dim = history.select((Seq(col(keyCol),
+      col("valid_from").as(tsCol), col("valid_to")) ++
+      (versionCols ++ valueCols).map(col)): _*)
+    val joined = AsOf.asofJoin(facts, dim, keyCol, tsCol, payload, prefix)
+      .withColumnRenamed(s"$prefix$tsCol", s"${prefix}valid_from")
+      .withColumn("__inwin", col(s"${prefix}valid_to").isNull ||
+        col(tsCol) < col(s"${prefix}valid_to"))
+    (s"${prefix}valid_from" +: payload.map(prefix + _))
+      .foldLeft(joined)((df, c) =>
+        df.withColumn(c, when(col("__inwin"), col(c))))
+      .drop("__inwin")
+  }
 }

@@ -78,4 +78,84 @@ object Sketch {
       .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
         .cast("long").as("approx"))
   }
+
+  /** One Misra–Gries counter. */
+  final case class MgEntry(v: String, n: Long)
+
+  /** Mergeable Misra–Gries summary with `capacity` counters: classic
+    * decrement-on-overflow per element; merges sum counters and, when
+    * over capacity, subtract the (capacity+1)-th largest count from
+    * every counter and drop non-positives (the Agarwal et al.
+    * "Mergeable Summaries" reduction, which preserves the undercount
+    * bound `true − kept ≤ n/(capacity+1)` under ARBITRARY merge trees).
+    * So any value with true frequency > n/(capacity+1) is guaranteed to
+    * survive — the superset property [[heavyHitters]] builds on.
+    */
+  private final class MisraGriesAgg(capacity: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        String, Map[String, Long], Seq[MgEntry]] {
+    override def zero: Map[String, Long] = Map.empty
+    override def reduce(b: Map[String, Long], v: String): Map[String, Long] =
+      b.get(v) match {
+        case Some(n) => b.updated(v, n + 1)
+        case None if b.size < capacity => b.updated(v, 1L)
+        case None => b.flatMap { case (k, n) =>
+          if (n > 1) Some(k -> (n - 1)) else None }
+      }
+    override def merge(x: Map[String, Long],
+        y: Map[String, Long]): Map[String, Long] = {
+      val sum = y.foldLeft(x) { case (m, (k, n)) =>
+        m.updated(k, m.getOrElse(k, 0L) + n) }
+      if (sum.size <= capacity) sum
+      else {
+        val cut = sum.values.toIndexedSeq
+          .sorted(Ordering[Long].reverse)(capacity)
+        sum.flatMap { case (k, n) =>
+          if (n > cut) Some(k -> (n - cut)) else None }
+      }
+    }
+    override def finish(b: Map[String, Long]): Seq[MgEntry] =
+      b.toSeq.map { case (k, n) => MgEntry(k, n) }
+        .sortBy(e => (-e.n, e.v))
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[MgEntry]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** Exact φ-heavy hitters (values with frequency > φ·n) by
+    * sketch-then-verify: a Misra–Gries pass with `⌈2/φ⌉` counters
+    * produces a candidate set GUARANTEED to contain every true heavy
+    * hitter (undercount ≤ n/(capacity+1) < φ·n), then an exact count of
+    * only the candidates confirms and filters. Output is exact and
+    * deterministic — (value, n) for every value with n > φ·total —
+    * even though the sketch internals are merge-order-dependent.
+    *
+    * Why not one `groupBy(value).count()`: over an unbounded key domain
+    * (URLs, user ids) at 100 TB that shuffles the ENTIRE key space to
+    * find a handful of hot keys. Here the first pass moves only
+    * capacity-bounded sketches (map-side combined like any partial agg),
+    * and the second pass semi-joins against ≤ capacity broadcast
+    * candidates BEFORE its aggregation — the shuffle carries candidate
+    * keys only. The trailing threshold compares against a broadcast
+    * 1-row total.
+    */
+  def heavyHitters(df: DataFrame, valueCol: String,
+      phi: Double): DataFrame = {
+    require(phi > 0 && phi < 1, s"phi=$phi must be in (0, 1)")
+    val capacity = math.ceil(2.0 / phi).toInt
+    val agg = org.apache.spark.sql.functions.udaf(
+      new MisraGriesAgg(capacity),
+      org.apache.spark.sql.Encoders.STRING)
+    val vals = df.select(col(valueCol).cast("string").as("v"))
+    val cand = vals.agg(agg(col("v")).as("cand"))
+      .select(explode(col("cand")).as("e"))
+      .select(col("e.v").as("v"))
+    val total = vals.agg(count(lit(1)).as("total"))
+    vals.join(broadcast(cand), Seq("v"), "left_semi")
+      .groupBy("v").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .where(col("n") > col("total") * phi)
+      .select(col("v").as(valueCol), col("n"))
+  }
 }

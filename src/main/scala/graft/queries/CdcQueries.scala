@@ -119,5 +119,45 @@ object CdcQueries {
              |    ELSE 'changed' END AS status
              |FROM b FULL OUTER JOIN a ON b.doc_id = a.doc_id
              |ORDER BY doc_id""".stripMargin)),
+
+    // Point-in-time join: click facts enriched with the SCD2 account
+    // version valid AT event time — deletion gaps yield NULLs, not the
+    // stale pre-deletion version. The oracle joins on the validity
+    // interval directly (intervals partition each key's timeline, so at
+    // most one version matches).
+    QueryDef("q167_point_in_time",
+      (s, d) => {
+        val hist = Cdc.scd2(changes(s, d), "user_id",
+          Seq("seq_us", "event_id"))
+        val facts = eventsMicros(s, d)
+          .where(col("event_type") === "click")
+          .select(col("event_id").as("fact_id"), col("user_id"),
+            col("ts_us"))
+        Cdc.pointInTimeJoin(facts, hist, "user_id", "ts_us",
+            Seq("event_id"), Seq("value", "status"))
+          .select(col("fact_id"), col("user_id"), col("ts_us"),
+            col("pit_valid_from"), col("pit_event_id"),
+            col("pit_value"), col("pit_status"))
+          .orderBy("fact_id")
+      },
+      Some(s"""WITH changes AS ($changesSql),
+              |versions AS (
+              |  SELECT user_id, seq_us AS valid_from, event_id, op,
+              |    LEAD(seq_us, 1) OVER (PARTITION BY user_id
+              |      ORDER BY seq_us, event_id) AS valid_to,
+              |    value, status
+              |  FROM changes),
+              |v AS (SELECT * FROM versions WHERE op <> 'D'),
+              |f AS (SELECT event_id AS fact_id, user_id,
+              |    epoch_us(ts) AS ts_us
+              |  FROM events WHERE event_type = 'click')
+              |SELECT f.fact_id, f.user_id, f.ts_us,
+              |  v.valid_from AS pit_valid_from,
+              |  v.event_id AS pit_event_id,
+              |  v.value AS pit_value, v.status AS pit_status
+              |FROM f LEFT JOIN v ON f.user_id = v.user_id
+              |  AND v.valid_from <= f.ts_us
+              |  AND (v.valid_to IS NULL OR f.ts_us < v.valid_to)
+              |ORDER BY fact_id""".stripMargin)),
   )
 }

@@ -3359,6 +3359,25 @@ object TrainingOps {
              |  CAST(SUM(n) - MAX(CASE WHEN rk = 1 THEN n END) AS BIGINT)
              |    AS violations
              |FROM rk GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Exact phi-heavy hitters over corpus tokens via the Misra-Gries
+    // sketch-then-verify pass: the sketch only bounds the candidate set
+    // (superset guarantee), the OUTPUT is exact counts over phi*n — so
+    // DuckDB replays it with a plain GROUP BY ... HAVING.
+    QueryDef("q168_heavy_hitters",
+      (s, d) => Sketch.heavyHitters(
+          table(s, d, "documents")
+            .select(explode(split(col("text"), " ")).as("term")),
+          "term", phi = 1.0 / 16.0)
+        .orderBy("term"),
+      Some("""WITH toks AS (SELECT UNNEST(string_split(text, ' ')) AS term
+             |  FROM documents),
+             |t AS (SELECT COUNT(*) AS total FROM toks)
+             |SELECT term, COUNT(*) AS n
+             |FROM toks CROSS JOIN t
+             |GROUP BY term, total
+             |HAVING COUNT(*) > total * 0.0625
+             |ORDER BY term""".stripMargin)),
   )
 
   /** Unrolled DuckDB replay of [[graft.ops.TextAnalysis.bpeTrain]]:

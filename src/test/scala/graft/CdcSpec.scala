@@ -139,4 +139,34 @@ class CdcSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Map(1L -> "changed", 2L -> "changed", 3L -> "unchanged"),
       got.toString)
   }
+
+  test("point-in-time join respects validity, gaps, and instant ties") {
+    val s2 = spark; import s2.implicits._
+    // key 1: created at 10 (v=1.0), updated at 20 (v=2.0), DELETED at
+    // 30, re-created at 40 (v=4.0); key 2: two same-instant updates at
+    // 10 (change ids 20 < 21) — the later change id wins immediately
+    val changes = Seq(
+      (1L, 10L, 10L, "U", 1.0), (1L, 20L, 11L, "U", 2.0),
+      (1L, 30L, 12L, "D", 0.0), (1L, 40L, 13L, "U", 4.0),
+      (2L, 10L, 20L, "U", 5.0), (2L, 10L, 21L, "U", 6.0)
+    ).toDF("user_id", "seq_us", "event_id", "op", "value")
+    val hist = Cdc.scd2(changes, "user_id", Seq("seq_us", "event_id"))
+    val facts = Seq(
+      (100L, 1L, 5L),   // before any version -> null
+      (101L, 1L, 15L),  // inside v1
+      (102L, 1L, 20L),  // at v2's start (<= counts)
+      (103L, 1L, 35L),  // in the deletion gap -> null, NOT stale v2
+      (104L, 1L, 45L),  // after re-creation
+      (105L, 2L, 10L),  // same-instant tie -> later change id (6.0)
+      (106L, 3L, 10L)   // key with no history at all
+    ).toDF("fact_id", "user_id", "ts_us")
+    val got = Cdc.pointInTimeJoin(facts, hist, "user_id", "ts_us",
+        Seq("event_id"), Seq("value"))
+      .collect().map(r => r.getLong(0) ->
+        Option(r.getAs[java.lang.Double]("pit_value"))).toMap
+    assert(got == Map(
+      100L -> None, 101L -> Some(1.0), 102L -> Some(2.0),
+      103L -> None, 104L -> Some(4.0), 105L -> Some(6.0),
+      106L -> None), got.toString)
+  }
 }

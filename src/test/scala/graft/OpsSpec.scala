@@ -2180,4 +2180,23 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException](
       graft.ops.Profile.fdProfile(fix, Seq("lang"), "lang"))
   }
+
+  test("heavy hitters: exact counts, exactly the > phi*n set") {
+    val s2 = spark; import s2.implicits._
+    // Zipf-ish: 40 'a', 25 'b', 10 'c', then 25 singletons; n = 100
+    val vals = (Seq.fill(40)("a") ++ Seq.fill(25)("b") ++
+      Seq.fill(10)("c") ++ (1 to 25).map(i => s"x$i"))
+    // spread across many partitions so merges actually happen
+    val df = s2.sparkContext.parallelize(vals, 16).toDF("term")
+    val got = Sketch.heavyHitters(df, "term", phi = 0.2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 40L, "b" -> 25L), got.toString)
+    // tighter threshold picks up 'c'; a phi above every frequency
+    // returns nothing
+    val loose = Sketch.heavyHitters(df, "term", 0.05)
+      .collect().map(_.getString(0)).toSet
+    assert(loose == Set("a", "b", "c"), loose.toString)
+    assert(Sketch.heavyHitters(df, "term", 0.5).collect().isEmpty)
+    intercept[IllegalArgumentException](Sketch.heavyHitters(df, "term", 0.0))
+  }
 }
