@@ -464,4 +464,68 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(scans <= 2, plan(df)) // self-join of the TINY dim relation may
                                  // reuse one scan subtree per side at most
   }
+
+  test("sparse cosine pairs: corpus-size scalar broadcasts; the posting " +
+      "join is an equi-join on the term") {
+    val df = TextAnalysis.sparseCosinePairs(docs, 0.3, 50)
+    val p = plan(df)
+    // the only nested-loop allowed is the broadcast 1-row n_docs scalar;
+    // doc pairs must never cartesian
+    assert(!"(?i)cartesianproduct".r.findAllIn(p).hasNext, p)
+    // the pair generation must be a hash/sort equi-join on the term
+    assert("(?i)hashjoin|sortmergejoin".r.findAllIn(p).nonEmpty, p)
+  }
+
+  test("co-citation joins on the doc key, never on the node") {
+    val cites = docs.select(col("doc_id"), col("source").as("node"))
+    val p = plan(Graph.coCitation(cites, "doc_id", "node"))
+    // the self-join's partitioning keys must be the doc column
+    assert("(?i)hashpartitioning\\(doc".r.findAllIn(p).nonEmpty, p)
+    assert(!"(?i)hashpartitioning\\(node#\\d+, 32\\).*sortmergejoin"
+      .r.findAllIn(p).hasNext, p)
+  }
+
+  test("decayed sum: broadcast anchor, two aggs, zero windows") {
+    val ev = graft.queries.QueryDef.eventsMicros(spark, dir)
+    val df = Decay.decayedSum(ev, "user_id", Seq("ts_us", "event_id"),
+      "ts_us", "value", 1000000L, 1000L)
+    val p = plan(df)
+    assert("(?i)broadcastexchange".r.findAllIn(p).size == 1, p)
+    assert(!"(?i)window".r.findAllIn(p).hasNext, p)
+    assert("(?i)exchange hashpartitioning".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("heavy hitters: candidates broadcast into a semi-join; the " +
+      "second pass shuffles candidate keys only") {
+    val toks = docs.select(explode(split(col("text"), " ")).as("term"))
+    val p = plan(Sketch.heavyHitters(toks, "term", 1.0 / 16.0))
+    assert("(?i)broadcasthashjoin.*leftsemi".r.findAllIn(p).nonEmpty, p)
+    assert("(?i)broadcastexchange".r.findAllIn(p).size >= 2, p) // cand + total
+  }
+
+  test("point-in-time join keeps the as-of union+window shape — no " +
+      "theta-join") {
+    val ev = graft.queries.QueryDef.eventsMicros(spark, dir)
+    val changes = ev.select(col("user_id"), col("ts_us").as("seq_us"),
+      col("event_id"), lit("U").as("op"), col("value"))
+    val hist = Cdc.scd2(changes, "user_id", Seq("seq_us", "event_id"))
+    val facts = ev.select(col("event_id").as("fact_id"), col("user_id"),
+      col("ts_us"))
+    val p = plan(Cdc.pointInTimeJoin(facts, hist, "user_id", "ts_us",
+      Seq("event_id"), Seq("value")))
+    assert(!"(?i)broadcastnestedloopjoin|cartesianproduct".r
+      .findAllIn(p).hasNext, p)
+    assert("(?i)window".r.findAllIn(p).nonEmpty, p)
+  }
+
+  test("gap-fill: spine and fill stack on the key partitioning") {
+    val ev = graft.queries.QueryDef.eventsMicros(spark, dir)
+    val df = AsOf.gapFillLocf(ev, "user_id", Seq("ts_us", "event_id"),
+      "ts_us", "value", 86400L * 1000000L)
+    // (key,bucket) agg, key-bounds agg, the (key,bucket) join, and the
+    // final key window — all hash exchanges on key-prefixed columns,
+    // and no more than four of them
+    assert("(?i)exchange hashpartitioning".r.findAllIn(plan(df)).size <= 4,
+      plan(df))
+  }
 }
