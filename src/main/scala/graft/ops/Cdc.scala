@@ -174,4 +174,44 @@ object Cdc {
         df.withColumn(c, when(col("__inwin"), col(c))))
       .drop("__inwin")
   }
+
+  /** Build the mergeable aggregate state for incremental view
+    * maintenance: per key, `cnt` plus `sum_/min_/max_<col>` for each
+    * value column — the decomposable aggregates whose states combine
+    * associatively, so a materialized rollup can absorb a delta batch
+    * WITHOUT re-reading history (averages derive as sum/cnt;
+    * non-decomposable aggregates like exact distinct need their own
+    * structure, e.g. [[Sketch.rollingDistinct]]'s HLL). Keep value
+    * columns integral/fixed-point (cents, micros): integer sum states
+    * merge bit-exactly, where float sums would drift by merge order.
+    */
+  def aggState(df: DataFrame, keyCols: Seq[String],
+      valueCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty && valueCols.nonEmpty,
+      "keyCols and valueCols must be non-empty")
+    val aggs = count(lit(1)).as("cnt") +: valueCols.flatMap(c => Seq(
+      sum(col(c)).as(s"sum_$c"), min(col(c)).as(s"min_$c"),
+      max(col(c)).as(s"max_$c")))
+    df.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Merge two [[aggState]] relations (base rollup + delta batch) into
+    * the state the FULL recompute would produce: counts and sums add,
+    * mins/maxes combine — one union + one aggregation over state rows,
+    * never a re-scan of the data behind `base`. This is the maintenance
+    * step of an incremental pipeline: at 100 TB the delta is hours of
+    * data, the base is the corpus, and only the delta is ever read.
+    */
+  def mergeAggStates(base: DataFrame, delta: DataFrame,
+      keyCols: Seq[String], valueCols: Seq[String]): DataFrame = {
+    val need = keyCols ++ Seq("cnt") ++ valueCols.flatMap(c =>
+      Seq(s"sum_$c", s"min_$c", s"max_$c"))
+    requireCols(base, need); requireCols(delta, need)
+    val aggs = sum(col("cnt")).as("cnt") +: valueCols.flatMap(c => Seq(
+      sum(col(s"sum_$c")).as(s"sum_$c"),
+      min(col(s"min_$c")).as(s"min_$c"),
+      max(col(s"max_$c")).as(s"max_$c")))
+    base.unionByName(delta)
+      .groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
 }

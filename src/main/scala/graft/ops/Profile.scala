@@ -39,4 +39,80 @@ object Profile {
         max(when(col("rk") === 1, col("n"))).as("majority_n"))
       .withColumn("violations", col("n_rows") - col("majority_n"))
   }
+
+  /** Candidate-key (uniqueness) profile: for each column combination,
+    * total rows, distinct combinations, duplicated rows, and whether the
+    * combo is a key — the first question against an unfamiliar table
+    * ("what can I join/dedup on?"). `n_distinct` follows SQL
+    * `COUNT(DISTINCT …)` semantics: rows where ANY combo column is NULL
+    * are not counted, so `is_key` additionally demands zero such rows.
+    *
+    * Shape at 100 TB: ONE aggregation pass computes every combo's
+    * distinct count together (Catalyst expands multi-distinct into one
+    * shuffle of tagged rows — the table is still read once); the combos
+    * then unpack from the single 1-row result by a narrow explode.
+    * Contrast one groupBy per combo: k corpus scans.
+    */
+  def keyCandidates(df: DataFrame, combos: Seq[Seq[String]]): DataFrame = {
+    require(combos.nonEmpty && combos.forall(_.nonEmpty),
+      "combos must be non-empty")
+    val aggs = count(lit(1)).as("n_rows") +:
+      combos.zipWithIndex.flatMap { case (c, i) => Seq(
+        countDistinct(col(c.head), c.tail.map(col): _*).as(s"d$i"),
+        sum(when(c.map(col(_).isNull).reduce(_ || _), 1L).otherwise(0L))
+          .as(s"nn$i")) }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    row.select(explode(array(combos.zipWithIndex.map { case (c, i) =>
+        struct(lit(c.mkString("+")).as("candidate"),
+          col("n_rows"),
+          col(s"d$i").as("n_distinct"),
+          col(s"nn$i").as("null_rows"),
+          (col(s"d$i") === col("n_rows")).cast("int").as("is_key"))
+      }: _*)).as("e"))
+      .select("e.*")
+  }
+
+  /** One-pass Pearson correlation matrix over INTEGRAL columns: every
+    * pairwise correlation from a single aggregation of counts, sums,
+    * squares, and cross-products, assembled by the textbook
+    * `(n·Σxy − Σx·Σy) / √(n·Σxx − (Σx)²) √(n·Σyy − (Σy)²)`.
+    *
+    * Inputs are cast to LONG and all moment arithmetic stays in exact
+    * 64-bit integers until the final division — the result is
+    * bit-deterministic across engines and partitionings (float sums
+    * never happen), which is why the contract demands integral inputs
+    * (scale fixed-point columns up first, e.g. cents). Callers must keep
+    * `n·max|x·y|` within Long range. Zero-variance columns yield NULL
+    * (never NaN — the [[Similarity]] NaN-ordering lesson).
+    *
+    * Shape at 100 TB: ONE corpus pass, k(k+3)/2+1 partial-aggregated
+    * scalars, and a narrow explode of the 1-row result. Nothing scales
+    * with row count but the single scan.
+    */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size } yield (i, j)
+    val base = df.select(cols.map(c => col(c).cast("long").as(c)): _*)
+    val aggs = count(lit(1)).as("n") +:
+      (cols.flatMap(c => Seq(sum(col(c)).as(s"s_$c"),
+        sum(col(c) * col(c)).as(s"ss_$c"))) ++
+        pairs.map { case (i, j) =>
+          sum(col(cols(i)) * col(cols(j))).as(s"sp_${i}_$j") })
+    val row = base.agg(aggs.head, aggs.tail: _*)
+    row.select(explode(array(pairs.map { case (i, j) =>
+        val (ci, cj) = (cols(i), cols(j))
+        val num = (col("n") * col(s"sp_${i}_$j") -
+          col(s"s_$ci") * col(s"s_$cj")).cast("double")
+        val va = (col("n") * col(s"ss_$ci") -
+          col(s"s_$ci") * col(s"s_$ci")).cast("double")
+        val vb = (col("n") * col(s"ss_$cj") -
+          col(s"s_$cj") * col(s"s_$cj")).cast("double")
+        struct(lit(ci).as("col_l"), lit(cj).as("col_r"),
+          col("n").as("n"),
+          when(va > 0 && vb > 0, num / (sqrt(va) * sqrt(vb)))
+            .as("corr"))
+      }: _*)).as("e"))
+      .select("e.*")
+  }
 }

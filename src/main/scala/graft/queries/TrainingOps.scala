@@ -3378,6 +3378,128 @@ object TrainingOps {
              |GROUP BY term, total
              |HAVING COUNT(*) > total * 0.0625
              |ORDER BY term""".stripMargin)),
+
+    // Candidate-key profile over lineitem: all four combos measured in
+    // ONE aggregation pass (multi-distinct expand); SQL-standard
+    // COUNT(DISTINCT) null semantics on both sides.
+    QueryDef("q169_key_candidates",
+      (s, d) => graft.ops.Profile.keyCandidates(table(s, d, "lineitem"),
+          Seq(Seq("l_orderkey"), Seq("l_orderkey", "l_linenumber"),
+            Seq("l_partkey", "l_suppkey"), Seq("l_suppkey")))
+        .orderBy("candidate"),
+      Some("""WITH li AS (SELECT * FROM lineitem)
+             |SELECT 'l_orderkey' AS candidate, COUNT(*) AS n_rows,
+             |  COUNT(DISTINCT l_orderkey) AS n_distinct,
+             |  CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS null_rows,
+             |  CAST(COUNT(DISTINCT l_orderkey) = COUNT(*) AS INT)
+             |    AS is_key
+             |FROM li
+             |UNION ALL
+             |SELECT 'l_orderkey+l_linenumber', COUNT(*),
+             |  COUNT(DISTINCT CASE WHEN l_orderkey IS NOT NULL
+             |    AND l_linenumber IS NOT NULL
+             |    THEN ROW(l_orderkey, l_linenumber) END),
+             |  CAST(SUM(CASE WHEN l_orderkey IS NULL
+             |    OR l_linenumber IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |  CAST(COUNT(DISTINCT CASE WHEN l_orderkey IS NOT NULL
+             |    AND l_linenumber IS NOT NULL
+             |    THEN ROW(l_orderkey, l_linenumber) END) = COUNT(*) AS INT)
+             |FROM li
+             |UNION ALL
+             |SELECT 'l_partkey+l_suppkey', COUNT(*),
+             |  COUNT(DISTINCT CASE WHEN l_partkey IS NOT NULL
+             |    AND l_suppkey IS NOT NULL
+             |    THEN ROW(l_partkey, l_suppkey) END),
+             |  CAST(SUM(CASE WHEN l_partkey IS NULL
+             |    OR l_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |  CAST(COUNT(DISTINCT CASE WHEN l_partkey IS NOT NULL
+             |    AND l_suppkey IS NOT NULL
+             |    THEN ROW(l_partkey, l_suppkey) END) = COUNT(*) AS INT)
+             |FROM li
+             |UNION ALL
+             |SELECT 'l_suppkey', COUNT(*),
+             |  COUNT(DISTINCT l_suppkey),
+             |  CAST(SUM(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT),
+             |  CAST(COUNT(DISTINCT l_suppkey) = COUNT(*) AS INT)
+             |FROM li
+             |ORDER BY candidate""".stripMargin)),
+
+    // Incremental view maintenance: base state (3/4 of orders) merged
+    // with the delta batch must equal the full recompute the oracle
+    // runs. Cents keep every sum integral, so the merge is bit-exact.
+    QueryDef("q170_incremental_agg",
+      (s, d) => {
+        val o = table(s, d, "orders").select(col("o_orderkey"),
+          col("o_custkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        graft.ops.Cdc.mergeAggStates(
+            graft.ops.Cdc.aggState(o.where(col("o_orderkey") % 4 =!= 0),
+              Seq("o_custkey"), Seq("cents")),
+            graft.ops.Cdc.aggState(o.where(col("o_orderkey") % 4 === 0),
+              Seq("o_custkey"), Seq("cents")),
+            Seq("o_custkey"), Seq("cents"))
+          .orderBy("o_custkey")
+      },
+      Some("""WITH b AS (SELECT o_custkey,
+             |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders)
+             |SELECT o_custkey, COUNT(*) AS cnt,
+             |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+             |  MIN(cents) AS min_cents, MAX(cents) AS max_cents
+             |FROM b GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // One-pass correlation matrix over integral-scaled lineitem columns:
+    // exact 64-bit moment arithmetic, doubles only at the final
+    // division, so both engines produce identical bits.
+    QueryDef("q171_corr_matrix",
+      (s, d) => graft.ops.Profile.corrMatrix(
+          table(s, d, "lineitem").select(
+            col("l_quantity").cast("long").as("qty"),
+            round(col("l_discount") * 100).cast("long").as("disc"),
+            round(col("l_tax") * 100).cast("long").as("tax")),
+          Seq("qty", "disc", "tax"))
+        .select(col("col_l"), col("col_r"), col("n"),
+          round(col("corr"), 6).as("corr"))
+        .orderBy("col_l", "col_r"),
+      Some("""WITH b AS (SELECT CAST(l_quantity AS BIGINT) AS qty,
+             |    CAST(ROUND(l_discount * 100) AS BIGINT) AS disc,
+             |    CAST(ROUND(l_tax * 100) AS BIGINT) AS tax
+             |  FROM lineitem),
+             |m AS (SELECT COUNT(*) AS n,
+             |    CAST(SUM(qty) AS BIGINT) AS s_qty,
+             |    CAST(SUM(qty * qty) AS BIGINT) AS ss_qty,
+             |    CAST(SUM(disc) AS BIGINT) AS s_disc,
+             |    CAST(SUM(disc * disc) AS BIGINT) AS ss_disc,
+             |    CAST(SUM(tax) AS BIGINT) AS s_tax,
+             |    CAST(SUM(tax * tax) AS BIGINT) AS ss_tax,
+             |    CAST(SUM(qty * disc) AS BIGINT) AS sp_qd,
+             |    CAST(SUM(qty * tax) AS BIGINT) AS sp_qt,
+             |    CAST(SUM(disc * tax) AS BIGINT) AS sp_dt
+             |  FROM b),
+             |p AS (
+             |  SELECT 'qty' AS col_l, 'disc' AS col_r, n,
+             |    CAST(n * sp_qd - s_qty * s_disc AS DOUBLE) AS num,
+             |    CAST(n * ss_qty - s_qty * s_qty AS DOUBLE) AS va,
+             |    CAST(n * ss_disc - s_disc * s_disc AS DOUBLE) AS vb
+             |  FROM m
+             |  UNION ALL
+             |  SELECT 'qty', 'tax', n,
+             |    CAST(n * sp_qt - s_qty * s_tax AS DOUBLE),
+             |    CAST(n * ss_qty - s_qty * s_qty AS DOUBLE),
+             |    CAST(n * ss_tax - s_tax * s_tax AS DOUBLE)
+             |  FROM m
+             |  UNION ALL
+             |  SELECT 'disc', 'tax', n,
+             |    CAST(n * sp_dt - s_disc * s_tax AS DOUBLE),
+             |    CAST(n * ss_disc - s_disc * s_disc AS DOUBLE),
+             |    CAST(n * ss_tax - s_tax * s_tax AS DOUBLE)
+             |  FROM m)
+             |SELECT col_l, col_r, n,
+             |  CASE WHEN va > 0 AND vb > 0
+             |    THEN ROUND(num / (sqrt(va) * sqrt(vb)), 6) END AS corr
+             |FROM p ORDER BY col_l, col_r""".stripMargin)),
   )
 
   /** Unrolled DuckDB replay of [[graft.ops.TextAnalysis.bpeTrain]]:

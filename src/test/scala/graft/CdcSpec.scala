@@ -169,4 +169,27 @@ class CdcSpec extends AnyFunSuite with SparkTestBase {
       103L -> None, 104L -> Some(4.0), 105L -> Some(6.0),
       106L -> None), got.toString)
   }
+
+  test("merged agg states equal the full recompute, any split") {
+    val s2 = spark; import s2.implicits._
+    val rows = (1L to 200L).map(i => (i % 7, i * 31 % 101))
+    val df = rows.toDF("k", "v")
+    def state(d: org.apache.spark.sql.DataFrame) =
+      Cdc.aggState(d, Seq("k"), Seq("v"))
+    val full = state(df).collect()
+      .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    for (m <- Seq(2L, 3L, 5L)) {
+      val merged = Cdc.mergeAggStates(
+          state(df.where(col("k") % m === 0)),
+          state(df.where(col("k") % m =!= 0)),
+          Seq("k"), Seq("v"))
+        .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+      assert(merged == full, s"split %$m diverged")
+    }
+    // keys present in only one side survive the merge
+    val lop = Cdc.mergeAggStates(
+      state(df.where(col("k") === 0)), state(df.where(col("k") === 1)),
+      Seq("k"), Seq("v")).collect()
+    assert(lop.length == 2)
+  }
 }

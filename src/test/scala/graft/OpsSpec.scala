@@ -2199,4 +2199,40 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(Sketch.heavyHitters(df, "term", 0.5).collect().isEmpty)
     intercept[IllegalArgumentException](Sketch.heavyHitters(df, "term", 0.0))
   }
+
+  test("key candidates: uniqueness, composites, and null semantics") {
+    val s2 = spark; import s2.implicits._
+    val fix = Seq(
+      (Some(1L), Some("a")), (Some(1L), Some("b")),
+      (Some(2L), Some("a")), (Some(3L), None: Option[String])
+    ).toDF("k", "v")
+    val got = graft.ops.Profile.keyCandidates(fix,
+        Seq(Seq("k"), Seq("k", "v"), Seq("v")))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4))).toMap
+    assert(got("k") == ((4L, 3L, 0L, 0)), got.toString)     // dup k=1
+    assert(got("k+v") == ((4L, 3L, 1L, 0)), got.toString)   // null row
+    assert(got("v") == ((4L, 2L, 1L, 0)), got.toString)
+    // a genuine key profiles as one
+    val keyed = graft.ops.Profile.keyCandidates(
+      Seq((1L, "x"), (2L, "y")).toDF("k", "v"), Seq(Seq("k")))
+      .collect().head
+    assert(keyed.getInt(4) == 1)
+  }
+
+  test("corr matrix: exact ±1 on linear columns, NULL on zero variance") {
+    val s2 = spark; import s2.implicits._
+    val fix = (1L to 100L).map(i => (i, 2 * i + 7, -3 * i, 5L))
+      .toDF("x", "y", "z", "c")
+    val got = graft.ops.Profile.corrMatrix(fix, Seq("x", "y", "z", "c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        Option(r.getAs[java.lang.Double]("corr"))).toMap
+    assert(got(("x", "y")).exists(v => math.abs(v - 1.0) < 1e-12))
+    assert(got(("x", "z")).exists(v => math.abs(v + 1.0) < 1e-12))
+    assert(got(("y", "z")).exists(v => math.abs(v + 1.0) < 1e-12))
+    // constant column: zero variance -> NULL, never NaN
+    assert(got(("x", "c")).isEmpty && got(("y", "c")).isEmpty)
+    intercept[IllegalArgumentException](
+      graft.ops.Profile.corrMatrix(fix, Seq("x")))
+  }
 }
