@@ -115,4 +115,37 @@ object Profile {
       }: _*)).as("e"))
       .select("e.*")
   }
+
+  /** Per-key ordinary-least-squares trend `y ~ slope·x + intercept` over
+    * INTEGRAL columns — the per-entity drift/velocity feature (is this
+    * user's spend rising? is this source's quality decaying?) computed
+    * for EVERY key in one aggregation:
+    * `slope = (n·Σxy − Σx·Σy) / (n·Σxx − (Σx)²)`,
+    * `intercept = (Σy − slope·Σx) / n`. Same exactness contract as
+    * [[corrMatrix]]: moments stay in 64-bit integers, doubles enter only
+    * at the division, so results are bit-deterministic; keys with a
+    * degenerate x (zero variance) get NULL slope/intercept, never NaN.
+    *
+    * Shape at 100 TB: ONE partial-aggregated groupBy — five integer
+    * sums per key — and a narrow projection. No window, no join, no
+    * second pass.
+    */
+  def groupTrend(df: DataFrame, keyCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val base = df.select(col(keyCol).as("key"),
+      col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+    val m = base.groupBy("key").agg(count(lit(1)).as("n"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"))
+    val den = (col("n") * col("sxx") - col("sx") * col("sx"))
+      .cast("double")
+    val num = (col("n") * col("sxy") - col("sx") * col("sy"))
+      .cast("double")
+    val slope = when(den > 0, num / den)
+    m.select(col("key"), col("n"), slope.as("slope"),
+      when(den > 0,
+        (col("sy").cast("double") - (num / den) * col("sx").cast("double"))
+          / col("n").cast("double")).as("intercept"))
+  }
 }

@@ -945,4 +945,51 @@ object Similarity {
       .where(col("rk") <= topK)
       .select("cid", "rk", "term", "tf", "score")
   }
+
+  /** Greedy k-center coreset selection (farthest-point traversal): start
+    * from the smallest `vec_id`, then repeatedly pick the point whose
+    * distance to its NEAREST already-chosen center is largest (squared
+    * Euclidean; ties to the smallest id) — the classic 2-approximation
+    * to the k-center cover, and the standard diverse-subset pass for
+    * labeling budgets, eval-set seeding, and prototype selection (pure
+    * random sampling over-picks dense regions; this maximizes spread).
+    * Returns `(rk, vec_id, d2)` with `d2` the squared distance at
+    * selection time (0 for the seed; monotonically non-increasing — the
+    * classic cover-radius curve).
+    *
+    * Shape at 100 TB: k rounds, each ONE narrow corpus pass against the
+    * ≤ k broadcast chosen centers plus a global `TakeOrdered(1)` (O(n),
+    * no sort shuffle). The driver holds only the k chosen rows — the
+    * same bounded-collect contract as the Bloom build. Deterministic
+    * end-to-end: float dot products in index order, integer tie-breaks,
+    * no RNG.
+    */
+  def kCenters(corpus: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val s2 = corpus.sparkSession; import s2.implicits._
+    val base = corpus.select(col("vec_id"), col("embedding"))
+      .withColumn("n2", dot(col("embedding"), col("embedding")))
+    val seed = base.orderBy("vec_id").limit(1)
+      .select(col("vec_id"), col("embedding"), col("n2")).collect().head
+    var chosen = Vector((seed.getLong(0), seed.getSeq[Float](1), 0.0,
+      seed.getDouble(2)))
+    for (_ <- 2 to k) {
+      val centers = chosen.map { case (id, e, _, n2) => (id, e, n2) }
+        .toDF("c_id", "c_emb", "c_n2")
+      val far = base
+        .crossJoin(broadcast(centers))
+        .where(!col("vec_id").isin(chosen.map(_._1): _*))
+        .withColumn("d2", col("n2") + col("c_n2") -
+          lit(2.0) * dot(col("embedding"), col("c_emb")))
+        .groupBy("vec_id").agg(min("d2").as("d2"),
+          first("n2").as("n2"), first("embedding").as("embedding"))
+        .orderBy(col("d2").desc, col("vec_id").asc)
+        .limit(1).collect().head
+      chosen = chosen :+ ((far.getLong(0), far.getSeq[Float](3),
+        far.getDouble(1), far.getDouble(2)))
+    }
+    chosen.zipWithIndex
+      .map { case ((id, _, d2, _), i) => (i + 1, id, d2) }
+      .toDF("rk", "vec_id", "d2")
+  }
 }

@@ -3500,7 +3500,86 @@ object TrainingOps {
              |  CASE WHEN va > 0 AND vb > 0
              |    THEN ROUND(num / (sqrt(va) * sqrt(vb)), 6) END AS corr
              |FROM p ORDER BY col_l, col_r""".stripMargin)),
+
+    // Greedy k-center coreset (farthest-point traversal, k=5): the
+    // oracle unrolls each round — min squared distance to the chosen
+    // set, argmax with the vec_id tie-break — PageRank-style.
+    QueryDef("q172_kcenters",
+      (s, d) => Similarity.kCenters(table(s, d, "embeddings"), 5)
+        .select(col("rk"), col("vec_id"), round(col("d2"), 5).as("d2"))
+        .orderBy("rk"),
+      Some(kCentersOracleSql(5))),
+
+    // Per-user purchase trend (cents vs absolute day index): exact
+    // integer moments, doubles only at the division.
+    QueryDef("q173_group_trend",
+      (s, d) => graft.ops.Profile.groupTrend(
+          eventsMicros(s, d).where(col("event_type") === "purchase")
+            .select(col("user_id"),
+              expr("ts_us DIV 86400000000").as("day"),
+              round(col("value") * 100).cast("long").as("cents")),
+          "user_id", "day", "cents")
+        .select(col("key").as("user_id"), col("n"),
+          round(col("slope"), 6).as("slope"),
+          round(col("intercept"), 6).as("intercept"))
+        .orderBy("user_id"),
+      Some("""WITH b AS (SELECT user_id,
+             |    epoch_us(ts) // 86400000000 AS x,
+             |    CAST(ROUND(value * 100) AS BIGINT) AS y
+             |  FROM events WHERE event_type = 'purchase'),
+             |m AS (SELECT user_id, COUNT(*) AS n,
+             |    CAST(SUM(x) AS BIGINT) AS sx,
+             |    CAST(SUM(y) AS BIGINT) AS sy,
+             |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+             |    CAST(SUM(x * y) AS BIGINT) AS sxy
+             |  FROM b GROUP BY 1)
+             |SELECT user_id, n,
+             |  CASE WHEN n * sxx - sx * sx > 0
+             |    THEN ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             |      / CAST(n * sxx - sx * sx AS DOUBLE), 6) END AS slope,
+             |  CASE WHEN n * sxx - sx * sx > 0
+             |    THEN ROUND((CAST(sy AS DOUBLE)
+             |      - (CAST(n * sxy - sx * sy AS DOUBLE)
+             |         / CAST(n * sxx - sx * sx AS DOUBLE))
+             |        * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6)
+             |    END AS intercept
+             |FROM m ORDER BY user_id""".stripMargin)),
   )
+
+  /** Unrolled DuckDB replay of [[graft.ops.Similarity.kCenters]]: per
+    * round, min squared Euclidean distance to the chosen set (the same
+    * `(‖p‖² + ‖c‖²) − 2·p·c` arithmetic in the same order) and a 1-row
+    * argmax with the vec_id tie-break.
+    */
+  private def kCentersOracleSql(k: Int): String = {
+    val d2 = s"((${norm2("p")} + ${norm2("c")}) - 2 * ${dot64.format("p", "c")})"
+    val sb = new StringBuilder
+    sb ++= """WITH pts AS MATERIALIZED (
+             |  SELECT vec_id, embedding FROM embeddings),
+             |ch1 AS MATERIALIZED (SELECT 1 AS rk, vec_id, 0.0 AS d2,
+             |  embedding FROM pts
+             |  WHERE vec_id = (SELECT MIN(vec_id) FROM pts))""".stripMargin
+    for (i <- 2 to k) {
+      val prev = (1 until i).map(j =>
+        s"SELECT rk, vec_id, d2, embedding FROM ch$j")
+        .mkString(" UNION ALL ")
+      sb ++= s""",
+               |nd$i AS (SELECT p.vec_id, MIN($d2) AS d2
+               |  FROM pts p CROSS JOIN ($prev) c
+               |  WHERE p.vec_id NOT IN (SELECT vec_id FROM ($prev))
+               |  GROUP BY p.vec_id),
+               |ch$i AS MATERIALIZED (SELECT $i AS rk, n.vec_id, n.d2,
+               |  p.embedding
+               |  FROM nd$i n JOIN pts p USING (vec_id)
+               |  ORDER BY n.d2 DESC, n.vec_id LIMIT 1)""".stripMargin
+    }
+    val uni = (1 to k).map(j => s"SELECT rk, vec_id, d2 FROM ch$j")
+      .mkString(" UNION ALL ")
+    sb ++= s"""
+             |SELECT rk, vec_id, ROUND(d2, 5) AS d2 FROM ($uni)
+             |ORDER BY rk""".stripMargin
+    sb.toString
+  }
 
   /** Unrolled DuckDB replay of [[graft.ops.TextAnalysis.bpeTrain]]:
     * per step, adjacent-pair counts over the current vocabulary, a 1-row

@@ -2235,4 +2235,40 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException](
       graft.ops.Profile.corrMatrix(fix, Seq("x")))
   }
+
+  test("k-centers: greedy farthest-point on an enumerable layout") {
+    val s2 = spark; import s2.implicits._
+    // four corners of a rectangle + a point near the seed corner
+    val fix = Seq(
+      (0L, Array(0f, 0f)), (1L, Array(10f, 0f)),
+      (2L, Array(0f, 4f)), (3L, Array(10f, 4f)),
+      (4L, Array(1f, 0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.kCenters(fix, 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    // seed = min id (0,0); farthest = (10,4) d2=116; then (10,0) is
+    // d2=16 from (10,4) / 100 from (0,0) -> min 16, while (0,4) has
+    // min 16 too -> tie broken by id: vec_id 1 before 2; then (0,4)
+    assert(got.map(_._2).toSeq == Seq(0L, 3L, 1L, 2L), got.mkString(","))
+    assert(got(0)._3 == 0.0 && math.abs(got(1)._3 - 116.0) < 1e-9)
+    assert(math.abs(got(2)._3 - 16.0) < 1e-9)
+    // cover radius is non-increasing after the seed
+    val ds = got.drop(1).map(_._3)
+    assert(ds.zip(ds.tail).forall { case (a, b) => a >= b }, ds.toString)
+  }
+
+  test("group trend: exact slope/intercept and degenerate-x NULL") {
+    val s2 = spark; import s2.implicits._
+    val fix = Seq(
+      (1L, 0L, 10L), (1L, 1L, 13L), (1L, 2L, 16L),  // y = 3x + 10
+      (2L, 5L, 7L), (2L, 5L, 9L)                     // constant x
+    ).toDF("k", "x", "y")
+    val got = graft.ops.Profile.groupTrend(fix, "k", "x", "y")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getAs[java.lang.Double]("slope")),
+          Option(r.getAs[java.lang.Double]("intercept")))).toMap
+    assert(got(1L)._1.exists(v => math.abs(v - 3.0) < 1e-12))
+    assert(got(1L)._2.exists(v => math.abs(v - 10.0) < 1e-12))
+    assert(got(2L) == ((None, None)), got.toString)
+  }
 }
