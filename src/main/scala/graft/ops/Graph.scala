@@ -140,6 +140,58 @@ object Graph {
       .agg(count(lit(1)).as("n_docs"))
   }
 
+  /** Per-node triangle counts + local clustering coefficient over an
+    * undirected graph — the standard cohesion/community signal (spam
+    * rings and scraper farms cluster; organic link neighborhoods have
+    * characteristic coefficients). Input edges may be duplicated or
+    * arbitrarily oriented; self-loops drop. Returns
+    * `(node, deg, n_tri, coeff)` for every node with `deg >= 2`, where
+    * `coeff = 2·n_tri / (deg·(deg−1))` (NULL never occurs — deg ≥ 2).
+    *
+    * Algorithm: degree-ordered orientation (node-iterator++) — every
+    * edge points from the (deg, id)-smaller endpoint, wedges pair a
+    * source's out-neighbors in that same total order, and a semi-join
+    * against the oriented edges closes them. Each triangle is counted
+    * exactly once, and out-degrees are bounded by O(√m), so wedge count
+    * is O(m^1.5) — the classic bound — instead of Σ deg² (hub-quadratic)
+    * for naive wedge generation. At 100 TB scale this is 3 equi-joins
+    * and an aggregation, all hash-partitioned; nothing driver-side.
+    */
+  def triangles(edges: DataFrame): DataFrame = {
+    val e = edges.select(least(col("src"), col("dst")).cast("long").as("u"),
+        greatest(col("src"), col("dst")).cast("long").as("v"))
+      .where(col("u") =!= col("v")).distinct()
+    val deg = e.select(col("u").as("n"))
+      .unionAll(e.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val oriented = e
+      .join(deg.select(col("n").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("deg").as("dv")), "v")
+      .select(when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("s"), col("v").as("t"), col("dv").as("dt")))
+        .otherwise(
+          struct(col("v").as("s"), col("u").as("t"), col("du").as("dt")))
+        .as("o"))
+      .select(col("o.s").as("s"), col("o.t").as("t"), col("o.dt").as("dt"))
+    val w1 = oriented.select(col("s"), col("t").as("t1"), col("dt").as("d1"))
+    val w2 = oriented.select(col("s"), col("t").as("t2"), col("dt").as("d2"))
+    val wedges = w1.join(w2, Seq("s"))
+      .where(col("d1") < col("d2") ||
+        (col("d1") === col("d2") && col("t1") < col("t2")))
+    val tris = wedges.join(
+        oriented.select(col("s").as("t1"), col("t").as("t2")),
+        Seq("t1", "t2"), "left_semi")
+      .select(explode(array(col("s"), col("t1"), col("t2"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("n_tri"))
+    deg.where(col("deg") >= 2)
+      .join(tris, Seq("n"), "left")
+      .select(col("n").as("node"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        (lit(2.0) * coalesce(col("n_tri"), lit(0L)) /
+          (col("deg") * (col("deg") - 1))).as("coeff"))
+  }
+
   private def ckptStorage(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
     df.queryExecution.analyzed match {
       case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)

@@ -992,4 +992,31 @@ object Similarity {
       .map { case ((id, _, d2, _), i) => (i + 1, id, d2) }
       .toDF("rk", "vec_id", "d2")
   }
+
+  /** Label-noise scores by k-NN disagreement (confident-learning-style
+    * QA for labeled training sets): for each vector, the fraction of its
+    * [[knnGraph]] neighbors whose label differs —
+    * `noise_score = n_disagree / k_eff` (high score = the point sits in
+    * a region of another class: a mislabel, an outlier, or a class
+    * boundary worth auditing). `k_eff` ≤ k in clusters smaller than
+    * k + 1, so downstream filters can demand a minimum neighborhood.
+    *
+    * Shape at 100 TB: [[knnGraph]]'s cluster-confined neighbor pass (one
+    * same-cluster equi-join + a per-node window, never corpus²) plus two
+    * narrow label joins on the vec_id key and one aggregation back to
+    * the vector grain.
+    */
+  def labelNoiseScores(corpus: DataFrame, nlist: Int, k: Int): DataFrame = {
+    val lbl = corpus.select(col("vec_id"), col("label"))
+    knnGraph(corpus, nlist, k)
+      .join(lbl, "vec_id")
+      .join(lbl.select(col("vec_id").as("neighbor_id"),
+        col("label").as("n_label")), "neighbor_id")
+      .groupBy("vec_id", "label")
+      .agg(count(lit(1)).as("k_eff"),
+        sum(when(col("n_label") =!= col("label"), 1L).otherwise(0L))
+          .as("n_disagree"))
+      .withColumn("noise_score",
+        col("n_disagree").cast("double") / col("k_eff"))
+  }
 }

@@ -3544,6 +3544,91 @@ object TrainingOps {
              |        * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6)
              |    END AS intercept
              |FROM m ORDER BY user_id""".stripMargin)),
+
+    // Triangle counts + clustering coefficients over the part
+    // co-occurrence graph (parts bought in the same order). The
+    // fixed-id gate keeps the oracle's id-ordered enumeration
+    // constant-cost at any SF; the operator itself orients by degree
+    // (O(m^1.5) wedges). Orientation changes work, never the answer.
+    QueryDef("q174_triangles",
+      (s, d) => {
+        val li = table(s, d, "lineitem")
+          .where(col("l_partkey") < 2000)
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val e = li.as("a").join(li.as("b"), Seq("l_orderkey"))
+          .where(col("a.l_partkey") < col("b.l_partkey"))
+          .select(col("a.l_partkey").as("src"),
+            col("b.l_partkey").as("dst"))
+        graft.ops.Graph.triangles(e)
+          .select(col("node"), col("deg"), col("n_tri"),
+            round(col("coeff"), 6).as("coeff"))
+          .orderBy("node")
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey
+             |  FROM lineitem WHERE l_partkey < 2000),
+             |e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+             |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+             |    AND a.l_partkey < b.l_partkey),
+             |deg AS (SELECT n, COUNT(*) AS deg FROM (
+             |    SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+             |  GROUP BY 1),
+             |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+             |  FROM e e1 JOIN e e2 ON e1.v = e2.u
+             |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+             |pn AS (SELECT node, COUNT(*) AS n_tri FROM (
+             |    SELECT UNNEST([a, b, c]) AS node FROM tri) GROUP BY 1)
+             |SELECT deg.n AS node, deg.deg,
+             |  COALESCE(pn.n_tri, 0) AS n_tri,
+             |  ROUND(2.0 * COALESCE(pn.n_tri, 0)
+             |    / (deg.deg * (deg.deg - 1)), 6) AS coeff
+             |FROM deg LEFT JOIN pn ON deg.n = pn.node
+             |WHERE deg.deg >= 2 ORDER BY node""".stripMargin)),
+
+    // Label-noise audit: per-vector k-NN label disagreement over the
+    // q135 neighbor graph; summarized per (label, disagreement bucket)
+    // would lose the per-vector scores, so the entry emits the vector
+    // grain directly (gated like q135).
+    QueryDef("q175_label_noise",
+      (s, d) => Similarity.labelNoiseScores(
+          table(s, d, "embeddings").where(col("vec_id") < 4000),
+          nlist = 8, k = 3)
+        .select(col("vec_id"), col("label"), col("k_eff"),
+          col("n_disagree"), round(col("noise_score"), 6).as("noise_score"))
+        .orderBy("vec_id"),
+      Some(s"""WITH emb AS (SELECT vec_id, embedding, label
+              |  FROM embeddings e
+              |  WHERE vec_id < 4000 AND ${norm2("e")} > 0),
+              |cents AS (
+              |  SELECT CAST(rn - 1 AS INT) AS cid, embedding FROM (
+              |    SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS rn,
+              |      embedding FROM emb) t
+              |  WHERE rn <= 8),
+              |assign AS (
+              |  SELECT vec_id, embedding, label, cid FROM (
+              |    SELECT e.vec_id, e.embedding, e.label, c.cid,
+              |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+              |        ${dot64.format("e", "c")} /
+              |          (SQRT(${norm2("e")}) * SQRT(${norm2("c")})) DESC,
+              |        c.cid ASC) AS ark
+              |    FROM emb e CROSS JOIN cents c) t WHERE ark = 1),
+              |edges AS (
+              |  SELECT a.vec_id, a.label, b.label AS n_label,
+              |    ${dot64.format("a", "b")} /
+              |      (SQRT(${norm2("a")}) * SQRT(${norm2("b")})) AS cos,
+              |    b.vec_id AS neighbor_id
+              |  FROM assign a JOIN assign b
+              |    ON a.cid = b.cid AND a.vec_id <> b.vec_id),
+              |rk AS (SELECT vec_id, label, n_label,
+              |    ROW_NUMBER() OVER (PARTITION BY vec_id
+              |      ORDER BY cos DESC, neighbor_id ASC) AS rk
+              |  FROM edges)
+              |SELECT vec_id, label, COUNT(*) AS k_eff,
+              |  CAST(SUM(CASE WHEN n_label <> label THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS n_disagree,
+              |  ROUND(CAST(SUM(CASE WHEN n_label <> label THEN 1 ELSE 0
+              |    END) AS DOUBLE) / COUNT(*), 6) AS noise_score
+              |FROM rk WHERE rk <= 3
+              |GROUP BY vec_id, label ORDER BY vec_id""".stripMargin)),
   )
 
   /** Unrolled DuckDB replay of [[graft.ops.Similarity.kCenters]]: per

@@ -2271,4 +2271,39 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got(1L)._2.exists(v => math.abs(v - 10.0) < 1e-12))
     assert(got(2L) == ((None, None)), got.toString)
   }
+
+  test("triangles: K4 plus a pendant path, dup/reversed edges collapse") {
+    val s2 = spark; import s2.implicits._
+    // K4 on 1-4 (4 triangles, 3 per node) + path 4-5-6 (no triangles);
+    // edges arrive duplicated and in both orientations
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (2L, 1L), (3L, 1L),          // reversed dups
+      (4L, 5L), (5L, 6L), (5L, 5L) // pendant path + self-loop
+    ).toDF("src", "dst")
+    val got = Graph.triangles(edges)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    for (n <- 1L to 3L) assert(got(n) == ((3L, 3L, 1.0)), got.toString)
+    assert(got(4L) == ((4L, 3L, 0.5)), got.toString) // deg 4: +edge to 5
+    assert(got(5L) == ((2L, 0L, 0.0)), got.toString)
+    assert(!got.contains(6L)) // deg 1 excluded
+  }
+
+  test("label noise: a planted mislabel scores 1.0, clean points 0.0") {
+    val s2 = spark; import s2.implicits._
+    // two tight clusters; vec 3 sits in cluster A but carries label 1
+    val fix = Seq(
+      (0L, Array(1f, 0f, 0f, 0f), 0), (1L, Array(0.9f, 0.1f, 0f, 0f), 0),
+      (2L, Array(0.95f, 0.05f, 0f, 0f), 0),
+      (3L, Array(0.92f, 0.08f, 0f, 0f), 1), // mislabel
+      (4L, Array(0f, 0f, 1f, 0f), 1), (5L, Array(0f, 0f, 0.9f, 0.1f), 1),
+      (6L, Array(0f, 0f, 0.95f, 0.05f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelNoiseScores(fix, nlist = 2, k = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(got(3L) == 1.0, got.toString)
+    assert(Seq(0L, 1L, 2L).forall(got(_) > 0.0), got.toString) // 3 pollutes
+    assert(Seq(4L, 5L, 6L).forall(got(_) == 0.0), got.toString)
+  }
 }
