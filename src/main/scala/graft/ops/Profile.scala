@@ -148,4 +148,93 @@ object Profile {
         (col("sy").cast("double") - (num / den) * col("sx").cast("double"))
           / col("n").cast("double")).as("intercept"))
   }
+
+  /** Mutual information between two CATEGORICAL columns, with marginal
+    * entropies and the normalized coefficient
+    * `nmi = mi / √(hx·hy)` — the dependence profile behind feature
+    * selection and redundancy pruning ([[fdProfile]] detects the exact
+    * `lhs → rhs` extreme; MI measures the whole spectrum, in nats).
+    * Returns ONE row `(n, mi, hx, hy, nmi)`; `nmi` is NULL when either
+    * entropy is 0 (a constant column carries no information).
+    *
+    * Determinism: every term derives from integer cell counts (`n·c` and
+    * `cx·cy` stay in exact 64-bit arithmetic inside the `ln`), and the
+    * term sums fold in sorted cell order over collected lists — the cell
+    * grain is `|X|·|Y|` (tiny for categorical data), so the collects are
+    * bounded by the domain, never the row count.
+    *
+    * Shape at 100 TB: one aggregation to the (x, y) cell grain; the
+    * marginals derive from the cells (the corpus is read ONCE); all
+    * remaining work runs on the collapsed relation.
+    */
+  def mutualInformation(df: DataFrame, xCol: String,
+      yCol: String): DataFrame = {
+    val cells = df.groupBy(col(xCol).cast("string").as("x"),
+        col(yCol).cast("string").as("y"))
+      .agg(count(lit(1)).as("c"))
+    val mx = cells.groupBy("x").agg(sum("c").as("cx"))
+    val my = cells.groupBy("y").agg(sum("c").as("cy"))
+    val n = cells.agg(sum("c").as("n"))
+    val terms = cells.join(mx, "x").join(my, "y")
+      .crossJoin(broadcast(n))
+      .select(col("x"), col("y"), col("n"),
+        ((col("c").cast("double") / col("n")) *
+          log((col("n") * col("c")).cast("double") /
+            (col("cx") * col("cy")).cast("double"))).as("t"))
+    val mi = terms.groupBy("n")
+      .agg(expr("aggregate(array_sort(collect_list(struct(x, y, t))), " +
+        "cast(0.0 as double), (a, e) -> a + e.t)").as("mi"))
+    def entropy(m: DataFrame, k: String, c: String) = m
+      .crossJoin(broadcast(n))
+      .select(col(k), (negate(col(c).cast("double") / col("n")) *
+        log(col(c).cast("double") / col("n"))).as("h"))
+      .agg(expr(s"aggregate(array_sort(collect_list(struct($k, h))), " +
+        "cast(0.0 as double), (a, e) -> a + e.h)").as(s"h$k"))
+    mi.crossJoin(broadcast(entropy(mx, "x", "cx")))
+      .crossJoin(broadcast(entropy(my, "y", "cy")))
+      .select(col("n"), col("mi"), col("hx"), col("hy"),
+        when(col("hx") > 0 && col("hy") > 0,
+          col("mi") / sqrt(col("hx") * col("hy"))).as("nmi"))
+  }
+
+  /** Expanding-window anomaly scores over an INTEGRAL value stream: each
+    * event's z-score against its key's STRICTLY EARLIER history
+    * (`z = (x − mean_prior) / sd_prior`, sample sd) — the leak-free
+    * online-monitoring formulation: an anomaly never influences its own
+    * baseline, and scoring event t uses exactly the data a live system
+    * would have had. Rows with fewer than `minPrior` predecessors are
+    * dropped (no baseline yet); zero-variance history gives NULL, never
+    * NaN/∞.
+    *
+    * Exactness contract as [[corrMatrix]]: prior count/sum/sum-of-squares
+    * come from integer window sums, z assembles as
+    * `(n·x − s1) / √(n·(n·s2 − s1²)/(n−1))` with doubles entering only
+    * at the last step — bit-deterministic, SQL-replayable.
+    *
+    * Shape at 100 TB: ONE key-partitioned window (three running sums on
+    * the same frame) + a narrow projection. No joins, no self-reads.
+    */
+  def expandingZScores(df: DataFrame, keyCol: String,
+      orderCols: Seq[String], valueCol: String, minPrior: Int): DataFrame = {
+    require(minPrior >= 2, s"minPrior=$minPrior must be >= 2 (sample sd)")
+    require(orderCols.nonEmpty, "orderCols must be non-empty")
+    val w = Window.partitionBy(keyCol)
+      .orderBy(orderCols.map(col(_).asc): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val v = col("__v")
+    val withSums = df
+      .withColumn("__v", col(valueCol).cast("long"))
+      .withColumn("__np", count(v).over(w))
+      .withColumn("__s1", sum(v).over(w))
+      .withColumn("__s2", sum(v * v).over(w))
+      .where(col("__np") >= minPrior)
+    val b = col("__np") * col("__s2") - col("__s1") * col("__s1")
+    withSums
+      .withColumn("n_prior", col("__np"))
+      .withColumn("z", when(b > 0,
+        (col("__np") * v - col("__s1")).cast("double") /
+          sqrt((col("__np").cast("double") * b.cast("double")) /
+            (col("__np") - 1).cast("double"))))
+      .drop("__v", "__np", "__s1", "__s2")
+  }
 }

@@ -385,4 +385,37 @@ object Sampling {
       .orderBy(col("log_w").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** Purged time-series fold assignment (k-fold CV for temporal data,
+    * de Prado-style): the observed time range splits into `k` contiguous
+    * equal-width folds, and every row within `embargoUs` of one of its
+    * fold's boundaries is flagged `near_boundary` — when fold i is the
+    * test set, the caller drops flagged rows from the ADJACENT training
+    * folds, so serially-correlated samples cannot leak across the
+    * train/test cut ([[contentSplit]] is the right tool for i.i.d. data;
+    * this is the one for time series). Appends `fold` (0-based) and
+    * `near_boundary` (0/1); all arithmetic is exact integer microseconds,
+    * so folds are reproducible and SQL-replayable.
+    *
+    * Shape at 100 TB: one tiny min/max aggregation broadcast back, then
+    * a purely narrow projection — no shuffle of the data itself.
+    */
+  def purgedTimeFolds(df: DataFrame, tsCol: String, k: Int,
+      embargoUs: Long): DataFrame = {
+    require(k >= 2, s"k=$k must be >= 2")
+    require(embargoUs >= 0, s"embargoUs=$embargoUs must be >= 0")
+    val bounds = df.agg(min(col(tsCol)).cast("long").as("__t0"),
+      max(col(tsCol)).cast("long").as("__t1"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn("__w",
+        expr(s"(__t1 - __t0 + $k) DIV $k")) // ceil((span+1)/k): max lands in fold k-1
+      .withColumn("fold",
+        expr(s"CAST((CAST($tsCol AS BIGINT) - __t0) DIV __w AS INT)"))
+      .withColumn("__pos",
+        expr(s"CAST($tsCol AS BIGINT) - __t0 - fold * __w"))
+      .withColumn("near_boundary",
+        ((col("__pos") < embargoUs) ||
+          (col("__w") - col("__pos") <= embargoUs)).cast("int"))
+      .drop("__t0", "__t1", "__w", "__pos")
+  }
 }

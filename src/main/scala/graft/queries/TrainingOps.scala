@@ -3629,6 +3629,104 @@ object TrainingOps {
               |    END) AS DOUBLE) / COUNT(*), 6) AS noise_score
               |FROM rk WHERE rk <= 3
               |GROUP BY vec_id, label ORDER BY vec_id""".stripMargin)),
+
+    // Mutual information source ↔ lang: every term from exact integer
+    // cell counts, summed in sorted cell order on both sides.
+    QueryDef("q176_mutual_information",
+      (s, d) => graft.ops.Profile.mutualInformation(
+          table(s, d, "documents"), "source", "lang")
+        .select(col("n"), round(col("mi"), 6).as("mi"),
+          round(col("hx"), 6).as("hx"), round(col("hy"), 6).as("hy"),
+          round(col("nmi"), 6).as("nmi")),
+      Some("""WITH cells AS (SELECT CAST(source AS VARCHAR) AS x,
+             |    CAST(lang AS VARCHAR) AS y, COUNT(*) AS c
+             |  FROM documents GROUP BY 1, 2),
+             |mx AS (SELECT x, CAST(SUM(c) AS BIGINT) AS cx
+             |  FROM cells GROUP BY 1),
+             |my AS (SELECT y, CAST(SUM(c) AS BIGINT) AS cy
+             |  FROM cells GROUP BY 1),
+             |nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
+             |t AS (SELECT x, y, n,
+             |    (CAST(c AS DOUBLE) / n) *
+             |      ln(CAST(n * c AS DOUBLE) / CAST(cx * cy AS DOUBLE))
+             |      AS t
+             |  FROM cells JOIN mx USING (x) JOIN my USING (y)
+             |  CROSS JOIN nn),
+             |mi AS (SELECT n,
+             |    list_reduce(list(t ORDER BY x, y), (a, b) -> a + b)
+             |      AS mi
+             |  FROM t GROUP BY 1),
+             |ex AS (SELECT
+             |    list_reduce(list(h ORDER BY x), (a, b) -> a + b) AS hx
+             |  FROM (SELECT x, -(CAST(cx AS DOUBLE) / n) *
+             |      ln(CAST(cx AS DOUBLE) / n) AS h
+             |    FROM mx CROSS JOIN nn)),
+             |ey AS (SELECT
+             |    list_reduce(list(h ORDER BY y), (a, b) -> a + b) AS hy
+             |  FROM (SELECT y, -(CAST(cy AS DOUBLE) / n) *
+             |      ln(CAST(cy AS DOUBLE) / n) AS h
+             |    FROM my CROSS JOIN nn))
+             |SELECT n, ROUND(mi, 6) AS mi, ROUND(hx, 6) AS hx,
+             |  ROUND(hy, 6) AS hy,
+             |  CASE WHEN hx > 0 AND hy > 0
+             |    THEN ROUND(mi / sqrt(hx * hy), 6) END AS nmi
+             |FROM mi CROSS JOIN ex CROSS JOIN ey""".stripMargin)),
+
+    // Purged 5-fold temporal split with a 6 h embargo, summarized to
+    // the (fold, flag) grain — counts plus min/max pin every per-row
+    // assignment through the exact integer arithmetic.
+    QueryDef("q177_purged_folds",
+      (s, d) => graft.ops.Sampling.purgedTimeFolds(eventsMicros(s, d),
+          "ts_us", 5, embargoUs = 6L * 3600L * 1000000L)
+        .groupBy("fold", "near_boundary")
+        .agg(count(lit(1)).as("n"), min("ts_us").as("min_ts"),
+          max("ts_us").as("max_ts"))
+        .orderBy("fold", "near_boundary"),
+      Some("""WITH e AS (SELECT epoch_us(ts) AS ts_us FROM events),
+             |b AS (SELECT MIN(ts_us) AS t0, MAX(ts_us) AS t1 FROM e),
+             |a AS (SELECT ts_us, (t1 - t0 + 5) // 5 AS w,
+             |    ts_us - t0 AS off FROM e CROSS JOIN b),
+             |f AS (SELECT ts_us, CAST(off // w AS INT) AS fold,
+             |    off - (off // w) * w AS pos, w FROM a)
+             |SELECT fold,
+             |  CAST((pos < 21600000000 OR w - pos <= 21600000000) AS INT)
+             |    AS near_boundary,
+             |  COUNT(*) AS n, MIN(ts_us) AS min_ts, MAX(ts_us) AS max_ts
+             |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Leak-free expanding-window anomaly scores on per-user purchase
+    // cents: each event z-scored against its STRICT predecessors; exact
+    // integer window sums, doubles only at the final assembly.
+    QueryDef("q178_anomaly_zscores",
+      (s, d) => graft.ops.Profile.expandingZScores(
+          eventsMicros(s, d).where(col("event_type") === "purchase")
+            .select(col("user_id"), col("ts_us"), col("event_id"),
+              round(col("value") * 100).cast("long").as("cents")),
+          "user_id", Seq("ts_us", "event_id"), "cents", minPrior = 5)
+        .select(col("user_id"), col("event_id"), col("cents"),
+          col("n_prior"), round(col("z"), 6).as("z"),
+          (abs(col("z")) > 3.0).cast("int").as("is_anomaly"))
+        .orderBy("user_id", "event_id"),
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+             |    CAST(ROUND(value * 100) AS BIGINT) AS cents
+             |  FROM events WHERE event_type = 'purchase'),
+             |s AS (SELECT user_id, ts_us, event_id, cents,
+             |    COUNT(cents) OVER prior AS np,
+             |    SUM(cents) OVER prior AS s1,
+             |    SUM(cents * cents) OVER prior AS s2
+             |  FROM e WINDOW prior AS (PARTITION BY user_id
+             |    ORDER BY ts_us, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+             |z AS (SELECT user_id, event_id, cents, np AS n_prior,
+             |    CASE WHEN np * s2 - s1 * s1 > 0
+             |      THEN CAST(np * cents - s1 AS DOUBLE)
+             |        / sqrt((CAST(np AS DOUBLE)
+             |            * CAST(np * s2 - s1 * s1 AS DOUBLE))
+             |          / CAST(np - 1 AS DOUBLE)) END AS z
+             |  FROM s WHERE np >= 5)
+             |SELECT user_id, event_id, cents, n_prior, ROUND(z, 6) AS z,
+             |  CAST(abs(z) > 3.0 AS INT) AS is_anomaly
+             |FROM z ORDER BY user_id, event_id""".stripMargin)),
   )
 
   /** Unrolled DuckDB replay of [[graft.ops.Similarity.kCenters]]: per

@@ -2306,4 +2306,60 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(Seq(0L, 1L, 2L).forall(got(_) > 0.0), got.toString) // 3 pollutes
     assert(Seq(4L, 5L, 6L).forall(got(_) == 0.0), got.toString)
   }
+
+  test("mutual information: dependence extremes and entropy identities") {
+    val s2 = spark; import s2.implicits._
+    def mi(rows: Seq[(String, String)]) =
+      graft.ops.Profile.mutualInformation(rows.toDF("a", "b"), "a", "b")
+        .collect().head
+    // perfect dependence (y = f(x), balanced): mi = hx = hy, nmi = 1
+    val dep = mi(Seq(("p", "1"), ("p", "1"), ("q", "2"), ("q", "2")))
+    assert(math.abs(dep.getDouble(1) - math.log(2)) < 1e-12)
+    assert(math.abs(dep.getDouble(1) - dep.getDouble(2)) < 1e-12)
+    assert(math.abs(dep.getDouble(4) - 1.0) < 1e-12)
+    // exact independence (product distribution): mi = 0
+    val ind = mi(for { a <- Seq("p", "q"); b <- Seq("1", "2") } yield (a, b))
+    assert(math.abs(ind.getDouble(1)) < 1e-12, ind.toString)
+    // constant column: zero entropy -> nmi NULL
+    val const = mi(Seq(("p", "1"), ("p", "2")))
+    assert(const.isNullAt(4), const.toString)
+  }
+
+  test("purged time folds: widths, assignment, and embargo flags") {
+    val s2 = spark; import s2.implicits._
+    val fix = (0L to 99L).map(t => (t, t)).toDF("id", "ts_us")
+    val got = Sampling.purgedTimeFolds(fix, "ts_us", 5, embargoUs = 3L)
+      .collect().map(r => r.getAs[Long]("ts_us") ->
+        (r.getAs[Int]("fold"), r.getAs[Int]("near_boundary"))).toMap
+    // width = (99 + 5) div 5 = 20
+    assert(got(0L) == ((0, 1)) && got(19L) == ((0, 1)), got(0L).toString)
+    assert(got(3L) == ((0, 0)) && got(16L) == ((0, 0)))
+    assert(got(17L) == ((0, 1))) // 20 - 17 = 3 <= embargo
+    assert(got(20L) == ((1, 1)) && got(99L) == ((4, 1)))
+    assert(got(50L) == ((2, 0)))
+    // every fold 0..4 appears
+    assert(got.values.map(_._1).toSet == Set(0, 1, 2, 3, 4))
+    intercept[IllegalArgumentException](
+      Sampling.purgedTimeFolds(fix, "ts_us", 1, 0L))
+  }
+
+  test("expanding z-scores: leak-free baseline and zero-variance NULL") {
+    val s2 = spark; import s2.implicits._
+    val ev = (Seq(1L, 2L, 3L, 4L, 5L, 100L).zipWithIndex.map {
+        case (v, i) => (1L, i.toLong, v) } ++
+      Seq.fill(5)(7L).zipWithIndex.map { case (v, i) => (2L, i.toLong, v) }
+        :+ ((2L, 5L, 9L)))
+      .toDF("k", "t", "v")
+    val got = graft.ops.Profile.expandingZScores(ev, "k", Seq("t"), "v",
+        minPrior = 5)
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[Long]("t")) ->
+        Option(r.getAs[java.lang.Double]("z"))).toMap
+    // key 1: only t=5 has 5 priors [1..5]: mean 3, sample sd sqrt(2.5)
+    assert(got.keySet == Set((1L, 5L), (2L, 5L)), got.toString)
+    val want = (100.0 - 3.0) / math.sqrt(2.5)
+    assert(got((1L, 5L)).exists(z => math.abs(z - want) < 1e-9),
+      s"${got((1L, 5L))} vs $want")
+    // key 2: constant history -> zero variance -> NULL, not NaN
+    assert(got((2L, 5L)).isEmpty, got.toString)
+  }
 }
