@@ -237,4 +237,51 @@ object Profile {
             (col("__np") - 1).cast("double"))))
       .drop("__v", "__np", "__s1", "__s2")
   }
+
+  /** Robust per-key statistics over an INTEGRAL column: exact LOWER
+    * median (the ⌈n/2⌉-th order statistic — a value from the data, no
+    * interpolation), MAD (lower median of |x − med|), and an outlier
+    * count at `|x − med| > madK·mad` — the outlier-resistant profile
+    * mean/sd can't give (one corrupted value moves a mean arbitrarily;
+    * it moves a median one rank). With a zero MAD (majority-constant
+    * group) the outlier rule degrades gracefully to "any deviation".
+    *
+    * EVERYTHING is 64-bit integer arithmetic — order statistics, abs
+    * deviations, threshold compares — so results are bit-deterministic
+    * with no float caveats at all. Equal values are interchangeable
+    * under `row_number`, so value-ties cannot make the medians
+    * nondeterministic.
+    *
+    * Shape at 100 TB: two key-partitioned sort windows (values, then
+    * deviations) + one key equi-join each — the unavoidable cost of
+    * EXACT medians. For sketch-grade accuracy at lower cost, use
+    * `approx_percentile`/[[Sketch]]; this is the exact tier.
+    */
+  def robustStats(df: DataFrame, keyCol: String, valueCol: String,
+      madK: Int = 5): DataFrame = {
+    require(madK >= 1, s"madK=$madK must be >= 1")
+    val base = df.select(col(keyCol).as("key"),
+      col(valueCol).cast("long").as("v"))
+    val wv = Window.partitionBy("key").orderBy("v")
+    val wk = Window.partitionBy("key")
+    val med = base
+      .withColumn("__rn", row_number().over(wv))
+      .withColumn("__n", count(lit(1)).over(wk))
+      .where(expr("__rn = (__n + 1) DIV 2"))
+      .select(col("key"), col("v").as("med"))
+    val dev = base.join(med, "key")
+      .withColumn("d", abs(col("v") - col("med")))
+    val wd = Window.partitionBy("key").orderBy("d")
+    val mad = dev
+      .withColumn("__rn", row_number().over(wd))
+      .withColumn("__n", count(lit(1)).over(wk))
+      .where(expr("__rn = (__n + 1) DIV 2"))
+      .select(col("key"), col("d").as("mad"))
+    dev.join(mad, "key")
+      .groupBy("key")
+      .agg(count(lit(1)).as("n"), max("med").as("median"),
+        max("mad").as("mad"),
+        sum(when(col("d") > lit(madK.toLong) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+  }
 }

@@ -3727,6 +3727,45 @@ object TrainingOps {
              |SELECT user_id, event_id, cents, n_prior, ROUND(z, 6) AS z,
              |  CAST(abs(z) > 3.0 AS INT) AS is_anomaly
              |FROM z ORDER BY user_id, event_id""".stripMargin)),
+
+    // Robust per-user purchase stats: exact lower median, MAD, and
+    // 5-MAD outlier counts — pure 64-bit integer arithmetic end-to-end,
+    // no float caveats anywhere.
+    QueryDef("q179_robust_stats",
+      (s, d) => graft.ops.Profile.robustStats(
+          eventsMicros(s, d).where(col("event_type") === "purchase")
+            .select(col("user_id"),
+              round(col("value") * 100).cast("long").as("cents")),
+          "user_id", "cents")
+        .select(col("key").as("user_id"), col("n"), col("median"),
+          col("mad"), col("n_outliers"))
+        .orderBy("user_id"),
+      Some("""WITH e AS (SELECT user_id,
+             |    CAST(ROUND(value * 100) AS BIGINT) AS v
+             |  FROM events WHERE event_type = 'purchase'),
+             |r AS (SELECT user_id, v,
+             |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY v)
+             |      AS rn,
+             |    COUNT(*) OVER (PARTITION BY user_id) AS n
+             |  FROM e),
+             |med AS (SELECT user_id, v AS med FROM r
+             |  WHERE rn = (n + 1) // 2),
+             |dev AS (SELECT e.user_id, e.v, med,
+             |    abs(e.v - med) AS d
+             |  FROM e JOIN med USING (user_id)),
+             |r2 AS (SELECT user_id, d,
+             |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+             |      AS rn,
+             |    COUNT(*) OVER (PARTITION BY user_id) AS n
+             |  FROM dev),
+             |mad AS (SELECT user_id, d AS mad FROM r2
+             |  WHERE rn = (n + 1) // 2)
+             |SELECT dev.user_id, COUNT(*) AS n, MAX(med) AS median,
+             |  MAX(mad) AS mad,
+             |  CAST(SUM(CASE WHEN d > 5 * mad THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_outliers
+             |FROM dev JOIN mad USING (user_id)
+             |GROUP BY dev.user_id ORDER BY dev.user_id""".stripMargin)),
   )
 
   /** Unrolled DuckDB replay of [[graft.ops.Similarity.kCenters]]: per

@@ -2362,4 +2362,19 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     // key 2: constant history -> zero variance -> NULL, not NaN
     assert(got((2L, 5L)).isEmpty, got.toString)
   }
+
+  test("robust stats: exact lower median, MAD, and outlier counts") {
+    val s2 = spark; import s2.implicits._
+    val fix = (Seq(1L, 2L, 3L, 4L, 1000L).map(v => (1L, v)) ++
+      Seq(7L, 7L, 7L, 99L).map(v => (2L, v))).toDF("k", "v")
+    val got = graft.ops.Profile.robustStats(fix, "k", "v")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // key 1: median = 3rd of [1,2,3,4,1000] = 3; devs [2,1,0,1,997]
+    // sorted [0,1,1,2,997] -> MAD = 1; outliers: 997 > 5 -> one
+    assert(got(1L) == ((5L, 3L, 1L, 1L)), got.toString)
+    // key 2: lower median of [7,7,7,99] = 7 (rank 2); devs [0,0,0,92]
+    // -> MAD = 0; zero MAD degrades to "any deviation": 92 > 0 -> one
+    assert(got(2L) == ((4L, 7L, 0L, 1L)), got.toString)
+  }
 }
