@@ -528,4 +528,32 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert("(?i)exchange hashpartitioning".r.findAllIn(plan(df)).size <= 4,
       plan(df))
   }
+
+  test("key candidates and corr matrix each read the table ONCE") {
+    val kc = Profile.keyCandidates(docs,
+      Seq(Seq("doc_id"), Seq("source", "lang"), Seq("source")))
+    assert("documents.parquet".r.findAllIn(plan(kc)).size == 1, plan(kc))
+    val cm = Profile.corrMatrix(docs.selectExpr("doc_id a",
+      "n_chars b", "doc_id % 7 c"), Seq("a", "b", "c"))
+    assert("documents.parquet".r.findAllIn(plan(cm)).size == 1, plan(cm))
+  }
+
+  test("pseudonymization and purged folds stay narrow") {
+    assert(exchanges(Curation.pseudonymize(docs)) == 0)
+    val ev = graft.queries.QueryDef.eventsMicros(spark, dir)
+    // one SinglePartition exchange for the broadcast min/max bounds;
+    // the data path itself never shuffles
+    val pf = Sampling.purgedTimeFolds(ev, "ts_us", 5, 1000000L)
+    assert("(?i)exchange hashpartitioning".r.findAllIn(plan(pf)).isEmpty,
+      plan(pf))
+  }
+
+  test("expanding z-scores: one key window carries all three sums") {
+    val ev = graft.queries.QueryDef.eventsMicros(spark, dir)
+    val df = Profile.expandingZScores(ev, "user_id",
+      Seq("ts_us", "event_id"), "value", 2)
+    val p = plan(df)
+    assert("(?i)exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert("(?i)\\bwindow\\b".r.findAllIn(p.toLowerCase).size >= 1, p)
+  }
 }
