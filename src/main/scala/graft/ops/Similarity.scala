@@ -973,7 +973,8 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("n2")).collect().head
     var chosen = Vector((seed.getLong(0), seed.getSeq[Float](1), 0.0,
       seed.getDouble(2)))
-    for (_ <- 2 to k) {
+    var exhausted = false
+    for (_ <- 2 to k if !exhausted) {
       val centers = chosen.map { case (id, e, _, n2) => (id, e, n2) }
         .toDF("c_id", "c_emb", "c_n2")
       val far = base
@@ -984,9 +985,12 @@ object Similarity {
         .groupBy("vec_id").agg(min("d2").as("d2"),
           first("n2").as("n2"), first("embedding").as("embedding"))
         .orderBy(col("d2").desc, col("vec_id").asc)
-        .limit(1).collect().head
-      chosen = chosen :+ ((far.getLong(0), far.getSeq[Float](3),
-        far.getDouble(1), far.getDouble(2)))
+        .limit(1).collect()
+      far.headOption match {
+        case Some(r) => chosen = chosen :+ ((r.getLong(0),
+          r.getSeq[Float](3), r.getDouble(1), r.getDouble(2)))
+        case None => exhausted = true // k exceeds the corpus: stop early
+      }
     }
     chosen.zipWithIndex
       .map { case ((id, _, d2, _), i) => (i + 1, id, d2) }

@@ -2255,6 +2255,9 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     // cover radius is non-increasing after the seed
     val ds = got.drop(1).map(_._3)
     assert(ds.zip(ds.tail).forall { case (a, b) => a >= b }, ds.toString)
+    // k past the corpus size returns every point, not an error
+    val allOf = Similarity.kCenters(fix, 10).collect()
+    assert(allOf.length == 5, allOf.length.toString)
   }
 
   test("group trend: exact slope/intercept and degenerate-x NULL") {
