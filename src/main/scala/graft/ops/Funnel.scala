@@ -194,4 +194,47 @@ object Funnel {
       .withColumn("matched",
         col(s"p${stages.size}").isNotNull.cast("int"))
   }
+
+  /** FIRST-TOUCH windowed funnel — [[matchPattern]] with a per-hop time
+    * constraint: the chain anchors at the key's EARLIEST stage-1 event,
+    * and each later stage takes its earliest event strictly after the
+    * previous match and within `maxGapUs` of it ("view, then click
+    * within 10 minutes, then purchase within 10 minutes of the click").
+    * Emits each matched stage's event time `t1..tk` (null from the
+    * first failed hop) plus `matched`.
+    *
+    * Semantics note (deliberate): a later funnel RE-ENTRY does not
+    * restart the chain — with time windows, greedy-earliest is no
+    * longer equivalent to "exists any chain" (a failed first entrance
+    * can mask a later successful one), so this operator implements the
+    * standard strict first-entrance conversion metric and says so,
+    * rather than approximating exists-any. For unconstrained chains
+    * [[matchPattern]]'s greedy IS exact; for re-entry semantics run
+    * per-entrance (filter events at or after each anchor).
+    *
+    * Same shape as [[matchPattern]]: one `min(when)` window per stage
+    * on ONE key partitioning, counter-sized state, no collected
+    * sequences, no joins.
+    */
+  def matchPatternWithin(events: DataFrame, keyCol: String,
+      tsCol: String, typeCol: String, stages: Seq[String],
+      maxGapUs: Long): DataFrame = {
+    require(stages.nonEmpty, "stages must be non-empty")
+    require(maxGapUs > 0, s"maxGapUs=$maxGapUs must be > 0")
+    val wKey = Window.partitionBy(keyCol)
+    val ts = col(tsCol).cast("long")
+    val staged = stages.zipWithIndex.foldLeft(events) {
+      case (df, (stage, i)) =>
+        val ok = if (i == 0) col(typeCol) === stage
+                 else col(typeCol) === stage &&
+                   ts > col(s"t$i") && ts <= col(s"t$i") + maxGapUs
+        df.withColumn(s"t${i + 1}", min(when(ok, ts)).over(wKey))
+    }
+    val aggs = count(lit(1)).as("n_events") +:
+      stages.indices.map(i => max(s"t${i + 1}").as(s"t${i + 1}"))
+    staged.groupBy(col(keyCol).as("key"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("matched",
+        col(s"t${stages.size}").isNotNull.cast("int"))
+  }
 }

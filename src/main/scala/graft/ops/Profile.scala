@@ -284,4 +284,52 @@ object Profile {
         sum(when(col("d") > lit(madK.toLong) * col("mad"), 1L)
           .otherwise(0L)).as("n_outliers"))
   }
+
+  /** One-sided CUSUM change-point score per key: walking the key's
+    * events in time order, `cur = max(0, cur + (x − median − slack))`,
+    * and the reported `cusum_max` is the walk's peak — the standard
+    * sequential drift detector (a sustained upward level shift
+    * accumulates where isolated spikes reset), with the key's own exact
+    * lower median as the reference level. High `cusum_max` = somewhere
+    * in the stream the level ran persistently above
+    * `median + slack`; [[expandingZScores]] flags single outliers, this
+    * flags sustained shifts. All arithmetic is 64-bit integer — no
+    * float caveats.
+    *
+    * The recurrence LOOKS inherently sequential, but the clamped walk
+    * has a closed form — `cur_t = prefix_t − min(0, min_{s≤t} prefix_s)`
+    * (the max-drawup identity: clamping at zero just restarts the sum
+    * from its running minimum) — so the whole thing is two running
+    * windows and a max: NO collected lists, per-key state is O(1), and
+    * a SQL engine replays it with plain window functions instead of a
+    * lambda fold.
+    *
+    * Shape at 100 TB: the median's two sort windows + one prefix-sum
+    * window + one aggregation, all on the same key partitioning.
+    */
+  def cusumScores(df: DataFrame, keyCol: String, orderCols: Seq[String],
+      valueCol: String, slack: Long = 0L): DataFrame = {
+    require(orderCols.nonEmpty, "orderCols must be non-empty")
+    require(slack >= 0, s"slack=$slack must be >= 0")
+    val base = df.select((col(keyCol).as("key") +:
+      orderCols.map(col)) :+ col(valueCol).cast("long").as("v"): _*)
+    val wv = Window.partitionBy("key").orderBy("v")
+    val wk = Window.partitionBy("key")
+    val med = base
+      .withColumn("__rn", row_number().over(wv))
+      .withColumn("__n", count(lit(1)).over(wk))
+      .where(expr("__rn = (__n + 1) DIV 2"))
+      .select(col("key"), col("v").as("median"))
+    val wRun = Window.partitionBy("key")
+      .orderBy(orderCols.map(col(_).asc): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(med, "key")
+      .withColumn("__dev", col("v") - col("median") - slack)
+      .withColumn("__pre", sum("__dev").over(wRun))
+      .withColumn("__cur",
+        col("__pre") - least(lit(0L), min("__pre").over(wRun)))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n"), max("median").as("median"),
+        max("__cur").as("cusum_max"))
+  }
 }

@@ -3766,6 +3766,76 @@ object TrainingOps {
              |    AS BIGINT) AS n_outliers
              |FROM dev JOIN mad USING (user_id)
              |GROUP BY dev.user_id ORDER BY dev.user_id""".stripMargin)),
+
+    // First-touch windowed funnel: view -> click within 2 h -> purchase
+    // within 2 h of the click; both engines run the identical anchored
+    // min-chain with the window predicate.
+    QueryDef("q180_funnel_within",
+      (s, d) => Funnel.matchPatternWithin(eventsMicros(s, d), "user_id",
+          "ts_us", "event_type", Seq("view", "click", "purchase"),
+          maxGapUs = 2L * 3600L * 1000000L)
+        .select(col("key").as("user_id"), col("n_events"),
+          col("t1"), col("t2"), col("t3"), col("matched"))
+        .orderBy("user_id"),
+      Some("""WITH e AS (SELECT user_id, event_type,
+             |    epoch_us(ts) AS ts FROM events),
+             |s1 AS (SELECT user_id, COUNT(*) AS n_events,
+             |    MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1
+             |  FROM e GROUP BY 1),
+             |s2 AS (SELECT e.user_id,
+             |    MIN(CASE WHEN event_type = 'click' AND ts > t1
+             |      AND ts <= t1 + 7200000000 THEN ts END) AS t2
+             |  FROM e JOIN s1 USING (user_id) GROUP BY 1),
+             |s3 AS (SELECT e.user_id,
+             |    MIN(CASE WHEN event_type = 'purchase' AND ts > t2
+             |      AND ts <= t2 + 7200000000 THEN ts END) AS t3
+             |  FROM e JOIN s2 USING (user_id) GROUP BY 1)
+             |SELECT user_id, n_events, t1, t2, t3,
+             |  CAST(t3 IS NOT NULL AS INT) AS matched
+             |FROM s1 LEFT JOIN s2 USING (user_id)
+             |  LEFT JOIN s3 USING (user_id)
+             |ORDER BY user_id""".stripMargin)),
+
+    // One-sided CUSUM drift scores on per-user purchase cents against
+    // each user's exact median, via the max-drawup identity
+    // (prefix − clamped running min) — window-replayable on both sides.
+    QueryDef("q181_cusum_drift",
+      (s, d) => graft.ops.Profile.cusumScores(
+          eventsMicros(s, d).where(col("event_type") === "purchase")
+            .select(col("user_id"), col("ts_us"), col("event_id"),
+              round(col("value") * 100).cast("long").as("cents")),
+          "user_id", Seq("ts_us", "event_id"), "cents")
+        .select(col("key").as("user_id"), col("n"), col("median"),
+          col("cusum_max"))
+        .orderBy("user_id"),
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+             |    CAST(ROUND(value * 100) AS BIGINT) AS v
+             |  FROM events WHERE event_type = 'purchase'),
+             |r AS (SELECT user_id, v,
+             |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY v)
+             |      AS rn,
+             |    COUNT(*) OVER (PARTITION BY user_id) AS n
+             |  FROM e),
+             |med AS (SELECT user_id, v AS median FROM r
+             |  WHERE rn = (n + 1) // 2),
+             |dev AS (SELECT e.user_id, median,
+             |    e.v - median AS dv, ts_us, event_id
+             |  FROM e JOIN med USING (user_id)),
+             |pre AS (SELECT user_id, median, ts_us, event_id,
+             |    SUM(dv) OVER (PARTITION BY user_id
+             |      ORDER BY ts_us, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS pre
+             |  FROM dev),
+             |walk AS (SELECT user_id, median, pre,
+             |    LEAST(0, MIN(pre) OVER (PARTITION BY user_id
+             |      ORDER BY ts_us, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             |      AS rmin
+             |  FROM pre)
+             |SELECT user_id, COUNT(*) AS n, MAX(median) AS median,
+             |  CAST(MAX(pre - rmin) AS BIGINT) AS cusum_max
+             |FROM walk GROUP BY user_id ORDER BY user_id""".stripMargin)),
   )
 
   /** Unrolled DuckDB replay of [[graft.ops.Similarity.kCenters]]: per

@@ -178,4 +178,33 @@ class FunnelSpec extends AnyFunSuite with SparkTestBase {
     val hashEx = "(?i)exchange hashpartitioning".r.findAllIn(plan).size
     assert(hashEx == 1, plan)
   }
+
+  test("windowed funnel: in-window chains convert, out-of-window stall") {
+    val s2 = spark; import s2.implicits._
+    val ev = Seq(
+      // user 1: A(0) B(5) C(9) — every hop within gap 10
+      (1L, "A", 0L), (1L, "B", 5L), (1L, "C", 9L),
+      // user 2: B arrives 11 after A — misses the window; the later B
+      // at 30 is way out too
+      (2L, "A", 0L), (2L, "B", 11L), (2L, "B", 30L),
+      // user 3: anchor at FIRST A (t=0); B in (0,10] at 7; C within 10
+      // of 7 at 16; the earlier C at 2 must NOT count (before B)
+      (3L, "C", 2L), (3L, "A", 0L), (3L, "B", 7L), (3L, "C", 16L),
+      // user 4: first-touch semantics — the failed first entrance
+      // (A@0, no B by 10) masks the later entrance (A@95, B@100):
+      // documented strict first-entrance behavior
+      (4L, "A", 0L), (4L, "A", 95L), (4L, "B", 100L), (4L, "C", 105L)
+    ).toDF("user_id", "event_type", "ts_us")
+    val got = Funnel.matchPatternWithin(ev, "user_id", "ts_us",
+        "event_type", Seq("A", "B", "C"), maxGapUs = 10L)
+      .collect().map(r => r.getLong(0) -> (
+        Option(r.getAs[java.lang.Long]("t1")),
+        Option(r.getAs[java.lang.Long]("t2")),
+        Option(r.getAs[java.lang.Long]("t3")),
+        r.getAs[Int]("matched"))).toMap
+    assert(got(1L) == ((Some(0L), Some(5L), Some(9L), 1)), got(1L).toString)
+    assert(got(2L) == ((Some(0L), None, None, 0)), got(2L).toString)
+    assert(got(3L) == ((Some(0L), Some(7L), Some(16L), 1)), got(3L).toString)
+    assert(got(4L) == ((Some(0L), None, None, 0)), got(4L).toString)
+  }
 }

@@ -2380,4 +2380,27 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     // -> MAD = 0; zero MAD degrades to "any deviation": 92 > 0 -> one
     assert(got(2L) == ((4L, 7L, 0L, 1L)), got.toString)
   }
+
+  test("CUSUM: sustained shift accumulates, isolated spike resets") {
+    val s2 = spark; import s2.implicits._
+    // key 1: level 10 then a sustained run at 13 -> devs vs median 10:
+    // walk over [0,0,0,3,3,3] peaks at 9
+    // key 2: same median with ONE spike of +9 -> peak is the spike only
+    val ev = (Seq(10L, 10L, 10L, 13L, 13L, 13L).zipWithIndex.map {
+        case (v, i) => (1L, i.toLong, v) } ++
+      Seq(10L, 10L, 19L, 10L, 10L, 10L).zipWithIndex.map {
+        case (v, i) => (2L, i.toLong, v) })
+      .toDF("k", "t", "v")
+    val got = graft.ops.Profile.cusumScores(ev, "k", Seq("t"), "v")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) == ((6L, 10L, 9L)), got.toString)
+    assert(got(2L) == ((6L, 10L, 9L)), got.toString)
+    // slack suppresses the small sustained shift but not the spike
+    val slacked = graft.ops.Profile.cusumScores(ev, "k", Seq("t"), "v",
+        slack = 4L)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(slacked(1L) == 0L, slacked.toString)   // devs 3-4 < 0 clamp
+    assert(slacked(2L) == 5L, slacked.toString)   // 19-10-4
+  }
 }
