@@ -210,6 +210,28 @@ object Dedup {
     bucketPairs(minhashBandKeys(docs, n, numHashes, rowsPerBand),
       Seq("band", "band_key")).distinct()
 
+  /** Candidate-then-verify near-dup pairs: [[minhashCandidates]]
+    * re-scored with BOUNDED edit distance — the two-tier discipline of
+    * a production dedup pass (the sketch proposes, an exact measure
+    * disposes). LSH keeps the pair space near-linear; the expensive
+    * exact measure runs ONLY on candidates, and Spark's thresholded
+    * `levenshtein(l, r, maxDist)` early-exits at the band, making each
+    * verification O(len·maxDist) instead of O(len²) — at 100 TB the
+    * verify tier's cost is (candidates × banded edit distance), never
+    * corpus². Returns `(id1, id2, dist)` for pairs within `maxDist`.
+    */
+  def minhashVerifiedPairs(docs: DataFrame, n: Int, numHashes: Int,
+      rowsPerBand: Int, maxDist: Int): DataFrame = {
+    require(maxDist >= 0, s"maxDist=$maxDist must be >= 0")
+    val t = docs.select(col("doc_id"), col("text"))
+    minhashCandidates(docs, n, numHashes, rowsPerBand)
+      .join(t.select(col("doc_id").as("id1"), col("text").as("t1")), "id1")
+      .join(t.select(col("doc_id").as("id2"), col("text").as("t2")), "id2")
+      .withColumn("dist", levenshtein(col("t1"), col("t2"), maxDist))
+      .where(col("dist") >= 0)
+      .select("id1", "id2", "dist")
+  }
+
   /** (id, band, band_key) rows for [[minhashCandidates]] /
     * [[minhashCrossCandidates]]: signatures split into bands of
     * `rowsPerBand` slots, each band keyed by the md5 of its slot-ordered

@@ -3836,6 +3836,37 @@ object TrainingOps {
              |SELECT user_id, COUNT(*) AS n, MAX(median) AS median,
              |  CAST(MAX(pre - rmin) AS BIGINT) AS cusum_max
              |FROM walk GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Candidate-then-verify dedup tier: q42's MinHash-LSH candidates
+    // re-scored with bounded Levenshtein (<= 50 confirms the planted
+    // near-dups, false candidates sit at 200+). Fixed-id gate keeps the
+    // oracle's unbounded levenshtein constant-cost at any SF; the
+    // operator itself banded-early-exits.
+    QueryDef("q182_minhash_verified",
+      (s, d) => Dedup.minhashVerifiedPairs(
+          table(s, d, "documents").where(col("doc_id") < 2000),
+          3, 8, 2, maxDist = 50)
+        .orderBy("id1", "id2"),
+      Some(s"""WITH ${shinglesSql("doc_id < 2000")},
+              |sigs AS (SELECT id, h,
+              |    MIN(md5(CAST(h AS VARCHAR) || ':' || shingle)) AS mh
+              |  FROM sh, UNNEST(generate_series(0, 7)) t(h) GROUP BY 1, 2),
+              |bands AS (SELECT id, h // 2 AS band,
+              |    md5(array_to_string(list_sort(
+              |      list(lpad(CAST(h AS VARCHAR), 2, '0') || '=' || mh)), '|'))
+              |      AS band_key
+              |  FROM sigs GROUP BY 1, 2),
+              |cand AS (SELECT DISTINCT a.id AS id1, b.id AS id2
+              |  FROM bands a JOIN bands b
+              |    ON a.band = b.band AND a.band_key = b.band_key
+              |    AND a.id < b.id)
+              |SELECT c.id1, c.id2,
+              |  levenshtein(d1.text, d2.text) AS dist
+              |FROM cand c
+              |JOIN documents d1 ON d1.doc_id = c.id1
+              |JOIN documents d2 ON d2.doc_id = c.id2
+              |WHERE levenshtein(d1.text, d2.text) <= 50
+              |ORDER BY 1, 2""".stripMargin)),
   )
 
   /** Unrolled DuckDB replay of [[graft.ops.Similarity.kCenters]]: per

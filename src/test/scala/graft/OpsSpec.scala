@@ -2381,6 +2381,35 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got(2L) == ((4L, 7L, 0L, 1L)), got.toString)
   }
 
+  test("minhash-verified pairs: a subset of candidates, exact distances") {
+    val cand = Dedup.minhashCandidates(docs, 3, 8, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val verified = Dedup.minhashVerifiedPairs(docs, 3, 8, 2, maxDist = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(verified.nonEmpty, "planted near-dups should verify")
+    assert(verified.keySet.subsetOf(cand), "verify must not invent pairs")
+    assert(verified.values.forall(d => d >= 0 && d <= 50))
+    // spot-check one distance against a reference DP implementation
+    val ((i1, i2), d) = verified.head
+    val texts = docs.where(col("doc_id").isin(i1, i2))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def lev(a: String, b: String): Int = {
+      val prev = Array.tabulate(b.length + 1)(identity)
+      var row = prev
+      for (i <- 1 to a.length) {
+        val cur = new Array[Int](b.length + 1); cur(0) = i
+        for (j <- 1 to b.length) {
+          val sub = row(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1)
+          cur(j) = math.min(math.min(row(j) + 1, cur(j - 1) + 1), sub)
+        }
+        row = cur
+      }
+      row(b.length)
+    }
+    val full = lev(texts(i1), texts(i2))
+    assert(full == d, s"banded $d vs full $full")
+  }
+
   test("CUSUM: sustained shift accumulates, isolated spike resets") {
     val s2 = spark; import s2.implicits._
     // key 1: level 10 then a sustained run at 13 -> devs vs median 10:
