@@ -332,4 +332,36 @@ object Profile {
       .agg(count(lit(1)).as("n"), max("median").as("median"),
         max("__cur").as("cusum_max"))
   }
+
+  /** Pareto (cumulative-contribution) profile over an INTEGRAL measure:
+    * keys ranked by total descending, with each key's share and running
+    * cumulative share — "the top N sources carry X% of the tokens", the
+    * concentration report behind mixture design, skew diagnosis, and
+    * 80/20 prioritization. Ties rank by key for determinism; shares are
+    * exact integer totals divided once at the end.
+    *
+    * Shape at 100 TB: one aggregation to the key grain, then the rank
+    * and running-sum windows run on the COLLAPSED relation (one row per
+    * key) against a broadcast grand total. Note the windows are global
+    * (single partition) over that collapsed relation — fine for
+    * reporting grains (sources, hosts, shards); for billions of
+    * distinct keys, bucket the rank space first.
+    */
+  def paretoProfile(df: DataFrame, keyCol: String,
+      valueCol: String): DataFrame = {
+    val per = df.groupBy(col(keyCol).as("key"))
+      .agg(sum(col(valueCol).cast("long")).as("total"),
+        count(lit(1)).as("n_rows"))
+    val grand = per.agg(sum("total").as("grand"))
+    val wRank = Window.orderBy(col("total").desc, col("key").asc)
+    val wCum = wRank.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    per.crossJoin(broadcast(grand))
+      .withColumn("rk", row_number().over(wRank))
+      .withColumn("cum_total", sum("total").over(wCum))
+      .select(col("rk"), col("key"), col("n_rows"), col("total"),
+        (col("total").cast("double") / col("grand")).as("share"),
+        (col("cum_total").cast("double") / col("grand"))
+          .as("cum_share"))
+  }
 }

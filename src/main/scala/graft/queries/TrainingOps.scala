@@ -3867,6 +3867,37 @@ object TrainingOps {
               |JOIN documents d2 ON d2.doc_id = c.id2
               |WHERE levenshtein(d1.text, d2.text) <= 50
               |ORDER BY 1, 2""".stripMargin)),
+
+    // Pareto concentration of supplier revenue (cents): exact integer
+    // totals, one divide at the end; rank/cumulative windows run on the
+    // collapsed per-supplier relation.
+    QueryDef("q183_pareto_suppliers",
+      (s, d) => graft.ops.Profile.paretoProfile(
+          table(s, d, "lineitem").select(col("l_suppkey"),
+            round(col("l_extendedprice") * 100).cast("long").as("cents")),
+          "l_suppkey", "cents")
+        .select(col("rk"), col("key").as("l_suppkey"), col("n_rows"),
+          col("total"), round(col("share"), 9).as("share"),
+          round(col("cum_share"), 9).as("cum_share"))
+        .orderBy("rk"),
+      Some("""WITH b AS (SELECT l_suppkey,
+             |    CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+             |  FROM lineitem),
+             |per AS (SELECT l_suppkey AS key,
+             |    CAST(SUM(cents) AS BIGINT) AS total,
+             |    COUNT(*) AS n_rows
+             |  FROM b GROUP BY 1),
+             |g AS (SELECT CAST(SUM(total) AS BIGINT) AS grand FROM per),
+             |r AS (SELECT key, n_rows, total,
+             |    ROW_NUMBER() OVER (ORDER BY total DESC, key) AS rk,
+             |    CAST(SUM(total) OVER (ORDER BY total DESC, key
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS cum_total
+             |  FROM per)
+             |SELECT rk, key AS l_suppkey, n_rows, total,
+             |  ROUND(CAST(total AS DOUBLE) / grand, 9) AS share,
+             |  ROUND(CAST(cum_total AS DOUBLE) / grand, 9) AS cum_share
+             |FROM r CROSS JOIN g ORDER BY rk""".stripMargin)),
   )
 
   /** Unrolled DuckDB replay of [[graft.ops.Similarity.kCenters]]: per

@@ -2381,6 +2381,21 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got(2L) == ((4L, 7L, 0L, 1L)), got.toString)
   }
 
+  test("pareto profile: shares, ordering, and cumulative monotonicity") {
+    val s2 = spark; import s2.implicits._
+    val fix = Seq(("a", 60L), ("a", 20L), ("b", 15L), ("c", 5L))
+      .toDF("k", "v")
+    val got = graft.ops.Profile.paretoProfile(fix, "k", "v")
+      .orderBy("rk").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(got.map(t => (t._1, t._2, t._3)).toSeq ==
+      Seq((1, "a", 80L), (2, "b", 15L), (3, "c", 5L)), got.mkString(","))
+    assert(math.abs(got(0)._4 - 0.80) < 1e-12)
+    assert(math.abs(got(1)._5 - 0.95) < 1e-12)
+    assert(math.abs(got(2)._5 - 1.0) < 1e-12)
+  }
+
   test("minhash-verified pairs: a subset of candidates, exact distances") {
     val cand = Dedup.minhashCandidates(docs, 3, 8, 2)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
