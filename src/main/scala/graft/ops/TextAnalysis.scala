@@ -602,6 +602,123 @@ object TextAnalysis {
       case (syms, (a, b)) => mergeFold(syms, a, b)
     }
 
+  /** Multinomial Naive Bayes over document tokens with Laplace
+    * smoothing — the classic strong-baseline text classifier, trained
+    * and applied fully inside the engine (integer counts, one `ln` per
+    * model cell, ordered folds), so a SQL oracle replays both phases
+    * exactly. Returns one row per document:
+    * `(doc_id, actual, pred, score)` where `pred` maximizes
+    * `ln prior(c) + Σ_t tf_t · ln((n_{t,c}+1)/(N_c+V))` (ties to the
+    * smaller class label). Unseen (term, class) cells contribute the
+    * smoothed floor via the closed form
+    * `(dl − Σ_seen tf) · ln(1/(N_c+V))` — no dense vocab×class join is
+    * ever materialized.
+    *
+    * Shape at 100 TB: ONE tokenize into a (doc, term, tf) aggregation;
+    * the model is the (class, term) grain; scoring joins doc terms to
+    * the model ON THE TERM key (posting-shaped, broadcastable when
+    * classes×vocab is small) and folds per (doc, class) in term order.
+    * Train and apply read the corpus once each.
+    */
+  def naiveBayes(docs: DataFrame, classCol: String): DataFrame = {
+    val toks = docs.select(col("doc_id"), col(classCol).as("cls"),
+        split(col("text"), " ").as("t"))
+      .select(col("doc_id"), col("cls"), size(col("t")).as("dl"),
+        explode(col("t")).as("term"))
+    val tf = toks.groupBy("doc_id", "cls", "dl", "term")
+      .agg(count(lit(1)).as("tf"))
+    // model: per-(class, term) token counts; class token totals; vocab
+    val cells = tf.groupBy(col("cls").as("m_cls"), col("term"))
+      .agg(sum("tf").as("n_tc"))
+    val classTotals = cells.groupBy("m_cls").agg(sum("n_tc").as("n_c"))
+    val vocab = cells.agg(countDistinct("term").as("v"))
+    val priors = docs.groupBy(col(classCol).as("m_cls"))
+      .agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_all"))))
+    val model = cells.join(classTotals, "m_cls")
+      .crossJoin(broadcast(vocab))
+      .select(col("m_cls"), col("term"),
+        log((col("n_tc") + lit(1.0)) / (col("n_c") + col("v")))
+          .as("logp"))
+    // seen-term contribution per (doc, class), folded in term order; a
+    // (doc, class) pair sharing NO terms still needs a score (all-floor
+    // + prior), so score on the full doc × class grid (classes are a
+    // broadcast handful) with the seen sums left-joined in
+    val seen = tf.join(model, Seq("term"))
+      .groupBy("doc_id", "m_cls")
+      .agg(expr("aggregate(array_sort(collect_list(struct(term, " +
+          "tf * logp AS c))), cast(0.0 as double), (a, x) -> a + x.c)")
+          .as("seen_sum"),
+        sum("tf").as("seen_tf"))
+    val grid = tf.select("doc_id", "cls", "dl").distinct()
+      .crossJoin(broadcast(classTotals.select(col("m_cls"))))
+    val scored = grid
+      .join(seen, Seq("doc_id", "m_cls"), "left")
+      .withColumn("seen_sum", coalesce(col("seen_sum"), lit(0.0)))
+      .withColumn("seen_tf", coalesce(col("seen_tf"), lit(0L)))
+      .join(classTotals, "m_cls").crossJoin(broadcast(vocab))
+      .join(priors, "m_cls")
+      .withColumn("score",
+        log(col("n_docs").cast("double") / col("n_all")) +
+          col("seen_sum") +
+          (col("dl") - col("seen_tf")).cast("double") *
+            log(lit(1.0) / (col("n_c") + col("v"))))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("m_cls").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("doc_id"), col("cls").as("actual"),
+        col("m_cls").as("pred"), col("score"))
+  }
+
+  /** χ² feature scoring per class over document frequencies: for each
+    * (term, class), the 2×2 independence statistic
+    * `N·(AD−CB)² / ((A+B)(C+D)(A+C)(B+D))` where A = docs of the class
+    * containing the term, etc. — the standard supervised
+    * feature-selection signal (which terms CHARACTERIZE a class).
+    * Returns the top `k` terms per class by (χ², term). Contingency
+    * entries are exact integers; the statistic assembles in doubles
+    * identically on any engine (each factor is an exact small integer
+    * cast once). Zero-variance margins score 0, never NaN.
+    *
+    * Shape at 100 TB: one distinct (doc, term, class) projection, two
+    * aggregations (term-by-class and term totals + a broadcast class
+    * size table), and a rank window on the (term, class) grain — never
+    * the corpus grain.
+    */
+  def chiSquareTerms(docs: DataFrame, classCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val dt = docs.select(col("doc_id"), col(classCol).as("cls"),
+        explode(expr("array_distinct(split(text, ' '))")).as("term"))
+    val a = dt.groupBy("term", "cls").agg(count(lit(1)).as("a"))
+    val termDf = a.groupBy("term").agg(sum("a").as("df"))
+    val clsDocs = docs.groupBy(col(classCol).as("cls"))
+      .agg(count(lit(1)).as("n_cls"))
+    val n = docs.agg(count(lit(1)).as("n_all"))
+    val scored = a.join(termDf, "term").join(broadcast(clsDocs), "cls")
+      .crossJoin(broadcast(n))
+      .withColumn("b", col("df") - col("a"))
+      .withColumn("c", col("n_cls") - col("a"))
+      .withColumn("d",
+        col("n_all") - col("n_cls") - col("b"))
+      .withColumn("chi2", {
+        val det = (col("a") * col("d") - col("c") * col("b"))
+          .cast("double")
+        val den = (col("a") + col("b")).cast("double") *
+          (col("c") + col("d")).cast("double") *
+          (col("a") + col("c")).cast("double") *
+          (col("b") + col("d")).cast("double")
+        when(den > 0, col("n_all").cast("double") * det * det / den)
+          .otherwise(lit(0.0))
+      })
+    val w = Window.partitionBy("cls")
+      .orderBy(col("chi2").desc, col("term").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select("cls", "rk", "term", "a", "chi2")
+  }
+
   /** All-pairs sparse cosine similarity over n-gram-shingle TF-IDF
     * vectors at a threshold — the inverted-index similarity join
     * (Bayardo et al., "Scaling Up All Pairs Similarity Search", WWW'07

@@ -3898,6 +3898,106 @@ object TrainingOps {
              |  ROUND(CAST(total AS DOUBLE) / grand, 9) AS share,
              |  ROUND(CAST(cum_total AS DOUBLE) / grand, 9) AS cum_share
              |FROM r CROSS JOIN g ORDER BY rk""".stripMargin)),
+
+    // Multinomial Naive Bayes source classifier (Laplace smoothing),
+    // trained and applied in-engine; unseen (term, class) cells enter
+    // via the closed-form floor, and per-(doc, class) folds run in term
+    // order on both sides. Fixed-id gate (q41 discipline): the oracle's
+    // per-(doc, class) list folds exhaust DuckDB's allocator at sf1
+    // ungated; doc_id < 20000 covers every doc at sf<=0.1 and exactly
+    // copy 0 at synthesized scales, keeping replay cost constant.
+    QueryDef("q184_naive_bayes",
+      (s, d) => TextAnalysis.naiveBayes(
+          table(s, d, "documents").where(col("doc_id") < 20000),
+          "source")
+        .select(col("doc_id"), col("actual"), col("pred"),
+          round(col("score"), 6).as("score"))
+        .orderBy("doc_id"),
+      Some("""WITH docs AS (SELECT * FROM documents
+             |  WHERE doc_id < 20000),
+             |toks AS (SELECT doc_id, source AS cls,
+             |    len(string_split(text, ' ')) AS dl,
+             |    UNNEST(string_split(text, ' ')) AS term
+             |  FROM docs),
+             |tf AS (SELECT doc_id, cls, dl, term, COUNT(*) AS tf
+             |  FROM toks GROUP BY 1, 2, 3, 4),
+             |cells AS (SELECT cls AS m_cls, term,
+             |    CAST(SUM(tf) AS BIGINT) AS n_tc
+             |  FROM tf GROUP BY 1, 2),
+             |ct AS (SELECT m_cls, CAST(SUM(n_tc) AS BIGINT) AS n_c
+             |  FROM cells GROUP BY 1),
+             |vv AS (SELECT COUNT(DISTINCT term) AS v FROM cells),
+             |pri AS (SELECT source AS m_cls, COUNT(*) AS n_docs
+             |  FROM docs GROUP BY 1),
+             |na AS (SELECT COUNT(*) AS n_all FROM docs),
+             |model AS (SELECT m_cls, term,
+             |    ln((n_tc + 1.0) / (n_c + v)) AS logp
+             |  FROM cells JOIN ct USING (m_cls) CROSS JOIN vv),
+             |seen AS (SELECT tf.doc_id, m.m_cls,
+             |    list_reduce(list(tf * logp ORDER BY term),
+             |      (a, b) -> a + b) AS seen_sum,
+             |    CAST(SUM(tf) AS BIGINT) AS seen_tf
+             |  FROM tf JOIN model m USING (term) GROUP BY 1, 2),
+             |grid AS (SELECT d.doc_id, d.cls, d.dl, c.m_cls
+             |  FROM (SELECT DISTINCT doc_id, cls, dl FROM tf) d
+             |  CROSS JOIN ct c),
+             |scored AS (SELECT g.doc_id, g.cls, g.m_cls,
+             |    ln(CAST(n_docs AS DOUBLE) / n_all)
+             |      + COALESCE(seen_sum, 0.0)
+             |      + (g.dl - COALESCE(seen_tf, 0))
+             |        * ln(1.0 / (n_c + v)) AS score
+             |  FROM grid g
+             |  LEFT JOIN seen s
+             |    ON s.doc_id = g.doc_id AND s.m_cls = g.m_cls
+             |  JOIN ct ON ct.m_cls = g.m_cls
+             |  CROSS JOIN vv
+             |  JOIN pri ON pri.m_cls = g.m_cls
+             |  CROSS JOIN na)
+             |SELECT doc_id, cls AS actual, m_cls AS pred,
+             |  ROUND(score, 6) AS score
+             |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+             |    ORDER BY score DESC, m_cls) AS rk FROM scored)
+             |WHERE rk = 1 ORDER BY doc_id""".stripMargin)),
+
+    // Chi-square feature selection: top-5 class-characterizing terms
+    // per source by the 2x2 doc-frequency statistic; exact integer
+    // contingency cells assembled into doubles identically both sides.
+    QueryDef("q185_chi2_terms",
+      (s, d) => TextAnalysis.chiSquareTerms(table(s, d, "documents"),
+          "source", k = 5)
+        .select(col("cls"), col("rk"), col("term"), col("a"),
+          round(col("chi2"), 6).as("chi2"))
+        .orderBy("cls", "rk"),
+      Some("""WITH dt AS (SELECT DISTINCT doc_id, source AS cls, term
+             |  FROM (SELECT doc_id, source,
+             |      UNNEST(string_split(text, ' ')) AS term
+             |    FROM documents)),
+             |a AS (SELECT term, cls, COUNT(*) AS a
+             |  FROM dt GROUP BY 1, 2),
+             |df AS (SELECT term, CAST(SUM(a) AS BIGINT) AS df
+             |  FROM a GROUP BY 1),
+             |cd AS (SELECT source AS cls, COUNT(*) AS n_cls
+             |  FROM documents GROUP BY 1),
+             |na AS (SELECT COUNT(*) AS n_all FROM documents),
+             |sc AS (SELECT a.cls, a.term, a.a,
+             |    df - a.a AS b, n_cls - a.a AS c,
+             |    n_all - n_cls - (df - a.a) AS d, n_all
+             |  FROM a JOIN df USING (term) JOIN cd USING (cls)
+             |  CROSS JOIN na),
+             |chi AS (SELECT cls, term, a,
+             |    CASE WHEN CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+             |        * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE) > 0
+             |      THEN CAST(n_all AS DOUBLE)
+             |        * CAST(a * d - c * b AS DOUBLE)
+             |        * CAST(a * d - c * b AS DOUBLE)
+             |        / (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+             |          * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE))
+             |      ELSE 0.0 END AS chi2
+             |  FROM sc)
+             |SELECT cls, rk, term, a, ROUND(chi2, 6) AS chi2
+             |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY cls
+             |    ORDER BY chi2 DESC, term) AS rk FROM chi)
+             |WHERE rk <= 5 ORDER BY cls, rk""".stripMargin)),
   )
 
   /** Unrolled DuckDB replay of [[graft.ops.Similarity.kCenters]]: per

@@ -2381,6 +2381,49 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got(2L) == ((4L, 7L, 0L, 1L)), got.toString)
   }
 
+  test("naive Bayes: separable classes self-classify; floors cover " +
+      "zero-overlap pairs") {
+    val s2 = spark; import s2.implicits._
+    val fix = Seq(
+      (1L, "apple banana apple", "fruit"),
+      (2L, "banana apple banana", "fruit"),
+      (3L, "bolt nut bolt", "tool"),
+      (4L, "nut bolt nut", "tool")
+    ).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.naiveBayes(fix, "source")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getDouble(3))).toMap
+    assert(got.size == 4)
+    // fruit docs share ZERO terms with the tool model and vice versa —
+    // the all-floor branch must still score and pick correctly
+    got.foreach { case (id, (actual, pred, score)) =>
+      assert(actual == pred, s"doc $id: $actual vs $pred")
+      assert(!score.isNaN && score < 0.0)
+    }
+    // hand-check doc 1's winning score: prior ln(2/4) + Laplace terms
+    // over n_c = 6 fruit tokens, V = 4 vocab: apple tf2 (n=3), banana
+    // tf1 (n=3)
+    val want = math.log(2.0 / 4) + 3 * math.log((3 + 1.0) / (6 + 4))
+    assert(math.abs(got(1L)._3 - want) < 1e-12, s"${got(1L)._3} vs $want")
+  }
+
+  test("chi-square terms: hand-computed 2x2 and class exclusivity") {
+    val s2 = spark; import s2.implicits._
+    val fix = Seq(
+      (1L, "x common", "p"), (2L, "x common", "p"),
+      (3L, "y common", "q"), (4L, "y common", "q")
+    ).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.chiSquareTerms(fix, "source", k = 2)
+      .collect().map(r => (r.getString(0), r.getString(2)) ->
+        (r.getLong(3), r.getDouble(4))).toMap
+    // term x in class p: A=2 B=0 C=0 D=2 -> chi2 = 4*16/16 = 4 (perfect)
+    assert(got(("p", "x")) == ((2L, 4.0)), got.toString)
+    assert(got(("q", "y")) == ((2L, 4.0)), got.toString)
+    // 'common' appears everywhere: A=2 B=2 C=0 D=0 -> a zero margin ->
+    // the guard scores it 0, never NaN
+    assert(got(("p", "common"))._2 == 0.0, got.toString)
+  }
+
   test("pareto profile: shares, ordering, and cumulative monotonicity") {
     val s2 = spark; import s2.implicits._
     val fix = Seq(("a", 60L), ("a", 20L), ("b", 15L), ("c", 5L))
