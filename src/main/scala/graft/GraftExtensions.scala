@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FloatDot, NfcNormalize, PorterStem}
+import graft.functions.{FloatCosine, FloatDot, NfcNormalize, PorterStem}
 
 /** Session-extension registration: makes graft's native expressions
   * available to pure-SQL users at session construction, with no code call —
@@ -29,5 +29,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
       (exprs: Seq[Expression]) => graft.functions.buildNfcNormalize(exprs)))
+    e.injectFunction((
+      FunctionIdentifier("float_cosine"),
+      new ExpressionInfo(classOf[FloatCosine].getName, "float_cosine"),
+      (exprs: Seq[Expression]) => graft.functions.buildFloatCosine(exprs)))
   }
 }

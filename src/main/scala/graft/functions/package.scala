@@ -20,6 +20,13 @@ package object functions {
   /** Unicode NFC canonical composition of a string column. */
   def nfc_normalize(c: Column): Column = toColumn(NfcNormalize(toExpr(c)))
 
+  /** Fused cosine of two `array<float>` columns: one array pass for
+    * dot + both norms; bit-identical to
+    * `float_dot(a,b)/(sqrt(float_dot(a,a))*sqrt(float_dot(b,b)))`.
+    */
+  def float_cosine(a: Column, b: Column): Column =
+    toColumn(FloatCosine(toExpr(a), toExpr(b)))
+
   /** Register graft SQL functions on a session (idempotent), enabling
     * `SELECT porter_stem(col)` in `spark.sql`.
     */
@@ -30,6 +37,8 @@ package object functions {
       "float_dot", exprs => buildFloatDot(exprs), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "nfc_normalize", exprs => buildNfcNormalize(exprs), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "float_cosine", exprs => buildFloatCosine(exprs), "scala_udf")
   }
 
   private[graft] def buildPorterStem(exprs: Seq[Expression]): PorterStem = {
@@ -48,5 +57,11 @@ package object functions {
     require(exprs.length == 1,
       s"nfc_normalize requires exactly 1 argument, got ${exprs.length}")
     NfcNormalize(exprs.head)
+  }
+
+  private[graft] def buildFloatCosine(exprs: Seq[Expression]): FloatCosine = {
+    require(exprs.length == 2,
+      s"float_cosine requires exactly 2 arguments, got ${exprs.length}")
+    FloatCosine(exprs(0), exprs(1))
   }
 }

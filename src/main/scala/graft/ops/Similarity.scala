@@ -24,7 +24,12 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Fused native expression: dot + both norms in ONE array pass
+    * (bit-identical to `dot(a,b)/(norm(a)*norm(b))` — see
+    * [[graft.functions.FloatCosine]]; the spec pins the equivalence).
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.float_cosine(a, b)
 
   /** Int8 scalar quantization (SQ8) of the embedding column — the third
     * member of the quantization family next to [[pqIndex]] (PQ) and
