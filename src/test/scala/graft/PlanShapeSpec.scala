@@ -556,4 +556,19 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert("(?i)exchange hashpartitioning".r.findAllIn(p).size == 1, p)
     assert("(?i)\\bwindow\\b".r.findAllIn(p.toLowerCase).size >= 1, p)
   }
+
+  test("naive Bayes: model joins hash/broadcast, never cartesian on " +
+      "the corpus") {
+    val p = plan(TextAnalysis.naiveBayes(docs, "source"))
+    assert(!"(?i)cartesianproduct".r.findAllIn(p).hasNext, p)
+    // the doc-terms x model join must be an equi-join on the term
+    assert("(?i)hashjoin|sortmergejoin".r.findAllIn(p).nonEmpty, p)
+  }
+
+  test("chi-square terms: class sizes broadcast; ranking on the " +
+      "(term, class) grain") {
+    val p = plan(TextAnalysis.chiSquareTerms(docs, "source", 5))
+    assert("(?i)broadcastexchange".r.findAllIn(p).size >= 2, p)
+    assert(!"(?i)cartesianproduct".r.findAllIn(p).hasNext, p)
+  }
 }
