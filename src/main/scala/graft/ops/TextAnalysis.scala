@@ -625,8 +625,13 @@ object TextAnalysis {
         split(col("text"), " ").as("t"))
       .select(col("doc_id"), col("cls"), size(col("t")).as("dl"),
         explode(col("t")).as("term"))
+    // tf feeds the model build, the scoring join, AND the doc grid —
+    // materialize once (localCheckpoint: eager, lineage-truncating,
+    // blocks reclaimed by the context cleaner) instead of paying the
+    // tokenize+aggregate three times
     val tf = toks.groupBy("doc_id", "cls", "dl", "term")
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     // model: per-(class, term) token counts; class token totals; vocab
     val cells = tf.groupBy(col("cls").as("m_cls"), col("term"))
       .agg(sum("tf").as("n_tc"))
