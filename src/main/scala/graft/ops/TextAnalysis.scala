@@ -632,15 +632,23 @@ object TextAnalysis {
     val tf = toks.groupBy("doc_id", "cls", "dl", "term")
       .agg(count(lit(1)).as("tf"))
       .localCheckpoint(true)
-    // model: per-(class, term) token counts; class token totals; vocab
+    // model: per-(class, term) token counts — the (class × vocab) grain
+    // is tiny, and THREE derivations read it (log-probs, class totals,
+    // vocab size), so it checkpoints too; everything model-sized below
+    // is broadcast, keeping the whole tail to a handful of stages (a
+    // first cut with one window + per-branch re-aggregation planned 24
+    // exchanges of tiny data and paid ~7 s of pure stage overhead)
     val cells = tf.groupBy(col("cls").as("m_cls"), col("term"))
-      .agg(sum("tf").as("n_tc"))
+      .agg(sum("tf").as("n_tc")).localCheckpoint(true)
     val classTotals = cells.groupBy("m_cls").agg(sum("n_tc").as("n_c"))
     val vocab = cells.agg(countDistinct("term").as("v"))
-    val priors = docs.groupBy(col(classCol).as("m_cls"))
+    // doc grain + priors derive from tf — the raw docs are never
+    // re-scanned
+    val docsOnly = tf.select("doc_id", "cls", "dl").distinct()
+    val priors = docsOnly.groupBy(col("cls").as("m_cls"))
       .agg(count(lit(1)).as("n_docs"))
-      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_all"))))
-    val model = cells.join(classTotals, "m_cls")
+      .crossJoin(broadcast(docsOnly.agg(count(lit(1)).as("n_all"))))
+    val model = cells.join(broadcast(classTotals), "m_cls")
       .crossJoin(broadcast(vocab))
       .select(col("m_cls"), col("term"),
         log((col("n_tc") + lit(1.0)) / (col("n_c") + col("v")))
@@ -649,31 +657,38 @@ object TextAnalysis {
     // (doc, class) pair sharing NO terms still needs a score (all-floor
     // + prior), so score on the full doc × class grid (classes are a
     // broadcast handful) with the seen sums left-joined in
-    val seen = tf.join(model, Seq("term"))
+    val seen = tf.join(broadcast(model), Seq("term"))
       .groupBy("doc_id", "m_cls")
       .agg(expr("aggregate(array_sort(collect_list(struct(term, " +
           "tf * logp AS c))), cast(0.0 as double), (a, x) -> a + x.c)")
           .as("seen_sum"),
         sum("tf").as("seen_tf"))
-    val grid = tf.select("doc_id", "cls", "dl").distinct()
+    // dense class index so the per-doc argmax is ONE struct-max partial
+    // aggregation instead of a row_number window (ties: higher score,
+    // then the alphabetically SMALLER class via the negated index); the
+    // global window only ever orders the ≤|classes| rows
+    val classIdx = classTotals.select(col("m_cls"))
+      .withColumn("__cid",
+        row_number().over(Window.orderBy("m_cls")))
+    val grid = docsOnly
       .crossJoin(broadcast(classTotals.select(col("m_cls"))))
     val scored = grid
       .join(seen, Seq("doc_id", "m_cls"), "left")
       .withColumn("seen_sum", coalesce(col("seen_sum"), lit(0.0)))
       .withColumn("seen_tf", coalesce(col("seen_tf"), lit(0L)))
-      .join(classTotals, "m_cls").crossJoin(broadcast(vocab))
-      .join(priors, "m_cls")
+      .join(broadcast(classTotals), "m_cls").crossJoin(broadcast(vocab))
+      .join(broadcast(priors), "m_cls")
+      .join(broadcast(classIdx), "m_cls")
       .withColumn("score",
         log(col("n_docs").cast("double") / col("n_all")) +
           col("seen_sum") +
           (col("dl") - col("seen_tf")).cast("double") *
             log(lit(1.0) / (col("n_c") + col("v"))))
-    val w = Window.partitionBy("doc_id")
-      .orderBy(col("score").desc, col("m_cls").asc)
-    scored.withColumn("rk", row_number().over(w))
-      .where(col("rk") === 1)
-      .select(col("doc_id"), col("cls").as("actual"),
-        col("m_cls").as("pred"), col("score"))
+    scored.groupBy("doc_id")
+      .agg(max(struct(col("score"), (-col("__cid")).as("nc"),
+        col("m_cls").as("pc"), col("cls").as("ac"))).as("m"))
+      .select(col("doc_id"), col("m.ac").as("actual"),
+        col("m.pc").as("pred"), col("m.score").as("score"))
   }
 
   /** χ² feature scoring per class over document frequencies: for each
