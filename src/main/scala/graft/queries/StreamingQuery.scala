@@ -65,6 +65,47 @@ object StreamingQuery {
     }
   }
 
+  /** [[runStream]] in UPDATE output mode — required by
+    * `mapGroupsWithState`, which append mode rejects. The memory sink
+    * then holds one row per key PER EMITTING MICRO-BATCH, so shapes
+    * over update-mode sinks must collapse to the final state per key
+    * (running counters are monotone — take the max-count row), never
+    * assume one row per key.
+    */
+  private def runStreamUpdate(s: SparkSession, d: String,
+      sinkName: String)(transform: DataFrame => DataFrame)(
+      shape: DataFrame => DataFrame): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set("spark.sql.session.timeZone", "UTC")
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream")
+    try {
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$d/events.parquet"),
+        dir.resolve("events.parquet"))
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val raw = s.readStream.schema(schema).parquet(dir.toString)
+      val stream = schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+      }
+      val name = s"${sinkName}_${System.nanoTime()}"
+      val q = transform(stream)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try q.processAllAvailable() finally q.stop()
+      val res = shape(s.table(name))
+      val rows = res.collect()
+      s.catalog.dropTempView(name)
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      QueryDef.deleteRecursively(dir)
+    }
+  }
+
   /** The windowed-aggregation result shape shared by q65/q85. */
   private val windowShape: DataFrame => DataFrame = df =>
     df.select(col("window_start"), col("event_type"), col("n"),
@@ -219,5 +260,27 @@ object StreamingQuery {
              |  n_events, total_value
              |FROM agg, cutoff WHERE end_us <= wm
              |ORDER BY user_id, session_start""".stripMargin)),
+
+    // Arbitrary stateful processing (mapGroupsWithState) as a battery
+    // entry: running per-user totals in update mode; the shape keeps
+    // each key's max-count emission (counters are monotone), which IS
+    // the final state — replayed by a plain aggregate oracle. Float
+    // sums round to 4 dp (the q65 discipline: state-fold order is not
+    // the oracle's sum order).
+    QueryDef("q186_streaming_state",
+      (s, d) => runStreamUpdate(s, d, "stream_state")(df => {
+        import s.implicits._
+        Streams.runningUserTotals(
+          df.select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value")).as[Streams.Event]).toDF
+      })(df => df
+        .groupBy("user_id")
+        .agg(max(struct(col("n_events"), col("total_value"))).as("m"))
+        .select(col("user_id"), col("m.n_events").as("n_events"),
+          round(col("m.total_value"), 4).as("total_value"))
+        .orderBy("user_id")),
+      Some("""SELECT user_id, COUNT(*) AS n_events,
+             |  ROUND(SUM(value), 4) AS total_value
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 }
