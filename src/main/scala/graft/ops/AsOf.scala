@@ -106,6 +106,9 @@ object AsOf {
     * Within a bucket the "last" observation is the max by `orderCols`
     * (pass timestamp + tie-breaker id), reduced by a lexicographic
     * struct-max — an ordinary partial-aggregating `max`, no collect.
+    * A null `valueCol` on the winning row reads as unobserved for that
+    * bucket (`observed = 0`, carry continues) — filter nulls upstream
+    * if they should claim their bucket.
     *
     * Shape at 100 TB: one (key, bucket) aggregation; the spine is a
     * narrow per-key `sequence` explode (rows = key's lifetime/step, the

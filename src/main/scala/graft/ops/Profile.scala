@@ -338,7 +338,10 @@ object Profile {
     * cumulative share — "the top N sources carry X% of the tokens", the
     * concentration report behind mixture design, skew diagnosis, and
     * 80/20 prioritization. Ties rank by key for determinism; shares are
-    * exact integer totals divided once at the end.
+    * exact integer totals divided once at the end. The measure should
+    * be non-negative — with mixed-sign totals "share of grand total"
+    * stops being a concentration statement (shares can exceed 1 or go
+    * negative), though the arithmetic stays exact.
     *
     * Shape at 100 TB: one aggregation to the key grain, then the rank
     * and running-sum windows run on the COLLAPSED relation (one row per
