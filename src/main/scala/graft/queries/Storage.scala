@@ -132,5 +132,47 @@ object Storage {
              |  COUNT(DISTINCT source) AS n_sources
              |FROM documents WHERE lang IN ('en', 'de')
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Schema evolution: two parquet batches with DIFFERENT schemas (an
+    // early crawl without quality, a later one with it) land in one
+    // dataset; mergeSchema unifies them, old rows read NULL for the new
+    // column. The oracle replays the union-with-nulls semantics; the
+    // per-batch aggregate pins that the column really is absent (not
+    // defaulted) for the old batch.
+    QueryDef("q187_schema_evolution",
+      (s, d) => {
+        val docs = table(s, d, "documents")
+        val tmp = java.nio.file.Files.createTempDirectory("graft_evo")
+        try {
+          docs.where(col("doc_id") % 2 === 0)
+            .select(col("doc_id"), col("lang"), lit(0).as("batch"))
+            .write.mode("append").parquet(tmp.toString)
+          docs.where(col("doc_id") % 2 === 1)
+            .select(col("doc_id"), col("lang"), lit(1).as("batch"),
+              (col("n_chars") % 100).cast("int").as("quality"))
+            .write.mode("append").parquet(tmp.toString)
+          val res = s.read.option("mergeSchema", "true")
+            .parquet(tmp.toString)
+            .groupBy("batch")
+            .agg(count(lit(1)).as("n"),
+              count(col("quality")).as("n_with_quality"),
+              sum("quality").as("quality_sum"))
+            .orderBy("batch")
+          val rows = res.collect()
+          s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+        } finally QueryDef.deleteRecursively(tmp)
+      },
+      Some("""WITH evo AS (
+             |  SELECT doc_id, lang, 0 AS batch,
+             |    CAST(NULL AS INT) AS quality
+             |  FROM documents WHERE doc_id % 2 = 0
+             |  UNION ALL
+             |  SELECT doc_id, lang, 1,
+             |    CAST(n_chars % 100 AS INT)
+             |  FROM documents WHERE doc_id % 2 = 1)
+             |SELECT batch, COUNT(*) AS n,
+             |  COUNT(quality) AS n_with_quality,
+             |  CAST(SUM(quality) AS BIGINT) AS quality_sum
+             |FROM evo GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 }
