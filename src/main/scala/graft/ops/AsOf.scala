@@ -101,7 +101,11 @@ object AsOf {
     * value across empty buckets — the standard densification before
     * windowed feature extraction / model training on sensor, price, or
     * metric streams. Returns `(key, bkt, filled, observed)`; `filled` is
-    * never null because each key's grid starts at an observed bucket.
+    * non-null from each key's first bucket with a non-null observation
+    * onward (each key's grid starts at an observed bucket, so when
+    * `valueCol` is never null that is bucket one — but see the caveat
+    * below: a key whose FIRST bucket's winning row carries a null value
+    * yields null `filled` until its first non-null observation).
     *
     * Within a bucket the "last" observation is the max by `orderCols`
     * (pass timestamp + tie-breaker id), reduced by a lexicographic

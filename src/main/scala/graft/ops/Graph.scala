@@ -158,6 +158,16 @@ object Graph {
     * and an aggregation, all hash-partitioned; nothing driver-side.
     */
   def triangles(edges: DataFrame): DataFrame = {
+    // ids are cast to long for the degree-ordered orientation; a
+    // non-numeric id column (e.g. the string hosts coCitation emits)
+    // would cast to NULL and silently drop every edge, so reject it
+    // here — map string nodes through a dictionary (dense ids) first
+    for (c <- Seq("src", "dst")) {
+      val dt = edges.schema(c).dataType
+      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"triangles: column '$c' must be numeric (got ${dt.simpleString}); " +
+          "dictionary-encode string node ids before calling")
+    }
     val e = edges.select(least(col("src"), col("dst")).cast("long").as("u"),
         greatest(col("src"), col("dst")).cast("long").as("v"))
       .where(col("u") =!= col("v")).distinct()

@@ -974,8 +974,11 @@ object Similarity {
     val s2 = corpus.sparkSession; import s2.implicits._
     val base = corpus.select(col("vec_id"), col("embedding"))
       .withColumn("n2", dot(col("embedding"), col("embedding")))
-    val seed = base.orderBy("vec_id").limit(1)
-      .select(col("vec_id"), col("embedding"), col("n2")).collect().head
+    val seedOpt = base.orderBy("vec_id").limit(1)
+      .select(col("vec_id"), col("embedding"), col("n2")).collect().headOption
+    if (seedOpt.isEmpty) // empty corpus: empty selection, not an exception
+      return s2.emptyDataset[(Int, Long, Double)].toDF("rk", "vec_id", "d2")
+    val seed = seedOpt.get
     var chosen = Vector((seed.getLong(0), seed.getSeq[Float](1), 0.0,
       seed.getDouble(2)))
     var exhausted = false

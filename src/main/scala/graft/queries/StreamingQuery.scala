@@ -261,6 +261,99 @@ object StreamingQuery {
              |FROM agg, cutoff WHERE end_us <= wm
              |ORDER BY user_id, session_start""".stripMargin)),
 
+    // Stream-stream LEFT OUTER interval join: q93's attribution plus the
+    // rows q93 cannot express — purchases with NO same-user click in the
+    // preceding 30 minutes emit once with NULL click columns, after the
+    // click-side watermark passes their purchase_ts (no future click with
+    // click_ts <= purchase_ts can arrive, so Spark evicts the row and
+    // emits the null-padded result in the watermark-advancing batch).
+    // The oracle replays both parts: the batch interval join for matches,
+    // and an anti-join gated on the final GLOBAL watermark for the null
+    // emissions. Two empirically-pinned subtleties: (1) each branch's
+    // watermark node sits AFTER its event_type filter, so the global
+    // watermark is the MIN of (max click ms, max purchase ms) - 2 h —
+    // NOT max over all events; (2) the condition bounds clicks at or
+    // BEFORE the purchase, so a purchase is unmatchable (and its null
+    // row emitted) as soon as the watermark passes purchase_ts itself —
+    // the time-range delay lands on the side waiting for LATER events,
+    // which this join shape has none of. Purchases at or after the
+    // final watermark are absent from BOTH sides, exactly like q65's
+    // unfinalized windows. NULL click_id sorts first on both engines
+    // (Spark ASC default; NULLS FIRST pinned in the SQL).
+    QueryDef("q188_streaming_left_join",
+      (s, d) => runStream(s, d, "stream_left_join")(
+        Streams.attributedPurchases(_, "30 minutes", "2 hours",
+          joinType = "left_outer"))(df =>
+        df.select(col("purchase_id"), col("click_id"), col("user_id"),
+            col("lag_us"), round(col("value"), 4).as("value"))
+          .orderBy("purchase_id", "click_id")),
+      Some("""WITH cutoff AS (
+             |  SELECT (LEAST(
+             |      MAX(CASE WHEN event_type = 'click'
+             |        THEN epoch_us(ts) END) // 1000,
+             |      MAX(CASE WHEN event_type = 'purchase'
+             |        THEN epoch_us(ts) END) // 1000) - 7200000) * 1000
+             |    AS wm_us FROM events),
+             |p AS (SELECT event_id AS purchase_id, user_id, ts, value
+             |  FROM events WHERE event_type = 'purchase'),
+             |c AS (SELECT event_id AS click_id, user_id, ts
+             |  FROM events WHERE event_type = 'click'),
+             |m AS (SELECT p.purchase_id, c.click_id, p.user_id,
+             |    epoch_us(p.ts) - epoch_us(c.ts) AS lag_us,
+             |    ROUND(p.value, 4) AS value
+             |  FROM p JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+             |    AND epoch_us(c.ts) >= epoch_us(p.ts) - 1800000000),
+             |u AS (SELECT p.purchase_id, CAST(NULL AS BIGINT) AS click_id,
+             |    p.user_id, CAST(NULL AS BIGINT) AS lag_us,
+             |    ROUND(p.value, 4) AS value
+             |  FROM p, cutoff
+             |  WHERE epoch_us(p.ts) < wm_us
+             |    AND NOT EXISTS (SELECT 1 FROM c
+             |      WHERE c.user_id = p.user_id AND c.ts <= p.ts
+             |        AND epoch_us(c.ts) >= epoch_us(p.ts) - 1800000000))
+             |SELECT * FROM (SELECT * FROM m UNION ALL SELECT * FROM u)
+             |ORDER BY purchase_id, click_id NULLS FIRST""".stripMargin)),
+
+    // Arbitrary stateful processing WITH event-time timeout
+    // (flatMapGroupsWithState + GroupStateTimeout.EventTimeTimeout):
+    // gap-based sessions where idle keys are EVICTED — their matured
+    // sessions emitted and their state removed — once the watermark
+    // passes the session end. Semantics equal the built-in session
+    // window, so the oracle is q143's session replay with the cutoff at
+    // Spark's millisecond-grain watermark (max event ms - 30 min);
+    // trailing sessions the watermark never passed are absent from both
+    // sides. start_us stays exact integer microseconds.
+    QueryDef("q189_streaming_timeout",
+      (s, d) => runStream(s, d, "stream_timeout")(df => {
+        import s.implicits._
+        Streams.sessionsWithTimeout(
+          df.select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value")).as[Streams.Event]).toDF()
+      })(df =>
+        df.select(col("user_id"), col("start_us"), col("n_events"),
+            round(col("total_value"), 4).as("total_value"))
+          .orderBy("user_id", "start_us")),
+      Some("""WITH cutoff AS (
+             |  SELECT (MAX(epoch_us(ts)) // 1000 - 1800000) * 1000
+             |    AS wm_us FROM events),
+             |e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+             |flagged AS (SELECT user_id, us, value,
+             |    CASE WHEN us - LAG(us) OVER (PARTITION BY user_id
+             |        ORDER BY us) > 1800000000
+             |      THEN 1 ELSE 0 END AS new_s
+             |  FROM e),
+             |sess AS (SELECT user_id, us, value,
+             |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+             |      ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM flagged),
+             |agg AS (SELECT user_id, sid, MIN(us) AS start_us,
+             |    MAX(us) + 1800000000 AS end_us,
+             |    COUNT(*) AS n_events, ROUND(SUM(value), 4) AS total_value
+             |  FROM sess GROUP BY 1, 2)
+             |SELECT user_id, start_us, n_events, total_value
+             |FROM agg, cutoff WHERE end_us <= wm_us
+             |ORDER BY user_id, start_us""".stripMargin)),
+
     // Arbitrary stateful processing (mapGroupsWithState) as a battery
     // entry: running per-user totals in update mode; the shape keeps
     // each key's max-count emission (counters are monotone), which IS

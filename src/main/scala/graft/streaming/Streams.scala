@@ -95,7 +95,9 @@ object Streams {
     * oracle replays).
     */
   def attributedPurchases(events: DataFrame, horizon: String = "30 minutes",
-      watermark: String = "2 hours"): DataFrame = {
+      watermark: String = "2 hours", joinType: String = "inner"): DataFrame = {
+    require(Set("inner", "left_outer")(joinType),
+      s"joinType=$joinType must be inner or left_outer")
     val clicks = events.where(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
         col("ts").as("click_ts"))
@@ -104,10 +106,27 @@ object Streams {
       .select(col("event_id").as("purchase_id"), col("user_id"),
         col("ts").as("purchase_ts"), col("value"))
       .withWatermark("purchase_ts", watermark)
+    // LEFT OUTER: matches emit as they form (exactly the inner results);
+    // a purchase that saw NO same-user click in its horizon emits ONCE
+    // with NULL click columns after the global watermark passes its
+    // purchase_ts — the condition bounds clicks at or BEFORE the
+    // purchase, so once no click older than purchase_ts can arrive the
+    // row is unmatchable, evicted, and emitted null-padded. (Two facts
+    // a caller must know, both pinned by the q188 oracle: the global
+    // watermark is the MIN over the two branch watermarks, each
+    // computed from its own FILTERED event subset; and the outer delay
+    // would additionally include the condition's time range on a join
+    // shape that waits for LATER events, which this one does not.)
+    // This is the
+    // attribution shape real pipelines need ("purchases with no
+    // preceding click") and it costs NOTHING over the inner join: same
+    // state stores, same eviction bound — the unmatched rows were being
+    // tracked (and dropped) anyway.
     purchases.join(clicks,
       col("user_id") === col("click_user") &&
         col("click_ts") <= col("purchase_ts") &&
-        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $horizon"))
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $horizon"),
+      joinType)
       .select(col("purchase_id"), col("click_id"), col("user_id"),
         (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
           .as("lag_us"),
@@ -127,6 +146,93 @@ object Streams {
     events
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
+
+  final case class SessionOut(user_id: Long, start_us: Long,
+      n_events: Long, total_value: Double)
+
+  /** One open-or-matured session in [[SessionState]]: event-time bounds
+    * in exact microseconds plus the running aggregates.
+    */
+  final case class Sess(start_us: Long, last_us: Long, n: Long, total: Double)
+
+  final case class SessionState(sessions: List[Sess])
+
+  /** Gap-based sessionization via `flatMapGroupsWithState` with
+    * `GroupStateTimeout.EventTimeTimeout` — the arbitrary-stateful
+    * analog of [[sessionAggs]], and the state-BOUNDEDNESS shape
+    * [[runningUserTotals]] does not exercise: a key that goes idle is
+    * EVICTED (its final sessions emitted, its state removed) once the
+    * watermark passes its last session's end, so state never grows with
+    * the number of keys ever seen — only with the keys active inside
+    * the watermark horizon. That is the standard production contract
+    * for abandoned-key cleanup (cart abandonment, device churn).
+    *
+    * Semantics match the built-in session window exactly (the q143
+    * oracle replays both): events within `gapUs` (inclusive — islands
+    * split only on strictly-greater-than-gap silences) merge; a session
+    * emits once the watermark passes its end (`last_us + gapUs`).
+    * Emission is decided against `GroupState.getCurrentWatermarkMs`
+    * (Spark's watermark is millisecond-grain), so the timeout is set to
+    * `(end_us - 1) / 1000`, which fires exactly when
+    * `end_us <= watermarkMs * 1000` first holds.
+    *
+    * Shape at 100 TB: one shuffle on the key; state per key is the open
+    * session list (matured sessions leave state the batch the watermark
+    * passes them), and idle keys are torn down by the timeout — bounded
+    * state, however long the stream runs.
+    */
+  def sessionsWithTimeout(events: Dataset[Event],
+      gapUs: Long = 30L * 60 * 1000000,
+      watermark: String = "30 minutes"): Dataset[SessionOut] = {
+    val s2 = events.sparkSession; import s2.implicits._
+    def micros(ts: java.sql.Timestamp): Long =
+      Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user, batch, state: GroupState[SessionState]) =>
+          val prev = state.getOption.map(_.sessions).getOrElse(Nil)
+          // merge the batch into the session list by interval coalescing:
+          // each event is a unit session; the union sweeps in start order
+          // and fuses neighbors within the gap (aggregates are additive,
+          // so fusing two multi-event sessions is exact). This handles
+          // late-but-within-watermark events landing BETWEEN or BEFORE
+          // open sessions — including one event bridging two previously
+          // separate sessions — exactly like the built-in session window.
+          // unit sessions sorted by (ts, event_id) so equal-timestamp
+          // events fold in a deterministic order (stable sort keeps it
+          // through the sweep — float sums must not depend on iterator
+          // order)
+          val units = batch.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+            .map(e => Sess(micros(e.ts), micros(e.ts), 1L, e.value))
+          val merged = (prev ++ units).sortBy(s => (s.start_us, s.last_us))
+            .foldLeft(List.empty[Sess]) { (acc, sess) =>
+              acc match {
+                case h :: t if sess.start_us - h.last_us <= gapUs =>
+                  Sess(h.start_us, Math.max(h.last_us, sess.last_us),
+                    h.n + sess.n, h.total + sess.total) :: t
+                case _ => sess :: acc
+              }
+            }.reverse
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          // a session is FINAL once the watermark passes its end: no
+          // event can extend it (extension requires ts <= end, and the
+          // watermark guarantees ts > wm >= end for all future events)
+          val (matured, open) =
+            merged.partition(sess => sess.last_us + gapUs <= wmUs)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(SessionState(open))
+            val earliestEndUs = open.map(_.last_us + gapUs).min
+            state.setTimeoutTimestamp(Math.max((earliestEndUs - 1) / 1000,
+              state.getCurrentWatermarkMs() + 1))
+          }
+          matured.iterator
+            .map(sess => SessionOut(user, sess.start_us, sess.n, sess.total))
+      }
+  }
 
   /** Custom keyed state: running per-user totals via mapGroupsWithState —
     * the engine's arbitrary-stateful-processing surface

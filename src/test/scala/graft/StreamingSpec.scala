@@ -374,4 +374,82 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       spark.catalog.dropTempView("curate_stream")
     }
   }
+
+  test("left-outer interval join emits null rows after watermark eviction") {
+    val s2 = spark; import s2.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = Streams.attributedPurchases(input.toDF(), "30 minutes",
+        "30 minutes", joinType = "left_outer")
+      .writeStream.format("memory").queryName("left_join")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "click", 0.0),
+        Event(2, ts("2024-01-01 10:15:00"), 1, "purchase", 5.0),
+        Event(3, ts("2024-01-01 10:20:00"), 2, "purchase", 7.0))
+      q.processAllAvailable()
+      // advance BOTH branch watermarks (each is computed after its
+      // event_type filter — a click alone would not move the purchase
+      // branch) to 15:30, far past purchase 3
+      input.addData(
+        Event(4, ts("2024-01-01 16:00:00"), 9, "click", 0.0),
+        Event(5, ts("2024-01-01 16:00:00"), 9, "purchase", 1.0),
+        // trailing unmatched purchase INSIDE the watermark: withheld
+        Event(6, ts("2024-01-01 15:45:00"), 8, "purchase", 2.0))
+      q.processAllAvailable()
+      val rows = spark.table("left_join")
+        .select("purchase_id", "click_id").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      assert(rows == Set((2L, 1L), (5L, 4L), (3L, -1L)), s"got $rows")
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("left_join")
+    }
+  }
+
+  test("sessionsWithTimeout: event-time eviction equals session windows") {
+    val s2 = spark; import s2.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = Streams.sessionsWithTimeout(input.toDS())
+      .writeStream.format("memory").queryName("timeout_sessions")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        ev(1, "2024-01-01 10:00:00", 1, 1.0),
+        ev(2, "2024-01-01 10:10:00", 1, 2.0),
+        ev(3, "2024-01-01 10:05:00", 2, 4.0))
+      q.processAllAvailable()
+      // out-of-order event still inside the watermark: must MERGE into
+      // user 1's open [10:00, 10:10] session, not open a new one
+      input.addData(ev(4, "2024-01-01 10:20:00", 1, 8.0))
+      q.processAllAvailable()
+      // 40 min after 10:20 -> strictly greater than the gap -> new session
+      input.addData(ev(5, "2024-01-01 11:00:00", 1, 16.0))
+      q.processAllAvailable()
+      assert(spark.table("timeout_sessions").isEmpty,
+        "nothing may emit before the watermark passes a session end")
+      // watermark -> 14:30: every session above matures and its key is
+      // evicted; user 3's own trailing session (end 15:30) stays unemitted
+      input.addData(ev(6, "2024-01-01 15:00:00", 3, 0.0))
+      q.processAllAvailable()
+      def us(t: String): Long = {
+        val x = ts(t)
+        Math.floorDiv(x.getTime, 1000L) * 1000000L + x.getNanos / 1000
+      }
+      val rows = spark.table("timeout_sessions")
+        .select("user_id", "start_us", "n_events", "total_value").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(rows == Set(
+        (1L, us("2024-01-01 10:00:00"), 3L, 11.0),
+        (1L, us("2024-01-01 11:00:00"), 1L, 16.0),
+        (2L, us("2024-01-01 10:05:00"), 1L, 4.0)), s"got $rows")
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("timeout_sessions")
+    }
+  }
 }
