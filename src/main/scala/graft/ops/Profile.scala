@@ -367,4 +367,66 @@ object Profile {
         (col("cum_total").cast("double") / col("grand"))
           .as("cum_share"))
   }
+
+  /** [[paretoProfile]] for billions-of-keys grains: identical output
+    * (exact global ranks, shares, cumulative shares — the equivalence
+    * is spec-pinned), but the rank space is value-RADIX bucketed first
+    * so no window ever sees the whole key grain on one partition — the
+    * packShards pattern (per-bucket windows + bucket-offset rollup)
+    * applied to ranking.
+    *
+    * How: totals bucket by integer radix over the value range —
+    * `b = (hi − total) div width`, `width = (hi − lo) div buckets + 1`
+    * — so buckets are DISJOINT value ranges and bucket order IS rank
+    * order (every key in bucket b outranks every key in b+1; ties
+    * share one exact total, hence one bucket). Global rank = the
+    * bucket's key-count offset + the within-bucket rank; the
+    * cumulative total likewise. All arithmetic is exact integers — a
+    * SQL oracle replays it bit-for-bit.
+    *
+    * Shape at 100 TB: one aggregation to the key grain; one broadcast
+    * min/max bounds row; per-key windows partition by BUCKET (~uniform
+    * for spread totals — the parameter caps partition width at
+    * range/buckets); the only single-partition work is the offset
+    * rollup over the ≤ `buckets`+1 bucket-stats rows — bounded by the
+    * PARAMETER, never the data. Residual skew bound: keys tied on one
+    * exact total are rank-adjacent by construction and so necessarily
+    * share a bucket — a measure with billions of identical totals
+    * concentrates those keys in its tie bucket (if that is your shape,
+    * rank ties by key inside sub-buckets and fold counts, or accept
+    * the documented [[paretoProfile]] reporting-grain tier).
+    */
+  def paretoProfileBucketed(df: DataFrame, keyCol: String,
+      valueCol: String, buckets: Int = 1024): DataFrame = {
+    require(buckets >= 1, s"buckets=$buckets must be >= 1")
+    val per = df.groupBy(col(keyCol).as("key"))
+      .agg(sum(col(valueCol).cast("long")).as("total"),
+        count(lit(1)).as("n_rows"))
+    val grand = per.agg(sum("total").as("grand"),
+      min("total").as("lo"), max("total").as("hi"))
+    val perB = per.crossJoin(broadcast(grand))
+      .withColumn("__w", expr(s"(hi - lo) div $buckets + 1"))
+      .withColumn("__b", expr("(hi - total) div __w"))
+    // bucket-offset rollup: collapsed to <= buckets+1 rows, so the
+    // single-partition window is parameter-bounded
+    val bstats = perB.groupBy("__b")
+      .agg(count(lit(1)).as("__nk"), sum("total").as("__s"))
+    val wOff = Window.orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bstats
+      .withColumn("__kb", coalesce(sum("__nk").over(wOff), lit(0L)))
+      .withColumn("__sb", coalesce(sum("__s").over(wOff), lit(0L)))
+      .select("__b", "__kb", "__sb")
+    val wB = Window.partitionBy("__b")
+      .orderBy(col("total").desc, col("key").asc)
+    val wBCum = wB.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    perB.join(broadcast(offsets), "__b")
+      .withColumn("rk", col("__kb") + row_number().over(wB))
+      .withColumn("cum_total", col("__sb") + sum("total").over(wBCum))
+      .select(col("rk"), col("key"), col("n_rows"), col("total"),
+        (col("total").cast("double") / col("grand")).as("share"),
+        (col("cum_total").cast("double") / col("grand"))
+          .as("cum_share"))
+  }
 }

@@ -508,15 +508,34 @@ object TextAnalysis {
     * bounded by distinct words, not corpus size — exactly the reference
     * algorithm's trick. Per merge: one adjacent-pair aggregation over the
     * vocab + one driver-side 1-row argmax (the PageRank per-iteration
-    * scalar pattern) + one narrow fold rewrite. Vocab snapshots persist
-    * across iterations and release as soon as superseded.
+    * scalar pattern) + one narrow fold rewrite.
+    *
+    * MERGE-COUNT CEILING (the contract): each merge is one Spark job
+    * over the vocabulary, so training cost is `numMerges` sequential
+    * jobs — fine into the hundreds, NOT for a production 30k-merge
+    * tokenizer (days of pure scheduler overhead at corpus scale). The
+    * standard practice at 100 TB, supported here via `sampleFraction`:
+    * train the merge table on a bounded deterministic content-hash
+    * sample of the documents (merge statistics converge on a tiny
+    * fraction of a web-scale corpus; the sample is
+    * `md5(text)`-gated, so it is reproducible across runs and engines
+    * and biased by content, never by partition layout), then tokenize
+    * the FULL corpus with [[bpeApply]], which is one narrow pass.
+    * Vocab snapshots persist across iterations and release as soon as
+    * superseded.
     */
   def bpeTrain(docs: DataFrame, numMerges: Int,
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", sampleFraction: Double = 1.0): DataFrame = {
     require(numMerges >= 1, s"numMerges=$numMerges must be >= 1")
+    require(sampleFraction > 0 && sampleFraction <= 1.0,
+      s"sampleFraction=$sampleFraction must be in (0, 1]")
     val spark = docs.sparkSession
     import spark.implicits._
-    var vocab = docs
+    val trainDocs =
+      if (sampleFraction >= 1.0) docs
+      else docs.where(
+        Sampling.hashUnit(col(textCol), "bpe:") < sampleFraction)
+    var vocab = trainDocs
       .select(explode(split(col(textCol), " ")).as("w"))
       .where(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("freq"))
@@ -620,15 +639,33 @@ object TextAnalysis {
     * classes×vocab is small) and folds per (doc, class) in term order.
     * Train and apply read the corpus once each.
     */
-  def naiveBayes(docs: DataFrame, classCol: String): DataFrame = {
+  def naiveBayes(docs: DataFrame, classCol: String): DataFrame =
+    naiveBayesScore(naiveBayesTrain(docs, classCol), docs, classCol)
+
+  /** A trained multinomial Naive Bayes model ([[naiveBayesTrain]]): all
+    * relations are on the (class) or (class × vocab) grain — broadcast
+    * size by construction — so scoring any corpus against the model
+    * never shuffles anything model-shaped.
+    */
+  final case class NBModel(model: DataFrame, classTotals: DataFrame,
+      vocab: DataFrame, priors: DataFrame, classIdx: DataFrame)
+
+  /** Model-build half of [[naiveBayes]]: per-(class, term) smoothed
+    * log-probabilities, class token totals, vocabulary size, document
+    * priors, and a dense class index for the argmax — from TRAINING
+    * documents only, so a held-out corpus can be scored with
+    * [[naiveBayesScore]] (the real quality-gate pattern: label-noise
+    * triage and source classification score docs the model never saw).
+    */
+  def naiveBayesTrain(docs: DataFrame, classCol: String): NBModel = {
     val toks = docs.select(col("doc_id"), col(classCol).as("cls"),
         split(col("text"), " ").as("t"))
       .select(col("doc_id"), col("cls"), size(col("t")).as("dl"),
         explode(col("t")).as("term"))
-    // tf feeds the model build, the scoring join, AND the doc grid —
+    // tf feeds the cell aggregation AND the doc-grain priors —
     // materialize once (localCheckpoint: eager, lineage-truncating,
     // blocks reclaimed by the context cleaner) instead of paying the
-    // tokenize+aggregate three times
+    // tokenize+aggregate twice
     val tf = toks.groupBy("doc_id", "cls", "dl", "term")
       .agg(count(lit(1)).as("tf"))
       .localCheckpoint(true)
@@ -653,16 +690,6 @@ object TextAnalysis {
       .select(col("m_cls"), col("term"),
         log((col("n_tc") + lit(1.0)) / (col("n_c") + col("v")))
           .as("logp"))
-    // seen-term contribution per (doc, class), folded in term order; a
-    // (doc, class) pair sharing NO terms still needs a score (all-floor
-    // + prior), so score on the full doc × class grid (classes are a
-    // broadcast handful) with the seen sums left-joined in
-    val seen = tf.join(broadcast(model), Seq("term"))
-      .groupBy("doc_id", "m_cls")
-      .agg(expr("aggregate(array_sort(collect_list(struct(term, " +
-          "tf * logp AS c))), cast(0.0 as double), (a, x) -> a + x.c)")
-          .as("seen_sum"),
-        sum("tf").as("seen_tf"))
     // dense class index so the per-doc argmax is ONE struct-max partial
     // aggregation instead of a row_number window (ties: higher score,
     // then the alphabetically SMALLER class via the negated index); the
@@ -670,15 +697,51 @@ object TextAnalysis {
     val classIdx = classTotals.select(col("m_cls"))
       .withColumn("__cid",
         row_number().over(Window.orderBy("m_cls")))
+    NBModel(model, classTotals, vocab, priors, classIdx)
+  }
+
+  /** Scoring half of [[naiveBayes]]: apply a trained [[NBModel]] to any
+    * document set (held-out or the training set itself — scoring the
+    * training docs reproduces the one-argument [[naiveBayes]] exactly).
+    * `classCol` supplies the `actual` label carried through for
+    * evaluation; prediction uses only the model. Unseen terms (absent
+    * from the training vocabulary) contribute the smoothed floor via
+    * the closed form — no dense vocab join, no special-casing.
+    *
+    * Shape at 100 TB: ONE tokenize of the scored corpus; the only
+    * corpus-grain shuffles are the (doc, term) aggregation and the
+    * per-doc folds — every model-side relation is broadcast.
+    */
+  def naiveBayesScore(m: NBModel, docs: DataFrame,
+      classCol: String): DataFrame = {
+    val toks = docs.select(col("doc_id"), col(classCol).as("cls"),
+        split(col("text"), " ").as("t"))
+      .select(col("doc_id"), col("cls"), size(col("t")).as("dl"),
+        explode(col("t")).as("term"))
+    // tf feeds the scoring join AND the doc grid — materialize once
+    val tf = toks.groupBy("doc_id", "cls", "dl", "term")
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val docsOnly = tf.select("doc_id", "cls", "dl").distinct()
+    // seen-term contribution per (doc, class), folded in term order; a
+    // (doc, class) pair sharing NO terms still needs a score (all-floor
+    // + prior), so score on the full doc × class grid (classes are a
+    // broadcast handful) with the seen sums left-joined in
+    val seen = tf.join(broadcast(m.model), Seq("term"))
+      .groupBy("doc_id", "m_cls")
+      .agg(expr("aggregate(array_sort(collect_list(struct(term, " +
+          "tf * logp AS c))), cast(0.0 as double), (a, x) -> a + x.c)")
+          .as("seen_sum"),
+        sum("tf").as("seen_tf"))
     val grid = docsOnly
-      .crossJoin(broadcast(classTotals.select(col("m_cls"))))
+      .crossJoin(broadcast(m.classTotals.select(col("m_cls"))))
     val scored = grid
       .join(seen, Seq("doc_id", "m_cls"), "left")
       .withColumn("seen_sum", coalesce(col("seen_sum"), lit(0.0)))
       .withColumn("seen_tf", coalesce(col("seen_tf"), lit(0L)))
-      .join(broadcast(classTotals), "m_cls").crossJoin(broadcast(vocab))
-      .join(broadcast(priors), "m_cls")
-      .join(broadcast(classIdx), "m_cls")
+      .join(broadcast(m.classTotals), "m_cls").crossJoin(broadcast(m.vocab))
+      .join(broadcast(m.priors), "m_cls")
+      .join(broadcast(m.classIdx), "m_cls")
       .withColumn("score",
         log(col("n_docs").cast("double") / col("n_all")) +
           col("seen_sum") +

@@ -3998,6 +3998,154 @@ object TrainingOps {
              |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY cls
              |    ORDER BY chi2 DESC, term) AS rk FROM chi)
              |WHERE rk <= 5 ORDER BY cls, rk""".stripMargin)),
+
+    // BPE SAMPLED-TRAINING mode (the 100 TB contract documented on
+    // bpeTrain): merges train on a deterministic md5(text)-gated HALF
+    // of the corpus — bounded training cost however large the corpus —
+    // then bpeApply tokenizes EVERY document, including words the
+    // training sample never saw (they fold with the same merge table).
+    // The oracle replays the identical sampled training set via the
+    // q69 digit-by-digit md5 draw, then applies the learned merges to
+    // the full distinct-word vocabulary.
+    QueryDef("q190_bpe_sampled",
+      (s, d) => {
+        val docs = table(s, d, "documents")
+        val merges = TextAnalysis.bpeTrain(docs, 4, sampleFraction = 0.5)
+          .orderBy("step")
+          .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+        docs
+          .select(col("doc_id"),
+            filter(split(col("text"), " "), w => length(w) > 0).as("ws"))
+          .where(size(col("ws")) > 0)
+          .select(col("doc_id"),
+            flatten(transform(col("ws"),
+              w => TextAnalysis.bpeApply(w, merges))).as("toks"))
+          .select(col("doc_id"),
+            size(col("toks")).cast("long").as("n_tokens"),
+            array_join(col("toks"), " ").as("tokens"))
+          .orderBy("doc_id")
+      },
+      Some(bpeSampledOracleSql(4, 0.5))),
+
+    // Naive Bayes HELD-OUT scoring (the train/score split q184 cannot
+    // express): the model trains on the 80% content-hash split and
+    // scores only the 20% it never saw — the real quality-gate pattern.
+    // Unseen test-doc terms enter via the closed-form smoothed floor on
+    // both engines. Same fixed-id gate as q184 (the oracle's
+    // per-(doc, class) folds stay constant-cost at synthesized scales).
+    QueryDef("q191_nb_holdout",
+      (s, d) => {
+        val docs = table(s, d, "documents").where(col("doc_id") < 20000)
+        val u = Sampling.hashUnit(col("text"), "split:")
+        val model = TextAnalysis.naiveBayesTrain(
+          docs.where(u < 0.8), "source")
+        TextAnalysis.naiveBayesScore(model, docs.where(u >= 0.8), "source")
+          .select(col("doc_id"), col("actual"), col("pred"),
+            round(col("score"), 6).as("score"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH docs AS (SELECT *, ${drawSql("split:")} AS u
+             |  FROM documents WHERE doc_id < 20000),
+             |tr AS (SELECT * FROM docs WHERE u < 0.8),
+             |te AS (SELECT * FROM docs WHERE u >= 0.8),
+             |tf_tr AS (SELECT doc_id, cls, dl, term, COUNT(*) AS tf
+             |  FROM (SELECT doc_id, source AS cls,
+             |      len(string_split(text, ' ')) AS dl,
+             |      UNNEST(string_split(text, ' ')) AS term
+             |    FROM tr) GROUP BY 1, 2, 3, 4),
+             |cells AS (SELECT cls AS m_cls, term,
+             |    CAST(SUM(tf) AS BIGINT) AS n_tc
+             |  FROM tf_tr GROUP BY 1, 2),
+             |ct AS (SELECT m_cls, CAST(SUM(n_tc) AS BIGINT) AS n_c
+             |  FROM cells GROUP BY 1),
+             |vv AS (SELECT COUNT(DISTINCT term) AS v FROM cells),
+             |pri AS (SELECT source AS m_cls, COUNT(*) AS n_docs
+             |  FROM tr GROUP BY 1),
+             |na AS (SELECT COUNT(*) AS n_all FROM tr),
+             |model AS (SELECT m_cls, term,
+             |    ln((n_tc + 1.0) / (n_c + v)) AS logp
+             |  FROM cells JOIN ct USING (m_cls) CROSS JOIN vv),
+             |tf_te AS (SELECT doc_id, cls, dl, term, COUNT(*) AS tf
+             |  FROM (SELECT doc_id, source AS cls,
+             |      len(string_split(text, ' ')) AS dl,
+             |      UNNEST(string_split(text, ' ')) AS term
+             |    FROM te) GROUP BY 1, 2, 3, 4),
+             |seen AS (SELECT tf_te.doc_id, m.m_cls,
+             |    list_reduce(list(tf * logp ORDER BY term),
+             |      (a, b) -> a + b) AS seen_sum,
+             |    CAST(SUM(tf) AS BIGINT) AS seen_tf
+             |  FROM tf_te JOIN model m USING (term) GROUP BY 1, 2),
+             |grid AS (SELECT d.doc_id, d.cls, d.dl, c.m_cls
+             |  FROM (SELECT DISTINCT doc_id, cls, dl FROM tf_te) d
+             |  CROSS JOIN ct c),
+             |scored AS (SELECT g.doc_id, g.cls, g.m_cls,
+             |    ln(CAST(n_docs AS DOUBLE) / n_all)
+             |      + COALESCE(seen_sum, 0.0)
+             |      + (g.dl - COALESCE(seen_tf, 0))
+             |        * ln(1.0 / (n_c + v)) AS score
+             |  FROM grid g
+             |  LEFT JOIN seen s
+             |    ON s.doc_id = g.doc_id AND s.m_cls = g.m_cls
+             |  JOIN ct ON ct.m_cls = g.m_cls
+             |  CROSS JOIN vv
+             |  JOIN pri ON pri.m_cls = g.m_cls
+             |  CROSS JOIN na)
+             |SELECT doc_id, cls AS actual, m_cls AS pred,
+             |  ROUND(score, 6) AS score
+             |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+             |    ORDER BY score DESC, m_cls) AS rk FROM scored)
+             |WHERE rk = 1 ORDER BY doc_id""".stripMargin)),
+
+    // Bucketed Pareto tier (the billions-of-keys path): customer
+    // revenue concentration with the rank space value-radix bucketed —
+    // exact integer bucket arithmetic both engines replay; global
+    // ranks/cumulative shares equal q183's single-window form (the
+    // spec pins the equivalence; the oracle replays the BUCKETED
+    // construction end-to-end).
+    QueryDef("q192_pareto_bucketed",
+      (s, d) => graft.ops.Profile.paretoProfileBucketed(
+          table(s, d, "orders").select(col("o_custkey"),
+            round(col("o_totalprice") * 100).cast("long").as("cents")),
+          "o_custkey", "cents", buckets = 64)
+        .select(col("rk"), col("key").as("o_custkey"), col("n_rows"),
+          col("total"), round(col("share"), 9).as("share"),
+          round(col("cum_share"), 9).as("cum_share"))
+        .orderBy("rk"),
+      Some("""WITH b AS (SELECT o_custkey,
+             |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders),
+             |per AS (SELECT o_custkey AS key,
+             |    CAST(SUM(cents) AS BIGINT) AS total,
+             |    COUNT(*) AS n_rows
+             |  FROM b GROUP BY 1),
+             |g AS (SELECT CAST(SUM(total) AS BIGINT) AS grand,
+             |    MIN(total) AS lo, MAX(total) AS hi FROM per),
+             |pb AS (SELECT per.*, grand,
+             |    (hi - total) // ((hi - lo) // 64 + 1) AS bk
+             |  FROM per CROSS JOIN g),
+             |bs AS (SELECT bk, COUNT(*) AS nk,
+             |    CAST(SUM(total) AS BIGINT) AS s
+             |  FROM pb GROUP BY 1),
+             |off AS (SELECT bk,
+             |    COALESCE(CAST(SUM(nk) OVER (ORDER BY bk
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |      AS BIGINT), 0) AS kb,
+             |    COALESCE(CAST(SUM(s) OVER (ORDER BY bk
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |      AS BIGINT), 0) AS sb
+             |  FROM bs),
+             |r AS (SELECT pb.key, pb.n_rows, pb.total, pb.grand,
+             |    kb + ROW_NUMBER() OVER (PARTITION BY pb.bk
+             |      ORDER BY total DESC, key) AS rk,
+             |    sb + CAST(SUM(total) OVER (PARTITION BY pb.bk
+             |      ORDER BY total DESC, key
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS cum_total
+             |  FROM pb JOIN off USING (bk))
+             |SELECT rk, key AS o_custkey, n_rows, total,
+             |  ROUND(CAST(total AS DOUBLE) / grand, 9) AS share,
+             |  ROUND(CAST(cum_total AS DOUBLE) / grand, 9) AS cum_share
+             |FROM r ORDER BY rk""".stripMargin)),
   )
 
   /** Unrolled DuckDB replay of [[graft.ops.Similarity.kCenters]]: per
@@ -4071,6 +4219,72 @@ object TrainingOps {
       .map(i => s"SELECT $i AS step, a, b, CAST(cnt AS BIGINT) AS cnt " +
         s"FROM m$i")
       .mkString("\n", "\nUNION ALL\n", "\nORDER BY step")
+    sb.toString
+  }
+
+  /** DuckDB replay of SAMPLED train + full-corpus apply ([[q190]]):
+    * the training vocabulary comes only from documents passing the
+    * md5(text) content-hash gate (the q69 digit-by-digit draw), the
+    * merge chain trains on that vocabulary, and the learned merges are
+    * then folded over the FULL corpus's distinct-word vocabulary —
+    * words outside the sample tokenize with the same merge table, like
+    * the engine's narrow bpeApply pass.
+    */
+  private def bpeSampledOracleSql(k: Int, frac: Double): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH v0 AS MATERIALIZED (
+              |  SELECT w, COUNT(*) AS freq
+              |  FROM (SELECT UNNEST(string_split(text, ' ')) AS w
+              |        FROM documents
+              |        WHERE ${drawSql("bpe:")} < $frac)
+              |  WHERE len(w) > 0 GROUP BY w),
+              |s0 AS MATERIALIZED (SELECT freq,
+              |  [substr(w, g, 1) FOR g IN generate_series(1, len(w))] AS syms
+              |  FROM v0)""".stripMargin
+    for (i <- 1 to k) {
+      sb ++= s""",
+               |p$i AS (SELECT syms[t.g] AS a, syms[t.g + 1] AS b,
+               |    SUM(freq) AS cnt
+               |  FROM s${i - 1},
+               |       UNNEST(generate_series(1, len(syms) - 1)) t(g)
+               |  GROUP BY 1, 2),
+               |m$i AS MATERIALIZED (SELECT a, b, cnt FROM p$i
+               |  ORDER BY cnt DESC, a, b LIMIT 1)""".stripMargin
+      if (i < k) sb ++= s""",
+               |s$i AS MATERIALIZED (SELECT freq,
+               |  list_reduce(list_transform(syms, x -> [x]), (acc, x) ->
+               |    CASE WHEN acc[-1] = m.a AND x[1] = m.b
+               |      THEN acc[:-2] || [m.a || m.b]
+               |      ELSE acc || x END) AS syms
+               |  FROM s${i - 1}, m$i m)""".stripMargin
+    }
+    // apply: fold every learned merge over the FULL distinct-word vocab
+    sb ++= """,
+             |a0 AS MATERIALIZED (SELECT w,
+             |  [substr(w, g, 1) FOR g IN generate_series(1, len(w))] AS syms
+             |  FROM (SELECT DISTINCT UNNEST(string_split(text, ' ')) AS w
+             |        FROM documents)
+             |  WHERE len(w) > 0)""".stripMargin
+    for (i <- 1 to k) {
+      sb ++= s""",
+               |a$i AS MATERIALIZED (SELECT w,
+               |  list_reduce(list_transform(syms, x -> [x]), (acc, x) ->
+               |    CASE WHEN acc[-1] = m.a AND x[1] = m.b
+               |      THEN acc[:-2] || [m.a || m.b]
+               |      ELSE acc || x END) AS syms
+               |  FROM a${i - 1}, m$i m)""".stripMargin
+    }
+    sb ++= s"""
+              |, dw AS (SELECT doc_id, ws[t.g] AS w, t.g AS pos
+              |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+              |        FROM documents) dd,
+              |       UNNEST(generate_series(1, len(ws))) t(g)
+              |  WHERE len(ws[t.g]) > 0)
+              |SELECT doc_id, CAST(SUM(len(s.syms)) AS BIGINT) AS n_tokens,
+              |  array_to_string(flatten(list(s.syms ORDER BY pos)), ' ')
+              |    AS tokens
+              |FROM dw JOIN a$k s USING (w)
+              |GROUP BY doc_id ORDER BY doc_id""".stripMargin
     sb.toString
   }
 

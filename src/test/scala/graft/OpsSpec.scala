@@ -2439,6 +2439,28 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(got(2)._5 - 1.0) < 1e-12)
   }
 
+  test("bucketed pareto equals the single-window form, ties included") {
+    val s2 = spark; import s2.implicits._
+    // deterministic mixed fixture: spread totals AND heavy exact ties
+    // (every tie group must stay rank-adjacent across bucket borders)
+    val rows = (1 to 200).map(i => (s"k$i", ((i * 37) % 13).toLong * 10 + 1))
+    val fix = rows.toDF("k", "v")
+    def canon(df: org.apache.spark.sql.DataFrame) = df.orderBy("rk")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3),
+        math.round(r.getDouble(4) * 1e12), math.round(r.getDouble(5) * 1e12)))
+      .toSeq
+    val plain = graft.ops.Profile.paretoProfile(fix, "k", "v")
+      .withColumn("rk", col("rk").cast("long"))
+      .select("rk", "key", "n_rows", "total", "share", "cum_share")
+    for (b <- Seq(1, 7, 64)) {
+      val bucketed = graft.ops.Profile.paretoProfileBucketed(fix, "k", "v", b)
+        .withColumn("rk", col("rk").cast("long"))
+        .select("rk", "key", "n_rows", "total", "share", "cum_share")
+      assert(canon(bucketed) == canon(plain), s"buckets=$b diverged")
+    }
+  }
+
   test("minhash-verified pairs: a subset of candidates, exact distances") {
     val cand = Dedup.minhashCandidates(docs, 3, 8, 2)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

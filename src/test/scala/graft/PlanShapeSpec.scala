@@ -548,6 +548,22 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       plan(pf))
   }
 
+  test("bucketed pareto: key-grain windows partition by bucket; only " +
+      "collapsed grains hit a single partition") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(org.apache.spark.sql.functions.col("l_suppkey"),
+        org.apache.spark.sql.functions.col("l_quantity"))
+    val df = Profile.paretoProfileBucketed(li, "l_suppkey", "l_quantity", 64)
+    val p = plan(df)
+    // the per-key rank/cumsum windows must run partitioned by the radix
+    // bucket — a regression to the global-window form would plan the
+    // key-grain Sort+Window downstream of an Exchange SinglePartition
+    assert("(?i)hashpartitioning\\(__b".r.findAllIn(p).nonEmpty, p)
+    // single-partition exchanges exist only for the collapsed grains
+    // (global bounds agg + the <= buckets+1 offset rollup)
+    assert("Exchange SinglePartition".r.findAllIn(p).size <= 3, p)
+  }
+
   test("expanding z-scores: one key window carries all three sums") {
     val ev = graft.queries.QueryDef.eventsMicros(spark, dir)
     val df = Profile.expandingZScores(ev, "user_id",
