@@ -661,6 +661,64 @@ object Dedup {
     * the same relation twice with distinct id column names and filter
     * `id_l < id_r` on the result to drop self/mirror pairs.
     */
+  /** Incremental ingestion dedup: classify each DELTA document (today's
+    * crawl) against an EXISTING corpus as `exact_dup` (byte-identical
+    * text already present), `near_dup` (a banded-MinHash candidate that
+    * VERIFIES within `maxDist` edits — the [[minhashVerifiedPairs]]
+    * two-tier discipline), or `new`. Returns one row per delta doc:
+    * `(doc_id, status, match_id, dist)` with the closest corpus match
+    * (ties to the smaller corpus id; exact matches report dist 0 and
+    * take precedence over near candidates). The production shape for
+    * rolling corpus maintenance — admit the `new` rows, route the rest
+    * to review — without ever re-deduplicating the corpus against
+    * itself.
+    *
+    * Shape at 100 TB: the corpus pays one content-hash projection and
+    * one signature aggregation PER INGEST (at steady state you would
+    * persist both as an index relation and join against that instead —
+    * same plan downstream of the scan); everything delta-derived
+    * (hashes, band keys, candidate texts) is BROADCAST, so the corpus
+    * is probed, never shuffled. The expensive exact verify runs only on
+    * banded candidates with Spark's thresholded `levenshtein(l, r,
+    * maxDist)` early exit. No delta × delta and no corpus × corpus
+    * step anywhere.
+    */
+  def deltaDedup(corpus: DataFrame, delta: DataFrame, n: Int,
+      numHashes: Int, rowsPerBand: Int, maxDist: Int): DataFrame = {
+    require(maxDist >= 0, s"maxDist=$maxDist must be >= 0")
+    val ch = corpus.select(col("doc_id").as("c_id"), md5(col("text")).as("h"))
+    val dh = delta.select(col("doc_id"), md5(col("text")).as("h"))
+    val exact = ch.join(broadcast(dh), "h")
+      .groupBy("doc_id").agg(min("c_id").as("exact_match"))
+    val db = minhashBandKeys(delta, n, numHashes, rowsPerBand)
+      .select(col("id").as("doc_id"), col("band"), col("band_key"))
+    val cb = minhashBandKeys(corpus, n, numHashes, rowsPerBand)
+      .select(col("id").as("c_id"), col("band"), col("band_key"))
+    val cand = cb.join(broadcast(db), Seq("band", "band_key"))
+      .select(col("doc_id"), col("c_id")).distinct()
+    val verified = corpus.select(col("doc_id").as("c_id"),
+        col("text").as("t2"))
+      .join(broadcast(cand
+        .join(delta.select(col("doc_id"), col("text").as("t1")),
+          "doc_id")), "c_id")
+      .withColumn("dist", levenshtein(col("t1"), col("t2"), maxDist))
+      .where(col("dist") >= 0)
+      .groupBy("doc_id")
+      .agg(min(struct(col("dist"), col("c_id"))).as("m"))
+      .select(col("doc_id"), col("m.c_id").as("near_match"),
+        col("m.dist").as("near_dist"))
+    delta.select("doc_id")
+      .join(broadcast(exact), Seq("doc_id"), "left")
+      .join(broadcast(verified), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_match").isNotNull, "exact_dup")
+          .when(col("near_match").isNotNull, "near_dup")
+          .otherwise("new").as("status"),
+        coalesce(col("exact_match"), col("near_match")).as("match_id"),
+        when(col("exact_match").isNotNull, lit(0))
+          .otherwise(col("near_dist")).as("dist"))
+  }
+
   def fuzzyJoin(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String, maxDist: Int): DataFrame = {
     require(maxDist >= 0, s"maxDist=$maxDist must be >= 0")

@@ -216,6 +216,68 @@ object Funnel {
     * on ONE key partitioning, counter-sized state, no collected
     * sequences, no joins.
     */
+  /** Position-based (U-shaped) multi-touch attribution: each conversion
+    * event (`convType`) distributes its value across the same-key touch
+    * events (`touchType`) in the `horizonUs` window before it — the
+    * standard upgrade from last-touch credit, and the event-log shape
+    * of "which acquisition channels actually drive revenue". Credit
+    * rule (the industry-standard U): one touch takes everything; two
+    * touches split `firstW : lastW` normalized; three or more give the
+    * first touch `firstW`, the last `lastW`, and the middle touches an
+    * equal share of the remainder. Credits per conversion sum to 1
+    * exactly (closed-form, no iterative normalization).
+    *
+    * Returns one row per (conversion, touch):
+    * `(conv_id, touch_id, key, position, n_touches, credit,
+    * attributed)`. Conversions with NO touch in the horizon are absent
+    * — q188's left-outer stream shape is the streaming way to surface
+    * them; in batch, anti-join against this result.
+    *
+    * Shape at 100 TB: ONE equi-join on the key with the time bound as
+    * a join-level filter (never a theta-only join), then position
+    * rank + touch count as two functions over ONE (conv)-partitioned
+    * window — cost is the matched pair count, the output's own size.
+    * Ties (same-microsecond touches) rank by touch id, so credits are
+    * deterministic on any engine.
+    */
+  def multiTouchAttribution(events: DataFrame, keyCol: String,
+      idCol: String, tsCol: String, typeCol: String, valueCol: String,
+      convType: String, touchType: String, horizonUs: Long,
+      firstW: Double = 0.4, lastW: Double = 0.4): DataFrame = {
+    require(horizonUs > 0, s"horizonUs=$horizonUs must be > 0")
+    require(firstW > 0 && lastW > 0 && firstW + lastW <= 1.0,
+      s"weights firstW=$firstW lastW=$lastW must be positive and sum <= 1")
+    val ts = col(tsCol).cast("long")
+    val conv = events.where(col(typeCol) === convType)
+      .select(col(idCol).as("conv_id"), col(keyCol).as("key"),
+        ts.as("conv_ts"), col(valueCol).cast("double").as("conv_value"))
+    val touch = events.where(col(typeCol) === touchType)
+      .select(col(idCol).as("touch_id"), col(keyCol).as("key"),
+        ts.as("touch_ts"))
+    val joined = conv.join(touch, Seq("key"))
+      .where(col("touch_ts") <= col("conv_ts") &&
+        col("touch_ts") >= col("conv_ts") - horizonUs)
+    val w = Window.partitionBy("conv_id")
+    val wOrd = w.orderBy(col("touch_ts").asc, col("touch_id").asc)
+    val ranked = joined
+      .withColumn("position", row_number().over(wOrd))
+      .withColumn("n_touches", count(lit(1)).over(w))
+    val credit = when(col("n_touches") === 1, lit(1.0))
+      .when(col("n_touches") === 2,
+        when(col("position") === 1, lit(firstW / (firstW + lastW)))
+          .otherwise(lit(lastW / (firstW + lastW))))
+      .otherwise(
+        when(col("position") === 1, lit(firstW))
+          .when(col("position") === col("n_touches"), lit(lastW))
+          .otherwise(lit(1.0 - firstW - lastW) /
+            (col("n_touches") - 2)))
+    ranked
+      .withColumn("credit", credit)
+      .select(col("conv_id"), col("touch_id"), col("key"),
+        col("position"), col("n_touches"), col("credit"),
+        (col("credit") * col("conv_value")).as("attributed"))
+  }
+
   def matchPatternWithin(events: DataFrame, keyCol: String,
       tsCol: String, typeCol: String, stages: Seq[String],
       maxGapUs: Long): DataFrame = {

@@ -202,6 +202,63 @@ object Graph {
           (col("deg") * (col("deg") - 1))).as("coeff"))
   }
 
+  /** Fixed-round k-core peeling: repeatedly delete nodes whose degree in
+    * the CURRENT subgraph is < k (and their edges), `rounds` times — the
+    * standard density filter (the k-core is where spam rings, scraper
+    * farms, and genuinely dense communities live; the 1-core just drops
+    * leaves). At convergence (enough rounds) every surviving node has
+    * deg ≥ k in the surviving subgraph; with a fixed round budget the
+    * result is the round-`rounds` peel — deterministic and exactly
+    * SQL-replayable, like [[labelPropagation]]'s fixed-iteration
+    * contract. Peeling depth in practice is small (real graphs shed
+    * low-degree shells fast); callers needing certified convergence can
+    * compare two consecutive rounds' outputs.
+    *
+    * Input edges may be duplicated or arbitrarily oriented; self-loops
+    * drop; node ids must be numeric ([[triangles]]' contract — string
+    * ids would cast to NULL and silently empty the graph).
+    *
+    * Returns `(node, deg)` — the surviving nodes with their degree in
+    * the FINAL peeled subgraph.
+    *
+    * Shape at 100 TB: per round, one degree aggregation (|E| shuffle) +
+    * two semi-joins restricting edges to surviving endpoints — all
+    * hash-partitioned on node keys, nothing driver-side; each round's
+    * edge set localCheckpoints and the previous round's blocks release,
+    * so the plan does not grow with `rounds` (the [[pageRank]]
+    * discipline). Edge count is non-increasing every round.
+    */
+  def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    require(rounds >= 1, s"rounds=$rounds must be >= 1")
+    for (c <- Seq("src", "dst")) {
+      val dt = edges.schema(c).dataType
+      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"kCorePeel: column '$c' must be numeric (got ${dt.simpleString}); " +
+          "dictionary-encode string node ids before calling")
+    }
+    var e = edges.select(least(col("src"), col("dst")).cast("long").as("u"),
+        greatest(col("src"), col("dst")).cast("long").as("v"))
+      .where(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val deg = e.select(col("u").as("n"))
+        .unionAll(e.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("deg"))
+      val keep = deg.where(col("deg") >= k).select("n")
+      val next = e
+        .join(keep.select(col("n").as("u")), Seq("u"), "left_semi")
+        .join(keep.select(col("n").as("v")), Seq("v"), "left_semi")
+        .localCheckpoint(true)
+      ckptStorage(e).foreach(_.unpersist(blocking = false))
+      e = next
+    }
+    val out = e.select(col("u").as("node"))
+      .unionAll(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    out
+  }
+
   private def ckptStorage(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
     df.queryExecution.analyzed match {
       case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)

@@ -968,6 +968,13 @@ object Similarity {
     * same bounded-collect contract as the Bloom build. Deterministic
     * end-to-end: float dot products in index order, integer tie-breaks,
     * no RNG.
+    *
+    * INTENDED k REGIME: ≤ ~100. Each selection is a full corpus pass
+    * (k sequential Spark jobs — greedy farthest-point is inherently
+    * sequential: pick i+1 depends on pick i), so k=1000 means 1000
+    * corpus scans. For large coresets, run this over a deterministic
+    * content-hash sample, or use [[ivfIndexDeterministic]]'s cluster
+    * heads as the diverse seed set instead.
     */
   def kCenters(corpus: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k=$k must be >= 1")

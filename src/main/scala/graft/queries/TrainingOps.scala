@@ -2,8 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{AsOf, Curation, Dedup, Funnel, Multimodal, Sampling,
-  Similarity, Sketch, TextAnalysis}
+import graft.ops.{AsOf, Curation, Dedup, Funnel, Linkage, Multimodal,
+  Sampling, Similarity, Sketch, TextAnalysis}
 import QueryDef.{eventsMicros, table}
 
 /** Training-data pipeline operators as oracle-checked queries: dedup
@@ -4146,7 +4146,255 @@ object TrainingOps {
              |  ROUND(CAST(total AS DOUBLE) / grand, 9) AS share,
              |  ROUND(CAST(cum_total AS DOUBLE) / grand, 9) AS cum_share
              |FROM r ORDER BY rk""".stripMargin)),
+
+    // Fixed-round k-core peeling over the q174 co-purchase graph: three
+    // peels at k=3 — the density filter that strips low-degree shells
+    // (leaves, then newly-exposed leaves) and keeps the dense core.
+    // The oracle unrolls the identical rounds as CTEs (q150's
+    // fixed-iteration discipline).
+    QueryDef("q193_kcore",
+      (s, d) => {
+        val li = table(s, d, "lineitem")
+          .where(col("l_partkey") < 2000)
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val e = li.as("a").join(li.as("b"), Seq("l_orderkey"))
+          .where(col("a.l_partkey") < col("b.l_partkey"))
+          .select(col("a.l_partkey").as("src"),
+            col("b.l_partkey").as("dst"))
+        graft.ops.Graph.kCorePeel(e, k = 3, rounds = 3)
+          .orderBy("node")
+      },
+      Some(kCoreOracleSql(3, 3))),
+
+    // Incremental ingestion dedup: a simulated re-crawl delta (50
+    // verbatim re-fetches under new ids, 30 lightly-edited copies, 100
+    // genuinely new docs) classified against the existing corpus —
+    // exact tier by content hash, near tier by banded MinHash
+    // candidates verified with bounded edit distance. Fixed-id gates
+    // keep the replay constant-cost at synthesized scales (q41
+    // discipline); every tier is deterministic md5/levenshtein
+    // arithmetic both engines replay.
+    QueryDef("q194_delta_dedup",
+      (s, d) => {
+        val docs = table(s, d, "documents")
+        val corpus = docs.where(col("doc_id") < 300)
+          .select(col("doc_id"), col("text"))
+        val delta = docs.where(col("doc_id") < 50)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+          .unionAll(docs.where(col("doc_id") < 30)
+            .select((col("doc_id") + 2000000L).as("doc_id"),
+              concat(col("text"), lit(" xtra")).as("text")))
+          .unionAll(docs.where(col("doc_id") >= 300 && col("doc_id") < 400)
+            .select(col("doc_id"), col("text")))
+        Dedup.deltaDedup(corpus, delta, n = 3, numHashes = 8,
+            rowsPerBand = 2, maxDist = 20)
+          .orderBy("doc_id")
+      },
+      Some("""WITH corpus AS (SELECT doc_id, text FROM documents
+             |  WHERE doc_id < 300),
+             |delta AS (
+             |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+             |  WHERE doc_id < 50
+             |  UNION ALL
+             |  SELECT doc_id + 2000000 AS doc_id, text || ' xtra' AS text
+             |  FROM documents WHERE doc_id < 30
+             |  UNION ALL
+             |  SELECT doc_id, text FROM documents
+             |  WHERE doc_id >= 300 AND doc_id < 400),
+             |ex AS (SELECT d.doc_id, MIN(c.doc_id) AS exact_match
+             |  FROM delta d JOIN corpus c ON md5(c.text) = md5(d.text)
+             |  GROUP BY 1),
+             |ctoks AS (SELECT doc_id id, string_split(text, ' ') l
+             |  FROM corpus WHERE len(string_split(text, ' ')) >= 3),
+             |csh AS (SELECT DISTINCT id,
+             |    array_to_string(l[i:i+2], ' ') AS shingle
+             |  FROM ctoks, UNNEST(generate_series(1, len(l) - 2)) t(i)),
+             |csig AS (SELECT id, h,
+             |    MIN(md5(CAST(h AS VARCHAR) || ':' || shingle)) AS mh
+             |  FROM csh, UNNEST(generate_series(0, 7)) t(h) GROUP BY 1, 2),
+             |cband AS (SELECT id, h // 2 AS band,
+             |    md5(array_to_string(list_sort(
+             |      list(lpad(CAST(h AS VARCHAR), 2, '0') || '=' || mh)),
+             |      '|')) AS band_key
+             |  FROM csig GROUP BY 1, 2),
+             |dtoks AS (SELECT doc_id id, string_split(text, ' ') l
+             |  FROM delta WHERE len(string_split(text, ' ')) >= 3),
+             |dsh AS (SELECT DISTINCT id,
+             |    array_to_string(l[i:i+2], ' ') AS shingle
+             |  FROM dtoks, UNNEST(generate_series(1, len(l) - 2)) t(i)),
+             |dsig AS (SELECT id, h,
+             |    MIN(md5(CAST(h AS VARCHAR) || ':' || shingle)) AS mh
+             |  FROM dsh, UNNEST(generate_series(0, 7)) t(h) GROUP BY 1, 2),
+             |dband AS (SELECT id, h // 2 AS band,
+             |    md5(array_to_string(list_sort(
+             |      list(lpad(CAST(h AS VARCHAR), 2, '0') || '=' || mh)),
+             |      '|')) AS band_key
+             |  FROM dsig GROUP BY 1, 2),
+             |cand AS (SELECT DISTINCT d.id AS doc_id, c.id AS c_id
+             |  FROM dband d JOIN cband c
+             |    ON d.band = c.band AND d.band_key = c.band_key),
+             |ver AS (SELECT doc_id, c_id AS near_match,
+             |    dist AS near_dist FROM (
+             |  SELECT v.doc_id, v.c_id, v.dist,
+             |    ROW_NUMBER() OVER (PARTITION BY v.doc_id
+             |      ORDER BY v.dist, v.c_id) AS rn
+             |  FROM (SELECT cand.doc_id, cand.c_id,
+             |      levenshtein(dt.text, ct.text) AS dist
+             |    FROM cand
+             |    JOIN delta dt ON dt.doc_id = cand.doc_id
+             |    JOIN corpus ct ON ct.doc_id = cand.c_id) v
+             |  WHERE v.dist <= 20) WHERE rn = 1)
+             |SELECT d.doc_id,
+             |  CASE WHEN ex.exact_match IS NOT NULL THEN 'exact_dup'
+             |       WHEN ver.near_match IS NOT NULL THEN 'near_dup'
+             |       ELSE 'new' END AS status,
+             |  COALESCE(ex.exact_match, ver.near_match) AS match_id,
+             |  CASE WHEN ex.exact_match IS NOT NULL THEN 0
+             |       ELSE ver.near_dist END AS dist
+             |FROM delta d
+             |LEFT JOIN ex ON ex.doc_id = d.doc_id
+             |LEFT JOIN ver ON ver.doc_id = d.doc_id
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // Position-based (U-shaped) multi-touch attribution: each purchase
+    // splits its value 0.4/0.4/middle across the same-user clicks in
+    // the preceding 30 minutes. Closed-form credits — exact doubles
+    // both engines assemble identically.
+    QueryDef("q195_multi_touch",
+      (s, d) => Funnel.multiTouchAttribution(eventsMicros(s, d),
+          keyCol = "user_id", idCol = "event_id", tsCol = "ts_us",
+          typeCol = "event_type", valueCol = "value",
+          convType = "purchase", touchType = "click",
+          horizonUs = 1800000000L)
+        .select(col("conv_id"), col("touch_id"), col("key"),
+          col("position"), col("n_touches"),
+          round(col("credit"), 6).as("credit"),
+          round(col("attributed"), 6).as("attributed"))
+        .orderBy("conv_id", "touch_id"),
+      Some("""WITH p AS (SELECT event_id AS conv_id, user_id AS key,
+             |    epoch_us(ts) AS conv_ts, value AS conv_value
+             |  FROM events WHERE event_type = 'purchase'),
+             |c AS (SELECT event_id AS touch_id, user_id AS key,
+             |    epoch_us(ts) AS touch_ts
+             |  FROM events WHERE event_type = 'click'),
+             |j AS (SELECT p.*, c.touch_id, c.touch_ts
+             |  FROM p JOIN c ON p.key = c.key
+             |    AND c.touch_ts <= p.conv_ts
+             |    AND c.touch_ts >= p.conv_ts - 1800000000),
+             |r AS (SELECT *,
+             |    ROW_NUMBER() OVER (PARTITION BY conv_id
+             |      ORDER BY touch_ts, touch_id) AS position,
+             |    COUNT(*) OVER (PARTITION BY conv_id) AS n_touches
+             |  FROM j),
+             |k AS (SELECT *,
+             |    CASE WHEN n_touches = 1 THEN 1.0
+             |         WHEN n_touches = 2 THEN
+             |           CASE WHEN position = 1 THEN 0.5 ELSE 0.5 END
+             |         WHEN position = 1 THEN 0.4
+             |         WHEN position = n_touches THEN 0.4
+             |         ELSE 0.19999999999999998 / (n_touches - 2)
+             |    END AS credit
+             |  FROM r)
+             |SELECT conv_id, touch_id, key, position, n_touches,
+             |  ROUND(credit, 6) AS credit,
+             |  ROUND(credit * conv_value, 6) AS attributed
+             |FROM k ORDER BY conv_id, touch_id""".stripMargin)),
+
+    // Fellegi-Sunter record linkage: two disjoint customer registers
+    // blocked on nation, compared on (segment, balance bucket, name
+    // digit); u-probabilities from the right register's exact value
+    // frequencies, m fixed at 0.95. Log-likelihood-ratio weights sum in
+    // field order — identical IEEE arithmetic both engines. Fixed-id
+    // gates keep the pair space constant at synthesized scales.
+    QueryDef("q196_record_linkage",
+      (s, d) => {
+        val cust = table(s, d, "customer").select(col("c_custkey"),
+          col("c_nationkey"), col("c_mktsegment").as("seg"),
+          floor(col("c_acctbal") / 1000).cast("long").as("bal_k"),
+          expr("right(c_name, 1)").as("nd"))
+        Linkage.linkageScores(
+            cust.where(col("c_custkey") <= 500),
+            cust.where(col("c_custkey") > 500 && col("c_custkey") <= 1000),
+            "c_custkey", "c_custkey", Seq("c_nationkey"),
+            Seq("seg", "bal_k", "nd"))
+          .select(col("id_l"), col("id_r"), col("n_agree"),
+            round(col("score"), 6).as("score"))
+          .orderBy("id_l", "id_r")
+      },
+      Some("""WITH c AS (SELECT c_custkey, c_nationkey,
+             |    c_mktsegment AS seg,
+             |    CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_k,
+             |    right(c_name, 1) AS nd
+             |  FROM customer),
+             |l AS (SELECT * FROM c WHERE c_custkey <= 500),
+             |r AS (SELECT * FROM c
+             |  WHERE c_custkey > 500 AND c_custkey <= 1000),
+             |u1 AS (SELECT CAST(SUM(cnt * cnt) AS DOUBLE)
+             |    / (SUM(cnt) * SUM(cnt)) AS u
+             |  FROM (SELECT COUNT(*) AS cnt FROM r GROUP BY seg)),
+             |u2 AS (SELECT CAST(SUM(cnt * cnt) AS DOUBLE)
+             |    / (SUM(cnt) * SUM(cnt)) AS u
+             |  FROM (SELECT COUNT(*) AS cnt FROM r GROUP BY bal_k)),
+             |u3 AS (SELECT CAST(SUM(cnt * cnt) AS DOUBLE)
+             |    / (SUM(cnt) * SUM(cnt)) AS u
+             |  FROM (SELECT COUNT(*) AS cnt FROM r GROUP BY nd)),
+             |p AS (SELECT l.c_custkey AS id_l, r.c_custkey AS id_r,
+             |    l.seg = r.seg AS a1, l.bal_k = r.bal_k AS a2,
+             |    l.nd = r.nd AS a3
+             |  FROM l JOIN r USING (c_nationkey))
+             |SELECT id_l, id_r,
+             |  (CASE WHEN a1 THEN 1 ELSE 0 END
+             |   + CASE WHEN a2 THEN 1 ELSE 0 END
+             |   + CASE WHEN a3 THEN 1 ELSE 0 END) AS n_agree,
+             |  ROUND(
+             |    (CASE WHEN u1.u > 0 AND u1.u < 1 AND a1
+             |       THEN (ln(0.95) - ln(u1.u)) / ln(2)
+             |     WHEN u1.u > 0 AND u1.u < 1
+             |       THEN (ln(1.0 - 0.95) - ln(1.0 - u1.u)) / ln(2)
+             |     ELSE 0.0 END)
+             |    + (CASE WHEN u2.u > 0 AND u2.u < 1 AND a2
+             |       THEN (ln(0.95) - ln(u2.u)) / ln(2)
+             |     WHEN u2.u > 0 AND u2.u < 1
+             |       THEN (ln(1.0 - 0.95) - ln(1.0 - u2.u)) / ln(2)
+             |     ELSE 0.0 END)
+             |    + (CASE WHEN u3.u > 0 AND u3.u < 1 AND a3
+             |       THEN (ln(0.95) - ln(u3.u)) / ln(2)
+             |     WHEN u3.u > 0 AND u3.u < 1
+             |       THEN (ln(1.0 - 0.95) - ln(1.0 - u3.u)) / ln(2)
+             |     ELSE 0.0 END), 6) AS score
+             |FROM p, u1, u2, u3 ORDER BY id_l, id_r""".stripMargin)),
   )
+
+  /** Unrolled DuckDB replay of [[graft.ops.Graph.kCorePeel]] over the
+    * q174 co-purchase edge relation: per round, degrees over the current
+    * edge set, the surviving node set (deg >= k), and the restricted
+    * edges — MATERIALIZED so each round evaluates once.
+    */
+  private def kCoreOracleSql(k: Int, rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey
+             |  FROM lineitem WHERE l_partkey < 2000),
+             |e0 AS MATERIALIZED (
+             |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+             |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+             |    AND a.l_partkey < b.l_partkey)""".stripMargin
+    for (i <- 1 to rounds) {
+      sb ++= s""",
+               |d$i AS (SELECT n, COUNT(*) AS deg FROM (
+               |    SELECT u AS n FROM e${i - 1}
+               |    UNION ALL SELECT v FROM e${i - 1}) GROUP BY 1),
+               |k$i AS (SELECT n FROM d$i WHERE deg >= $k),
+               |e$i AS MATERIALIZED (SELECT u, v FROM e${i - 1}
+               |  WHERE u IN (SELECT n FROM k$i)
+               |    AND v IN (SELECT n FROM k$i))""".stripMargin
+    }
+    sb ++= s"""
+              |SELECT n AS node, COUNT(*) AS deg FROM (
+              |  SELECT u AS n FROM e$rounds
+              |  UNION ALL SELECT v FROM e$rounds) GROUP BY 1
+              |ORDER BY node""".stripMargin
+    sb.toString
+  }
 
   /** Unrolled DuckDB replay of [[graft.ops.Similarity.kCenters]]: per
     * round, min squared Euclidean distance to the chosen set (the same

@@ -108,4 +108,38 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     val got = runLpa(star, Seq((1L, 5L), (2L, 5L), (3L, 5L), (4L, 1L)), 1)
     assert(got(0L) == Some(5L), s"got $got")
   }
+
+  private def runKCore(edges: Seq[(Long, Long)], k: Int,
+      rounds: Int): Map[Long, Long] = {
+    val s2 = spark; import s2.implicits._
+    Graph.kCorePeel(edges.toDF("src", "dst"), k, rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("k-core: chain peels shell by shell, the clique survives") {
+    // 4-clique {1,2,3,4} with a pendant chain 4-5-6: at k=2 the chain
+    // sheds ONE leaf per round (6 first, exposing 5), while the clique
+    // (every degree 3) is untouched at any round count
+    val clique = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L))
+    val chain = Seq((4L, 5L), (5L, 6L))
+    val g = clique ++ chain
+    val r1 = runKCore(g, 2, 1)
+    assert(!r1.contains(6L) && r1.contains(5L), s"round 1: $r1")
+    val r2 = runKCore(g, 2, 2)
+    assert(r2.keySet == Set(1L, 2L, 3L, 4L), s"round 2: $r2")
+    assert(r2.values.forall(_ == 3L), s"core degrees: $r2")
+    // duplicate / reversed / self-loop edges collapse before peeling
+    val noisy = g ++ Seq((2L, 1L), (3L, 3L), (1L, 2L))
+    assert(runKCore(noisy, 2, 2) == r2)
+    // k above the densest core empties the graph
+    assert(runKCore(g, 4, 3).isEmpty)
+  }
+
+  test("k-core rejects non-numeric node ids") {
+    val s2 = spark; import s2.implicits._
+    val bad = Seq(("a", "b")).toDF("src", "dst")
+    val e = intercept[IllegalArgumentException](Graph.kCorePeel(bad, 2, 1))
+    assert(e.getMessage.contains("numeric"))
+  }
 }

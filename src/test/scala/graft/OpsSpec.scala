@@ -2512,4 +2512,82 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(slacked(1L) == 0L, slacked.toString)   // devs 3-4 < 0 clamp
     assert(slacked(2L) == 5L, slacked.toString)   // 19-10-4
   }
+
+  test("delta dedup classifies exact, near, and new against a corpus") {
+    val s2 = spark; import s2.implicits._
+    val base = "the quick brown fox jumps over the lazy dog " +
+      "and keeps running through the quiet green field"
+    val corpus = Seq((1L, base),
+      (2L, "completely different text about spark physical plans and " +
+        "shuffle boundaries in distributed aggregation pipelines"))
+      .toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, base),                    // byte-identical -> exact_dup of 1
+      (11L, base + " xx"),            // 3 edits -> near_dup of 1
+      (12L, "unrelated content entirely new words nothing shared " +
+        "with anything stored before today at all whatsoever"))
+      .toDF("doc_id", "text")
+    val got = Dedup.deltaDedup(corpus, delta, n = 3, numHashes = 8,
+        rowsPerBand = 2, maxDist = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(got(10L) == ("exact_dup", 1L), got.toString)
+    assert(got(11L) == ("near_dup", 1L), got.toString)
+    assert(got(12L) == ("new", -1L), got.toString)
+  }
+
+  test("multi-touch attribution: U-shaped credits sum to 1 per conversion") {
+    val s2 = spark; import s2.implicits._
+    // user 1: 4 touches (credits .4/.1/.1/.4); user 2: 1 touch; user 3:
+    // 2 touches (.5/.5); user 4: touch OUTSIDE the horizon -> no rows
+    val ev = Seq(
+      (101L, 1L, "click", 1000L), (102L, 1L, "click", 2000L),
+      (103L, 1L, "click", 3000L), (104L, 1L, "click", 4000L),
+      (105L, 1L, "purchase", 5000L),
+      (201L, 2L, "click", 1000L), (202L, 2L, "purchase", 1500L),
+      (301L, 3L, "click", 1000L), (302L, 3L, "click", 2000L),
+      (303L, 3L, "purchase", 2500L),
+      (401L, 4L, "click", 0L), (402L, 4L, "purchase", 999999L))
+      .toDF("event_id", "user_id", "event_type", "ts_us")
+      .withColumn("value", lit(10.0))
+    val got = Funnel.multiTouchAttribution(ev, "user_id", "event_id",
+      "ts_us", "event_type", "value", "purchase", "click",
+      horizonUs = 10000L)
+    val rows = got.collect().map(r => (r.getLong(0), r.getLong(1)) ->
+      (r.getInt(3), r.getDouble(5))).toMap
+    val mid = (1.0 - 0.4 - 0.4) / 2 // exact IEEE, 0.09999999999999998
+    assert(rows((105L, 101L)) == (1, 0.4), rows.toString)
+    assert(rows((105L, 102L)) == (2, mid), rows.toString)
+    assert(rows((105L, 103L)) == (3, mid), rows.toString)
+    assert(rows((105L, 104L)) == (4, 0.4), rows.toString)
+    assert(rows((202L, 201L)) == (1, 1.0), rows.toString)
+    assert(rows((303L, 301L)) == (1, 0.5), rows.toString)
+    assert(rows((303L, 302L)) == (2, 0.5), rows.toString)
+    assert(!rows.keySet.exists(_._1 == 402L), "outside horizon")
+    // credits sum to 1 per conversion
+    val sums = got.groupBy("conv_id").agg(sum("credit").as("s"))
+      .collect().map(r => r.getDouble(1))
+    assert(sums.forall(v => math.abs(v - 1.0) < 1e-12), sums.mkString(","))
+  }
+
+  test("record linkage: known u-probabilities give the textbook weights") {
+    val s2 = spark; import s2.implicits._
+    // right register: field f1 uniform over 2 values -> u = 0.5;
+    // field f2 constant -> u = 1 (vacuous, must contribute 0)
+    val left = Seq((1L, 0L, "a", "z"), (2L, 0L, "b", "z"))
+      .toDF("id", "blk", "f1", "f2")
+    val right = Seq((10L, 0L, "a", "z"), (11L, 0L, "b", "z"))
+      .toDF("id", "blk", "f1", "f2")
+    val got = Linkage.linkageScores(left, right, "id", "id",
+        Seq("blk"), Seq("f1", "f2"), mProb = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getInt(2), r.getDouble(3))).toMap
+    val agreeW = (math.log(0.95) - math.log(0.5)) / math.log(2.0)
+    val disW = (math.log(1.0 - 0.95) - math.log(1.0 - 0.5)) / math.log(2.0)
+    // f2 always agrees but is vacuous: n_agree counts it, score ignores
+    assert(got((1L, 10L)) == (2, agreeW), got.toString)
+    assert(got((1L, 11L)) == (1, disW), got.toString)
+    assert(got((2L, 11L)) == (2, agreeW), got.toString)
+    assert(got.size == 4)
+  }
 }
