@@ -216,6 +216,56 @@ object Funnel {
     * on ONE key partitioning, counter-sized state, no collected
     * sequences, no joins.
     */
+  /** Session-level co-occurrence PMI between event types: sessionize
+    * each key's stream by `gapUs`, collapse to distinct
+    * (session, type) incidences, and score each type pair by pointwise
+    * mutual information `ln(n_xy · S / (n_x · n_y))` over sessions —
+    * which behaviors travel together within a visit (PMI > 0) and
+    * which repel (PMI < 0). The engine's association-measure DNA
+    * (SURVEY §2 A4 — the reference scores word pairs by exactly this
+    * family) applied to behavioral streams. Returns
+    * `(type_l, type_r, n_xy, pmi)` with `type_l < type_r`.
+    *
+    * Shape at 100 TB: one key-partitioned lag+cumsum window pair to
+    * assign session ids (q143's island construction), one distinct to
+    * the (session, type) grain, then the pair expansion self-joins ON
+    * THE SESSION KEY — cost Σ_session (types/session)², bounded by the
+    * distinct-type count per session (≤ the type vocabulary), never by
+    * corpus size ([[graft.ops.Graph.coCitation]]'s contract). Counts
+    * are exact integers; the single `ln` per pair replays bit-for-bit.
+    */
+  def sessionCooccurrence(events: DataFrame, keyCol: String,
+      idCol: String, tsCol: String, typeCol: String,
+      gapUs: Long): DataFrame = {
+    require(gapUs > 0, s"gapUs=$gapUs must be > 0")
+    val ts = col(tsCol).cast("long")
+    val wOrd = Window.partitionBy(keyCol).orderBy(ts.asc, col(idCol).asc)
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val st = events
+      .withColumn("__new", when(
+        ts - lag(ts, 1).over(wOrd) > gapUs, 1).otherwise(0))
+      .withColumn("__sid", sum("__new").over(wCum))
+      .select(col(keyCol).as("key"), col("__sid"),
+        col(typeCol).as("t"))
+      .distinct()
+    val nSessions = st.select("key", "__sid").distinct()
+      .agg(count(lit(1)).as("s"))
+    val nX = st.groupBy("t").agg(count(lit(1)).as("n"))
+    st.as("a").join(st.as("b"), Seq("key", "__sid"))
+      .where(col("a.t") < col("b.t"))
+      .groupBy(col("a.t").as("type_l"), col("b.t").as("type_r"))
+      .agg(count(lit(1)).as("n_xy"))
+      .join(broadcast(nX.select(col("t").as("type_l"),
+        col("n").as("n_l"))), "type_l")
+      .join(broadcast(nX.select(col("t").as("type_r"),
+        col("n").as("n_r"))), "type_r")
+      .crossJoin(broadcast(nSessions))
+      .select(col("type_l"), col("type_r"), col("n_xy"),
+        log((col("n_xy") * col("s")).cast("double") /
+          (col("n_l") * col("n_r"))).as("pmi"))
+  }
+
   /** Position-based (U-shaped) multi-touch attribution: each conversion
     * event (`convType`) distributes its value across the same-key touch
     * events (`touchType`) in the `horizonUs` window before it — the

@@ -368,6 +368,39 @@ object Profile {
           .as("cum_share"))
   }
 
+  /** Weekly seasonal profile of an event stream: per (day-of-week,
+    * hour-of-day) cell, event count, value total/mean, and the seasonal
+    * factor (cell mean / global mean) — the baseline every monitoring
+    * and drift check normalizes against (traffic at Tuesday 09:00 is
+    * only anomalous relative to Tuesdays at 09:00), and the feature a
+    * demand model consumes directly.
+    *
+    * Calendar math is EXACT integer µs arithmetic on the epoch
+    * (`dow = (epoch_day + 4) mod 7`, 0 = Monday, UTC) — deliberately
+    * not a timezone/date function, so any engine replays it
+    * bit-for-bit and daylight-saving rules never shift a cell.
+    *
+    * Shape at 100 TB: ONE aggregation to the ≤ 168-cell grain plus a
+    * broadcast global mean — nothing downstream scales with data.
+    */
+  def seasonalProfile(events: DataFrame, tsCol: String,
+      valueCol: String): DataFrame = {
+    val cells = events.select(
+        expr(s"pmod(CAST($tsCol AS BIGINT) div 86400000000 + 4, 7)")
+          .as("dow"),
+        expr(s"pmod(CAST($tsCol AS BIGINT) div 3600000000, 24)")
+          .as("hour"),
+        col(valueCol).cast("double").as("v"))
+      .groupBy("dow", "hour")
+      .agg(count(lit(1)).as("n"), sum("v").as("total"))
+    val global = cells.agg(
+      (sum("total") / sum("n")).as("global_mean"))
+    cells.crossJoin(broadcast(global))
+      .select(col("dow"), col("hour"), col("n"), col("total"),
+        (col("total") / col("n")).as("mean"),
+        ((col("total") / col("n")) / col("global_mean")).as("factor"))
+  }
+
   /** [[paretoProfile]] for billions-of-keys grains: identical output
     * (exact global ranks, shares, cumulative shares — the equivalence
     * is spec-pinned), but the rank space is value-RADIX bucketed first

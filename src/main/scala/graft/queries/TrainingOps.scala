@@ -4363,6 +4363,73 @@ object TrainingOps {
              |       THEN (ln(1.0 - 0.95) - ln(1.0 - u3.u)) / ln(2)
              |     ELSE 0.0 END), 6) AS score
              |FROM p, u1, u2, u3 ORDER BY id_l, id_r""".stripMargin)),
+
+    // Weekly seasonal profile: per (day-of-week, hour) event cell with
+    // the seasonal factor vs the global mean — exact integer epoch
+    // arithmetic (no tz/date functions), one agg to the <= 168-cell
+    // grain.
+    QueryDef("q197_seasonal_profile",
+      (s, d) => graft.ops.Profile.seasonalProfile(eventsMicros(s, d),
+          "ts_us", "value")
+        .select(col("dow"), col("hour"), col("n"),
+          round(col("total"), 4).as("total"),
+          round(col("mean"), 6).as("mean"),
+          round(col("factor"), 6).as("factor"))
+        .orderBy("dow", "hour"),
+      Some("""WITH cells AS (SELECT
+             |    (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+             |    (epoch_us(ts) // 3600000000) % 24 AS hour,
+             |    COUNT(*) AS n, SUM(value) AS total
+             |  FROM events GROUP BY 1, 2),
+             |g AS (SELECT SUM(total) / SUM(n) AS gm FROM cells)
+             |SELECT dow, hour, n, ROUND(total, 4) AS total,
+             |  ROUND(total / n, 6) AS mean,
+             |  ROUND((total / n) / gm, 6) AS factor
+             |FROM cells CROSS JOIN g ORDER BY dow, hour""".stripMargin)),
+
+    // Session co-occurrence PMI: which event types travel together
+    // within a 30-minute-gap session — the reference's
+    // association-measure family (SURVEY A4) applied to behavioral
+    // streams; pair expansion self-joins on the session key
+    // (coCitation's bounded contract), one ln per pair.
+    QueryDef("q198_session_pmi",
+      (s, d) => Funnel.sessionCooccurrence(eventsMicros(s, d),
+          keyCol = "user_id", idCol = "event_id", tsCol = "ts_us",
+          typeCol = "event_type", gapUs = 1800000000L)
+        .select(col("type_l"), col("type_r"), col("n_xy"),
+          round(col("pmi"), 6).as("pmi"))
+        .orderBy("type_l", "type_r"),
+      Some("""WITH e AS (SELECT user_id, event_id, event_type,
+             |    epoch_us(ts) AS us FROM events),
+             |f AS (SELECT user_id, event_id, event_type, us,
+             |    CASE WHEN us - LAG(us) OVER (PARTITION BY user_id
+             |        ORDER BY us, event_id) > 1800000000
+             |      THEN 1 ELSE 0 END AS new_s
+             |  FROM e),
+             |sess AS (SELECT user_id, event_type,
+             |    SUM(new_s) OVER (PARTITION BY user_id
+             |      ORDER BY us, event_id
+             |      ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM f),
+             |st AS (SELECT DISTINCT user_id, sid, event_type AS t
+             |  FROM sess),
+             |ns AS (SELECT COUNT(*) AS s
+             |  FROM (SELECT DISTINCT user_id, sid FROM st)),
+             |nx AS (SELECT t, COUNT(*) AS n FROM st GROUP BY 1),
+             |p AS (SELECT a.t AS type_l, b.t AS type_r,
+             |    COUNT(*) AS n_xy
+             |  FROM st a JOIN st b
+             |    ON a.user_id = b.user_id AND a.sid = b.sid
+             |    AND a.t < b.t
+             |  GROUP BY 1, 2)
+             |SELECT type_l, type_r, n_xy,
+             |  ROUND(ln(CAST(n_xy * s AS DOUBLE) / (l.n * r.n)), 6)
+             |    AS pmi
+             |FROM p
+             |JOIN nx l ON l.t = type_l
+             |JOIN nx r ON r.t = type_r
+             |CROSS JOIN ns
+             |ORDER BY type_l, type_r""".stripMargin)),
   )
 
   /** Unrolled DuckDB replay of [[graft.ops.Graph.kCorePeel]] over the

@@ -2570,6 +2570,44 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(sums.forall(v => math.abs(v - 1.0) < 1e-12), sums.mkString(","))
   }
 
+  test("seasonal profile: exact epoch cells, factors around the mean") {
+    val s2 = spark; import s2.implicits._
+    val h = 3600000000L; val day = 24 * h
+    // epoch 0 is Thursday -> dow (0+4)%7 = 4; +4 days -> Monday (dow 1)
+    val ev = Seq(
+      (0L, 10.0), (h, 20.0),          // Thu 00:00 (10), Thu 01:00 (20)
+      (4 * day + 5 * h, 40.0),        // Mon 05:00
+      (4 * day + 5 * h + 60L, 50.0))  // same Mon 05:00 cell
+      .toDF("ts_us", "value")
+    val got = graft.ops.Profile.seasonalProfile(ev, "ts_us", "value")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(4), r.getDouble(5))).toMap
+    assert(got.keySet == Set((4L, 0L), (4L, 1L), (1L, 5L)), got.toString)
+    assert(got((4L, 0L)) == (1L, 10.0, 10.0 / 30.0), got.toString)
+    assert(got((1L, 5L))._1 == 2L && got((1L, 5L))._2 == 45.0)
+    // global mean = 120/4 = 30; factor of the Monday cell = 45/30
+    assert(math.abs(got((1L, 5L))._3 - 1.5) < 1e-12)
+  }
+
+  test("session PMI: co-occurring types score above independent ones") {
+    val s2 = spark; import s2.implicits._
+    val gap = 1000L
+    // user 1: two sessions each containing {A, B}; user 2: one {C}
+    val ev = Seq(
+      (1L, 1L, "A", 0L), (2L, 1L, "B", 10L),
+      (3L, 1L, "A", 50000L), (4L, 1L, "B", 50010L),
+      (5L, 2L, "C", 0L))
+      .toDF("event_id", "user_id", "event_type", "ts_us")
+    val got = Funnel.sessionCooccurrence(ev, "user_id", "event_id",
+        "ts_us", "event_type", gap)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // S=3 sessions, n_A=n_B=2, n_AB=2 -> pmi = ln(2*3/4) = ln(1.5)
+    assert(got.keySet == Set(("A", "B")), got.toString)
+    assert(got(("A", "B"))._1 == 2L)
+    assert(math.abs(got(("A", "B"))._2 - math.log(1.5)) < 1e-12)
+  }
+
   test("record linkage: known u-probabilities give the textbook weights") {
     val s2 = spark; import s2.implicits._
     // right register: field f1 uniform over 2 values -> u = 0.5;
