@@ -548,6 +548,47 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       plan(pf))
   }
 
+  test("delta dedup: corpus is probed via broadcasts, never cartesian") {
+    val corpus = docs.where(org.apache.spark.sql.functions
+      .col("doc_id") < 300)
+    val delta = docs.where(org.apache.spark.sql.functions
+      .col("doc_id").between(300, 400))
+    val df = Dedup.deltaDedup(corpus, delta, 3, 8, 2, maxDist = 20)
+    val p = plan(df)
+    // every delta-derived relation (hashes, band keys, candidates,
+    // classification joins) must broadcast against the corpus scans
+    assert("BroadcastExchange".r.findAllIn(p).size >= 4, p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("multi-touch attribution: one equi-join + one conv-keyed window") {
+    val ev = graft.queries.QueryDef.eventsMicros(spark, dir)
+    val df = Funnel.multiTouchAttribution(ev, "user_id", "event_id",
+      "ts_us", "event_type", "value", "purchase", "click", 1800000000L)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p)
+    // the time bound rides the user-key equi-join as a filter; rank +
+    // count share the conv_id window partitioning
+    assert("(?i)hashpartitioning\\(conv_id".r.findAllIn(p).nonEmpty, p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("record linkage: per-field u stats broadcast; blocked equi-join") {
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+      .select(org.apache.spark.sql.functions.col("c_custkey"),
+        org.apache.spark.sql.functions.col("c_nationkey"),
+        org.apache.spark.sql.functions.col("c_mktsegment").as("seg"))
+    val df = Linkage.linkageScores(cust, cust, "c_custkey", "c_custkey",
+      Seq("c_nationkey"), Seq("seg"))
+    val p = plan(df)
+    // the pair expansion must be the blocked hash equi-join, with the
+    // one-row u table broadcast in (a BroadcastNestedLoopJoin on a
+    // single-row build side is the cross join's correct physical form)
+    assert("BroadcastExchange".r.findAllIn(p).size >= 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("bucketed pareto: key-grain windows partition by bucket; only " +
       "collapsed grains hit a single partition") {
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
