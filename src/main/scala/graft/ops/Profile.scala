@@ -368,6 +368,89 @@ object Profile {
           .as("cum_share"))
   }
 
+  /** Column-statistics drift between two snapshots of a relation: for
+    * each named column, row count, null rate, distinct count, and mean
+    * (numeric columns; NULL otherwise) on BOTH sides plus the deltas —
+    * the schema-level companion to [[graft.ops.Curation]]'s PSI
+    * distribution drift: PSI asks "did the value distribution shift",
+    * this asks "did a loader break" (null rates jumping, cardinality
+    * collapsing, a unit change moving the mean). The standard data
+    * contract check gating a corpus version bump.
+    *
+    * Exact arithmetic: counts are integers; null rate and mean divide
+    * once at the end. Means cast through double — flag columns whose
+    * delta matters at your tolerance, don't diff at 1e-15.
+    *
+    * Shape at 100 TB: one aggregation per (column, side) — 2·|cols|
+    * passes of ONE aggregate each, collapsed to one row per column
+    * (with column pruning each pass reads only its column; fuse into a
+    * single multi-aggregate pass if scan count ever dominates).
+    */
+  def statsDrift(before: DataFrame, after: DataFrame,
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "cols must be non-empty")
+    def side(df: DataFrame, c: String, tag: String) = {
+      val isNum = df.schema(c).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType]
+      val mean = if (isNum) avg(col(c).cast("double"))
+                 else lit(null).cast("double")
+      df.agg(count(lit(1)).as(s"n_$tag"),
+        (sum(when(col(c).isNull, 1L).otherwise(0L)).cast("double") /
+          count(lit(1))).as(s"null_rate_$tag"),
+        countDistinct(col(c)).as(s"n_distinct_$tag"),
+        mean.as(s"mean_$tag"))
+    }
+    cols.map { c =>
+      side(before, c, "before").crossJoin(side(after, c, "after"))
+        .select(lit(c).as("column"),
+          col("n_before"), col("n_after"),
+          col("null_rate_before"), col("null_rate_after"),
+          col("n_distinct_before"), col("n_distinct_after"),
+          col("mean_before"), col("mean_after"),
+          (col("null_rate_after") - col("null_rate_before"))
+            .as("null_rate_delta"),
+          (col("mean_after") - col("mean_before")).as("mean_delta"))
+    }.reduce(_.unionAll(_))
+  }
+
+  /** Per-key burstiness profile (index of dispersion / Fano factor):
+    * bucket each key's events onto a fixed `widthUs` grid spanning its
+    * first-to-last observation, then `fano = var / mean` of the
+    * per-bucket counts WITH empty buckets counted as zeros — ≈ 1 for
+    * Poisson-like organic activity, ≫ 1 for bursty scripted traffic,
+    * ≪ 1 for metronomic polling (both tails are the classic bot
+    * signatures). Returns
+    * `(key, n_events, n_buckets, mean_rate, fano)`.
+    *
+    * Exact arithmetic: per-bucket counts are integers; empty buckets
+    * contribute 0 to Σc² so only OBSERVED buckets are ever
+    * materialized (`var = Σc²/B − mean²` over the span's B buckets) —
+    * the grid is implicit, never exploded (contrast
+    * [[graft.ops.AsOf.gapFillLocf]], which materializes its grid
+    * because the carried values are the output). Keys spanning a
+    * single bucket report fano 0 (no dispersion is measurable).
+    *
+    * Shape at 100 TB: one (key, bucket) aggregation + one key-grain
+    * aggregation. Nothing else.
+    */
+  def burstiness(events: DataFrame, keyCol: String, tsCol: String,
+      widthUs: Long): DataFrame = {
+    require(widthUs > 0, s"widthUs=$widthUs must be > 0")
+    val perBucket = events.select(col(keyCol).as("key"),
+        expr(s"CAST($tsCol AS BIGINT) div $widthUs").as("bkt"))
+      .groupBy("key", "bkt").agg(count(lit(1)).as("c"))
+    perBucket.groupBy("key")
+      .agg(sum("c").as("n_events"),
+        (max("bkt") - min("bkt") + 1).as("n_buckets"),
+        sum(col("c") * col("c")).as("ss"))
+      .withColumn("mean_rate",
+        col("n_events").cast("double") / col("n_buckets"))
+      .withColumn("fano",
+        ((col("ss").cast("double") / col("n_buckets") -
+          col("mean_rate") * col("mean_rate")) / col("mean_rate")))
+      .select("key", "n_events", "n_buckets", "mean_rate", "fano")
+  }
+
   /** Weekly seasonal profile of an event stream: per (day-of-week,
     * hour-of-day) cell, event count, value total/mean, and the seasonal
     * factor (cell mean / global mean) — the baseline every monitoring

@@ -802,6 +802,40 @@ object TextAnalysis {
       .select("cls", "rk", "term", "a", "chi2")
   }
 
+  /** Cross-document n-gram duplication profile: per document, how much
+    * of its n-gram mass also appears in OTHER documents —
+    * `(doc_id, n_grams, n_dup, dup_frac)` with `n_dup` the count of the
+    * doc's distinct n-grams whose document frequency exceeds 1. The
+    * across-corpus complement to the Gopher WITHIN-doc repetition
+    * rules: a high `dup_frac` doc is boilerplate / template / near-copy
+    * even when no single near-dup pair flags it, and the standard
+    * memorization-risk screen before training (RefinedWeb-style
+    * duplicate-n-gram fraction).
+    *
+    * Shape at 100 TB: one (doc, gram) distinct projection, one
+    * gram-grain df aggregation, one join back on the gram key, one
+    * aggregation to the doc grain — all hash-partitioned; no pair
+    * expansion anywhere (contrast [[graft.ops.Dedup.jaccardPairs]]:
+    * this is the linear-cost corpus-level signal, that is the
+    * quadratic-in-bucket pairwise one).
+    */
+  def crossDocNgramOverlap(docs: DataFrame, n: Int = 5): DataFrame = {
+    require(n >= 1, s"n=$n must be >= 1")
+    val grams = docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .where(size(col("t")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"array_distinct(transform(sequence(1, size(t) - ${n - 1}), " +
+          s"i -> concat_ws(' ', slice(t, i, $n))))")).as("gram"))
+    val df = grams.groupBy("gram").agg(count(lit(1)).as("df"))
+    grams.join(df, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_frac",
+        col("n_dup").cast("double") / col("n_grams"))
+  }
+
   /** All-pairs sparse cosine similarity over n-gram-shingle TF-IDF
     * vectors at a threshold — the inverted-index similarity join
     * (Bayardo et al., "Scaling Up All Pairs Similarity Search", WWW'07

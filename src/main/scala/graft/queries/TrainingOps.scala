@@ -4430,6 +4430,133 @@ object TrainingOps {
              |JOIN nx r ON r.t = type_r
              |CROSS JOIN ns
              |ORDER BY type_l, type_r""".stripMargin)),
+
+    // Cross-document n-gram duplication profile: per-doc fraction of
+    // 5-gram mass shared with OTHER documents — the across-corpus
+    // memorization screen next to Gopher's within-doc repetition
+    // rules. Linear shapes only: distinct grams, one df agg, one join
+    // back, one doc-grain agg.
+    QueryDef("q199_crossdoc_overlap",
+      (s, d) => TextAnalysis.crossDocNgramOverlap(
+          table(s, d, "documents"), n = 5)
+        .select(col("doc_id"), col("n_grams"), col("n_dup"),
+          round(col("dup_frac"), 6).as("dup_frac"))
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l
+             |  FROM documents),
+             |g AS (SELECT DISTINCT doc_id,
+             |    array_to_string(l[i:i+4], ' ') AS gram
+             |  FROM t, UNNEST(generate_series(1, len(l) - 4)) u(i)
+             |  WHERE len(l) >= 5),
+             |d AS (SELECT gram, COUNT(*) AS df FROM g GROUP BY 1)
+             |SELECT doc_id, COUNT(*) AS n_grams,
+             |  CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_dup,
+             |  ROUND(CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END)
+             |    AS DOUBLE) / COUNT(*), 6) AS dup_frac
+             |FROM g JOIN d USING (gram)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Per-user burstiness (Fano factor) over hourly buckets: var/mean
+    // of per-bucket counts with empty buckets as implicit zeros — the
+    // bot-signature dispersion statistic. Exact integer counts; three
+    // IEEE ops at the end, identical order both engines.
+    QueryDef("q200_burstiness",
+      (s, d) => graft.ops.Profile.burstiness(eventsMicros(s, d),
+          "user_id", "ts_us", widthUs = 3600000000L)
+        .select(col("key").as("user_id"), col("n_events"),
+          col("n_buckets"), round(col("mean_rate"), 6).as("mean_rate"),
+          round(col("fano"), 6).as("fano"))
+        .orderBy("user_id"),
+      Some("""WITH b AS (SELECT user_id,
+             |    epoch_us(ts) // 3600000000 AS bkt, COUNT(*) AS c
+             |  FROM events GROUP BY 1, 2),
+             |k AS (SELECT user_id,
+             |    CAST(SUM(c) AS BIGINT) AS n_events,
+             |    MAX(bkt) - MIN(bkt) + 1 AS n_buckets,
+             |    CAST(SUM(c * c) AS BIGINT) AS ss
+             |  FROM b GROUP BY 1),
+             |m AS (SELECT *,
+             |    CAST(n_events AS DOUBLE) / n_buckets AS mean_rate
+             |  FROM k)
+             |SELECT user_id, n_events, n_buckets,
+             |  ROUND(mean_rate, 6) AS mean_rate,
+             |  ROUND((CAST(ss AS DOUBLE) / n_buckets
+             |    - mean_rate * mean_rate) / mean_rate, 6) AS fano
+             |FROM m ORDER BY user_id""".stripMargin)),
+
+    // Column-statistics drift between two snapshots: a deterministic
+    // parity split of orders with a PLANTED loader defect on the
+    // "after" side (priority nulled above a price threshold) — null
+    // rate jumps, cardinality/means hold. Integer-valued mean columns
+    // keep the replay bit-stable (doc'd on statsDrift).
+    QueryDef("q201_stats_drift",
+      (s, d) => {
+        val o = table(s, d, "orders")
+        val before = o.where(col("o_orderkey") % 2 === 0)
+        val after = o.where(col("o_orderkey") % 2 === 1)
+          .withColumn("o_orderpriority",
+            when(col("o_totalprice") > 200000, lit(null).cast("string"))
+              .otherwise(col("o_orderpriority")))
+        graft.ops.Profile.statsDrift(before, after,
+            Seq("o_custkey", "o_orderstatus", "o_orderpriority"))
+          .select(col("column"), col("n_before"), col("n_after"),
+            round(col("null_rate_before"), 6).as("null_rate_before"),
+            round(col("null_rate_after"), 6).as("null_rate_after"),
+            col("n_distinct_before"), col("n_distinct_after"),
+            round(col("mean_before"), 6).as("mean_before"),
+            round(col("mean_after"), 6).as("mean_after"),
+            round(col("null_rate_delta"), 6).as("null_rate_delta"),
+            round(col("mean_delta"), 6).as("mean_delta"))
+          .orderBy("column")
+      },
+      Some("""WITH bf AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0),
+             |af AS (SELECT o_custkey, o_orderstatus,
+             |    CASE WHEN o_totalprice > 200000 THEN NULL
+             |         ELSE o_orderpriority END AS o_orderpriority
+             |  FROM orders WHERE o_orderkey % 2 = 1),
+             |s AS (
+             |  SELECT 'o_custkey' AS col,
+             |    (SELECT COUNT(*) FROM bf) AS n_before,
+             |    (SELECT COUNT(*) FROM af) AS n_after,
+             |    (SELECT CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1
+             |       ELSE 0 END) AS DOUBLE) / COUNT(*) FROM bf) AS nrb,
+             |    (SELECT CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1
+             |       ELSE 0 END) AS DOUBLE) / COUNT(*) FROM af) AS nra,
+             |    (SELECT COUNT(DISTINCT o_custkey) FROM bf) AS ndb,
+             |    (SELECT COUNT(DISTINCT o_custkey) FROM af) AS nda,
+             |    (SELECT SUM(CAST(o_custkey AS DOUBLE)) / COUNT(*)
+             |       FROM bf) AS mb,
+             |    (SELECT SUM(CAST(o_custkey AS DOUBLE)) / COUNT(*)
+             |       FROM af) AS ma
+             |  UNION ALL
+             |  SELECT 'o_orderpriority',
+             |    (SELECT COUNT(*) FROM bf), (SELECT COUNT(*) FROM af),
+             |    (SELECT CAST(SUM(CASE WHEN o_orderpriority IS NULL
+             |       THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) FROM bf),
+             |    (SELECT CAST(SUM(CASE WHEN o_orderpriority IS NULL
+             |       THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) FROM af),
+             |    (SELECT COUNT(DISTINCT o_orderpriority) FROM bf),
+             |    (SELECT COUNT(DISTINCT o_orderpriority) FROM af),
+             |    NULL, NULL
+             |  UNION ALL
+             |  SELECT 'o_orderstatus',
+             |    (SELECT COUNT(*) FROM bf), (SELECT COUNT(*) FROM af),
+             |    (SELECT CAST(SUM(CASE WHEN o_orderstatus IS NULL
+             |       THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) FROM bf),
+             |    (SELECT CAST(SUM(CASE WHEN o_orderstatus IS NULL
+             |       THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) FROM af),
+             |    (SELECT COUNT(DISTINCT o_orderstatus) FROM bf),
+             |    (SELECT COUNT(DISTINCT o_orderstatus) FROM af),
+             |    NULL, NULL)
+             |SELECT col AS "column", n_before, n_after,
+             |  ROUND(nrb, 6) AS null_rate_before,
+             |  ROUND(nra, 6) AS null_rate_after,
+             |  ndb AS n_distinct_before, nda AS n_distinct_after,
+             |  ROUND(mb, 6) AS mean_before, ROUND(ma, 6) AS mean_after,
+             |  ROUND(nra - nrb, 6) AS null_rate_delta,
+             |  ROUND(ma - mb, 6) AS mean_delta
+             |FROM s ORDER BY col""".stripMargin)),
   )
 
   /** Unrolled DuckDB replay of [[graft.ops.Graph.kCorePeel]] over the

@@ -2608,6 +2608,58 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(got(("A", "B"))._2 - math.log(1.5)) < 1e-12)
   }
 
+  test("cross-doc overlap: shared grams flag, unique docs score 0") {
+    val s2 = spark; import s2.implicits._
+    val shared = "alpha beta gamma delta epsilon"
+    val fix = Seq(
+      (1L, shared + " zeta"),       // grams: [a..e], [b..z] -> 1 shared
+      (2L, shared + " omega"),      // grams: [a..e], [b..o] -> 1 shared
+      (3L, "one two three four five six"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.crossDocNgramOverlap(fix, n = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L) == (2L, 1L, 0.5), got.toString)
+    assert(got(2L) == (2L, 1L, 0.5), got.toString)
+    assert(got(3L) == (2L, 0L, 0.0), got.toString)
+  }
+
+  test("burstiness: metronomic < poissonish < bursty, zeros counted") {
+    val s2 = spark; import s2.implicits._
+    val w = 100L
+    // key 1: one event per bucket across 4 buckets -> fano 0
+    // key 2: 4 events in bucket 0, silence, 4 in bucket 3 -> fano > 1
+    val ev = (0 until 4).map(i => (1L, i * w + 5)) ++
+      (0 until 4).map(i => (2L, 5L + i)) ++
+      (0 until 4).map(i => (2L, 3 * w + 5L + i))
+    val got = graft.ops.Profile.burstiness(
+        ev.toDF("user_id", "ts_us"), "user_id", "ts_us", w)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(got(1L) == (4L, 4L, 1.0, 0.0), got.toString)
+    // key 2: counts (4,0,0,4) over 4 buckets: mean 2, var = 32/4-4 = 4,
+    // fano = 2 — empty buckets MUST count (observed-only would give 0)
+    assert(got(2L) == (8L, 4L, 2.0, 2.0), got.toString)
+  }
+
+  test("stats drift flags planted null-rate and mean shifts") {
+    val s2 = spark; import s2.implicits._
+    val before = Seq((1L, Some("a")), (2L, Some("b")), (3L, Some("a")),
+      (4L, Some("c"))).toDF("k", "s")
+    val after = Seq((11L, Some("a")), (12L, None), (13L, None),
+      (14L, Some("a"))).toDF("k", "s")
+    val got = graft.ops.Profile.statsDrift(before, after, Seq("k", "s"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val k = got("k")
+    assert(k.getDouble(7) == 2.5 && k.getDouble(8) == 12.5) // means
+    assert(k.getDouble(10) == 10.0)                         // mean delta
+    val sCol = got("s")
+    assert(sCol.getDouble(3) == 0.0 && sCol.getDouble(4) == 0.5)
+    assert(sCol.getLong(5) == 3L && sCol.getLong(6) == 1L)  // distincts
+    assert(sCol.isNullAt(7) && sCol.isNullAt(8))            // non-numeric
+  }
+
   test("record linkage: known u-probabilities give the textbook weights") {
     val s2 = spark; import s2.implicits._
     // right register: field f1 uniform over 2 values -> u = 0.5;
