@@ -132,6 +132,60 @@ object Curation {
       .drop("__all", "__m")
   }
 
+  /** Luhn (mod-10) checksum validity of an all-digit string — the
+    * check digit scheme every payment card number satisfies. From the
+    * RIGHT, every second digit doubles (minus 9 when the double
+    * exceeds 9); the total must divide by 10. Pure column arithmetic
+    * (an ordered fold over character positions) — codegen-friendly,
+    * no UDF, and a SQL oracle replays it digit by digit.
+    *
+    * This is what makes digit-run scrubbing tractable where
+    * [[piiPatterns]] deliberately refuses bare digit runs: a random
+    * 13-19-digit run passes Luhn only 10% of the time, so validating
+    * candidates keeps order ids and timestamps OUT of the redaction
+    * set ([[redactCards]]).
+    */
+  def luhnValid(d: Column): Column = {
+    val n = length(d)
+    val total = aggregate(sequence(lit(1), n), lit(0), (acc, i) => {
+      val digit = ascii(d.substr(n - i + lit(1), lit(1))) - lit(48)
+      val dbl = digit * 2
+      acc + when(pmod(i, lit(2)) === 0,
+        when(dbl > 9, dbl - 9).otherwise(dbl)).otherwise(digit)
+    })
+    n >= 2 && d.rlike("^[0-9]+$") && pmod(total, lit(10)) === 0
+  }
+
+  /** Redact payment-card numbers: digit runs of 13-19 characters that
+    * PASS the Luhn checksum are replaced with `<CARD>`; runs that fail
+    * stay untouched (an order id or timestamp that merely looks like a
+    * card survives — the false-positive discipline bare-regex
+    * scrubbing cannot offer). Appends `n_card_candidates` (all runs in
+    * range) and `n_cards` (Luhn-valid occurrences) next to the
+    * rewritten `textCol`; other columns pass through.
+    *
+    * Same narrow shape as [[pseudonymize]]: extract, validate, and
+    * fold-replace per row (longest-first so a valid number embedded in
+    * a longer invalid run cannot be corrupted mid-fold) — pipelines
+    * with the scan at 100 TB, no shuffle, no UDF.
+    */
+  def redactCards(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val cmp = "(l, r) -> CASE WHEN length(l) > length(r) THEN -1 " +
+      "WHEN length(l) < length(r) THEN 1 " +
+      "WHEN l < r THEN -1 WHEN l > r THEN 1 ELSE 0 END"
+    docs
+      .withColumn("__cand",
+        regexp_extract_all(col(textCol), lit("[0-9]{13,19}"), lit(0)))
+      .withColumn("__valid", filter(col("__cand"), d => luhnValid(d)))
+      .withColumn("__m",
+        expr(s"array_sort(array_distinct(__valid), $cmp)"))
+      .withColumn(textCol, expr(s"aggregate(__m, $textCol, " +
+        "(acc, m) -> replace(acc, m, '<CARD>'))"))
+      .withColumn("n_card_candidates", size(col("__cand")))
+      .withColumn("n_cards", size(col("__valid")))
+      .drop("__cand", "__valid", "__m")
+  }
+
   /** HTML entities [[stripMarkup]] decodes, applied in order — `&amp;`
     * LAST, so a double-escaped `&amp;lt;` correctly yields the literal
     * text `&lt;` rather than re-decoding it to `<`.

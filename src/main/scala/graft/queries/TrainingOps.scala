@@ -4557,6 +4557,47 @@ object TrainingOps {
              |  ROUND(nra - nrb, 6) AS null_rate_delta,
              |  ROUND(ma - mb, 6) AS mean_delta
              |FROM s ORDER BY col""".stripMargin)),
+
+    // Luhn-validated card redaction: each doc is salted with a valid
+    // card (redacted), an invalid near-twin (kept — the false-positive
+    // discipline), and an 18-digit order id; the checksum folds digit
+    // by digit identically on both engines.
+    QueryDef("q202_redact_cards",
+      (s, d) => Curation.redactCards(
+          table(s, d, "documents").select(col("doc_id"),
+            concat(col("text"), lit(" pay 4111111111111111 ref " +
+              "4111111111111112 order 123456789012345678")).as("text")))
+        .select(col("doc_id"), md5(col("text")).as("text_md5"),
+          col("n_card_candidates"), col("n_cards"))
+        .orderBy("doc_id"),
+      Some("""WITH salted AS (SELECT doc_id,
+             |    text || ' pay 4111111111111111 ref 4111111111111112' ||
+             |    ' order 123456789012345678' AS text
+             |  FROM documents),
+             |m AS (SELECT doc_id, text,
+             |    regexp_extract_all(text, '[0-9]{13,19}') AS cand
+             |  FROM salted),
+             |v AS (SELECT doc_id, text, cand,
+             |    list_filter(cand, d -> list_sum(
+             |      [CASE WHEN g % 2 = 0 THEN
+             |         CASE WHEN 2 * (ascii(d[length(d)-g+1]) - 48) > 9
+             |           THEN 2 * (ascii(d[length(d)-g+1]) - 48) - 9
+             |           ELSE 2 * (ascii(d[length(d)-g+1]) - 48) END
+             |       ELSE ascii(d[length(d)-g+1]) - 48 END
+             |       FOR g IN generate_series(1, length(d))]) % 10 = 0)
+             |      AS valid
+             |  FROM m),
+             |s AS (SELECT doc_id, text, cand, valid,
+             |    list_transform(list_sort(list_transform(
+             |      list_distinct(valid), x -> {'k': -length(x), 'v': x})),
+             |      y -> y.v) AS ms
+             |  FROM v)
+             |SELECT doc_id,
+             |  md5(list_reduce(list_prepend(text, ms), (acc, x) ->
+             |    replace(acc, x, '<CARD>'))) AS text_md5,
+             |  CAST(len(cand) AS INT) AS n_card_candidates,
+             |  CAST(len(valid) AS INT) AS n_cards
+             |FROM s ORDER BY doc_id""".stripMargin)),
   )
 
   /** Unrolled DuckDB replay of [[graft.ops.Graph.kCorePeel]] over the

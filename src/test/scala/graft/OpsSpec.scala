@@ -2660,6 +2660,30 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(sCol.isNullAt(7) && sCol.isNullAt(8))            // non-numeric
   }
 
+  test("luhn validation gates card redaction; invalid twins survive") {
+    val s2 = spark; import s2.implicits._
+    // 4111111111111111 and 79927398713 are the canonical Luhn-valid
+    // test numbers; the +1 twin fails; 79927398713 is below the 13-19
+    // candidate range so it must NOT be redacted even though valid
+    val fix = Seq(
+      (1L, "pay 4111111111111111 now"),
+      (2L, "ref 4111111111111112 held"),
+      (3L, "id 79927398713 and 5500005555555559 mixed"))
+      .toDF("doc_id", "text")
+    val got = Curation.redactCards(fix)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2), r.getInt(3))).toMap
+    assert(got(1L) == ("pay <CARD> now", 1, 1), got.toString)
+    assert(got(2L) == ("ref 4111111111111112 held", 1, 0), got.toString)
+    assert(got(3L) ==
+      ("id 79927398713 and <CARD> mixed", 1, 1), got.toString)
+    // the scalar validator standalone
+    val v = Seq("4111111111111111", "4111111111111112", "79927398713",
+      "0", "abc").toDF("d")
+      .select(Curation.luhnValid(col("d"))).collect().map(_.getBoolean(0))
+    assert(v.toSeq == Seq(true, false, true, false, false), v.mkString(","))
+  }
+
   test("record linkage: known u-probabilities give the textbook weights") {
     val s2 = spark; import s2.implicits._
     // right register: field f1 uniform over 2 values -> u = 0.5;
