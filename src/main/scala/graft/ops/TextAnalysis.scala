@@ -802,6 +802,62 @@ object TextAnalysis {
       .select("cls", "rk", "term", "a", "chi2")
   }
 
+  /** Trailing-repetition detector: does the document END in a short
+    * token loop ("... la la la la", "... and more and more and more")?
+    * The signature failure mode of degenerate LLM output, and a
+    * standard screen before synthetic data enters a training mix —
+    * within-doc gram stats ([[repetitionStats]]-style) dilute the
+    * signal over the whole document, whereas a loop at the END is
+    * near-certain generation collapse however long the prefix.
+    *
+    * For each period `p = 1..maxPeriod` the last `p` tokens form the
+    * unit; `r_p` counts how many times the unit tiles the suffix
+    * (consecutively, scanning backward, capped at `maxUnits`). The
+    * reported `(period, n_repeats)` is the SMALLEST period reaching
+    * `minRepeats` (the fundamental loop, not its multiples — "la la
+    * la la" reports p=1 r=4, never p=2 r=2); docs with no qualifying
+    * loop report `(0, 0)`.
+    *
+    * Purely narrow: token arrays, slice equality, and ordered folds
+    * inside one projection — maxPeriod·maxUnits slice compares per
+    * row, no shuffle, pipelines with the scan at 100 TB.
+    */
+  def tailRepetition(docs: DataFrame, maxPeriod: Int = 5,
+      maxUnits: Int = 30, minRepeats: Int = 3,
+      textCol: String = "text"): DataFrame = {
+    require(maxPeriod >= 1, s"maxPeriod=$maxPeriod must be >= 1")
+    require(maxUnits >= 2, s"maxUnits=$maxUnits must be >= 2")
+    require(minRepeats >= 2, s"minRepeats=$minRepeats must be >= 2")
+    // per period p: r = 1 + length of the run of consecutive backward
+    // unit matches (an ordered fold with a short-circuit flag)
+    def rFor(p: Int): String =
+      s"""CASE WHEN n >= ${2 * p} THEN
+         |  aggregate(
+         |    transform(sequence(1, ${maxUnits - 1}),
+         |      k -> n >= (k + 1) * $p AND
+         |        slice(toks, n - (k + 1) * $p + 1, $p) ==
+         |          slice(toks, n - $p + 1, $p)),
+         |    named_struct('c', 1, 'open', true),
+         |    (acc, m) -> CASE WHEN acc.open AND m
+         |      THEN named_struct('c', acc.c + 1, 'open', true)
+         |      ELSE named_struct('c', acc.c, 'open', false) END).c
+         |ELSE 1 END""".stripMargin
+    val candidates = (1 to maxPeriod)
+      .map(p => s"named_struct('p', $p, 'r', ${rFor(p)})")
+      .mkString("array(", ", ", ")")
+    docs
+      .withColumn("toks",
+        filter(split(col(textCol), " "), t => length(t) > 0))
+      .withColumn("n", size(col("toks")))
+      .withColumn("__best", expr(
+        s"filter($candidates, x -> x.r >= $minRepeats)"))
+      .withColumn("period",
+        coalesce(expr("try_element_at(__best, 1).p"), lit(0)))
+      .withColumn("n_repeats",
+        coalesce(expr("try_element_at(__best, 1).r"), lit(0)))
+      .drop("toks", "n", "__best")
+  }
+
   /** Cross-document n-gram duplication profile: per document, how much
     * of its n-gram mass also appears in OTHER documents —
     * `(doc_id, n_grams, n_dup, dup_frac)` with `n_dup` the count of the
@@ -834,6 +890,61 @@ object TextAnalysis {
         sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_dup"))
       .withColumn("dup_frac",
         col("n_dup").cast("double") / col("n_grams"))
+  }
+
+  /** Per-source Zipf profile: fit `ln freq = slope · ln rank + b` by
+    * OLS over each source's `topR` most frequent terms — natural text
+    * tracks slope ≈ −1 (Zipf's law); machine-generated, templated, or
+    * corrupted sources bend the curve (flat head = boilerplate
+    * vocabulary, steep head = token spam), making the slope + fit R² a
+    * cheap corpus-health fingerprint per source next to
+    * [[charEntropy]]-style per-doc signals. Returns
+    * `(source, n_types, n_tokens, slope, intercept, r2)`; sources with
+    * fewer than 2 ranked terms (or zero rank variance) report NULL
+    * slope/r2.
+    *
+    * Shape at 100 TB: one (source, term) tf aggregation, a rank window
+    * PARTITIONED by source truncated at `topR` (the regression reads
+    * only source × topR rows), and one source-grain moment
+    * aggregation. Term ties rank lexicographically, so the fitted
+    * points — and the floats — are identical on any engine.
+    */
+  def zipfProfile(docs: DataFrame, sourceCol: String = "source",
+      topR: Int = 200): DataFrame = {
+    require(topR >= 2, s"topR=$topR must be >= 2")
+    val tf = docs.select(col(sourceCol).as("source"),
+        explode(filter(split(col("text"), " "),
+          t => length(t) > 0)).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("freq"))
+    val totals = tf.groupBy("source")
+      .agg(count(lit(1)).as("n_types"), sum("freq").as("n_tokens"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("freq").desc, col("term").asc)
+    val ranked = tf.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= topR)
+      .select(col("source"), col("rk"), col("freq"))
+    // every moment folds in rank order (the bm25TopK determinism
+    // discipline) so the fitted floats are partition-invariant and
+    // bit-replayable by the SQL oracle
+    def osum(v: String, alias: String) =
+      expr("aggregate(array_sort(collect_list(struct(rk, " +
+        s"CAST($v AS DOUBLE) AS v))), cast(0.0 as double), " +
+        "(a, t) -> a + t.v)").as(alias)
+    val m = ranked.groupBy("source").agg(
+      count(lit(1)).as("r"),
+      osum("ln(rk)", "sx"), osum("ln(freq)", "sy"),
+      osum("ln(rk) * ln(rk)", "sxx"),
+      osum("ln(freq) * ln(freq)", "syy"),
+      osum("ln(rk) * ln(freq)", "sxy"))
+    val dx = col("r") * col("sxx") - col("sx") * col("sx")
+    val dy = col("r") * col("syy") - col("sy") * col("sy")
+    val cv = col("r") * col("sxy") - col("sx") * col("sy")
+    totals.join(m, "source")
+      .select(col("source"), col("n_types"), col("n_tokens"),
+        when(dx > 0, cv / dx).as("slope"),
+        when(dx > 0, (col("sy") - (cv / dx) * col("sx")) / col("r"))
+          .as("intercept"),
+        when(dx > 0 && dy > 0, cv * cv / (dx * dy)).as("r2"))
   }
 
   /** All-pairs sparse cosine similarity over n-gram-shingle TF-IDF

@@ -4598,7 +4598,113 @@ object TrainingOps {
              |  CAST(len(cand) AS INT) AS n_card_candidates,
              |  CAST(len(valid) AS INT) AS n_cards
              |FROM s ORDER BY doc_id""".stripMargin)),
+
+    // Trailing-repetition detector: docs salted with planted loops by
+    // id class — unit "la" x5 (period 1), unit "spam ham" x4 (period
+    // 2), or no loop; the smallest qualifying period wins. Slice
+    // equality + leading-true run folds replay exactly.
+    QueryDef("q203_tail_repetition",
+      (s, d) => TextAnalysis.tailRepetition(
+          table(s, d, "documents").select(col("doc_id"),
+            concat(col("text"), element_at(array(
+              lit(" la la la la la"),
+              lit(" spam ham spam ham spam ham spam ham"),
+              lit(" clean ending")), (col("doc_id") % 3 + 1).cast("int")))
+              .as("text")),
+          maxPeriod = 3, maxUnits = 10, minRepeats = 3)
+        .select(col("doc_id"), col("period"), col("n_repeats"))
+        .orderBy("doc_id"),
+      Some(tailRepOracleSql(maxPeriod = 3, maxUnits = 10,
+        minRepeats = 3))),
+
+    // Per-source Zipf fingerprint: OLS of ln freq on ln rank over the
+    // top-200 terms — rank-ordered moment folds both engines replay
+    // bit-for-bit; natural text sits near slope -1.
+    QueryDef("q204_zipf_profile",
+      (s, d) => TextAnalysis.zipfProfile(table(s, d, "documents"),
+          "source", topR = 200)
+        .select(col("source"), col("n_types"), col("n_tokens"),
+          round(col("slope"), 6).as("slope"),
+          round(col("intercept"), 6).as("intercept"),
+          round(col("r2"), 6).as("r2"))
+        .orderBy("source"),
+      Some("""WITH tf AS (SELECT source, term, COUNT(*) AS freq
+             |  FROM (SELECT source, UNNEST(list_filter(
+             |      string_split(text, ' '), x -> len(x) > 0)) AS term
+             |    FROM documents)
+             |  GROUP BY 1, 2),
+             |tot AS (SELECT source, COUNT(*) AS n_types,
+             |    CAST(SUM(freq) AS BIGINT) AS n_tokens
+             |  FROM tf GROUP BY 1),
+             |rkd AS (SELECT source, freq,
+             |    ROW_NUMBER() OVER (PARTITION BY source
+             |      ORDER BY freq DESC, term) AS rk
+             |  FROM tf QUALIFY rk <= 200),
+             |m AS (SELECT source, COUNT(*) AS r,
+             |    list_reduce(list(ln(rk) ORDER BY rk),
+             |      (a, b) -> a + b) AS sx,
+             |    list_reduce(list(ln(freq) ORDER BY rk),
+             |      (a, b) -> a + b) AS sy,
+             |    list_reduce(list(ln(rk) * ln(rk) ORDER BY rk),
+             |      (a, b) -> a + b) AS sxx,
+             |    list_reduce(list(ln(freq) * ln(freq) ORDER BY rk),
+             |      (a, b) -> a + b) AS syy,
+             |    list_reduce(list(ln(rk) * ln(freq) ORDER BY rk),
+             |      (a, b) -> a + b) AS sxy
+             |  FROM rkd GROUP BY 1),
+             |f AS (SELECT source, n_types, n_tokens,
+             |    r * sxx - sx * sx AS dx, r * syy - sy * sy AS dy,
+             |    r * sxy - sx * sy AS cv, r, sx, sy
+             |  FROM tot JOIN m USING (source))
+             |SELECT source, n_types, n_tokens,
+             |  ROUND(CASE WHEN dx > 0 THEN cv / dx END, 6) AS slope,
+             |  ROUND(CASE WHEN dx > 0
+             |    THEN (sy - (cv / dx) * sx) / r END, 6) AS intercept,
+             |  ROUND(CASE WHEN dx > 0 AND dy > 0
+             |    THEN cv * cv / (dx * dy) END, 6) AS r2
+             |FROM f ORDER BY source""".stripMargin)),
   )
+
+  /** DuckDB replay of [[graft.ops.TextAnalysis.tailRepetition]] over
+    * the q203 salted documents: per period p, the backward unit-match
+    * list and `r_p` = the leading-true run + 1 (via the first-false
+    * position); the smallest period reaching `minRepeats` reports.
+    */
+  private def tailRepOracleSql(maxPeriod: Int, maxUnits: Int,
+      minRepeats: Int): String = {
+    def rp(p: Int): String = {
+      val matches = s"""[n >= (k + 1) * $p AND
+        |  l[n - (k + 1) * $p + 1 : n - (k + 1) * $p + $p] =
+        |  l[n - $p + 1 : n] FOR k IN generate_series(1, ${maxUnits - 1})]"""
+        .stripMargin
+      s"""CASE WHEN n >= ${2 * p}
+         |  THEN COALESCE(list_position($matches, false), $maxUnits)
+         |  ELSE 1 END""".stripMargin
+    }
+    val rCols = (1 to maxPeriod)
+      .map(p => s"(${rp(p)}) AS r$p").mkString(",\n")
+    val periodCase = (1 to maxPeriod)
+      .map(p => s"WHEN r$p >= $minRepeats THEN $p").mkString(" ")
+    val repCase = (1 to maxPeriod)
+      .map(p => s"WHEN r$p >= $minRepeats THEN r$p").mkString(" ")
+    s"""WITH salted AS (SELECT doc_id,
+       |    text || CASE doc_id % 3
+       |      WHEN 0 THEN ' la la la la la'
+       |      WHEN 1 THEN ' spam ham spam ham spam ham spam ham'
+       |      ELSE ' clean ending' END AS text
+       |  FROM documents),
+       |t AS (SELECT doc_id,
+       |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS l
+       |  FROM salted),
+       |t2 AS (SELECT doc_id, l, len(l) AS n FROM t),
+       |r AS (SELECT doc_id,
+       |$rCols
+       |  FROM t2)
+       |SELECT doc_id,
+       |  CASE $periodCase ELSE 0 END AS period,
+       |  CASE $repCase ELSE 0 END AS n_repeats
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
 
   /** Unrolled DuckDB replay of [[graft.ops.Graph.kCorePeel]] over the
     * q174 co-purchase edge relation: per round, degrees over the current

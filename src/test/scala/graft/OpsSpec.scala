@@ -2660,6 +2660,45 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(sCol.isNullAt(7) && sCol.isNullAt(8))            // non-numeric
   }
 
+  test("tail repetition: smallest period wins; mid-doc loops ignored") {
+    val s2 = spark; import s2.implicits._
+    val fix = Seq(
+      (1L, "prefix words then la la la la"),          // p=1 r=4
+      (2L, "text spam ham spam ham spam ham"),        // p=2 r=3
+      (3L, "go go go in the MIDDLE but clean end"),   // loop not at tail
+      (4L, "too short"),
+      (5L, "a b c a b c a b c"))                      // p=3 r=3
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.tailRepetition(fix, maxPeriod = 3,
+        maxUnits = 10, minRepeats = 3)
+      .select("doc_id", "period", "n_repeats")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2))).toMap
+    assert(got(1L) == (1, 4), got.toString)
+    assert(got(2L) == (2, 3), got.toString)
+    assert(got(3L) == (0, 0), got.toString)
+    assert(got(4L) == (0, 0), got.toString)
+    assert(got(5L) == (3, 3), got.toString)
+  }
+
+  test("zipf profile: a perfect power law fits with r2 = 1") {
+    val s2 = spark; import s2.implicits._
+    // frequencies 8,4,2,1 over ranks 1..4 = slope -1 in log2, i.e.
+    // -ln(2)/... in natural logs the slope is ln(f)=-s*ln(rk): exact
+    // power law f = 8 / rk^1.5 is not integral; use f = 2^(4-rk):
+    // ln f = 4ln2 - rk*ln2 — that is linear in RK, not ln rk, so NOT
+    // r2=1. Instead plant f(rk) = 24/rk: 24,12,8,6 -> ln f = ln 24 -
+    // 1*ln rk exactly -> slope -1, r2 = 1.
+    val words = Seq("w1" -> 24, "w2" -> 12, "w3" -> 8, "w4" -> 6)
+      .flatMap { case (w, n) => Seq.fill(n)(w) }
+    val fix = Seq((1L, "s", words.mkString(" "))).toDF("doc_id", "source", "text")
+    val got = TextAnalysis.zipfProfile(fix, "source", topR = 4)
+      .collect().head
+    assert(got.getLong(1) == 4L && got.getLong(2) == 50L)
+    assert(math.abs(got.getDouble(3) + 1.0) < 1e-9, got.toString)
+    assert(math.abs(got.getDouble(5) - 1.0) < 1e-9, got.toString)
+  }
+
   test("luhn validation gates card redaction; invalid twins survive") {
     val s2 = spark; import s2.implicits._
     // 4111111111111111 and 79927398713 are the canonical Luhn-valid
