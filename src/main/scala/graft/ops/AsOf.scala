@@ -69,6 +69,66 @@ object AsOf {
           col(s"__match.$c").as(s"$prefix$c"))): _*)
   }
 
+  /** Nearest-neighbor as-of join: each left row matches the right row of
+    * the same key with the SMALLEST absolute time distance — backward
+    * and forward candidates compared, ties (equidistant neighbors)
+    * resolved to the backward (at-or-before) match, the causal-leaning
+    * convention. The sensor-alignment / "closest quote to the trade"
+    * form that neither direction alone expresses. Appends
+    * `<prefix><tsCol>` and `<prefix><valueCols>` (null only when the
+    * key has no right rows at all).
+    *
+    * Shape at 100 TB: exactly two [[asofJoin]] passes (union + ONE
+    * key-partitioned window each — the second pass reuses the same
+    * key partitioning) and a narrow CASE projection; never a range
+    * theta-join.
+    */
+  def asofJoinNearest(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, valueCols: Seq[String],
+      prefix: String = "near_"): DataFrame = {
+    val both = asofJoin(
+      asofJoin(left, right, keyCol, tsCol, valueCols, "__b_"),
+      right, keyCol, tsCol, valueCols, "__f_", forward = true)
+    val bTs = col(s"__b_$tsCol"); val fTs = col(s"__f_$tsCol")
+    val useB = fTs.isNull ||
+      (bTs.isNotNull && (col(tsCol) - bTs) <= (fTs - col(tsCol)))
+    val out = (tsCol +: valueCols).map(c =>
+      when(useB, col(s"__b_$c")).otherwise(col(s"__f_$c"))
+        .as(s"$prefix$c"))
+    both.select(left.columns.map(col).toIndexedSeq ++ out: _*)
+  }
+
+  /** Interval-overlap join: every (left interval, right interval) pair
+    * of the same key with `lStart <= rEnd AND rStart <= lEnd` — session
+    * × incident, exposure × outage, the interval×interval companion to
+    * the point-in-interval [[rangeJoin]].
+    *
+    * Same binning idea: both sides explode onto a fixed time grid and
+    * equi-join on (key, bin), with the exact overlap predicate
+    * re-checked inside bins. A pair sharing several bins would emit
+    * duplicates; instead of a `distinct` shuffle, each pair is emitted
+    * ONLY in its first shared bin (`bin = max(start bins)` — a narrow
+    * filter), so the join output is exact with no dedup pass. Pick
+    * `binWidth` near the typical interval span; fan-out stays O(1)
+    * per interval and every shuffle is hash-partitioned.
+    */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+      keyCol: String, lStart: String, lEnd: String, rStart: String,
+      rEnd: String, binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive: $binWidth")
+    val l = left.where(col(lStart) <= col(lEnd))
+      .withColumn("__bin", explode(sequence(
+        floor(col(lStart) / binWidth), floor(col(lEnd) / binWidth))))
+    val r = right.where(col(rStart) <= col(rEnd))
+      .withColumn("__bin", explode(sequence(
+        floor(col(rStart) / binWidth), floor(col(rEnd) / binWidth))))
+    l.join(r, Seq(keyCol, "__bin"))
+      .where(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd) &&
+        col("__bin") === greatest(floor(col(lStart) / binWidth),
+          floor(col(rStart) / binWidth)))
+      .drop("__bin")
+  }
+
   /** Range (interval) join: each point row joins every interval row of
     * the same key with `start <= ts <= end`.
     *

@@ -4663,6 +4663,78 @@ object TrainingOps {
              |  ROUND(CASE WHEN dx > 0 AND dy > 0
              |    THEN cv * cv / (dx * dy) END, 6) AS r2
              |FROM f ORDER BY source""".stripMargin)),
+
+    // Nearest as-of join: each purchase matched to its CLOSEST same-user
+    // signup in either time direction (ties -> backward); two
+    // union+window passes, never a theta-join. Oracle composes DuckDB's
+    // native backward + forward ASOF joins with the same tie rule.
+    QueryDef("q205_asof_nearest",
+      (s, d) => {
+        val ev = eventsMicros(s, d)
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts_us")
+        val signups = ev.where(col("event_type") === "signup")
+          .groupBy("user_id", "ts_us").agg(max("value").as("value"))
+        AsOf.asofJoinNearest(purchases, signups, "user_id", "ts_us",
+            Seq("value"))
+          .select(col("event_id"), col("user_id"), col("ts_us"),
+            col("near_ts_us"), round(col("near_value"), 4).as("near_value"))
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+             |    event_type, value FROM events),
+             |l AS (SELECT event_id, user_id, ts_us FROM e
+             |  WHERE event_type = 'purchase'),
+             |r AS (SELECT user_id, ts_us, MAX(value) AS value FROM e
+             |  WHERE event_type = 'signup' GROUP BY 1, 2),
+             |b AS (SELECT l.event_id, r.ts_us AS bts, r.value AS bval
+             |  FROM l ASOF LEFT JOIN r
+             |    ON l.user_id = r.user_id AND l.ts_us >= r.ts_us),
+             |f AS (SELECT l.event_id, r.ts_us AS fts, r.value AS fval
+             |  FROM l ASOF LEFT JOIN r
+             |    ON l.user_id = r.user_id AND l.ts_us <= r.ts_us)
+             |SELECT l.event_id, l.user_id, l.ts_us,
+             |  CASE WHEN fts IS NULL OR (bts IS NOT NULL
+             |      AND l.ts_us - bts <= fts - l.ts_us)
+             |    THEN bts ELSE fts END AS near_ts_us,
+             |  ROUND(CASE WHEN fts IS NULL OR (bts IS NOT NULL
+             |      AND l.ts_us - bts <= fts - l.ts_us)
+             |    THEN bval ELSE fval END, 4) AS near_value
+             |FROM l JOIN b USING (event_id) JOIN f USING (event_id)
+             |ORDER BY l.event_id""".stripMargin)),
+
+    // Interval-overlap join: purchase windows [ts, ts+30min] x click
+    // windows [ts, ts+10min] per user — binned to an equi-join with
+    // first-shared-bin emission (no distinct pass); the oracle runs the
+    // plain overlap predicate.
+    QueryDef("q206_interval_overlap",
+      (s, d) => {
+        val ev = eventsMicros(s, d)
+        val li = ev.where(col("event_type") === "purchase")
+          .select(col("event_id").as("l_id"), col("user_id"),
+            col("ts_us").as("ls"),
+            (col("ts_us") + 1800000000L).as("le"))
+        val ri = ev.where(col("event_type") === "click")
+          .select(col("event_id").as("r_id"), col("user_id"),
+            col("ts_us").as("rs"),
+            (col("ts_us") + 600000000L).as("re"))
+        AsOf.intervalOverlapJoin(li, ri, "user_id", "ls", "le",
+            "rs", "re", binWidth = 1800000000L)
+          .select("l_id", "r_id", "user_id")
+          .orderBy("l_id", "r_id")
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+             |    event_type FROM events),
+             |li AS (SELECT event_id AS l_id, user_id, ts_us AS ls,
+             |    ts_us + 1800000000 AS le FROM e
+             |  WHERE event_type = 'purchase'),
+             |ri AS (SELECT event_id AS r_id, user_id, ts_us AS rs,
+             |    ts_us + 600000000 AS re FROM e
+             |  WHERE event_type = 'click')
+             |SELECT l_id, r_id, li.user_id
+             |FROM li JOIN ri ON li.user_id = ri.user_id
+             |  AND ls <= re AND rs <= le
+             |ORDER BY l_id, r_id""".stripMargin)),
   )
 
   /** DuckDB replay of [[graft.ops.TextAnalysis.tailRepetition]] over

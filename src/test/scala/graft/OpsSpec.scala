@@ -2660,6 +2660,39 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(sCol.isNullAt(7) && sCol.isNullAt(8))            // non-numeric
   }
 
+  test("nearest as-of join: closest side wins, ties go backward") {
+    val s2 = spark; import s2.implicits._
+    val left = Seq((1L, 1L, 100L), (2L, 1L, 205L), (3L, 2L, 50L),
+      (4L, 3L, 10L)).toDF("id", "k", "ts")
+    // key 1 right rows at 90 and 210; key 2 equidistant at 40/60;
+    // key 3 has none
+    val right = Seq((1L, 90L, 9.0), (1L, 210L, 21.0),
+      (2L, 40L, 4.0), (2L, 60L, 6.0)).toDF("k", "ts", "v")
+    val got = AsOf.asofJoinNearest(left, right, "k", "ts", Seq("v"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) -1L else r.getLong(3),
+          if (r.isNullAt(4)) -1.0 else r.getDouble(4))).toMap
+    assert(got(1L) == (90L, 9.0), got.toString)   // 10 back vs 110 fwd
+    assert(got(2L) == (210L, 21.0), got.toString) // 115 back vs 5 fwd
+    assert(got(3L) == (40L, 4.0), got.toString)   // tie -> backward
+    assert(got(4L) == (-1L, -1.0), got.toString)  // no right rows
+  }
+
+  test("interval overlap join: exact pairs, one emission across bins") {
+    val s2 = spark; import s2.implicits._
+    // left interval [0, 250] spans 3 bins at width 100; right [240, 260]
+    // overlaps (shares bin 2 only at the boundary); [300, 400] does not
+    val left = Seq((1L, 9L, 0L, 250L)).toDF("l_id", "k", "ls", "le")
+    val right = Seq((10L, 9L, 240L, 260L), (11L, 9L, 300L, 400L),
+      (12L, 9L, 0L, 500L)).toDF("r_id", "k", "rs", "re")
+    val got = AsOf.intervalOverlapJoin(left, right, "k", "ls", "le",
+        "rs", "re", binWidth = 100L)
+      .select("l_id", "r_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // r12 shares bins 0,1,2 with l1 but must appear exactly once
+    assert(got.sorted.toSeq == Seq((1L, 10L), (1L, 12L)), got.mkString(","))
+  }
+
   test("tail repetition: smallest period wins; mid-doc loops ignored") {
     val s2 = spark; import s2.implicits._
     val fix = Seq(
