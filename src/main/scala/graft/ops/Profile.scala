@@ -413,6 +413,50 @@ object Profile {
     }.reduce(_.unionAll(_))
   }
 
+  /** Benford first-digit profile per group: observed vs expected
+    * (`log10(1 + 1/d)`) leading-digit shares of a positive integer
+    * measure, plus the group's χ² misfit — the classic
+    * fabricated-numbers / broken-loader screen (organic multiplicative
+    * quantities follow Benford; invented, truncated, or unit-mangled
+    * ones don't). Returns the (group, digit) grain:
+    * `(group, digit, n_d, obs_share, benford_share, chi2)` with `chi2`
+    * the group total repeated per digit row.
+    *
+    * `valueCol` must be a POSITIVE integer column (cents, counts, ids
+    * are the usual inputs) — the leading digit comes from the decimal
+    * string, exact on any engine; zero/negative rows are filtered.
+    * The χ² contributions fold in digit order, so the statistic is
+    * partition-invariant and bit-replayable.
+    *
+    * Shape at 100 TB: one (group, digit) aggregation (≤ 9 rows per
+    * group) + one group-grain fold + a broadcast-sized join back.
+    */
+  def benford(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val digits = df
+      .where(col(valueCol) > 0)
+      .select(col(groupCol).as("grp"),
+        substring(col(valueCol).cast("long").cast("string"), 1, 1)
+          .cast("int").as("digit"))
+      .groupBy("grp", "digit").agg(count(lit(1)).as("n_d"))
+    val withExp = digits
+      .withColumn("n", sum("n_d").over(Window.partitionBy("grp")))
+      .withColumn("exp",
+        col("n") * (log(lit(1.0) + lit(1.0) / col("digit")) /
+          log(lit(10.0))))
+      .withColumn("contrib",
+        (col("n_d") - col("exp")) * (col("n_d") - col("exp")) / col("exp"))
+    val chi2 = withExp.groupBy("grp").agg(expr(
+      "aggregate(array_sort(collect_list(struct(digit, contrib))), " +
+        "cast(0.0 as double), (a, x) -> a + x.contrib)").as("chi2"))
+    withExp.join(chi2, "grp")
+      .select(col("grp").as("group"), col("digit"), col("n_d"),
+        (col("n_d").cast("double") / col("n")).as("obs_share"),
+        (log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0)))
+          .as("benford_share"),
+        col("chi2"))
+  }
+
   /** Per-key burstiness profile (index of dispersion / Fano factor):
     * bucket each key's events onto a fixed `widthUs` grid spanning its
     * first-to-last observation, then `fano = var / mean` of the

@@ -2,8 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{AsOf, Curation, Dedup, Funnel, Linkage, Multimodal,
-  Sampling, Similarity, Sketch, TextAnalysis}
+import graft.ops.{AsOf, Basket, Curation, Dedup, Funnel, Linkage,
+  Multimodal, Sampling, Similarity, Sketch, TextAnalysis}
 import QueryDef.{eventsMicros, table}
 
 /** Training-data pipeline operators as oracle-checked queries: dedup
@@ -4735,6 +4735,85 @@ object TrainingOps {
              |FROM li JOIN ri ON li.user_id = ri.user_id
              |  AND ls <= re AND rs <= le
              |ORDER BY l_id, r_id""".stripMargin)),
+
+    // Market-basket pair rules over order line items: support /
+    // directed confidences / lift from exact integer counts — the
+    // reference's joint-vs-marginal association family (A4) on
+    // transactions; pair expansion bounded per basket (the coCitation
+    // contract), fixed-id gate keeps the battery constant-cost.
+    QueryDef("q207_basket_rules",
+      (s, d) => Basket.pairRules(
+          table(s, d, "lineitem").where(col("l_partkey") < 2000),
+          "l_orderkey", "l_partkey", minCount = 2)
+        .select(col("item_l"), col("item_r"), col("n_xy"),
+          round(col("support"), 9).as("support"),
+          round(col("conf_lr"), 6).as("conf_lr"),
+          round(col("conf_rl"), 6).as("conf_rl"),
+          round(col("lift"), 6).as("lift"))
+        .orderBy("item_l", "item_r"),
+      Some("""WITH ti AS (SELECT DISTINCT l_orderkey AS txn,
+             |    l_partkey AS item
+             |  FROM lineitem WHERE l_partkey < 2000),
+             |nt AS (SELECT COUNT(DISTINCT txn) AS n FROM ti),
+             |ni AS (SELECT item, COUNT(*) AS n_i FROM ti GROUP BY 1),
+             |p AS (SELECT a.item AS item_l, b.item AS item_r,
+             |    COUNT(*) AS n_xy
+             |  FROM ti a JOIN ti b
+             |    ON a.txn = b.txn AND a.item < b.item
+             |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+             |SELECT item_l, item_r, n_xy,
+             |  ROUND(CAST(n_xy AS DOUBLE) / n, 9) AS support,
+             |  ROUND(CAST(n_xy AS DOUBLE) / l.n_i, 6) AS conf_lr,
+             |  ROUND(CAST(n_xy AS DOUBLE) / r.n_i, 6) AS conf_rl,
+             |  ROUND(CAST(n_xy * n AS DOUBLE) / (l.n_i * r.n_i), 6)
+             |    AS lift
+             |FROM p
+             |JOIN ni l ON l.item = item_l
+             |JOIN ni r ON r.item = item_r
+             |CROSS JOIN nt
+             |ORDER BY item_l, item_r""".stripMargin)),
+
+    // Benford first-digit profile of line-item prices (cents) per
+    // return flag: observed vs log10(1+1/d) shares + the chi-square
+    // misfit, contributions folded in digit order — exact leading
+    // digits from the decimal string, one (group, digit) agg.
+    QueryDef("q208_benford",
+      (s, d) => graft.ops.Profile.benford(
+          table(s, d, "lineitem").select(col("l_returnflag"),
+            round(col("l_extendedprice") * 100).cast("long").as("cents")),
+          "l_returnflag", "cents")
+        .select(col("group"), col("digit"), col("n_d"),
+          round(col("obs_share"), 6).as("obs_share"),
+          round(col("benford_share"), 6).as("benford_share"),
+          round(col("chi2"), 4).as("chi2"))
+        .orderBy("group", "digit"),
+      Some("""WITH v AS (SELECT l_returnflag AS grp,
+             |    CAST(substr(CAST(CAST(ROUND(l_extendedprice * 100)
+             |      AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+             |  FROM lineitem
+             |  WHERE CAST(ROUND(l_extendedprice * 100) AS BIGINT) > 0),
+             |d AS (SELECT grp, digit, COUNT(*) AS n_d
+             |  FROM v GROUP BY 1, 2),
+             |w AS (SELECT *,
+             |    CAST(SUM(n_d) OVER (PARTITION BY grp) AS BIGINT) AS n
+             |  FROM d),
+             |c AS (SELECT *,
+             |    n * (ln(1.0 + 1.0 / digit) / ln(10.0)) AS exp,
+             |    (n_d - n * (ln(1.0 + 1.0 / digit) / ln(10.0)))
+             |      * (n_d - n * (ln(1.0 + 1.0 / digit) / ln(10.0)))
+             |      / (n * (ln(1.0 + 1.0 / digit) / ln(10.0))) AS contrib
+             |  FROM w),
+             |x AS (SELECT grp,
+             |    list_reduce(list(contrib ORDER BY digit),
+             |      (a, b) -> a + b) AS chi2
+             |  FROM c GROUP BY 1)
+             |SELECT c.grp AS "group", c.digit, c.n_d,
+             |  ROUND(CAST(c.n_d AS DOUBLE) / c.n, 6) AS obs_share,
+             |  ROUND(ln(1.0 + 1.0 / c.digit) / ln(10.0), 6)
+             |    AS benford_share,
+             |  ROUND(x.chi2, 4) AS chi2
+             |FROM c JOIN x ON x.grp = c.grp
+             |ORDER BY c.grp, c.digit""".stripMargin)),
   )
 
   /** DuckDB replay of [[graft.ops.TextAnalysis.tailRepetition]] over

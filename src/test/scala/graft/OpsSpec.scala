@@ -2660,6 +2660,40 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(sCol.isNullAt(7) && sCol.isNullAt(8))            // non-numeric
   }
 
+  test("basket rules: hand-computed support, confidence, and lift") {
+    val s2 = spark; import s2.implicits._
+    // 4 baskets: {a,b}, {a,b}, {a,c}, {b} -> n_a=3, n_b=3, n_ab=2
+    val fix = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"),
+      (3L, "a"), (3L, "c"), (4L, "b"), (1L, "a") /* dup collapses */)
+      .toDF("txn", "item")
+    val got = Basket.pairRules(fix, "txn", "item", minCount = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6))).toMap
+    assert(got.keySet == Set(("a", "b")), got.toString) // a-c below min
+    val (nxy, sup, clr, crl, lift) = got(("a", "b"))
+    assert(nxy == 2L && sup == 0.5, got.toString)
+    assert(clr == 2.0 / 3 && crl == 2.0 / 3, got.toString)
+    assert(math.abs(lift - (2.0 * 4) / (3 * 3)) < 1e-15, got.toString)
+  }
+
+  test("benford: uniform digits misfit, geometric sample fits better") {
+    val s2 = spark; import s2.implicits._
+    // group u: digits 1..9 uniform; group b: counts proportional to
+    // Benford (300, 176, 125, ...) -- chi2(u) must far exceed chi2(b)
+    val ben = Seq(301, 176, 125, 97, 79, 67, 58, 51, 46)
+    val rows = (1 to 9).flatMap(d => Seq.fill(100)(("u", d.toLong))) ++
+      ben.zipWithIndex.flatMap { case (n, i) =>
+        Seq.fill(n)(("b", (i + 1).toLong)) }
+    val fix = rows.toDF("g", "v")
+      .select(col("g"), (col("v") * 1000L).as("v")) // leading digit kept
+    val got = graft.ops.Profile.benford(fix, "g", "v")
+      .select("group", "digit", "chi2").distinct()
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got("u") > 200, got.toString)
+    assert(got("b") < 1.0, got.toString)
+  }
+
   test("nearest as-of join: closest side wins, ties go backward") {
     val s2 = spark; import s2.implicits._
     val left = Seq((1L, 1L, 100L), (2L, 1L, 205L), (3L, 2L, 50L),
