@@ -413,6 +413,88 @@ object Profile {
     }.reduce(_.unionAll(_))
   }
 
+  /** Exact two-sample Kolmogorov–Smirnov drift statistic per group:
+    * `ks = max_x |F_before(x) − F_after(x)|` over the empirical CDFs —
+    * the nonparametric companion to [[graft.ops.Curation]]'s binned
+    * PSI: PSI needs a binning choice and saturates on tail shifts; KS
+    * is binning-free and exact, the right referee when PSI's answer is
+    * disputed. Returns `(group, n_before, n_after, ks, at_value)` with
+    * `at_value` the smallest value attaining the supremum.
+    *
+    * Exact arithmetic: CDF steps are integer cumulative counts over
+    * the distinct-value grain; the only float op is the final
+    * count/total divide. Use an integer-valued measure (cents, counts)
+    * for bit-stable replay.
+    *
+    * Shape at 100 TB: one (group, value) aggregation with side
+    * counts, cumulative windows PARTITIONED BY GROUP over the
+    * collapsed distinct-value grain, one group-grain argmax. The
+    * per-group window is single-partition over DISTINCT VALUES — a
+    * reporting-grain contract like [[paretoProfile]]; quantize the
+    * measure first if a group has billions of distinct values.
+    */
+  def ksDrift(before: DataFrame, after: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    def side(df: DataFrame, tag: Int) = df.select(
+      col(groupCol).as("grp"), col(valueCol).cast("long").as("v"),
+      lit(tag).as("side"))
+    val counts = side(before, 0).unionAll(side(after, 1))
+      .groupBy("grp", "v")
+      .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("cb"),
+        sum(when(col("side") === 1, 1L).otherwise(0L)).as("ca"))
+    val w = Window.partitionBy("grp").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("grp")
+    val stepped = counts
+      .withColumn("cum_b", sum("cb").over(w))
+      .withColumn("cum_a", sum("ca").over(w))
+      .withColumn("n_b", sum("cb").over(wAll))
+      .withColumn("n_a", sum("ca").over(wAll))
+      .withColumn("d", abs(
+        col("cum_b").cast("double") / col("n_b") -
+          col("cum_a").cast("double") / col("n_a")))
+    stepped.groupBy("grp")
+      .agg(max("n_b").as("n_before"), max("n_a").as("n_after"),
+        max(struct(col("d"), (-col("v")).as("nv"))).as("m"))
+      .select(col("grp").as("group"), col("n_before"), col("n_after"),
+        col("m.d").as("ks"), (-col("m.nv")).as("at_value"))
+  }
+
+  /** Two-proportion z-test per variant against a control — the A/B
+    * readout (`z = (p_v − p_c) / sqrt(p̂(1−p̂)(1/n_v + 1/n_c))` with
+    * the pooled p̂) over exact success/exposure counts. Returns one
+    * row per non-control variant:
+    * `(variant, n, conv, rate, control_rate, lift, z)`; z is NULL when
+    * the pooled variance degenerates (p̂ ∈ {0, 1}) — no ±∞.
+    *
+    * `successCol` must be 0/1 (or boolean) at the unit grain
+    * (user/session), deduplicated upstream — this operator tests
+    * proportions, it does not define the unit.
+    *
+    * Shape at 100 TB: ONE aggregation to the variant grain (a handful
+    * of rows) + a broadcast of the control row. Nothing else.
+    */
+  def abTest(df: DataFrame, variantCol: String, successCol: String,
+      control: String): DataFrame = {
+    val per = df.groupBy(col(variantCol).as("variant"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(successCol).cast("long")).as("conv"))
+    val ctl = per.where(col("variant") === control)
+      .select(col("n").as("n_c"), col("conv").as("conv_c"))
+    val joined = per.where(col("variant") =!= control)
+      .crossJoin(broadcast(ctl))
+    val pv = col("conv").cast("double") / col("n")
+    val pc = col("conv_c").cast("double") / col("n_c")
+    val pooled = (col("conv") + col("conv_c")).cast("double") /
+      (col("n") + col("n_c"))
+    val se = sqrt(pooled * (lit(1.0) - pooled) *
+      (lit(1.0) / col("n") + lit(1.0) / col("n_c")))
+    joined.select(col("variant"), col("n"), col("conv"),
+      pv.as("rate"), pc.as("control_rate"),
+      (pv - pc).as("lift"),
+      when(pooled > 0 && pooled < 1, (pv - pc) / se).as("z"))
+  }
+
   /** Benford first-digit profile per group: observed vs expected
     * (`log10(1 + 1/d)`) leading-digit shares of a positive integer
     * measure, plus the group's χ² misfit — the classic

@@ -4814,6 +4814,103 @@ object TrainingOps {
              |  ROUND(x.chi2, 4) AS chi2
              |FROM c JOIN x ON x.grp = c.grp
              |ORDER BY c.grp, c.digit""".stripMargin)),
+
+    // Exact two-sample KS drift per return flag: parity-split prices
+    // with a PLANTED +5000.00 shift on one group's "after" side — the
+    // binning-free referee next to PSI; integer CDF steps, one divide.
+    QueryDef("q209_ks_drift",
+      (s, d) => {
+        val li = table(s, d, "lineitem").select(col("l_orderkey"),
+          col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+        val before = li.where(col("l_orderkey") % 2 === 0)
+        val after = li.where(col("l_orderkey") % 2 === 1)
+          .withColumn("cents", col("cents") +
+            when(col("l_returnflag") === "R", 500000L).otherwise(0L))
+        graft.ops.Profile.ksDrift(before, after, "l_returnflag", "cents")
+          .select(col("group"), col("n_before"), col("n_after"),
+            round(col("ks"), 6).as("ks"), col("at_value"))
+          .orderBy("group")
+      },
+      Some("""WITH li AS (SELECT l_orderkey, l_returnflag AS grp,
+             |    CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+             |  FROM lineitem),
+             |u AS (SELECT grp, cents AS v, 0 AS side FROM li
+             |  WHERE l_orderkey % 2 = 0
+             |  UNION ALL
+             |  SELECT grp, cents + CASE WHEN grp = 'R' THEN 500000
+             |    ELSE 0 END AS v, 1 AS side
+             |  FROM li WHERE l_orderkey % 2 = 1),
+             |c AS (SELECT grp, v,
+             |    SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS cb,
+             |    SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS ca
+             |  FROM u GROUP BY 1, 2),
+             |st AS (SELECT grp, v,
+             |    CAST(SUM(cb) OVER (PARTITION BY grp ORDER BY v
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_b,
+             |    CAST(SUM(ca) OVER (PARTITION BY grp ORDER BY v
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_a,
+             |    CAST(SUM(cb) OVER (PARTITION BY grp) AS BIGINT) AS n_b,
+             |    CAST(SUM(ca) OVER (PARTITION BY grp) AS BIGINT) AS n_a
+             |  FROM c),
+             |dd AS (SELECT grp, v, n_b, n_a,
+             |    ABS(CAST(cum_b AS DOUBLE) / n_b
+             |      - CAST(cum_a AS DOUBLE) / n_a) AS d
+             |  FROM st),
+             |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY grp
+             |    ORDER BY d DESC, v ASC) AS rk FROM dd)
+             |SELECT grp AS "group", n_b AS n_before, n_a AS n_after,
+             |  ROUND(d, 6) AS ks, v AS at_value
+             |FROM r WHERE rk = 1 ORDER BY grp""".stripMargin)),
+
+    // Two-proportion z-test at the user grain: deterministic 3-way
+    // variant split, success = user ever purchased; each arm vs
+    // control with the pooled-variance z. Exact counts, four float
+    // ops, no-inf contract on degenerate pools.
+    QueryDef("q210_ab_test",
+      (s, d) => {
+        val users = eventsMicros(s, d)
+          .groupBy("user_id")
+          .agg(max(when(col("event_type") === "purchase", 1L)
+            .otherwise(0L)).as("success"))
+          .withColumn("variant", element_at(array(
+            lit("control"), lit("a"), lit("b")),
+            (pmod(col("user_id"), lit(3L)) + 1).cast("int")))
+        graft.ops.Profile.abTest(users, "variant", "success", "control")
+          .select(col("variant"), col("n"), col("conv"),
+            round(col("rate"), 6).as("rate"),
+            round(col("control_rate"), 6).as("control_rate"),
+            round(col("lift"), 6).as("lift"),
+            round(col("z"), 6).as("z"))
+          .orderBy("variant")
+      },
+      Some("""WITH users AS (SELECT user_id,
+             |    MAX(CASE WHEN event_type = 'purchase' THEN 1
+             |      ELSE 0 END) AS success,
+             |    CASE user_id % 3 WHEN 0 THEN 'control'
+             |      WHEN 1 THEN 'a' ELSE 'b' END AS variant
+             |  FROM events GROUP BY user_id),
+             |per AS (SELECT variant, COUNT(*) AS n,
+             |    CAST(SUM(success) AS BIGINT) AS conv
+             |  FROM users GROUP BY 1),
+             |ctl AS (SELECT n AS n_c, conv AS conv_c FROM per
+             |  WHERE variant = 'control')
+             |SELECT variant, n, conv,
+             |  ROUND(CAST(conv AS DOUBLE) / n, 6) AS rate,
+             |  ROUND(CAST(conv_c AS DOUBLE) / n_c, 6) AS control_rate,
+             |  ROUND(CAST(conv AS DOUBLE) / n
+             |    - CAST(conv_c AS DOUBLE) / n_c, 6) AS lift,
+             |  ROUND(CASE WHEN CAST(conv + conv_c AS DOUBLE)
+             |      / (n + n_c) > 0
+             |    AND CAST(conv + conv_c AS DOUBLE) / (n + n_c) < 1
+             |    THEN (CAST(conv AS DOUBLE) / n
+             |      - CAST(conv_c AS DOUBLE) / n_c)
+             |      / SQRT(CAST(conv + conv_c AS DOUBLE) / (n + n_c)
+             |        * (1.0 - CAST(conv + conv_c AS DOUBLE) / (n + n_c))
+             |        * (1.0 / n + 1.0 / n_c)) END, 6) AS z
+             |FROM per CROSS JOIN ctl
+             |WHERE variant <> 'control'
+             |ORDER BY variant""".stripMargin)),
   )
 
   /** DuckDB replay of [[graft.ops.TextAnalysis.tailRepetition]] over

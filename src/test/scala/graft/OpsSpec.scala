@@ -2660,6 +2660,53 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(sCol.isNullAt(7) && sCol.isNullAt(8))            // non-numeric
   }
 
+  test("ks drift: identical samples give 0, disjoint give 1") {
+    val s2 = spark; import s2.implicits._
+    val a = Seq(("g", 1L), ("g", 2L), ("g", 3L), ("h", 1L), ("h", 2L))
+      .toDF("grp", "v")
+    val shifted = Seq(("g", 1L), ("g", 2L), ("g", 3L), ("h", 11L),
+      ("h", 12L)).toDF("grp", "v")
+    val got = graft.ops.Profile.ksDrift(a, shifted, "grp", "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(3), r.getLong(4))).toMap
+    assert(got("g") == (0.0, 1L), got.toString) // identical -> D=0 at min v
+    assert(got("h") == (1.0, 2L), got.toString) // disjoint -> D=1 at
+    // the last before-side value (smallest value attaining the sup)
+    // hand-computed: before {5,6}, after {5,6,7,8}: D at v=6 is
+    // |2/2 - 2/4| = 0.5
+    val b2 = Seq(("k", 5L), ("k", 6L)).toDF("grp", "v")
+    val a2 = Seq(("k", 5L), ("k", 6L), ("k", 7L), ("k", 8L))
+      .toDF("grp", "v")
+    val got2 = graft.ops.Profile.ksDrift(b2, a2, "grp", "v")
+      .collect().map(r => (r.getDouble(3), r.getLong(4))).head
+    assert(got2 == (0.5, 6L), got2.toString)
+  }
+
+  test("ab test: hand-computed pooled z; degenerate pool gives NULL") {
+    val s2 = spark; import s2.implicits._
+    // control: 100 users, 10 conv; arm a: 100 users, 20 conv
+    val rows = (1 to 100).map(i => ("control", if (i <= 10) 1L else 0L)) ++
+      (1 to 100).map(i => ("a", if (i <= 20) 1L else 0L)) ++
+      (1 to 50).map(_ => ("dead", 0L))
+    val df = rows.toDF("variant", "success")
+    val got = graft.ops.Profile.abTest(df, "variant", "success", "control")
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(3), r.getDouble(5),
+          if (r.isNullAt(6)) Double.NaN else r.getDouble(6))).toMap
+    val pooled = 30.0 / 200
+    val z = (0.2 - 0.1) /
+      math.sqrt(pooled * (1 - pooled) * (1.0 / 100 + 1.0 / 100))
+    assert(got("a")._1 == 0.2 && got("a")._2 == 0.1, got.toString)
+    assert(math.abs(got("a")._3 - z) < 1e-12, got.toString)
+    // dead arm vs control: pooled = 10/150 in (0,1) -> z defined; but
+    // a fully-converting pair degenerates: control2 all-success
+    val deg = ((1 to 10).map(_ => ("control", 1L)) ++
+      (1 to 10).map(_ => ("x", 1L))).toDF("variant", "success")
+    val gz = graft.ops.Profile.abTest(deg, "variant", "success", "control")
+      .collect().head
+    assert(gz.isNullAt(6), "degenerate pooled rate must yield NULL z")
+  }
+
   test("basket rules: hand-computed support, confidence, and lift") {
     val s2 = spark; import s2.implicits._
     // 4 baskets: {a,b}, {a,b}, {a,c}, {b} -> n_a=3, n_b=3, n_ab=2
