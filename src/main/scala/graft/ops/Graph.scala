@@ -202,6 +202,66 @@ object Graph {
           (col("deg") * (col("deg") - 1))).as("coeff"))
   }
 
+  /** Personalized (topic-sensitive) PageRank: teleport mass lands ONLY
+    * on the seed set (uniformly), so ranks measure proximity to the
+    * seeds instead of global authority — "related to these trusted
+    * hosts / this user's interests", the standard related-items and
+    * trust-propagation ranking. Dangling mass likewise returns to the
+    * seeds (the personalization vector IS the restart distribution),
+    * and ranks sum to 1 over the graph each round. Nodes unreachable
+    * from the seed set converge to rank 0.
+    *
+    * `seeds` is a one-column (`node`) relation; seeds absent from the
+    * graph are ignored, and the seed set must intersect the graph.
+    *
+    * Same shape as [[pageRank]] at 100 TB: per iteration one |E|
+    * equi-shuffle + a node-grain agg, localCheckpoint chain releasing
+    * superseded rounds; the restart vector rides the node relation as
+    * a 0/(1/|S|) column, costing no extra join per round.
+    */
+  def pageRankPersonalized(edges: DataFrame, seeds: DataFrame,
+      iters: Int = 5, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"iters=$iters must be >= 1")
+    val uniq = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .distinct().localCheckpoint(true)
+    val outDeg = uniq.groupBy("src").agg(count(lit(1)).as("deg"))
+    val seedSet = seeds.select(col("node").cast("long")).distinct()
+    val nodes0 = uniq.select(col("src").as("node"))
+      .union(uniq.select(col("dst").as("node"))).distinct()
+      .join(outDeg.withColumnRenamed("src", "node"), Seq("node"), "left")
+      .join(seedSet.withColumn("__seed", lit(1)), Seq("node"), "left")
+      .select(col("node"), coalesce(col("deg"), lit(0L)).as("deg"),
+        coalesce(col("__seed"), lit(0)).as("is_seed"))
+      .localCheckpoint(true)
+    val nSeeds = nodes0.where(col("is_seed") === 1).count().toDouble
+    require(nSeeds > 0, "seed set must intersect the graph")
+    val nodes = nodes0.withColumn("s",
+      when(col("is_seed") === 1, lit(1.0 / nSeeds)).otherwise(lit(0.0)))
+    var ranks = nodes.withColumn("rank", col("s"))
+      .select("node", "deg", "s", "rank").localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val dangling = ranks.where(col("deg") === 0)
+        .agg(coalesce(sum("rank"), lit(0.0))).head.getDouble(0)
+      val contribs = uniq
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("rank") / col("deg")).as("contrib"))
+      val next = nodes
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"), col("deg"), col("s"),
+          (lit(1.0 - damping) * col("s") +
+            lit(damping) * (coalesce(col("contrib"), lit(0.0)) +
+              lit(dangling) * col("s"))).as("rank"))
+        .localCheckpoint(true)
+      ckptStorage(ranks).foreach(_.unpersist(blocking = false))
+      ranks = next
+    }
+    val out = ranks.select("node", "rank")
+    ckptStorage(uniq).foreach(_.unpersist(blocking = false))
+    ckptStorage(nodes0).foreach(_.unpersist(blocking = false))
+    out
+  }
+
   /** Fixed-round k-core peeling: repeatedly delete nodes whose degree in
     * the CURRENT subgraph is < k (and their edges), `rounds` times — the
     * standard density filter (the k-core is where spam rings, scraper

@@ -413,6 +413,49 @@ object Profile {
     }.reduce(_.unionAll(_))
   }
 
+  /** Trending items per period: rank items by their smoothed
+    * period-over-period count ratio `(n + smoothing) / (n_prev +
+    * smoothing)` — the "what is suddenly hot" surfacing signal (query
+    * trends, emerging vocabulary, breakout products). Additive
+    * smoothing keeps new items finite and damps noise on tiny counts;
+    * items absent in the previous period count 0 there. Returns the
+    * top `k` per period: `(period, rk, item, n, n_prev, ratio)`; the
+    * first period has no predecessor and is skipped.
+    *
+    * `periodCol` must be an integer period index with consecutive
+    * periods differing by exactly 1 (e.g. epoch-days, epoch-months —
+    * the caller's bucketing), so "previous period" is an equi-join,
+    * not a window over sparse gaps.
+    *
+    * Shape at 100 TB: one (period, item) aggregation, ONE
+    * self-equi-join on (item, period−1), and a rank window partitioned
+    * by period. Exact integer counts, one divide per pair.
+    */
+  def trendingItems(df: DataFrame, periodCol: String, itemCol: String,
+      k: Int, smoothing: Double = 1.0): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    require(smoothing > 0, s"smoothing=$smoothing must be > 0")
+    val counts = df.groupBy(col(periodCol).cast("long").as("period"),
+        col(itemCol).as("item"))
+      .agg(count(lit(1)).as("n"))
+    val prev = counts.select((col("period") + 1).as("period"),
+      col("item"), col("n").as("n_prev"))
+    val periods = counts.select("period").distinct()
+      .withColumn("__has_prev", lit(1))
+      .select((col("period") + 1).as("period"), col("__has_prev"))
+    val w = Window.partitionBy("period")
+      .orderBy(col("ratio").desc, col("item").asc)
+    counts
+      .join(broadcast(periods), Seq("period"), "inner")
+      .join(prev, Seq("period", "item"), "left")
+      .withColumn("n_prev", coalesce(col("n_prev"), lit(0L)))
+      .withColumn("ratio",
+        (col("n") + smoothing) / (col("n_prev") + smoothing))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select("period", "rk", "item", "n", "n_prev", "ratio")
+  }
+
   /** Exact two-sample Kolmogorov–Smirnov drift statistic per group:
     * `ks = max_x |F_before(x) − F_after(x)|` over the empirical CDFs —
     * the nonparametric companion to [[graft.ops.Curation]]'s binned

@@ -4911,6 +4911,107 @@ object TrainingOps {
              |FROM per CROSS JOIN ctl
              |WHERE variant <> 'control'
              |ORDER BY variant""".stripMargin)),
+
+    // Trending parts per 30-day bucket: smoothed period-over-period
+    // count ratios, top-5 per period — exact integer periods (epoch
+    // div, no calendar functions), one self-equi-join on the previous
+    // period, one rank window.
+    QueryDef("q211_trending_items",
+      (s, d) => {
+        val li = table(s, d, "lineitem").where(col("l_partkey") < 2000)
+          .join(table(s, d, "orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select((unix_micros(col("o_orderdate").cast("timestamp"))
+            / lit(2592000000000L)).cast("long").as("period"),
+            col("l_partkey"))
+        graft.ops.Profile.trendingItems(li, "period", "l_partkey",
+            k = 5, smoothing = 1.0)
+          .select(col("period"), col("rk"), col("item"), col("n"),
+            col("n_prev"), round(col("ratio"), 6).as("ratio"))
+          .orderBy("period", "rk")
+      },
+      Some("""WITH li AS (SELECT
+             |    epoch_us(o_orderdate) // 2592000000000 AS period,
+             |    l_partkey AS item
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  WHERE l_partkey < 2000),
+             |c AS (SELECT period, item, COUNT(*) AS n
+             |  FROM li GROUP BY 1, 2),
+             |hp AS (SELECT DISTINCT period + 1 AS period FROM c),
+             |j AS (SELECT c.period, c.item, c.n,
+             |    COALESCE(p.n, 0) AS n_prev
+             |  FROM c
+             |  JOIN hp ON hp.period = c.period
+             |  LEFT JOIN c p
+             |    ON p.period = c.period - 1 AND p.item = c.item),
+             |r AS (SELECT *,
+             |    (n + 1.0) / (n_prev + 1.0) AS ratio,
+             |    ROW_NUMBER() OVER (PARTITION BY period
+             |      ORDER BY (n + 1.0) / (n_prev + 1.0) DESC, item)
+             |      AS rk
+             |  FROM j)
+             |SELECT period, rk, item, n, n_prev,
+             |  ROUND(ratio, 6) AS ratio
+             |FROM r WHERE rk <= 5 ORDER BY period, rk""".stripMargin)),
+
+    // Personalized PageRank: teleport confined to a seed customer set
+    // over the q98 purchase graph — ranks measure seed proximity;
+    // unreachable nodes sit at 0. Oracle unrolls the same 5 seeded
+    // power iterations (materialized per round like q98).
+    QueryDef("q212_personalized_pagerank",
+      (s, d) => {
+        val edges = table(s, d, "lineitem")
+          .join(table(s, d, "orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("src"),
+            (col("l_suppkey") + 100000L).as("dst"))
+        val seeds = table(s, d, "customer")
+          .where(col("c_custkey") % 50 === 0)
+          .select(col("c_custkey").as("node"))
+        graft.ops.Graph.pageRankPersonalized(edges, seeds,
+            iters = 5, damping = 0.85)
+          .select(col("node"), round(col("rank"), 9).as("rank"))
+          .orderBy("node")
+      },
+      Some {
+        val iter = (k: Int) => {
+          val p = s"r${k - 1}"
+          s"""r$k AS MATERIALIZED (
+             |  SELECT nodes.node, nodes.deg, nodes.s,
+             |    (1 - 0.85) * nodes.s + 0.85 * (COALESCE(c.contrib, 0)
+             |      + d.mass * nodes.s) AS rank
+             |  FROM nodes
+             |  CROSS JOIN (SELECT COALESCE(SUM(rank), 0) AS mass
+             |              FROM $p WHERE deg = 0) d
+             |  LEFT JOIN (SELECT e.dst AS node,
+             |               SUM(r.rank / r.deg) AS contrib
+             |             FROM e JOIN $p r ON e.src = r.node GROUP BY 1) c
+             |    ON nodes.node = c.node)"""
+        }
+        (s"""WITH e AS MATERIALIZED (
+            |  SELECT DISTINCT o.o_custkey AS src, 100000 + l.l_suppkey AS dst
+            |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+            |deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1),
+            |sd AS (SELECT DISTINCT c_custkey AS node FROM customer
+            |  WHERE c_custkey % 50 = 0),
+            |n0 AS MATERIALIZED (
+            |  SELECT n.node, COALESCE(deg.deg, 0) AS deg,
+            |    CASE WHEN sd.node IS NOT NULL THEN 1 ELSE 0 END AS is_seed
+            |  FROM (SELECT src AS node FROM e
+            |        UNION SELECT dst FROM e) n
+            |  LEFT JOIN deg ON n.node = deg.src
+            |  LEFT JOIN sd ON n.node = sd.node),
+            |ns AS (SELECT CAST(SUM(is_seed) AS DOUBLE) AS k FROM n0),
+            |nodes AS MATERIALIZED (
+            |  SELECT node, deg,
+            |    CASE WHEN is_seed = 1 THEN 1.0 / ns.k ELSE 0.0 END AS s
+            |  FROM n0, ns),
+            |r0 AS MATERIALIZED (
+            |  SELECT node, deg, s, s AS rank FROM nodes),
+            |""" + (1 to 5).map(iter).mkString(",\n") + """
+            |SELECT node, ROUND(rank, 9) AS rank FROM r5
+            |ORDER BY node""").stripMargin
+      }),
   )
 
   /** DuckDB replay of [[graft.ops.TextAnalysis.tailRepetition]] over

@@ -109,6 +109,38 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     assert(got(0L) == Some(5L), s"got $got")
   }
 
+  test("personalized pagerank: mass conserves, locality to the seed") {
+    val s2 = spark; import s2.implicits._
+    // two disjoint 2-cycles; seeding {1} must leave {3,4} at rank 0
+    val g = Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L))
+    val seeds = Seq(Tuple1(1L)).toDF("node")
+    val r = Graph.pageRankPersonalized(g.toDF("src", "dst"), seeds, 5)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r.values.sum - 1.0) < 1e-12, r.toString)
+    assert(r(3L) == 0.0 && r(4L) == 0.0, r.toString)
+    // all restart mass circulates inside the seeded component (the
+    // 2-cycle makes per-node shares oscillate with iteration parity,
+    // so only positivity is a stable invariant)
+    assert(r(1L) > 0 && r(2L) > 0, r.toString)
+    // seeding EVERY node with uniform restart equals classic pagerank
+    val all = Seq(1L, 2L, 3L, 4L).map(Tuple1(_)).toDF("node")
+    val pers = Graph.pageRankPersonalized(g.toDF("src", "dst"), all, 5)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val classic = Graph.pageRank(g.toDF("src", "dst"), 5)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(pers.keySet == classic.keySet)
+    assert(pers.forall { case (k, v) =>
+      math.abs(v - classic(k)) < 1e-12 }, s"$pers vs $classic")
+  }
+
+  test("personalized pagerank rejects a disjoint seed set") {
+    val s2 = spark; import s2.implicits._
+    val g = Seq((1L, 2L)).toDF("src", "dst")
+    val e = intercept[IllegalArgumentException](
+      Graph.pageRankPersonalized(g, Seq(Tuple1(99L)).toDF("node"), 2))
+    assert(e.getMessage.contains("seed"))
+  }
+
   private def runKCore(edges: Seq[(Long, Long)], k: Int,
       rounds: Int): Map[Long, Long] = {
     val s2 = spark; import s2.implicits._

@@ -2660,6 +2660,24 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(sCol.isNullAt(7) && sCol.isNullAt(8))            // non-numeric
   }
 
+  test("trending items: breakout beats steady; first period skipped") {
+    val s2 = spark; import s2.implicits._
+    // period 1: x:10, y:1; period 2: x:10 (steady), y:8 (breakout),
+    // z:3 (new)
+    val rows = Seq.fill(10)((1L, "x")) ++ Seq((1L, "y")) ++
+      Seq.fill(10)((2L, "x")) ++ Seq.fill(8)((2L, "y")) ++
+      Seq.fill(3)((2L, "z"))
+    val got = graft.ops.Profile.trendingItems(
+        rows.toDF("period", "item"), "period", "item", k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getString(2), r.getDouble(5))).toMap
+    assert(!got.keySet.exists(_._1 == 1L), "first period must skip")
+    assert(got((2L, 1))._1 == "y", got.toString)       // 9/2 = 4.5
+    assert(got((2L, 1))._2 == 4.5, got.toString)
+    assert(got((2L, 2))._1 == "z", got.toString)       // 4/1 = 4.0
+    assert(got((2L, 3))._1 == "x", got.toString)       // 1.0
+  }
+
   test("ks drift: identical samples give 0, disjoint give 1") {
     val s2 = spark; import s2.implicits._
     val a = Seq(("g", 1L), ("g", 2L), ("g", 3L), ("h", 1L), ("h", 2L))
