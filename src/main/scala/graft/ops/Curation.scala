@@ -156,34 +156,43 @@ object Curation {
     n >= 2 && d.rlike("^[0-9]+$") && pmod(total, lit(10)) === 0
   }
 
-  /** Redact payment-card numbers: digit runs of 13-19 characters that
-    * PASS the Luhn checksum are replaced with `<CARD>`; runs that fail
-    * stay untouched (an order id or timestamp that merely looks like a
-    * card survives — the false-positive discipline bare-regex
-    * scrubbing cannot offer). Appends `n_card_candidates` (all runs in
+  /** Redact payment-card numbers: MAXIMAL digit runs of 13-19
+    * characters (digit-boundary semantics — a run embedded in a longer
+    * digit sequence is NOT a candidate, so the first 19 digits of a
+    * 20-digit order id can never be misread as a card) that PASS the
+    * Luhn checksum are replaced with `<CARD>`; runs that fail stay
+    * untouched (an order id or timestamp that merely looks like a card
+    * survives — the false-positive discipline bare-regex scrubbing
+    * cannot offer). Appends `n_card_candidates` (maximal runs in
     * range) and `n_cards` (Luhn-valid occurrences) next to the
     * rewritten `textCol`; other columns pass through.
     *
-    * Same narrow shape as [[pseudonymize]]: extract, validate, and
-    * fold-replace per row (longest-first so a valid number embedded in
-    * a longer invalid run cannot be corrupted mid-fold) — pipelines
-    * with the scan at 100 TB, no shuffle, no UDF.
+    * Boundary detection avoids lookarounds on purpose (RE2-family
+    * engines lack them): a sentinel (`\u0001`, assumed absent from the
+    * text — it is a C0 control no text corpus should contain) brackets
+    * every maximal digit run, the split yields alternating digit /
+    * non-digit tokens, and qualifying tokens rewrite IN PLACE — so a
+    * valid card value occurring elsewhere as a substring of a longer
+    * run is never corrupted (the defect a string-level fold-replace
+    * cannot avoid). Purely narrow: regex bracket + split + per-token
+    * map per row, no shuffle, no UDF — pipelines with the scan at
+    * 100 TB like [[pseudonymize]].
     */
   def redactCards(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val cmp = "(l, r) -> CASE WHEN length(l) > length(r) THEN -1 " +
-      "WHEN length(l) < length(r) THEN 1 " +
-      "WHEN l < r THEN -1 WHEN l > r THEN 1 ELSE 0 END"
+    val sep = "\u0001"
+    val isCand = (t: Column) => t.rlike("^[0-9]{13,19}$")
     docs
-      .withColumn("__cand",
-        regexp_extract_all(col(textCol), lit("[0-9]{13,19}"), lit(0)))
+      .withColumn("__t", split(
+        regexp_replace(col(textCol), "([0-9]+)", sep + "$1" + sep),
+        sep, -1))
+      .withColumn("__cand", filter(col("__t"), t => isCand(t)))
       .withColumn("__valid", filter(col("__cand"), d => luhnValid(d)))
-      .withColumn("__m",
-        expr(s"array_sort(array_distinct(__valid), $cmp)"))
-      .withColumn(textCol, expr(s"aggregate(__m, $textCol, " +
-        "(acc, m) -> replace(acc, m, '<CARD>'))"))
+      .withColumn(textCol, array_join(transform(col("__t"),
+        t => when(array_contains(col("__valid"), t), lit("<CARD>"))
+          .otherwise(t)), ""))
       .withColumn("n_card_candidates", size(col("__cand")))
       .withColumn("n_cards", size(col("__valid")))
-      .drop("__cand", "__valid", "__m")
+      .drop("__t", "__cand", "__valid")
   }
 
   /** HTML entities [[stripMarkup]] decodes, applied in order — `&amp;`

@@ -18,9 +18,15 @@ object Linkage {
     *
     * For each comparison field f:
     *   - `u_f` (chance agreement among NON-matches) is estimated from
-    *     the right register's value distribution: `u_f = Σ_v n_v² / N²`
-    *     — the probability two random records share a value, computed
-    *     from exact integer counts.
+    *     the right register's NON-NULL value distribution:
+    *     `u_f = Σ_v n_v² / N²` over values v ≠ NULL with N the non-null
+    *     count — the probability two random records AGREE on the field.
+    *     NULLs are excluded because pair scoring treats a NULL
+    *     comparison as disagreement: counting the NULL mass as a
+    *     "value" would credit u with chance agreement that can never be
+    *     realized, deflating agreement weights on sparse fields. A
+    *     field that is entirely NULL on the register gets u = NULL and
+    *     contributes 0 (degenerate, below).
     *   - `m_f` (agreement among true matches) is the caller-supplied
     *     `mProb` (the standard simplification; EM refinement plugs into
     *     the same weights).
@@ -52,10 +58,13 @@ object Linkage {
     require(blockCols.nonEmpty, "blockCols must be non-empty")
     require(fields.nonEmpty, "fields must be non-empty")
     require(mProb > 0 && mProb < 1, s"mProb=$mProb must be in (0, 1)")
-    // one u estimate per field from the right register's exact value
-    // counts: u = Σ n_v² / N² (computed as a double once, at the end)
+    // one u estimate per field from the right register's exact NON-NULL
+    // value counts: u = Σ n_v² / N² (computed as a double once, at the
+    // end). NULL rows are excluded — scoring treats NULL comparisons as
+    // disagreement, so they carry no realizable chance agreement.
     val uPerField = fields.map { f =>
-      right.groupBy(col(f)).agg(count(lit(1)).as("cnt"))
+      right.where(col(f).isNotNull)
+        .groupBy(col(f)).agg(count(lit(1)).as("cnt"))
         .agg((sum(col("cnt") * col("cnt")).cast("double") /
           (sum("cnt") * sum("cnt"))).as(s"u_$f"))
     }.reduce(_.crossJoin(_))

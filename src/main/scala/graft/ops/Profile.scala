@@ -515,7 +515,12 @@ object Profile {
     * proportions, it does not define the unit.
     *
     * Shape at 100 TB: ONE aggregation to the variant grain (a handful
-    * of rows) + a broadcast of the control row. Nothing else.
+    * of rows) + a broadcast of the control row. Nothing else. The
+    * control-presence guard is one bounded job over that variant-grain
+    * aggregate (the [[graft.ops.Graph.pageRankPersonalized]] seed-guard
+    * pattern): a typo'd control label fails LOUDLY instead of
+    * cross-joining every arm against an empty control row and
+    * returning "no variants".
     */
   def abTest(df: DataFrame, variantCol: String, successCol: String,
       control: String): DataFrame = {
@@ -524,6 +529,8 @@ object Profile {
         sum(col(successCol).cast("long")).as("conv"))
     val ctl = per.where(col("variant") === control)
       .select(col("n").as("n_c"), col("conv").as("conv_c"))
+    require(!ctl.isEmpty,
+      s"control variant '$control' has no rows in $variantCol")
     val joined = per.where(col("variant") =!= control)
       .crossJoin(broadcast(ctl))
     val pv = col("conv").cast("double") / col("n")
@@ -551,19 +558,32 @@ object Profile {
     * are the usual inputs) — the leading digit comes from the decimal
     * string, exact on any engine; zero/negative rows are filtered.
     * The χ² contributions fold in digit order, so the statistic is
-    * partition-invariant and bit-replayable.
+    * partition-invariant and bit-replayable. Every group emits ALL
+    * nine digit rows: a digit with zero observations still carries its
+    * positive expected count `n·log10(1 + 1/d)`, so its full expected
+    * mass enters the χ² (a group whose values never start with 1 is
+    * maximally suspicious, not invisible) and `n_d = 0` rows are part
+    * of the profile.
     *
     * Shape at 100 TB: one (group, digit) aggregation (≤ 9 rows per
-    * group) + one group-grain fold + a broadcast-sized join back.
+    * group), a group-grain distinct crossed with the constant 9-digit
+    * grid (still ≤ 9 rows per group), one group-grain fold, and a
+    * broadcast-sized join back.
     */
   def benford(df: DataFrame, groupCol: String,
       valueCol: String): DataFrame = {
-    val digits = df
+    val observed = df
       .where(col(valueCol) > 0)
       .select(col(groupCol).as("grp"),
         substring(col(valueCol).cast("long").cast("string"), 1, 1)
           .cast("int").as("digit"))
       .groupBy("grp", "digit").agg(count(lit(1)).as("n_d"))
+    // full 1..9 grid per group: absent digits re-enter with n_d = 0 so
+    // their expected mass ((0 - exp)^2 / exp = exp) reaches the chi^2
+    val digits = observed.select("grp").distinct()
+      .withColumn("digit", explode(sequence(lit(1), lit(9))))
+      .join(observed, Seq("grp", "digit"), "left")
+      .withColumn("n_d", coalesce(col("n_d"), lit(0L)))
     val withExp = digits
       .withColumn("n", sum("n_d").over(Window.partitionBy("grp")))
       .withColumn("exp",
@@ -628,7 +648,8 @@ object Profile {
     * demand model consumes directly.
     *
     * Calendar math is EXACT integer µs arithmetic on the epoch
-    * (`dow = (epoch_day + 4) mod 7`, 0 = Monday, UTC) — deliberately
+    * (`dow = (epoch_day + 4) mod 7`, 0 = Sunday: epoch day 0 was a
+    * Thursday, so the +4 offset lands Thursday on 4, UTC) — deliberately
     * not a timezone/date function, so any engine replays it
     * bit-for-bit and daylight-saving rules never shift a cell.
     *

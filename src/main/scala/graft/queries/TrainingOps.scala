@@ -4331,13 +4331,16 @@ object TrainingOps {
              |  WHERE c_custkey > 500 AND c_custkey <= 1000),
              |u1 AS (SELECT CAST(SUM(cnt * cnt) AS DOUBLE)
              |    / (SUM(cnt) * SUM(cnt)) AS u
-             |  FROM (SELECT COUNT(*) AS cnt FROM r GROUP BY seg)),
+             |  FROM (SELECT COUNT(*) AS cnt FROM r
+             |        WHERE seg IS NOT NULL GROUP BY seg)),
              |u2 AS (SELECT CAST(SUM(cnt * cnt) AS DOUBLE)
              |    / (SUM(cnt) * SUM(cnt)) AS u
-             |  FROM (SELECT COUNT(*) AS cnt FROM r GROUP BY bal_k)),
+             |  FROM (SELECT COUNT(*) AS cnt FROM r
+             |        WHERE bal_k IS NOT NULL GROUP BY bal_k)),
              |u3 AS (SELECT CAST(SUM(cnt * cnt) AS DOUBLE)
              |    / (SUM(cnt) * SUM(cnt)) AS u
-             |  FROM (SELECT COUNT(*) AS cnt FROM r GROUP BY nd)),
+             |  FROM (SELECT COUNT(*) AS cnt FROM r
+             |        WHERE nd IS NOT NULL GROUP BY nd)),
              |p AS (SELECT l.c_custkey AS id_l, r.c_custkey AS id_r,
              |    l.seg = r.seg AS a1, l.bal_k = r.bal_k AS a2,
              |    l.nd = r.nd AS a3
@@ -4574,10 +4577,15 @@ object TrainingOps {
              |    text || ' pay 4111111111111111 ref 4111111111111112' ||
              |    ' order 123456789012345678' AS text
              |  FROM documents),
-             |m AS (SELECT doc_id, text,
-             |    regexp_extract_all(text, '[0-9]{13,19}') AS cand
+             |t AS (SELECT doc_id,
+             |    string_split(regexp_replace(text, '([0-9]+)',
+             |      chr(1) || '\1' || chr(1), 'g'), chr(1)) AS toks
              |  FROM salted),
-             |v AS (SELECT doc_id, text, cand,
+             |m AS (SELECT doc_id, toks,
+             |    list_filter(toks,
+             |      x -> regexp_matches(x, '^[0-9]{13,19}$')) AS cand
+             |  FROM t),
+             |v AS (SELECT doc_id, toks, cand,
              |    list_filter(cand, d -> list_sum(
              |      [CASE WHEN g % 2 = 0 THEN
              |         CASE WHEN 2 * (ascii(d[length(d)-g+1]) - 48) > 9
@@ -4586,18 +4594,14 @@ object TrainingOps {
              |       ELSE ascii(d[length(d)-g+1]) - 48 END
              |       FOR g IN generate_series(1, length(d))]) % 10 = 0)
              |      AS valid
-             |  FROM m),
-             |s AS (SELECT doc_id, text, cand, valid,
-             |    list_transform(list_sort(list_transform(
-             |      list_distinct(valid), x -> {'k': -length(x), 'v': x})),
-             |      y -> y.v) AS ms
-             |  FROM v)
+             |  FROM m)
              |SELECT doc_id,
-             |  md5(list_reduce(list_prepend(text, ms), (acc, x) ->
-             |    replace(acc, x, '<CARD>'))) AS text_md5,
+             |  md5(array_to_string(list_transform(toks, x ->
+             |    CASE WHEN list_contains(valid, x) THEN '<CARD>'
+             |      ELSE x END), '')) AS text_md5,
              |  CAST(len(cand) AS INT) AS n_card_candidates,
              |  CAST(len(valid) AS INT) AS n_cards
-             |FROM s ORDER BY doc_id""".stripMargin)),
+             |FROM v ORDER BY doc_id""".stripMargin)),
 
     // Trailing-repetition detector: docs salted with planted loops by
     // id class — unit "la" x5 (period 1), unit "spam ham" x4 (period
@@ -4792,8 +4796,13 @@ object TrainingOps {
              |      AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
              |  FROM lineitem
              |  WHERE CAST(ROUND(l_extendedprice * 100) AS BIGINT) > 0),
-             |d AS (SELECT grp, digit, COUNT(*) AS n_d
+             |d0 AS (SELECT grp, digit, COUNT(*) AS n_d
              |  FROM v GROUP BY 1, 2),
+             |d AS (SELECT g.grp, t.digit,
+             |    COALESCE(d0.n_d, 0) AS n_d
+             |  FROM (SELECT DISTINCT grp FROM d0) g
+             |  CROSS JOIN generate_series(1, 9) t(digit)
+             |  LEFT JOIN d0 ON d0.grp = g.grp AND d0.digit = t.digit),
              |w AS (SELECT *,
              |    CAST(SUM(n_d) OVER (PARTITION BY grp) AS BIGINT) AS n
              |  FROM d),

@@ -2875,4 +2875,77 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got((2L, 11L)) == (2, agreeW), got.toString)
     assert(got.size == 4)
   }
+
+  test("record linkage: NULL mass is excluded from the u estimate") {
+    val s2 = spark; import s2.implicits._
+    // f1 on the right: "a", "a", NULL, NULL. With NULLs excluded
+    // u = (2^2) / 2^2 = 1 -> vacuous (contributes 0); the old buggy
+    // estimate counted NULL as a value (u = 8/16 = 0.5) and credited
+    // chance agreement that scoring can never realize.
+    val left = Seq((1L, 0L, "a")).toDF("id", "blk", "f1")
+    val right = Seq((10L, 0L, Some("a")), (11L, 0L, Some("a")),
+      (12L, 0L, None), (13L, 0L, None)).toDF("id", "blk", "f1")
+    val got = Linkage.linkageScores(left, right, "id", "id",
+        Seq("blk"), Seq("f1"), mProb = 0.95)
+      .collect().map(r => (r.getLong(1), r.getDouble(3))).toMap
+    assert(got.size == 4)
+    assert(got.values.forall(_ == 0.0),
+      s"constant non-null value must be vacuous: $got")
+  }
+
+  test("benford: absent digits carry their expected chi2 mass") {
+    val s2 = spark; import s2.implicits._
+    // group "m" never starts with 1 (values 200..900 by hundreds):
+    // digit 1's expected count n*log10(2) must still enter the chi2,
+    // and the (m, 1) row must exist with n_d = 0
+    val rows = (2 to 9).map(d => ("m", d * 100L))
+    val got = graft.ops.Profile.benford(rows.toDF("g", "v"), "g", "v")
+      .collect().map(r => r.getInt(1) -> (r.getLong(2), r.getDouble(5)))
+      .toMap
+    assert(got.size == 9, s"all 9 digit rows must emit: $got")
+    assert(got(1)._1 == 0L)
+    val n = 8.0
+    val expected1 = n * math.log10(2.0) // (0-e)^2/e = e for digit 1
+    val chi2 = got(2)._2
+    assert(chi2 >= expected1,
+      s"chi2=$chi2 must include absent digit 1's expected $expected1")
+  }
+
+  test("card redaction: digit-boundary semantics on long runs") {
+    val s2 = spark; import s2.implicits._
+    // 20-digit run whose 19-digit prefix is Luhn-valid: NOT a candidate
+    // (maximal-run semantics); the same valid card standalone IS
+    // redacted, and its occurrence embedded in a longer run survives
+    // build a Luhn-valid 19-digit number from the 4111... BIN
+    val base = "411111111111111111"
+    val check = (0 to 9).map(c => base + c.toString).find { s =>
+      val ds = s.reverse.map(_ - '0')
+      ds.zipWithIndex.map { case (d, i) =>
+        if (i % 2 == 1) { val x = d * 2; if (x > 9) x - 9 else x } else d
+      }.sum % 10 == 0
+    }.get
+    val fix = Seq(
+      (1L, s"card $check ok"),
+      (2L, s"run ${check}5 embedded"), // 20 digits: no candidate
+      (3L, s"both $check and 9${check} here"))
+      .toDF("doc_id", "text")
+    val got = Curation.redactCards(fix)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2), r.getInt(3))).toMap
+    assert(got(1L) == ("card <CARD> ok", 1, 1), got.toString)
+    assert(got(2L) == (s"run ${check}5 embedded", 0, 0), got.toString)
+    assert(got(3L) == (s"both <CARD> and 9${check} here", 1, 1),
+      got.toString)
+    assert(check.length == 19)
+  }
+
+  test("ab test: a missing control variant fails loudly") {
+    val s2 = spark; import s2.implicits._
+    val df = Seq(("a", 1L), ("b", 0L)).toDF("variant", "success")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Profile.abTest(df, "variant", "success", "kontrol")
+        .collect()
+    }
+    assert(e.getMessage.contains("kontrol"), e.getMessage)
+  }
 }
