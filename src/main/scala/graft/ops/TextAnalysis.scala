@@ -568,6 +568,92 @@ object TextAnalysis {
     merges.toSeq.toDF("step", "a", "b", "cnt")
   }
 
+  /** [[bpeTrain]] with the merge LOOP on the driver: the sampled
+    * word-frequency vocabulary is collected ONCE (it is a distinct-word
+    * table — MBs at any corpus scale under the content-hash sample,
+    * the same bounded-collect contract as the Bloom build), the
+    * `numMerges` greedy merge rounds run locally over it, and the
+    * learned merge table comes back as a DataFrame ready to broadcast
+    * into [[bpeApply]]. Output and semantics are IDENTICAL to
+    * [[bpeTrain]] given the same vocabulary (spec-pinned): same
+    * adjacent-pair counting, same (count desc, (a, b) lexicographic)
+    * tie-break, same greedy left-to-right merge fold, same early stop
+    * when no word has two symbols left.
+    *
+    * This is the production-scale path [[bpeTrain]]'s merge-count
+    * ceiling points at: ONE Spark job (the vocabulary aggregation)
+    * instead of `numMerges` sequential jobs — a 30k-merge tokenizer
+    * costs one corpus scan plus seconds of driver arithmetic, not 30k
+    * scheduler round-trips. Symbol splitting is codepoint-based
+    * (matching Spark's `substring`) and the lexicographic tie-break
+    * compares UTF-16 code units, which agrees with UTF-8 binary order
+    * on ASCII vocabularies — non-BMP corpora should pin one engine's
+    * collation before relying on tie order.
+    */
+  def bpeTrainLocal(docs: DataFrame, numMerges: Int,
+      textCol: String = "text", sampleFraction: Double = 1.0): DataFrame = {
+    require(numMerges >= 1, s"numMerges=$numMerges must be >= 1")
+    require(sampleFraction > 0 && sampleFraction <= 1.0,
+      s"sampleFraction=$sampleFraction must be in (0, 1]")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val trainDocs =
+      if (sampleFraction >= 1.0) docs
+      else docs.where(
+        Sampling.hashUnit(col(textCol), "bpe:") < sampleFraction)
+    val vocab0: Array[(String, Long)] = trainDocs
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .as[(String, Long)].collect()
+    def codepoints(w: String): Array[String] = {
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        out += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      out.toArray
+    }
+    def applyMerge(syms: Array[String], a: String,
+        b: String): Array[String] = {
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      syms.foreach { s =>
+        if (out.nonEmpty && out.last == a && s == b)
+          out(out.length - 1) = a + b
+        else out += s
+      }
+      out.toArray
+    }
+    var vocab = vocab0.map { case (w, f) => (codepoints(w), f) }
+    val merges =
+      scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var step = 1
+    var exhausted = false
+    while (step <= numMerges && !exhausted) {
+      val counts =
+        scala.collection.mutable.HashMap[(String, String), Long]()
+      vocab.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + f
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val ((a, b), cnt) = counts
+          .minBy { case ((a, b), c) => (-c, a, b) }
+        merges += ((step, a, b, cnt))
+        vocab = vocab.map { case (syms, f) => (applyMerge(syms, a, b), f) }
+        step += 1
+      }
+    }
+    merges.toSeq.toDF("step", "a", "b", "cnt")
+  }
+
   /** Content-defined chunking (the rsync/LBFS boundary scheme applied to
     * token streams): a chunk boundary falls after token `i` whenever the
     * md5 of the `w`-token window ending at `i` is ≡ 0 mod `divisor` —

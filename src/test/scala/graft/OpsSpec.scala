@@ -1606,6 +1606,32 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(seg == naive, s"$seg vs $naive")
   }
 
+  test("driver-local bpe training equals the distributed merge loop") {
+    val s2 = spark; import s2.implicits._
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest") ++
+      Seq.fill(4)("wide") ++ Seq.fill(2)("newer")
+    // spread over docs so the sampled path has a real gate to apply
+    val docs = words.grouped(3).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+      .toSeq.toDF("doc_id", "text")
+    for (frac <- Seq(1.0, 0.6)) {
+      val dist = TextAnalysis.bpeTrain(docs, 8, sampleFraction = frac)
+        .collect().map(r =>
+          (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      val local = TextAnalysis.bpeTrainLocal(docs, 8,
+        sampleFraction = frac).collect().map(r =>
+          (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      assert(dist.toSeq == local.toSeq,
+        s"frac=$frac\ndist=${dist.toSeq}\nlocal=${local.toSeq}")
+    }
+    // exhaustion parity: ask for far more merges than the vocab holds
+    val distX = TextAnalysis.bpeTrain(docs, 100).count()
+    val localX = TextAnalysis.bpeTrainLocal(docs, 100).count()
+    assert(distX == localX && localX < 100,
+      s"exhaustion must stop both paths at the same step: $distX/$localX")
+  }
+
   test("containment catches near-supersets jaccard misses") {
     val s2 = spark; import s2.implicits._
     val inner = "a b c d e f g h i j"
