@@ -354,6 +354,50 @@ object StreamingQuery {
              |FROM agg, cutoff WHERE end_us <= wm_us
              |ORDER BY user_id, start_us""".stripMargin)),
 
+    // REVERSE attribution left-outer: clicks with no subsequent
+    // purchase. The outer side waits for LATER events, so the null-row
+    // cutoff pays the condition's time range ON TOP of the watermark
+    // delay: a click is unmatchable (and its null row emitted) only
+    // once the global watermark passes click_ts + horizon — q188's
+    // outer side needed only purchase_ts itself. The oracle replays
+    // matches as the batch interval join and gates null rows on
+    // click_ts + 30 min < the final ms-grain global watermark (MIN of
+    // the two post-filter branch watermarks, as in q188); the trailing
+    // horizon of unmatched clicks is absent from BOTH sides.
+    QueryDef("q214_streaming_reverse_attribution",
+      (s, d) => runStream(s, d, "stream_rev_attr")(
+        Streams.clickOutcomes(_, "30 minutes", "2 hours",
+          joinType = "left_outer"))(df =>
+        df.select(col("click_id"), col("purchase_id"), col("user_id"),
+            col("lead_us"), round(col("value"), 4).as("value"))
+          .orderBy("click_id", "purchase_id")),
+      Some("""WITH cutoff AS (
+             |  SELECT (LEAST(
+             |      MAX(CASE WHEN event_type = 'click'
+             |        THEN epoch_us(ts) END) // 1000,
+             |      MAX(CASE WHEN event_type = 'purchase'
+             |        THEN epoch_us(ts) END) // 1000) - 7200000) * 1000
+             |    AS wm_us FROM events),
+             |c AS (SELECT event_id AS click_id, user_id, ts
+             |  FROM events WHERE event_type = 'click'),
+             |p AS (SELECT event_id AS purchase_id, user_id, ts, value
+             |  FROM events WHERE event_type = 'purchase'),
+             |m AS (SELECT c.click_id, p.purchase_id, c.user_id,
+             |    epoch_us(p.ts) - epoch_us(c.ts) AS lead_us,
+             |    ROUND(p.value, 4) AS value
+             |  FROM c JOIN p ON c.user_id = p.user_id AND p.ts >= c.ts
+             |    AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800000000),
+             |u AS (SELECT c.click_id, CAST(NULL AS BIGINT) AS purchase_id,
+             |    c.user_id, CAST(NULL AS BIGINT) AS lead_us,
+             |    CAST(NULL AS DOUBLE) AS value
+             |  FROM c, cutoff
+             |  WHERE epoch_us(c.ts) + 1800000000 < wm_us
+             |    AND NOT EXISTS (SELECT 1 FROM p
+             |      WHERE p.user_id = c.user_id AND p.ts >= c.ts
+             |        AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800000000))
+             |SELECT * FROM (SELECT * FROM m UNION ALL SELECT * FROM u)
+             |ORDER BY click_id, purchase_id NULLS FIRST""".stripMargin)),
+
     // Arbitrary stateful processing (mapGroupsWithState) as a battery
     // entry: running per-user totals in update mode; the shape keeps
     // each key's max-count emission (counters are monotone), which IS

@@ -137,6 +137,52 @@ object Streams {
         col("purchase_ts"))
   }
 
+  /** REVERSE attribution: each click joined to the same-user purchases
+    * within `horizon` AFTER it — with `joinType = "left_outer"`, the
+    * abandonment/churn query every attribution pipeline runs next to
+    * [[attributedPurchases]]: "clicks with NO subsequent purchase"
+    * emit once, null-padded, when they become unmatchable.
+    *
+    * This is the join shape whose outer side waits for LATER events,
+    * and it exercises the watermark rule [[attributedPurchases]] only
+    * documents: a click is unmatchable only once the global watermark
+    * passes `click_ts + horizon` (a purchase up to `horizon` later
+    * could still match), so the null-row emission delay is the
+    * watermark delay PLUS the condition's time range. Consequently the
+    * trailing `horizon` of clicks before the final watermark emits
+    * nothing outer-side even when unmatched — the StreamingSpec
+    * withholding fixture and the q214 oracle both pin that cutoff
+    * (`click_ts + horizon < watermark`, at Spark's millisecond
+    * watermark grain). Matches themselves emit as they form, exactly
+    * the inner results, and the state-store bound is the same as the
+    * forward join's: each side keeps only rows a future partner could
+    * still reach.
+    */
+  def clickOutcomes(events: DataFrame, horizon: String = "30 minutes",
+      watermark: String = "2 hours", joinType: String = "inner"): DataFrame = {
+    require(Set("inner", "left_outer")(joinType),
+      s"joinType=$joinType must be inner or left_outer")
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("purchase_user"), col("ts").as("purchase_ts"),
+        col("value"))
+      .withWatermark("purchase_ts", watermark)
+    clicks.join(purchases,
+      col("user_id") === col("purchase_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $horizon"),
+      joinType)
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+          .as("lead_us"),
+        col("value"),
+        col("click_ts"))
+  }
+
   /** Streaming deduplication by event id, with state bounded by the
     * watermark (the streaming form of exact dedup for at-least-once
     * sources — duplicates arriving within the watermark horizon are

@@ -409,6 +409,46 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("reverse attribution outer join pays the time range in its delay") {
+    val s2 = spark; import s2.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = Streams.clickOutcomes(input.toDF(), "30 minutes",
+        "30 minutes", joinType = "left_outer")
+      .writeStream.format("memory").queryName("rev_attr")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "click", 0.0),
+        Event(2, ts("2024-01-01 10:15:00"), 1, "purchase", 5.0),
+        Event(3, ts("2024-01-01 10:20:00"), 2, "click", 0.0))
+      q.processAllAvailable()
+      // advance BOTH branch watermarks to 15:30 (each branch watermark
+      // sits after its event_type filter)
+      input.addData(
+        Event(4, ts("2024-01-01 16:00:00"), 9, "click", 0.0),
+        Event(5, ts("2024-01-01 16:00:00"), 9, "purchase", 1.0),
+        // unmatched click whose horizon END (15:20) is inside the
+        // watermark: null row must emit...
+        Event(6, ts("2024-01-01 14:50:00"), 7, "click", 0.0),
+        // ...but an unmatched click BEFORE the watermark whose horizon
+        // end (15:40) is beyond it is withheld — the outer delay is
+        // watermark + time range, the fact q188's shape never exercises
+        Event(7, ts("2024-01-01 15:10:00"), 8, "click", 0.0))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val rows = spark.table("rev_attr")
+        .select("click_id", "purchase_id").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      assert(rows == Set((1L, 2L), (4L, 5L), (3L, -1L), (6L, -1L)),
+        s"got $rows")
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("rev_attr")
+    }
+  }
+
   test("sessionsWithTimeout: event-time eviction equals session windows") {
     val s2 = spark; import s2.implicits._
     implicit val ctx = spark.sqlContext
