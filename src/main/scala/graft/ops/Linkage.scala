@@ -90,4 +90,115 @@ object Linkage {
       .select(col("id_l"), col("id_r"),
         nAgree.as("n_agree"), weight.as("score"))
   }
+
+  /** EM refinement of the Fellegi–Sunter m/u probabilities (the
+    * classic Winkler/Jaro estimation): instead of a caller-fixed
+    * `mProb`, fit per-field `m_f` (agreement among matches), `u_f`
+    * (agreement among non-matches), and the match prevalence `λ` by
+    * expectation-maximization over the blocked pairs' agreement
+    * patterns, under the standard conditional-independence model
+    * `P(γ|M) = Π m_f^γ_f (1−m_f)^(1−γ_f)` (and likewise for U).
+    * This is what makes the scores CALIBRATED on a register the user
+    * has not hand-tuned — [[linkageScores]]'s scaladoc's "EM
+    * refinement plugs into the same weights".
+    *
+    * The E/M loop runs on the COLLAPSED pattern table: blocked pairs
+    * aggregate to their (γ_1..γ_F, count) grain — at most 2^F rows
+    * however large the registers — which is collected once and
+    * iterated on the driver (the bounded-collect contract; `iters`
+    * small and fixed). Seeds: `m_f = mInit` for every field,
+    * `u_f` = [[linkageScores]]'s closed-form NON-NULL frequency
+    * estimate, `λ = lambdaInit`. Per iteration, with pattern weight
+    * `w(γ) = λ P(γ|M) / (λ P(γ|M) + (1−λ) P(γ|U))`:
+    * `m_f ← Σ cnt·w·γ_f / Σ cnt·w`, `u_f ← Σ cnt·(1−w)·γ_f /
+    * Σ cnt·(1−w)`, `λ ← Σ cnt·w / Σ cnt`. All sums fold in sorted
+    * pattern order and all products left-associate in field order, so
+    * a SQL oracle replays every float bit-for-bit.
+    *
+    * Returns one row per field:
+    * `(field, m, u, w_agree, w_disagree, lambda)` with
+    * `w_agree = log2(m/u)`, `w_disagree = log2((1−m)/(1−u))` — the
+    * refined weights, pluggable into the same blocked-join scorer.
+    * Degeneracy note: if a field agrees (or disagrees) in EVERY
+    * blocked pair, EM drives its m or u to exactly 0/1 and the log
+    * weights to ±∞ — drop constant fields from `fields` (they carry
+    * no information, exactly [[linkageScores]]'s degenerate-field
+    * rule).
+    *
+    * Shape at 100 TB: the per-field u aggregations (value-grain, one
+    * broadcastable row), ONE blocked equi-join aggregated straight to
+    * the ≤ 2^F pattern grain (Σ_block |L_b|·|R_b| pair enumeration,
+    * never materialized wider than the pattern count), then
+    * driver-side arithmetic on ≤ 2^F rows. Nothing else.
+    */
+  def linkageEm(left: DataFrame, right: DataFrame,
+      blockCols: Seq[String], fields: Seq[String], iters: Int = 5,
+      mInit: Double = 0.9, lambdaInit: Double = 0.1): DataFrame = {
+    require(blockCols.nonEmpty, "blockCols must be non-empty")
+    require(fields.nonEmpty, "fields must be non-empty")
+    require(iters >= 1, s"iters=$iters must be >= 1")
+    require(mInit > 0 && mInit < 1, s"mInit=$mInit must be in (0, 1)")
+    require(lambdaInit > 0 && lambdaInit < 1,
+      s"lambdaInit=$lambdaInit must be in (0, 1)")
+    val spark = left.sparkSession
+    import spark.implicits._
+    val nF = fields.length
+    // closed-form u seeds from the right register's non-null counts
+    val uRow = fields.map { f =>
+      right.where(col(f).isNotNull)
+        .groupBy(col(f)).agg(count(lit(1)).as("cnt"))
+        .agg((sum(col("cnt") * col("cnt")).cast("double") /
+          (sum("cnt") * sum("cnt"))).as(s"u_$f"))
+    }.reduce(_.crossJoin(_)).collect().head
+    val uSeed = Array.tabulate(nF)(uRow.getDouble)
+    // blocked pairs collapsed to the agreement-pattern grain
+    val l = left.select(blockCols.map(col) ++
+      fields.map(f => col(f).as(s"l_$f")): _*)
+    val r = right.select(blockCols.map(col) ++
+      fields.map(f => col(f).as(s"r_$f")): _*)
+    val gCols = fields.map(f =>
+      coalesce(col(s"l_$f") === col(s"r_$f"), lit(false))
+        .cast("int").as(s"g_$f"))
+    val pats = l.join(r, blockCols)
+      .select(gCols: _*)
+      .groupBy(fields.map(f => col(s"g_$f")): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(fields.map(f => col(s"g_$f")): _*)
+      .collect()
+      .map(row => (Array.tabulate(nF)(row.getInt), row.getLong(nF)))
+    val m = Array.fill(nF)(mInit)
+    val u = uSeed.clone()
+    var lam = lambdaInit
+    for (_ <- 1 to iters) {
+      var sw = 0.0; var su = 0.0; var n = 0.0
+      val swf = Array.fill(nF)(0.0); val suf = Array.fill(nF)(0.0)
+      pats.foreach { case (g, cnt) =>
+        var pm = 1.0; var pu = 1.0
+        var i = 0
+        while (i < nF) {
+          pm = pm * (if (g(i) == 1) m(i) else 1 - m(i))
+          pu = pu * (if (g(i) == 1) u(i) else 1 - u(i))
+          i += 1
+        }
+        val w = lam * pm / (lam * pm + (1 - lam) * pu)
+        sw += cnt * w; su += cnt * (1 - w); n += cnt.toDouble
+        i = 0
+        while (i < nF) {
+          swf(i) += cnt * w * g(i)
+          suf(i) += cnt * (1 - w) * g(i)
+          i += 1
+        }
+      }
+      var i = 0
+      while (i < nF) {
+        m(i) = swf(i) / sw; u(i) = suf(i) / su; i += 1
+      }
+      lam = sw / n
+    }
+    val ln2 = math.log(2.0)
+    fields.zipWithIndex.map { case (f, i) =>
+      (f, m(i), u(i), math.log(m(i) / u(i)) / ln2,
+        math.log((1 - m(i)) / (1 - u(i))) / ln2, lam)
+    }.toDF("field", "m", "u", "w_agree", "w_disagree", "lambda")
+  }
 }

@@ -5043,6 +5043,30 @@ object TrainingOps {
         TextAnalysis.bpeTrainLocal(docsB, 1000, sampleFraction = 0.5)
       },
       Some(bpeLocalOracleSql(1000, 0.5))),
+
+    // Fellegi-Sunter EM refinement over q196's blocked register pair:
+    // per-field m/u and the prevalence lambda fitted by 5 EM rounds on
+    // the collapsed agreement-pattern grain (<= 2^3 rows). The oracle
+    // unrolls every iteration with ordered struct folds, so the full
+    // float trajectory is replayed bit-for-bit before rounding.
+    QueryDef("q215_linkage_em",
+      (s, d) => {
+        val cust = table(s, d, "customer").select(col("c_custkey"),
+          col("c_nationkey"), col("c_mktsegment").as("seg"),
+          floor(col("c_acctbal") / 1000).cast("long").as("bal_k"),
+          expr("right(c_name, 1)").as("nd"))
+        Linkage.linkageEm(
+            cust.where(col("c_custkey") <= 500),
+            cust.where(col("c_custkey") > 500 && col("c_custkey") <= 1000),
+            Seq("c_nationkey"), Seq("seg", "bal_k", "nd"), iters = 5)
+          .select(col("field"), round(col("m"), 9).as("m"),
+            round(col("u"), 9).as("u"),
+            round(col("w_agree"), 6).as("w_agree"),
+            round(col("w_disagree"), 6).as("w_disagree"),
+            round(col("lambda"), 9).as("lambda"))
+          .orderBy("field")
+      },
+      Some(linkageEmOracleSql(5))),
   )
 
   /** DuckDB replay of [[graft.ops.TextAnalysis.tailRepetition]] over
@@ -5188,6 +5212,96 @@ object TrainingOps {
       .map(i => s"SELECT $i AS step, a, b, CAST(cnt AS BIGINT) AS cnt " +
         s"FROM m$i")
       .mkString("\n", "\nUNION ALL\n", "\nORDER BY step")
+    sb.toString
+  }
+
+  /** Unrolled DuckDB replay of [[graft.ops.Linkage.linkageEm]] on the
+    * q196 register pair: the blocked pairs collapse to the ordered
+    * agreement-pattern list once, then each EM iteration is one
+    * `list_transform` (per-pattern weight + contribution struct, with
+    * products left-associated in field order exactly like the driver
+    * loop) and one `list_reduce` (elementwise sum in sorted pattern
+    * order — float-order identical to the engine's fold).
+    */
+  private def linkageEmOracleSql(iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH c AS (SELECT c_custkey, c_nationkey,
+             |    c_mktsegment AS seg,
+             |    CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_k,
+             |    right(c_name, 1) AS nd
+             |  FROM customer),
+             |l AS (SELECT * FROM c WHERE c_custkey <= 500),
+             |r AS (SELECT * FROM c
+             |  WHERE c_custkey > 500 AND c_custkey <= 1000),
+             |u1 AS (SELECT CAST(SUM(cnt * cnt) AS DOUBLE)
+             |    / (SUM(cnt) * SUM(cnt)) AS u
+             |  FROM (SELECT COUNT(*) AS cnt FROM r
+             |        WHERE seg IS NOT NULL GROUP BY seg)),
+             |u2 AS (SELECT CAST(SUM(cnt * cnt) AS DOUBLE)
+             |    / (SUM(cnt) * SUM(cnt)) AS u
+             |  FROM (SELECT COUNT(*) AS cnt FROM r
+             |        WHERE bal_k IS NOT NULL GROUP BY bal_k)),
+             |u3 AS (SELECT CAST(SUM(cnt * cnt) AS DOUBLE)
+             |    / (SUM(cnt) * SUM(cnt)) AS u
+             |  FROM (SELECT COUNT(*) AS cnt FROM r
+             |        WHERE nd IS NOT NULL GROUP BY nd)),
+             |pats AS MATERIALIZED (SELECT
+             |    CASE WHEN l.seg = r.seg THEN 1 ELSE 0 END AS g1,
+             |    CASE WHEN l.bal_k = r.bal_k THEN 1 ELSE 0 END AS g2,
+             |    CASE WHEN l.nd = r.nd THEN 1 ELSE 0 END AS g3,
+             |    COUNT(*) AS cnt
+             |  FROM l JOIN r USING (c_nationkey) GROUP BY 1, 2, 3),
+             |pl AS MATERIALIZED (SELECT
+             |    list(struct_pack(g1 := g1, g2 := g2, g3 := g3,
+             |      cnt := cnt) ORDER BY g1, g2, g3) AS ps
+             |  FROM pats),
+             |em0 AS (SELECT CAST(0.9 AS DOUBLE) AS m1,
+             |    CAST(0.9 AS DOUBLE) AS m2, CAST(0.9 AS DOUBLE) AS m3,
+             |    u1.u AS v1, u2.u AS v2, u3.u AS v3,
+             |    CAST(0.1 AS DOUBLE) AS lam
+             |  FROM u1, u2, u3)""".stripMargin
+    // per-pattern posterior weight, products left-associated in field
+    // order (g1, g2, g3) exactly like the driver loop's while-loop
+    val pm = "((CASE WHEN p.g1 = 1 THEN e.m1 ELSE 1 - e.m1 END) * " +
+      "(CASE WHEN p.g2 = 1 THEN e.m2 ELSE 1 - e.m2 END)) * " +
+      "(CASE WHEN p.g3 = 1 THEN e.m3 ELSE 1 - e.m3 END)"
+    val pu = "((CASE WHEN p.g1 = 1 THEN e.v1 ELSE 1 - e.v1 END) * " +
+      "(CASE WHEN p.g2 = 1 THEN e.v2 ELSE 1 - e.v2 END)) * " +
+      "(CASE WHEN p.g3 = 1 THEN e.v3 ELSE 1 - e.v3 END)"
+    val w = s"(e.lam * $pm / (e.lam * $pm + (1 - e.lam) * $pu))"
+    for (k <- 1 to iters) {
+      sb ++= s""",
+               |f$k AS (SELECT list_reduce(list_transform(pl.ps, p ->
+               |    struct_pack(
+               |      sw := p.cnt * $w,
+               |      s1 := p.cnt * $w * p.g1,
+               |      s2 := p.cnt * $w * p.g2,
+               |      s3 := p.cnt * $w * p.g3,
+               |      su := p.cnt * (1 - $w),
+               |      t1 := p.cnt * (1 - $w) * p.g1,
+               |      t2 := p.cnt * (1 - $w) * p.g2,
+               |      t3 := p.cnt * (1 - $w) * p.g3,
+               |      n := CAST(p.cnt AS DOUBLE))),
+               |    (a, x) -> struct_pack(sw := a.sw + x.sw,
+               |      s1 := a.s1 + x.s1, s2 := a.s2 + x.s2,
+               |      s3 := a.s3 + x.s3, su := a.su + x.su,
+               |      t1 := a.t1 + x.t1, t2 := a.t2 + x.t2,
+               |      t3 := a.t3 + x.t3, n := a.n + x.n)) AS t
+               |  FROM pl, em${k - 1} e),
+               |em$k AS (SELECT t.s1 / t.sw AS m1, t.s2 / t.sw AS m2,
+               |    t.s3 / t.sw AS m3, t.t1 / t.su AS v1,
+               |    t.t2 / t.su AS v2, t.t3 / t.su AS v3,
+               |    t.sw / t.n AS lam
+               |  FROM f$k)""".stripMargin
+    }
+    val fieldSel = Seq(("seg", "m1", "v1"), ("bal_k", "m2", "v2"),
+      ("nd", "m3", "v3")).map { case (f, m, v) =>
+      s"""SELECT '$f' AS field, ROUND($m, 9) AS m, ROUND($v, 9) AS u,
+         |  ROUND(ln($m / $v) / ln(2), 6) AS w_agree,
+         |  ROUND(ln((1 - $m) / (1 - $v)) / ln(2), 6) AS w_disagree,
+         |  ROUND(lam, 9) AS lambda FROM em$iters""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    sb ++= s"\n$fieldSel\nORDER BY field"
     sb.toString
   }
 

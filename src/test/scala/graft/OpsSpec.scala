@@ -2919,6 +2919,43 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
       s"constant non-null value must be vacuous: $got")
   }
 
+  test("linkage EM recovers planted m/u and prevalence") {
+    val s2 = spark; import s2.implicits._
+    // 2000 one-pair blocks: the first 1000 are true matches with
+    // planted per-field agreement (0.9, 0.8, 0.7), the rest
+    // non-matches with (0.1, 0.2, 0.3); lambda = 0.5. THREE fields on
+    // purpose: a 2-field FS mixture is non-identifiable (5 parameters,
+    // 3 free pattern cells), three fields make the planted solution
+    // recoverable. Agreements come from digit grids so fields are
+    // exactly conditionally independent within each class — the model
+    // EM fits; a correlated fixture would converge to the best CI
+    // approximation instead of the planted rates.
+    def pair(i: Int, a: Seq[Boolean]) = {
+      val lrow = (i.toLong, s"x$i", s"y$i", s"z$i")
+      val rrow = (i.toLong, if (a(0)) s"x$i" else s"xx$i",
+        if (a(1)) s"y$i" else s"yy$i", if (a(2)) s"z$i" else s"zz$i")
+      (lrow, rrow)
+    }
+    val ps = (0 until 1000).map(i => pair(i,
+      Seq(i % 10 < 9, (i / 10) % 10 < 8, i / 100 < 7))) ++
+      (1000 until 2000).map { i => val j = i - 1000
+        pair(i, Seq(j % 10 < 1, (j / 10) % 10 < 2, j / 100 < 3)) }
+    val left = ps.map(_._1).toDF("blk", "f1", "f2", "f3")
+    val right = ps.map(_._2).toDF("blk", "f1", "f2", "f3")
+    val got = graft.ops.Linkage.linkageEm(left, right, Seq("blk"),
+        Seq("f1", "f2", "f3"), iters = 50)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(5))).toMap
+    val planted = Map("f1" -> (0.9, 0.1), "f2" -> (0.8, 0.2),
+      "f3" -> (0.7, 0.3))
+    planted.foreach { case (f, (pm, pu)) =>
+      val (m, u, lam) = got(f)
+      assert(math.abs(m - pm) < 0.05, s"$f m=$m planted=$pm")
+      assert(math.abs(u - pu) < 0.05, s"$f u=$u planted=$pu")
+      assert(math.abs(lam - 0.5) < 0.05, s"lambda=$lam")
+    }
+  }
+
   test("benford: absent digits carry their expected chi2 mass") {
     val s2 = spark; import s2.implicits._
     // group "m" never starts with 1 (values 200..900 by hundreds):
