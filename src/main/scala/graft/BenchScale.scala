@@ -21,7 +21,10 @@ import org.apache.spark.sql.SparkSession
 object BenchScale {
 
   /** The 12 most expensive round-6 entries (per BENCH_r06) + the
-    * round-7 additions worth rehearsing at scale.
+    * round-7/8 additions worth rehearsing at scale (round 8 adds the
+    * Zipf-hot salted join the r7 verdict asked to ratio-check, the
+    * driver-local BPE, the reverse-attribution stream, and batched
+    * k-centers).
     */
   private val defaultEntries = Seq(
     "q62_pipeline_synthetic", "q150_label_propagation",
@@ -30,7 +33,9 @@ object BenchScale {
     "q113_decontaminate_bloom", "q116_bm25_search", "q118_hybrid_rrf",
     "q144_bpe_apply", "q184_naive_bayes",
     "q190_bpe_sampled", "q191_nb_holdout", "q192_pareto_bucketed",
-    "q188_streaming_left_join", "q189_streaming_timeout")
+    "q188_streaming_left_join", "q189_streaming_timeout",
+    "q213_bpe_local", "q214_streaming_reverse_attribution",
+    "q216_kcenters_batched", "q217_skew_join")
 
   private def loadavg: String =
     try scala.io.Source.fromFile("/proc/loadavg").mkString.trim

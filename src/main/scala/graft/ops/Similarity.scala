@@ -1012,6 +1012,103 @@ object Similarity {
       .toDF("rk", "vec_id", "d2")
   }
 
+  /** [[kCenters]] with BATCHED selection — identical output (the
+    * equivalence is spec-pinned and exact, not approximate), k/batch-ish
+    * corpus passes instead of k: each distributed pass collects the
+    * top-`batch` farthest candidates (score desc, vec_id asc) WITH
+    * their vectors, and the driver then replays the exact sequential
+    * greedy rule inside the batch while it remains PROVABLY correct:
+    *
+    *   - the batch head is the true next center (same ordering as the
+    *     global argmax);
+    *   - after accepting a center, every candidate's score updates to
+    *     `min(score, d2 to the new center)` (double arithmetic
+    *     identical to the [[graft.functions.FloatDot]] expression);
+    *   - a further candidate is accepted only while its score is
+    *     STRICTLY above the batch threshold `T` (the smallest
+    *     collected original d2): every point outside the batch has
+    *     current score ≤ its d2 ≤ T, so an in-batch score > T cannot
+    *     be beaten outside — when the best in-batch score falls to T
+    *     or below, the batch ends and a fresh distributed pass
+    *     recomputes. (Acceptance at exactly T would be unsound: an
+    *     outside point tied at T could win the vec_id tie-break.)
+    *
+    * A batch that collects the whole remaining corpus (fewer than
+    * `batch` rows) has no outside points, so it drains sequentially to
+    * the end. Worst case (adversarially tied geometry) degrades to
+    * [[kCenters]]'s one pass per pick; spread data takes close to
+    * k/batch passes — the fix for the k-sequential-jobs ceiling noted
+    * in [[kCenters]]'s k-regime contract.
+    *
+    * Shape at 100 TB: ≈ k/batch rounds, each ONE narrow corpus pass
+    * against the ≤ k broadcast centers plus a global TakeOrdered
+    * (batch); the driver holds ≤ k + batch rows.
+    */
+  def kCentersBatched(corpus: DataFrame, k: Int,
+      batch: Int = 16): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    require(batch >= 1, s"batch=$batch must be >= 1")
+    val s2 = corpus.sparkSession; import s2.implicits._
+    val base = corpus.select(col("vec_id"), col("embedding"))
+      .withColumn("n2", dot(col("embedding"), col("embedding")))
+    val seedOpt = base.orderBy("vec_id").limit(1)
+      .select(col("vec_id"), col("embedding"), col("n2")).collect()
+      .headOption
+    if (seedOpt.isEmpty)
+      return s2.emptyDataset[(Int, Long, Double)].toDF("rk", "vec_id", "d2")
+    // same double arithmetic as the FloatDot expression + the d2 column
+    def dotD(a: Seq[Float], b: Seq[Float]): Double = {
+      val n = math.min(a.length, b.length)
+      var acc = 0.0; var i = 0
+      while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def d2(n2a: Double, ea: Seq[Float], n2b: Double,
+        eb: Seq[Float]): Double = n2a + n2b - 2.0 * dotD(ea, eb)
+    val seed = seedOpt.get
+    var chosen = Vector((seed.getLong(0), seed.getSeq[Float](1), 0.0,
+      seed.getDouble(2)))
+    var exhausted = false
+    while (chosen.length < k && !exhausted) {
+      val centers = chosen.map { case (id, e, _, n2) => (id, e, n2) }
+        .toDF("c_id", "c_emb", "c_n2")
+      val cand = base
+        .crossJoin(broadcast(centers))
+        .where(!col("vec_id").isin(chosen.map(_._1): _*))
+        .withColumn("d2", col("n2") + col("c_n2") -
+          lit(2.0) * dot(col("embedding"), col("c_emb")))
+        .groupBy("vec_id").agg(min("d2").as("d2"),
+          first("n2").as("n2"), first("embedding").as("embedding"))
+        .orderBy(col("d2").desc, col("vec_id").asc)
+        .limit(batch).collect()
+      if (cand.isEmpty) exhausted = true
+      else {
+        // candidate pool: (id, score, n2, emb); T bounds every outside
+        // point's score unless the batch holds the whole remainder
+        var pool = cand.map(r => (r.getLong(0), r.getDouble(1),
+          r.getDouble(2), r.getSeq[Float](3))).toVector
+        val t = if (cand.length < batch) Double.NegativeInfinity
+          else pool.map(_._2).min
+        var first = true
+        var batching = true
+        while (batching && pool.nonEmpty && chosen.length < k) {
+          val best = pool.minBy { case (id, s, _, _) => (-s, id) }
+          if (first || best._2 > t) {
+            chosen = chosen :+ ((best._1, best._4, best._2, best._3))
+            pool = pool.filterNot(_._1 == best._1).map {
+              case (id, s, n2c, e) =>
+                (id, math.min(s, d2(n2c, e, best._3, best._4)), n2c, e)
+            }
+            first = false
+          } else batching = false
+        }
+      }
+    }
+    chosen.zipWithIndex
+      .map { case ((id, _, d2v, _), i) => (i + 1, id, d2v) }
+      .toDF("rk", "vec_id", "d2")
+  }
+
   /** Label-noise scores by k-NN disagreement (confident-learning-style
     * QA for labeled training sets): for each vector, the fraction of its
     * [[knnGraph]] neighbors whose label differs —

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.ops.{AsOf, Basket, Curation, Dedup, Funnel, Linkage,
-  Multimodal, Sampling, Similarity, Sketch, TextAnalysis}
+  Multimodal, Sampling, Similarity, Skew, Sketch, TextAnalysis}
 import QueryDef.{eventsMicros, table}
 
 /** Training-data pipeline operators as oracle-checked queries: dedup
@@ -5067,6 +5067,57 @@ object TrainingOps {
           .orderBy("field")
       },
       Some(linkageEmOracleSql(5))),
+
+    // Batched k-centers: same greedy farthest-point selection as q172
+    // (the batching is EXACTLY output-equivalent — spec-pinned — so
+    // the oracle is q172's unrolled selection), but k=8 at batch=3
+    // exercises multiple batch rounds with mid-batch threshold stops
+    // instead of one corpus pass per pick.
+    QueryDef("q216_kcenters_batched",
+      (s, d) => Similarity.kCentersBatched(table(s, d, "embeddings"),
+          8, batch = 3)
+        .select(col("rk"), col("vec_id"), round(col("d2"), 5).as("d2"))
+        .orderBy("rk"),
+      Some(kCentersOracleSql(8))),
+
+    // Zipf-hot salted join: 80% of lineitem rows collapse onto ONE hot
+    // key (the worst single-key skew an equi-join meets), joined to a
+    // bounded dim through Skew.saltedJoin so the hot key spreads over 8
+    // salt sub-keys instead of one straggler task. Results are
+    // identical to the plain join (salting only reroutes the shuffle —
+    // SkewSpec pins the equivalence, PlanShapeSpec pins the salted
+    // exchange), so the oracle is the plain join + aggregate. In the
+    // scale rehearsal this entry ratio-checks the salted path at 10x
+    // data like every other plan claim.
+    QueryDef("q217_skew_join",
+      (s, d) => {
+        import s.implicits._
+        val fact = table(s, d, "lineitem").select(
+          when(col("l_partkey") % 5 =!= 0, lit(0L))
+            .otherwise(col("l_partkey")).as("key"),
+          col("l_quantity"))
+        val dim = table(s, d, "part")
+          .where(col("p_partkey") % 5 === 0 && col("p_partkey") > 0)
+          .select(col("p_partkey").as("key"),
+            substring(col("p_name"), 1, 1).as("grp"))
+          .unionByName(Seq((0L, "HOT")).toDF("key", "grp"))
+        Skew.saltedJoin(fact, dim, "key", salt = 8)
+          .groupBy("grp")
+          .agg(count(lit(1)).as("n"),
+            round(sum("l_quantity"), 4).as("total_qty"))
+          .orderBy("grp")
+      },
+      Some("""WITH fact AS (SELECT CASE WHEN l_partkey % 5 <> 0 THEN 0
+             |    ELSE l_partkey END AS key, l_quantity
+             |  FROM lineitem),
+             |dim AS (SELECT p_partkey AS key,
+             |    substr(p_name, 1, 1) AS grp
+             |  FROM part WHERE p_partkey % 5 = 0 AND p_partkey > 0
+             |  UNION ALL SELECT 0, 'HOT')
+             |SELECT grp, COUNT(*) AS n,
+             |  ROUND(SUM(l_quantity), 4) AS total_qty
+             |FROM fact JOIN dim USING (key)
+             |GROUP BY grp ORDER BY grp""".stripMargin)),
   )
 
   /** DuckDB replay of [[graft.ops.TextAnalysis.tailRepetition]] over

@@ -213,10 +213,22 @@ object Streams {
     * the watermark horizon. That is the standard production contract
     * for abandoned-key cleanup (cart abandonment, device churn).
     *
-    * Semantics match the built-in session window exactly (the q143
-    * oracle replays both): events within `gapUs` (inclusive — islands
-    * split only on strictly-greater-than-gap silences) merge; a session
-    * emits once the watermark passes its end (`last_us + gapUs`).
+    * Semantics match the built-in session window exactly on every
+    * stream with no SUB-WATERMARK arrivals (the q143 oracle replays
+    * both, and a StreamingSpec ScalaCheck property fuzzes the
+    * equivalence over random streams and chunk boundaries): events
+    * within `gapUs` (inclusive — islands split only on
+    * strictly-greater-than-gap silences) merge; a session emits once
+    * the watermark passes its end (`last_us + gapUs`). The one
+    * divergence zone — found by that fuzz — is Spark's own
+    * operator-level inconsistency, not this implementation's: for an
+    * event arriving with `ts < watermark`, `flatMapGroupsWithState`
+    * drops the input row outright (its late-row predicate is on EVENT
+    * time), while the built-in session window filters on the tentative
+    * window END (`ts + gap`) and therefore still admits arrivals in
+    * `(wm − gap, wm)`. Streams whose arrivals never trail the
+    * watermark — every in-order source, and any source within its
+    * declared lateness budget — see identical output from both.
     * Emission is decided against `GroupState.getCurrentWatermarkMs`
     * (Spark's watermark is millisecond-grain), so the timeout is set to
     * `(end_us - 1) / 1000`, which fires exactly when

@@ -2286,6 +2286,38 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(allOf.length == 5, allOf.length.toString)
   }
 
+  test("batched k-centers equals sequential selection exactly") {
+    val s2 = spark; import s2.implicits._
+    // 40 deterministic pseudo-random-ish 3d points (integer lattice
+    // scramble, no RNG), plus the tie-heavy rectangle fixture — the
+    // threshold rule must survive ties by falling back to a new pass
+    val pts = (0 until 40).map { i =>
+      (i.toLong, Array(((i * 37) % 19).toFloat,
+        ((i * 53) % 23).toFloat, ((i * 71) % 17).toFloat))
+    }
+    val fix = pts.toDF("vec_id", "embedding")
+    val seqSel = Similarity.kCenters(fix, 9).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    for (b <- Seq(1, 3, 8, 64)) {
+      val bat = Similarity.kCentersBatched(fix, 9, batch = b).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(bat == seqSel, s"batch=$b\nseq=$seqSel\nbat=$bat")
+    }
+    val rect = Seq(
+      (0L, Array(0f, 0f)), (1L, Array(10f, 0f)),
+      (2L, Array(0f, 4f)), (3L, Array(10f, 4f)),
+      (4L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    val seqR = Similarity.kCenters(rect, 5).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    for (b <- Seq(2, 3, 10)) {
+      val batR = Similarity.kCentersBatched(rect, 5, batch = b).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(batR == seqR, s"batch=$b\nseq=$seqR\nbat=$batR")
+    }
+    // k past the corpus size returns every point, not an error
+    assert(Similarity.kCentersBatched(rect, 10, batch = 4).count() == 5)
+  }
+
   test("group trend: exact slope/intercept and degenerate-x NULL") {
     val s2 = spark; import s2.implicits._
     val fix = Seq(

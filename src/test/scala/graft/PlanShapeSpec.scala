@@ -628,4 +628,23 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert("(?i)broadcastexchange".r.findAllIn(p).size >= 2, p)
     assert(!"(?i)cartesianproduct".r.findAllIn(p).hasNext, p)
   }
+
+  test("salted join: the shuffle routes on (key, salt), not key alone") {
+    import org.apache.spark.sql.functions._
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(when(col("l_partkey") % 5 =!= 0, lit(0L))
+        .otherwise(col("l_partkey")).as("key"), col("l_quantity"))
+    val dim = spark.read.parquet(s"$dir/part.parquet")
+      .where(col("p_partkey") % 5 === 0 && col("p_partkey") > 0)
+      .select(col("p_partkey").as("key"),
+        substring(col("p_name"), 1, 1).as("grp"))
+    val df = graft.ops.Skew.saltedJoin(li, dim, "key", 8)
+    val p = plan(df)
+    // the whole point of salting: every exchange that carries the join
+    // key also carries _salt, so the hot key spreads over salt tasks —
+    // a plain hashpartitioning(key) exchange would be the regression
+    assert("(?i)hashpartitioning\\(key[^)]*_salt".r.findAllIn(p).nonEmpty
+      || "(?i)broadcastexchange".r.findAllIn(p).nonEmpty, p)
+    assert(!"(?i)hashpartitioning\\(key#\\d+\\)".r.findAllIn(p).hasNext, p)
+  }
 }

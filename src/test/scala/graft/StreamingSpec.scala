@@ -409,6 +409,87 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("fuzz: sessionsWithTimeout equals the built-in session window " +
+      "on random streams") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val s2 = spark; import s2.implicits._
+    implicit val ctx = spark.sqlContext
+    // random event streams: 1-3 users, minute-grain offsets over 10 h,
+    // INTEGER values (so float sums are order-exact in both paths), a
+    // random 2-chunk feed so the watermark advances mid-stream. The
+    // second chunk is REPAIRED to stay at-or-above the first chunk's
+    // watermark: on sub-watermark arrivals the two operators genuinely
+    // diverge (fMGWS drops on EVENT time, the built-in window on
+    // tentative window END — Spark's inconsistency, documented in
+    // sessionsWithTimeout's scaladoc and found by this fuzz), so the
+    // pinned equivalence domain is streams within their lateness
+    // budget; out-of-order arrivals INSIDE the watermark stay fully
+    // fuzzed.
+    val evGen = for {
+      user <- Gen.chooseNum(1L, 3L)
+      offMin <- Gen.chooseNum(0, 600)
+      value <- Gen.chooseNum(1, 9)
+    } yield (user, offMin, value.toDouble)
+    val caseGen = for {
+      evs <- Gen.nonEmptyListOf(evGen)
+      cut <- Gen.chooseNum(0, evs.length)
+    } yield {
+      val capped = evs.take(14)
+      val c = math.min(cut, capped.length)
+      // +1 min margin: exact ts == wm is its own boundary question and
+      // not what this property pins
+      val wmMin = capped.take(c).map(_._2).maxOption
+        .map(_ - 30 + 1).getOrElse(Int.MinValue)
+      (capped.take(c) ++ capped.drop(c).map { case (u, off, v) =>
+        (u, math.max(off, wmMin), v) }, c)
+    }
+    val baseUs = ts("2024-01-01 00:00:00").getTime * 1000L
+    def fmt(us: Long): String = java.time.Instant
+      .ofEpochMilli(us / 1000L).atZone(java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss"))
+    def run(evs: Seq[(Long, Int, Double)], cut: Int): Unit = {
+      val events = evs.zipWithIndex.map { case ((u, off, v), i) =>
+        Event(i + 1L, new Timestamp(baseUs / 1000L + off * 60000L),
+          u, "a", v)
+      }
+      val inA = MemoryStream[Event]
+      val inB = MemoryStream[Event]
+      val name = s"fuzz_${System.nanoTime()}"
+      val qa = Streams.sessionAggs(inA.toDF(), "30 minutes",
+          "30 minutes")
+        .writeStream.format("memory").queryName(s"${name}_a")
+        .outputMode("append").start()
+      val qb = Streams.sessionsWithTimeout(inB.toDS(),
+          30L * 60 * 1000000, "30 minutes")
+        .writeStream.format("memory").queryName(s"${name}_b")
+        .outputMode("append").start()
+      try {
+        Seq(events.take(cut), events.drop(cut)).foreach { chunk =>
+          if (chunk.nonEmpty) {
+            inA.addData(chunk: _*); inB.addData(chunk: _*)
+            qa.processAllAvailable(); qb.processAllAvailable()
+          }
+        }
+        val a = spark.table(s"${name}_a").collect().map(r =>
+          (r.getLong(0), r.getString(1), r.getLong(2),
+            r.getDouble(3))).toSet
+        val b = spark.table(s"${name}_b").collect().map(r =>
+          (r.getLong(0), fmt(r.getLong(1)), r.getLong(2),
+            r.getDouble(3))).toSet
+        assert(a == b, s"events=$events cut=$cut\nbuiltin=$a\nstate=$b")
+      } finally {
+        qa.stop(); qb.stop()
+        spark.catalog.dropTempView(s"${name}_a")
+        spark.catalog.dropTempView(s"${name}_b")
+      }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(6),
+      Prop.forAll(caseGen) { case (evs, cut) => run(evs, cut); true })
+    assert(res.passed, res.status.toString)
+  }
+
   test("reverse attribution outer join pays the time range in its delay") {
     val s2 = spark; import s2.implicits._
     implicit val ctx = spark.sqlContext
