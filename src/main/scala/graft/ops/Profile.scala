@@ -735,4 +735,115 @@ object Profile {
         (col("cum_total").cast("double") / col("grand"))
           .as("cum_share"))
   }
+
+  /** Equi-width histogram of `valueCol` per group: `bins` buckets
+    * spanning the group's own [min, max], EVERY bucket emitted
+    * (including empty ones — a gap in a distribution is a finding, not
+    * a missing row; the [[benford]] full-grid discipline). Returns
+    * `(group, bin, lo, hi, n_bin, share)` with `lo`/`hi` the bucket's
+    * real bounds and the top bucket closed at the max. A degenerate
+    * group (min = max) puts all rows in bin 0.
+    *
+    * Bucket assignment is `floor((v − min) / width)` clamped to
+    * `bins − 1` — one double multiply-free divide per row, identical
+    * IEEE arithmetic on any engine, so the profile hash-replays.
+    *
+    * Shape at 100 TB: one aggregation to the group grain (min/max), an
+    * equi-join of those two numbers back onto the rows (co-partitioned
+    * with the following (group, bin) aggregation — AQE broadcasts it
+    * when the group count is small), one (group, bin) count, and a
+    * join onto the constant bin grid. Row-grain work is a single
+    * narrow projection; everything after is on ≤ `bins` rows/group.
+    */
+  def histogram(df: DataFrame, groupCol: String, valueCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 1, s"bins=$bins must be >= 1")
+    val rows = df.select(col(groupCol).as("grp"),
+      col(valueCol).cast("double").as("v")).where(col("v").isNotNull)
+    val bounds = rows.groupBy("grp")
+      .agg(min("v").as("vmin"), max("v").as("vmax"),
+        count(lit(1)).as("n"))
+      .withColumn("width",
+        (col("vmax") - col("vmin")) / lit(bins.toDouble))
+    val counts = rows.join(bounds, "grp")
+      .withColumn("bin", when(col("width") === 0.0, lit(0))
+        .otherwise(least(floor((col("v") - col("vmin")) / col("width"))
+          .cast("int"), lit(bins - 1))))
+      .groupBy("grp", "bin").agg(count(lit(1)).as("n_bin"))
+    val grid = bounds.crossJoin(
+      broadcast(rows.sparkSession.range(0, bins.toLong)
+        .select(col("id").cast("int").as("bin"))))
+    grid.join(counts, Seq("grp", "bin"), "left")
+      .select(col("grp").as("group"), col("bin"),
+        (col("vmin") + col("bin") * col("width")).as("lo"),
+        when(col("bin") === bins - 1, col("vmax"))
+          .otherwise(col("vmin") + (col("bin") + 1) * col("width"))
+          .as("hi"),
+        coalesce(col("n_bin"), lit(0L)).as("n_bin"),
+        (coalesce(col("n_bin"), lit(0L)).cast("double") / col("n"))
+          .as("share"))
+  }
+
+  /** Quantile normalization across sources: map each source's values
+    * onto the GLOBAL distribution so downstream thresholds mean the
+    * same thing everywhere — the cross-source score-calibration step a
+    * mixing pipeline runs when per-source quality scores are on
+    * incompatible scales (one crawler's 0.9 is another's 0.4). Each
+    * (source, v) maps to the smallest global value whose global CDF is
+    * ≥ the value's within-source CDF. Returns the collapsed
+    * `(source, v, q, v_norm)` grain — join it back onto rows by
+    * (source, v) to rescore a corpus; a source equal to the global
+    * distribution maps (near-)identity.
+    *
+    * Both CDFs step on integer cumulative counts over distinct values;
+    * the only float is the final divide (the [[ksDrift]] discipline),
+    * and the mapping join is resolved ORDINALLY — one interleaved scan
+    * of the two step functions — so no float equality is load-bearing.
+    *
+    * Shape at 100 TB: one aggregation to the (source, value) grain,
+    * cumulative windows per source, one global-grain cumulative window
+    * over distinct values, and ONE interleaved ordered scan (a window,
+    * not a join) that resolves every lookup in a single pass. The
+    * global windows are single-partition over DISTINCT VALUES — the
+    * same reporting-grain contract as [[ksDrift]]/[[paretoProfile]]:
+    * quantize the measure first if it has billions of distinct values.
+    */
+  def quantileNormalize(df: DataFrame, sourceCol: String,
+      valueCol: String): DataFrame = {
+    val rows = df.select(col(sourceCol).as("source"),
+      col(valueCol).cast("long").as("v")).where(col("v").isNotNull)
+    val perSrc = rows.groupBy("source", "v").agg(count(lit(1)).as("c"))
+    val wSrc = Window.partitionBy("source").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val srcCdf = perSrc
+      .withColumn("cum", sum("c").over(wSrc))
+      .withColumn("n", sum("c").over(Window.partitionBy("source")))
+      .select(col("source"), col("v"),
+        (col("cum").cast("double") / col("n")).as("q"))
+    val wG = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val globalCdf = rows.groupBy("v").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(wG))
+      .withColumn("nn", sum("c").over(
+        Window.partitionBy(lit(1))))
+      .select(col("v").as("gv"),
+        (col("cum").cast("double") / col("nn")).as("g"))
+    // interleaved scan: at equal CDF value the global step must be
+    // eligible for the query, so globals sort AFTER queries at a tie
+    // (tag 1 > tag 0) and each query takes the FIRST global value in
+    // its forward frame — the smallest gv with g >= q, by CDF
+    // monotonicity in v.
+    val union = srcCdf.select(col("q").as("key"), lit(0).as("tag"),
+        col("source"), col("v"), lit(null).cast("long").as("gv"))
+      .unionAll(globalCdf.select(col("g").as("key"), lit(1).as("tag"),
+        lit(null).cast(srcCdf.schema("source").dataType).as("source"),
+        lit(null).cast("long").as("v"), col("gv")))
+    val wScan = Window.orderBy(col("key"), col("tag"), col("gv"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    union
+      .withColumn("v_norm", first("gv", ignoreNulls = true).over(wScan))
+      .where(col("tag") === 0)
+      .select(col("source"), col("v"), col("key").as("q"),
+        col("v_norm"))
+  }
 }

@@ -33,16 +33,52 @@ object Sampling {
     * to 1 (the last label absorbs rounding).
     */
   def contentSplit(df: DataFrame, weights: Seq[(String, Double)],
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text"): DataFrame =
+    df.withColumn("split",
+      splitLabel(hashUnit(col(textCol), "split:"), weights))
+
+  /** First label whose cumulative weight exceeds the unit draw `u`
+    * (the last label absorbs rounding). Shared by [[contentSplit]] and
+    * [[clusterAwareSplit]] so both resolve boundaries identically.
+    */
+  private def splitLabel(u: Column,
+      weights: Seq[(String, Double)]): Column = {
     require(weights.nonEmpty && math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
       s"split weights must sum to 1: $weights")
-    val u = hashUnit(col(textCol), "split:")
     val cuts = weights.scanLeft(0.0)(_ + _._2).tail
-    val split = weights.init.zip(cuts.init).foldRight(
+    weights.init.zip(cuts.init).foldRight(
       lit(weights.last._1): Column) { case (((label, _), cut), rest) =>
       when(u < cut, label).otherwise(rest)
     }
-    df.withColumn("split", split)
+  }
+
+  /** [[contentSplit]] at the CLUSTER grain: the split draw hashes the
+    * row's cluster id (its own `idCol` when `clusters` has no row for
+    * it), so every member of a duplicate/near-duplicate cluster lands
+    * in the SAME split — the leakage-safe assignment a pipeline needs
+    * once it knows its corpus has near-dups: contentSplit alone keys on
+    * exact text, so two near-identical documents can straddle
+    * train/test and leak. `clusters` is any `(idCol, cluster_id)`
+    * relation — exact-dup groups, [[graft.ops.Dedup]] connected
+    * components, LSH buckets — the operator doesn't care how clusters
+    * were found.
+    *
+    * Shape at 100 TB: ONE equi-join of the corpus onto the cluster
+    * relation (cluster relations are dup-group-sized — orders of
+    * magnitude smaller than the corpus, usually broadcastable; AQE
+    * picks that up at runtime) followed by the same narrow hash-fold
+    * projection as [[contentSplit]]. No other shuffle.
+    */
+  def clusterAwareSplit(df: DataFrame, clusters: DataFrame,
+      weights: Seq[(String, Double)],
+      idCol: String = "doc_id"): DataFrame = {
+    val cl = clusters.select(col(idCol).as("__csid"),
+      col("cluster_id").as("__cluster"))
+    df.join(cl, df(idCol) === cl("__csid"), "left")
+      .withColumn("split", splitLabel(hashUnit(
+        coalesce(col("__cluster"), df(idCol)).cast("string"),
+        "csplit:"), weights))
+      .drop("__csid", "__cluster")
   }
 
   /** Keep each row with probability `rates(stratum)` (default

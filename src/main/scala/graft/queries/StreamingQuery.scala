@@ -398,6 +398,62 @@ object StreamingQuery {
              |SELECT * FROM (SELECT * FROM m UNION ALL SELECT * FROM u)
              |ORDER BY click_id, purchase_id NULLS FIRST""".stripMargin)),
 
+    // Stream-stream FULL OUTER interval join: both abandonment
+    // directions in one query — q188's null-padded purchases AND q214's
+    // null-padded clicks, from the SAME state stores the inner join
+    // already keeps. The two sides pay DIFFERENT null-emission cutoffs
+    // (the fact this entry pins): a purchase is unmatchable once the
+    // global watermark passes purchase_ts itself (its condition only
+    // admits EARLIER clicks), while a click waits for LATER purchases
+    // and so pays the condition's 30-minute range on top — its null row
+    // needs the watermark past click_ts + horizon. The oracle is the
+    // batch interval join plus BOTH anti-join branches, each gated on
+    // its own cutoff; user_id coalesces across sides so unmatched
+    // clicks keep their user.
+    QueryDef("q218_streaming_full_outer",
+      (s, d) => runStream(s, d, "stream_full_outer")(
+        Streams.attributedPurchases(_, "30 minutes", "2 hours",
+          joinType = "full_outer"))(df =>
+        df.select(col("purchase_id"), col("click_id"), col("user_id"),
+            col("lag_us"), round(col("value"), 4).as("value"))
+          .orderBy("purchase_id", "click_id")),
+      Some("""WITH cutoff AS (
+             |  SELECT (LEAST(
+             |      MAX(CASE WHEN event_type = 'click'
+             |        THEN epoch_us(ts) END) // 1000,
+             |      MAX(CASE WHEN event_type = 'purchase'
+             |        THEN epoch_us(ts) END) // 1000) - 7200000) * 1000
+             |    AS wm_us FROM events),
+             |p AS (SELECT event_id AS purchase_id, user_id, ts, value
+             |  FROM events WHERE event_type = 'purchase'),
+             |c AS (SELECT event_id AS click_id, user_id, ts
+             |  FROM events WHERE event_type = 'click'),
+             |m AS (SELECT p.purchase_id, c.click_id, p.user_id,
+             |    epoch_us(p.ts) - epoch_us(c.ts) AS lag_us,
+             |    ROUND(p.value, 4) AS value
+             |  FROM p JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+             |    AND epoch_us(c.ts) >= epoch_us(p.ts) - 1800000000),
+             |up AS (SELECT p.purchase_id, CAST(NULL AS BIGINT) AS click_id,
+             |    p.user_id, CAST(NULL AS BIGINT) AS lag_us,
+             |    ROUND(p.value, 4) AS value
+             |  FROM p, cutoff
+             |  WHERE epoch_us(p.ts) < wm_us
+             |    AND NOT EXISTS (SELECT 1 FROM c
+             |      WHERE c.user_id = p.user_id AND c.ts <= p.ts
+             |        AND epoch_us(c.ts) >= epoch_us(p.ts) - 1800000000)),
+             |uc AS (SELECT CAST(NULL AS BIGINT) AS purchase_id,
+             |    c.click_id, c.user_id, CAST(NULL AS BIGINT) AS lag_us,
+             |    CAST(NULL AS DOUBLE) AS value
+             |  FROM c, cutoff
+             |  WHERE epoch_us(c.ts) + 1800000000 < wm_us
+             |    AND NOT EXISTS (SELECT 1 FROM p
+             |      WHERE p.user_id = c.user_id AND c.ts <= p.ts
+             |        AND epoch_us(c.ts) >= epoch_us(p.ts) - 1800000000))
+             |SELECT * FROM (SELECT * FROM m UNION ALL SELECT * FROM up
+             |  UNION ALL SELECT * FROM uc)
+             |ORDER BY purchase_id NULLS FIRST,
+             |  click_id NULLS FIRST""".stripMargin)),
+
     // Arbitrary stateful processing (mapGroupsWithState) as a battery
     // entry: running per-user totals in update mode; the shape keeps
     // each key's max-count emission (counters are monotone), which IS

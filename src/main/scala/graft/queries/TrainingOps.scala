@@ -40,11 +40,16 @@ object TrainingOps {
   /** DuckDB mirror of [[graft.ops.Sampling.hashUnit]]: a [0,1) draw from
     * the first four hex digits of md5(salt || text).
     */
-  private def drawSql(salt: String): String =
-    s"""((((strpos('0123456789abcdef', substr(md5('$salt' || text), 1, 1)) - 1) * 16
-       |      + strpos('0123456789abcdef', substr(md5('$salt' || text), 2, 1)) - 1) * 16
-       |      + strpos('0123456789abcdef', substr(md5('$salt' || text), 3, 1)) - 1) * 16
-       |      + strpos('0123456789abcdef', substr(md5('$salt' || text), 4, 1)) - 1)
+  private def drawSql(salt: String): String = drawSqlOn(salt, "text")
+
+  /** [[drawSql]] over an arbitrary SQL expression (the cluster-key
+    * draw in q221 hashes a BIGINT rendered as its decimal string).
+    */
+  private def drawSqlOn(salt: String, e: String): String =
+    s"""((((strpos('0123456789abcdef', substr(md5('$salt' || ($e)), 1, 1)) - 1) * 16
+       |      + strpos('0123456789abcdef', substr(md5('$salt' || ($e)), 2, 1)) - 1) * 16
+       |      + strpos('0123456789abcdef', substr(md5('$salt' || ($e)), 3, 1)) - 1) * 16
+       |      + strpos('0123456789abcdef', substr(md5('$salt' || ($e)), 4, 1)) - 1)
        |      / 65536.0""".stripMargin
 
   /** DuckDB mirror of the 8-hex-digit md5 prefix as an int64 (the
@@ -5118,6 +5123,155 @@ object TrainingOps {
              |  ROUND(SUM(l_quantity), 4) AS total_qty
              |FROM fact JOIN dim USING (key)
              |GROUP BY grp ORDER BY grp""".stripMargin)),
+
+    // Quantile normalization across sources: each source's n_chars
+    // distribution mapped onto the GLOBAL one — the score-calibration
+    // step before mixing corpora whose quality scales disagree. Integer
+    // CDF steps per the ksDrift discipline; the mapping is resolved by
+    // ONE interleaved ordered scan of the two step functions, so no
+    // float equality is load-bearing. The oracle replays the same scan
+    // with FIRST_VALUE ... IGNORE NULLS over the same (key, tag, gv)
+    // order.
+    QueryDef("q219_quantile_normalize",
+      (s, d) => graft.ops.Profile.quantileNormalize(
+          table(s, d, "documents"), "source", "n_chars")
+        .select(col("source"), col("v"), round(col("q"), 6).as("q"),
+          col("v_norm"))
+        .orderBy("source", "v"),
+      Some("""WITH rows_ AS (SELECT source,
+             |    CAST(n_chars AS BIGINT) AS v FROM documents),
+             |src AS (SELECT source, v, COUNT(*) AS c
+             |  FROM rows_ GROUP BY 1, 2),
+             |scdf AS (SELECT source, v,
+             |    CAST(SUM(c) OVER (PARTITION BY source ORDER BY v
+             |      ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             |      / SUM(c) OVER (PARTITION BY source) AS q
+             |  FROM src),
+             |gcdf AS (SELECT v AS gv,
+             |    CAST(SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+             |      AS DOUBLE) / SUM(c) OVER () AS g
+             |  FROM (SELECT v, COUNT(*) AS c FROM rows_ GROUP BY 1)),
+             |u AS (SELECT q AS key, 0 AS tag, source, v,
+             |    CAST(NULL AS BIGINT) AS gv FROM scdf
+             |  UNION ALL
+             |  SELECT g, 1, CAST(NULL AS VARCHAR),
+             |    CAST(NULL AS BIGINT), gv FROM gcdf),
+             |scan AS (SELECT *, FIRST_VALUE(gv IGNORE NULLS) OVER (
+             |    ORDER BY key, tag, gv
+             |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+             |    AS v_norm
+             |  FROM u)
+             |SELECT source, v, ROUND(key, 6) AS q, v_norm
+             |FROM scan WHERE tag = 0
+             |ORDER BY source, v""".stripMargin)),
+
+    // Equi-width histogram per group with EVERY bucket emitted (empty
+    // ones included — a gap is a finding): lineitem prices per return
+    // flag, 12 buckets over each group's own range. Bucket arithmetic
+    // is one IEEE divide + floor, identical on both engines.
+    QueryDef("q220_histogram",
+      (s, d) => graft.ops.Profile.histogram(
+          table(s, d, "lineitem").withColumn("cents",
+            round(col("l_extendedprice") * 100).cast("long")),
+          "l_returnflag", "cents", bins = 12)
+        .select(col("group"), col("bin"), round(col("lo"), 4).as("lo"),
+          round(col("hi"), 4).as("hi"), col("n_bin"),
+          round(col("share"), 6).as("share"))
+        .orderBy("group", "bin"),
+      Some("""WITH rows_ AS (SELECT l_returnflag AS grp,
+             |    CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+             |      AS DOUBLE) AS v
+             |  FROM lineitem),
+             |b AS (SELECT grp, MIN(v) AS vmin, MAX(v) AS vmax,
+             |    COUNT(*) AS n, (MAX(v) - MIN(v)) / 12.0 AS width
+             |  FROM rows_ GROUP BY 1),
+             |cnt AS (SELECT r.grp,
+             |    CASE WHEN b.width = 0 THEN 0
+             |      ELSE LEAST(CAST(FLOOR((r.v - b.vmin) / b.width)
+             |        AS INTEGER), 11) END AS bin,
+             |    COUNT(*) AS n_bin
+             |  FROM rows_ r JOIN b ON b.grp = r.grp GROUP BY 1, 2),
+             |grid AS (SELECT b.grp, g.bin, b.vmin, b.vmax, b.width, b.n
+             |  FROM b CROSS JOIN (SELECT UNNEST(RANGE(0, 12)) AS bin) g)
+             |SELECT grid.grp AS "group", CAST(grid.bin AS INTEGER) AS bin,
+             |  ROUND(grid.vmin + grid.bin * grid.width, 4) AS lo,
+             |  ROUND(CASE WHEN grid.bin = 11 THEN grid.vmax
+             |    ELSE grid.vmin + (grid.bin + 1) * grid.width END, 4)
+             |    AS hi,
+             |  COALESCE(cnt.n_bin, 0) AS n_bin,
+             |  ROUND(CAST(COALESCE(cnt.n_bin, 0) AS DOUBLE) / grid.n, 6)
+             |    AS share
+             |FROM grid LEFT JOIN cnt ON cnt.grp = grid.grp
+             |  AND cnt.bin = grid.bin
+             |ORDER BY "group", bin""".stripMargin)),
+
+    // Leakage-safe cluster-aware split: exact-dup clusters (min doc_id
+    // per md5(text) group) all land in ONE split because the draw
+    // hashes the CLUSTER id, not the text — the invariant the entry
+    // certifies in-band: max_splits_per_cluster is 1 by construction
+    // and would read > 1 if any cluster straddled a boundary.
+    QueryDef("q221_cluster_split",
+      (s, d) => {
+        val docs = table(s, d, "documents")
+        val cl = docs.select(col("doc_id"), md5(col("text")).as("h"))
+          .join(docs.groupBy(md5(col("text")).as("h"))
+            .agg(min("doc_id").as("cluster_id")), "h")
+          .select("doc_id", "cluster_id")
+        val split = graft.ops.Sampling.clusterAwareSplit(docs, cl,
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        val keyed = split.join(cl, "doc_id")
+        val mx = keyed.groupBy("cluster_id")
+          .agg(countDistinct("split").as("nsp"))
+          .agg(max("nsp").as("max_splits_per_cluster"))
+        keyed.groupBy("split")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct("cluster_id").as("n_clusters"))
+          .crossJoin(broadcast(mx))
+          .orderBy("split")
+      },
+      Some(s"""WITH cl AS (SELECT doc_id, MIN(doc_id) OVER (
+              |    PARTITION BY md5(text)) AS cluster_id
+              |  FROM documents),
+              |sp AS (SELECT doc_id, cluster_id,
+              |    CASE WHEN ${drawSqlOn("csplit:",
+                     "CAST(cluster_id AS VARCHAR)")} < 0.8 THEN 'train'
+              |      WHEN ${drawSqlOn("csplit:",
+                     "CAST(cluster_id AS VARCHAR)")} < 0.9 THEN 'val'
+              |      ELSE 'test' END AS split
+              |  FROM cl),
+              |mx AS (SELECT MAX(nsp) AS max_splits_per_cluster
+              |  FROM (SELECT cluster_id, COUNT(DISTINCT split) AS nsp
+              |    FROM sp GROUP BY 1))
+              |SELECT split, COUNT(*) AS n_docs,
+              |  COUNT(DISTINCT cluster_id) AS n_clusters,
+              |  mx.max_splits_per_cluster
+              |FROM sp, mx GROUP BY 1, 4 ORDER BY 1""".stripMargin)),
+
+    // Long-form reshape (unpivot/melt): lineitem's three measures into
+    // (measure, val) rows — the §2.8-adjacent relational surface Spark
+    // ships as Dataset.unpivot and a wide-metrics table needs before
+    // grouped profiling. One narrow 1→3 expansion, then a tiny agg.
+    QueryDef("q222_unpivot_measures",
+      (s, d) => table(s, d, "lineitem")
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount")), "measure", "val")
+        .groupBy("l_returnflag", "measure")
+        .agg(count(lit(1)).as("n"), round(sum("val"), 4).as("total"),
+          round(avg("val"), 6).as("mean"))
+        .orderBy("l_returnflag", "measure"),
+      Some("""WITH long_ AS (
+             |  SELECT l_returnflag, 'l_quantity' AS measure,
+             |    l_quantity AS val FROM lineitem
+             |  UNION ALL
+             |  SELECT l_returnflag, 'l_extendedprice', l_extendedprice
+             |  FROM lineitem
+             |  UNION ALL
+             |  SELECT l_returnflag, 'l_discount', l_discount
+             |  FROM lineitem)
+             |SELECT l_returnflag, measure, COUNT(*) AS n,
+             |  ROUND(SUM(val), 4) AS total, ROUND(AVG(val), 6) AS mean
+             |FROM long_ GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
   )
 
   /** DuckDB replay of [[graft.ops.TextAnalysis.tailRepetition]] over

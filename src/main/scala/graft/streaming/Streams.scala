@@ -96,8 +96,8 @@ object Streams {
     */
   def attributedPurchases(events: DataFrame, horizon: String = "30 minutes",
       watermark: String = "2 hours", joinType: String = "inner"): DataFrame = {
-    require(Set("inner", "left_outer")(joinType),
-      s"joinType=$joinType must be inner or left_outer")
+    require(Set("inner", "left_outer", "full_outer")(joinType),
+      s"joinType=$joinType must be inner, left_outer or full_outer")
     val clicks = events.where(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
         col("ts").as("click_ts"))
@@ -122,12 +122,25 @@ object Streams {
     // preceding click") and it costs NOTHING over the inner join: same
     // state stores, same eviction bound — the unmatched rows were being
     // tracked (and dropped) anyway.
+    // FULL OUTER additionally emits each unmatched CLICK once,
+    // null-padded on the purchase side — both abandonment directions in
+    // ONE query, still the same state stores. The click side is the
+    // shape that waits for LATER events (a purchase up to `horizon`
+    // after the click could still match), so its null rows pay the
+    // condition's time range on top of the watermark delay: a click
+    // emits null-padded only once the global watermark passes
+    // (click_ts + horizon), exactly [[clickOutcomes]]'s left-outer
+    // cutoff. The purchase side keeps q188's cheaper cutoff
+    // (watermark past purchase_ts itself). The q218 oracle pins both
+    // cutoffs in one result; user_id coalesces across sides so the
+    // unmatched-click rows still carry their user.
     purchases.join(clicks,
       col("user_id") === col("click_user") &&
         col("click_ts") <= col("purchase_ts") &&
         col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $horizon"),
       joinType)
-      .select(col("purchase_id"), col("click_id"), col("user_id"),
+      .select(col("purchase_id"), col("click_id"),
+        coalesce(col("user_id"), col("click_user")).as("user_id"),
         (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
           .as("lag_us"),
         col("value"),

@@ -3043,4 +3043,76 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(e.getMessage.contains("kontrol"), e.getMessage)
   }
+
+  test("histogram: full grid, exact counts, degenerate group in bin 0") {
+    val s2 = spark; import s2.implicits._
+    // g: values 0..9 over [0,9], 3 bins of width 3 -> counts 3/3/4
+    // (bin 2 is [6,9] CLOSED at the max); d: constant -> all in bin 0
+    val fix = ((0 to 9).map(v => ("g", v.toLong)) ++
+      Seq(("d", 7L), ("d", 7L))).toDF("grp", "v")
+    val got = graft.ops.Profile.histogram(fix, "grp", "v", bins = 3)
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    assert(got.size == 6, got.toString) // every bin of every group
+    assert(got(("g", 0)) == (0.0, 3.0, 3L), got.toString)
+    assert(got(("g", 1)) == (3.0, 6.0, 3L), got.toString)
+    assert(got(("g", 2)) == (6.0, 9.0, 4L), got.toString)
+    assert(got(("d", 0)) == (7.0, 7.0, 2L), got.toString)
+    assert(got(("d", 1))._3 == 0L && got(("d", 2))._3 == 0L,
+      "degenerate group: empty higher bins still emitted")
+  }
+
+  test("quantile normalize: identity on the global source, monotone " +
+      "mapping, exact median transfer") {
+    val s2 = spark; import s2.implicits._
+    // source a IS half the global distribution shifted: a = {1,2,3,4},
+    // b = {11,12,13,14}; a's q=0.25 value (1) must map to the global
+    // value with cdf >= 0.25 (global: 1..4,11..14 each 1/8 -> 2)
+    val fix = (Seq(1L, 2L, 3L, 4L).map(("a", _)) ++
+      Seq(11L, 12L, 13L, 14L).map(("b", _))).toDF("src", "v")
+    val got = graft.ops.Profile.quantileNormalize(fix, "src", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        r.getLong(3)).toMap
+    // a: q = .25/.5/.75/1 -> global values at cdf .25/.5/.75/1
+    assert(got(("a", 1L)) == 2L && got(("a", 2L)) == 4L &&
+      got(("a", 3L)) == 12L && got(("a", 4L)) == 14L, got.toString)
+    // b maps identically (same within-source CDF): calibrated scales
+    assert(got(("b", 11L)) == 2L && got(("b", 14L)) == 14L, got.toString)
+    // a source equal to the global distribution maps to itself
+    val self = Seq(("only", 5L), ("only", 6L), ("only", 7L))
+      .toDF("src", "v")
+    val idm = graft.ops.Profile.quantileNormalize(self, "src", "v")
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(idm == Map(5L -> 5L, 6L -> 6L, 7L -> 7L), idm.toString)
+  }
+
+  test("cluster-aware split: clusters never straddle; singletons fall " +
+      "back to their own id; same-cluster docs share contentSplit's " +
+      "boundary discipline") {
+    val s2 = spark; import s2.implicits._
+    val docs = (1L to 400L).map(i => (i, s"doc body $i")).toDF("doc_id", "text")
+    // clusters: pair up 1..200 as (1,2)(3,4)...; 201..400 singletons
+    val cl = (1L to 200L).map(i => (i, (i + 1) / 2 * 2 - 1))
+      .toDF("doc_id", "cluster_id")
+    val got = Sampling.clusterAwareSplit(docs, cl,
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val byCluster = got.join(cl, Seq("doc_id"), "left")
+      .withColumn("ckey", coalesce(col("cluster_id"), col("doc_id")))
+      .groupBy("ckey").agg(countDistinct("split").as("nsp"))
+      .agg(max("nsp")).collect().head.getLong(0)
+    assert(byCluster == 1L, "a cluster straddled a split boundary")
+    // all three labels actually occur over 300 cluster keys
+    val labels = got.select("split").distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(labels == Set("train", "val", "test"), labels.toString)
+    // membership is decided by the cluster-key hash, nothing else:
+    // doc 1 and doc 2 share cluster 1, so both match hashUnit("1")
+    val u1 = docs.sparkSession.range(1).select(
+      Sampling.hashUnit(lit("1"), "csplit:").as("u"))
+      .collect().head.getDouble(0)
+    val expected = if (u1 < 0.8) "train" else if (u1 < 0.9) "val" else "test"
+    val s12 = got.where(col("doc_id") <= 2).select("split").collect()
+      .map(_.getString(0)).toSet
+    assert(s12 == Set(expected), s"$s12 vs $expected (u=$u1)")
+  }
 }

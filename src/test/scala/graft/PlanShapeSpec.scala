@@ -647,4 +647,38 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       || "(?i)broadcastexchange".r.findAllIn(p).nonEmpty, p)
     assert(!"(?i)hashpartitioning\\(key#\\d+\\)".r.findAllIn(p).hasNext, p)
   }
+
+  test("histogram: bounds join back by group; the bin grid joins " +
+      "broadcast — no cartesian against the rows") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val df = Profile.histogram(li, "l_returnflag", "l_quantity", 8)
+    val p = plan(df)
+    assert(!"(?i)cartesian".r.findAllIn(p).hasNext, p)
+    // the only row-grain work is the scan + bounds join; the grid
+    // cross join is against the GROUP-grain bounds, via broadcast
+    assert("(?i)broadcast".r.findAllIn(p).nonEmpty, p)
+  }
+
+  test("cluster-aware split: one equi-join, then narrow — the hash " +
+      "fold adds no exchange over the join") {
+    val cl = docs.select(col("doc_id"),
+      (col("doc_id") / 10).cast("long").as("cluster_id"))
+    val df = Sampling.clusterAwareSplit(docs, cl,
+      Seq("train" -> 0.9, "test" -> 0.1))
+    // a broadcast join has zero shuffle exchanges; a shuffled equi-join
+    // would have two (one per side). Either way, nothing beyond the
+    // join itself: the split projection must stay narrow.
+    assert(exchanges(df) <= 2, plan(df))
+    assert(!"(?i)cartesian".r.findAllIn(plan(df)).hasNext, plan(df))
+  }
+
+  test("quantile normalize: per-source windows, then the interleaved " +
+      "scan — no join between the two CDFs") {
+    val df = Profile.quantileNormalize(docs, "source", "n_chars")
+    val p = plan(df)
+    // the lookup is resolved by ONE window over the unioned step
+    // functions — a join-based rewrite (range or cross) would show here
+    assert(!"(?i)cartesian|sortmergejoin|broadcasthashjoin"
+      .r.findAllIn(p).hasNext, p)
+  }
 }

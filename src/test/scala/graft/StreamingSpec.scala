@@ -530,6 +530,49 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("full-outer interval join: each side pays ITS OWN eviction delay") {
+    val s2 = spark; import s2.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = Streams.attributedPurchases(input.toDF(), "30 minutes",
+        "30 minutes", joinType = "full_outer")
+      .writeStream.format("memory").queryName("full_join")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "click", 0.0),
+        Event(2, ts("2024-01-01 10:15:00"), 1, "purchase", 5.0),
+        // unmatched purchase: null-click row once wm > 10:20
+        Event(3, ts("2024-01-01 10:20:00"), 2, "purchase", 7.0),
+        // unmatched click: null-purchase row only once wm > 10:55
+        // (click_ts + horizon — the later-events side pays the range)
+        Event(4, ts("2024-01-01 10:25:00"), 3, "click", 0.0))
+      q.processAllAvailable()
+      // advance BOTH branch watermarks to 15:30
+      input.addData(
+        Event(5, ts("2024-01-01 16:00:00"), 9, "click", 0.0),
+        Event(6, ts("2024-01-01 16:00:00"), 9, "purchase", 1.0),
+        // unmatched purchase INSIDE the watermark: withheld
+        Event(7, ts("2024-01-01 15:45:00"), 8, "purchase", 2.0),
+        // unmatched click whose horizon end (15:50) is beyond the
+        // watermark: withheld even though the click itself is before it
+        Event(8, ts("2024-01-01 15:20:00"), 6, "click", 0.0),
+        // unmatched click whose horizon end (15:20) is inside: emits
+        Event(9, ts("2024-01-01 14:50:00"), 7, "click", 0.0))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val rows = spark.table("full_join")
+        .select("purchase_id", "click_id", "user_id").collect()
+        .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1), r.getLong(2))).toSet
+      assert(rows == Set((2L, 1L, 1L), (6L, 5L, 9L), (3L, -1L, 2L),
+        (-1L, 4L, 3L), (-1L, 9L, 7L)), s"got $rows")
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("full_join")
+    }
+  }
+
   test("sessionsWithTimeout: event-time eviction equals session windows") {
     val s2 = spark; import s2.implicits._
     implicit val ctx = spark.sqlContext
