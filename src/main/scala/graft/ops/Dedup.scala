@@ -719,6 +719,63 @@ object Dedup {
           .otherwise(col("near_dist")).as("dist"))
   }
 
+  /** EXACT all-pairs n-gram Jaccard >= `minJaccard` with the AllPairs /
+    * PPJoin prefix filter (Bayardo et al., WWW 2007; Xiao et al., WWW
+    * 2008): identical output to [[jaccardPairs]], but candidate pairs are
+    * generated ONLY from each document's prefix — its
+    * `|d| - ceil(t·|d|) + 1` rarest grams under a global
+    * document-frequency order — instead of from every shared gram.
+    *
+    * Why the prefix suffices (no false negatives): for a qualifying pair,
+    * `J >= t` forces `|A∩B| >= t·max(|A|,|B|)`; if the globally-smallest
+    * common gram escaped A's prefix, ALL common grams would sit in A's
+    * suffix of size `ceil(t·|A|) - 1 < t·|A|` — contradiction, and
+    * symmetrically for B. So every qualifying pair shares a gram lying in
+    * BOTH prefixes and the prefix-bucket expansion finds it. The ceiling
+    * is taken as `ceil(t·|d| - 1e-9)` so an IEEE wobble at an exact
+    * integer boundary can only LENGTHEN a prefix (extra candidates are
+    * re-scored exactly and filtered; a shortened prefix could lose pairs).
+    *
+    * Shape at 100 TB: this is the exact-tier shape that survives scale
+    * where [[jaccardPairs]] does not — the quadratic bucket expansion runs
+    * only on PREFIX grams, which the df-ascending order makes the rarest
+    * grams in the corpus (stop-word buckets never form), and the length
+    * filter `min(|A|,|B|) >= t·max(|A|,|B|)` prunes candidates before the
+    * verify join. Verification touches the gram relation once more,
+    * semi-joined down to candidate ids. Three shuffles total: df agg +
+    * per-doc rank window, prefix-bucket expansion, verify join.
+    */
+  def prefixFilterPairs(docs: DataFrame, n: Int,
+      minJaccard: Double): DataFrame = {
+    require(minJaccard > 0.0 && minJaccard <= 1.0,
+      s"minJaccard=$minJaccard must be in (0, 1]")
+    val sh = shingles(docs, n)
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val wDoc = Window.partitionBy("id").orderBy(col("df"), col("shingle"))
+    val prefix = sh.join(dfreq, "shingle").join(sizes, "id")
+      .withColumn("pos", row_number().over(wDoc))
+      .where(col("pos") <=
+        col("n_sh") - ceil(lit(minJaccard) * col("n_sh") - 1e-9) + 1)
+    val cand = bucketPairsOf(
+        prefix.select(col("shingle"), struct(col("id"), col("n_sh")).as("p")),
+        Seq("shingle"), col("p"))
+      .select(col("a.id").as("id1"), col("a.n_sh").as("n1"),
+        col("b.id").as("id2"), col("b.n_sh").as("n2"))
+      .distinct()
+      .where(least(col("n1"), col("n2")) >=
+        lit(minJaccard) * greatest(col("n1"), col("n2")))
+    val s1 = sh.select(col("id").as("id1"), col("shingle"))
+    val s2 = sh.select(col("id").as("id2"), col("shingle"))
+    cand.join(s1, "id1").join(s2, Seq("id2", "shingle"))
+      .groupBy("id1", "id2", "n1", "n2")
+      .agg(count(lit(1)).as("n_common"))
+      .select(col("id1"), col("id2"),
+        (col("n_common").cast("double") /
+          (col("n1") + col("n2") - col("n_common"))).as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+  }
+
   def fuzzyJoin(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String, maxDist: Int): DataFrame = {
     require(maxDist >= 0, s"maxDist=$maxDist must be >= 0")

@@ -5272,6 +5272,29 @@ object TrainingOps {
              |SELECT l_returnflag, measure, COUNT(*) AS n,
              |  ROUND(SUM(val), 4) AS total, ROUND(AVG(val), 6) AS mean
              |FROM long_ GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // EXACT all-pairs Jaccard with the AllPairs/PPJoin prefix filter —
+    // identical semantics to q41's quadratic formulation (the oracle IS
+    // that formulation, ungated), but candidates come only from each
+    // doc's rarest-gram prefix, so the quadratic step never touches a
+    // stop-word bucket. q41 had to gate its input (doc_id < 6000);
+    // this entry runs the WHOLE corpus — that difference is the point.
+    QueryDef("q223_prefix_filter_join",
+      (s, d) => Dedup.prefixFilterPairs(table(s, d, "documents"), 3, 0.7)
+        .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("id1", "id2"),
+      Some(s"""WITH ${shinglesSql()},
+              |sizes AS (SELECT id, COUNT(*) n_sh FROM sh GROUP BY 1),
+              |inter AS (SELECT a.id id1, b.id id2, COUNT(*) n_common
+              |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+              |          GROUP BY 1, 2)
+              |SELECT id1, id2,
+              |  ROUND(CAST(n_common AS DOUBLE) / (na.n_sh + nb.n_sh - n_common), 4)
+              |    AS jaccard
+              |FROM inter
+              |JOIN sizes na ON na.id = id1 JOIN sizes nb ON nb.id = id2
+              |WHERE CAST(n_common AS DOUBLE) / (na.n_sh + nb.n_sh - n_common) >= 0.7
+              |ORDER BY 1, 2""".stripMargin)),
   )
 
   /** DuckDB replay of [[graft.ops.TextAnalysis.tailRepetition]] over

@@ -1651,6 +1651,38 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(j.isEmpty, s"jaccard should miss the containment pair: ${j.toSeq}")
   }
 
+  test("prefix-filter join equals quadratic jaccard at every threshold") {
+    val s2 = spark; import s2.implicits._
+    // seeded corpus of token-overlapping docs: shared base vocabulary
+    // plus per-doc noise, so qualifying pairs exist at several bars
+    val rnd = new scala.util.Random(42)
+    val base = (0 until 30).map(i => s"w$i")
+    val docs = (1L to 40L).map { id =>
+      val keep = base.filter(_ => rnd.nextDouble() < 0.8)
+      val noise = (0 until rnd.nextInt(4)).map(j => s"n${id}_$j")
+      (id, (keep ++ noise).mkString(" "))
+    }.toDF("doc_id", "text")
+    for (tau <- Seq(0.3, 0.5, 0.7, 0.9)) {
+      val exact = Dedup.jaccardPairs(docs, 3, tau).collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          math.rint(r.getDouble(2) * 1e9))).toSet
+      val fast = Dedup.prefixFilterPairs(docs, 3, tau).collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          math.rint(r.getDouble(2) * 1e9))).toSet
+      assert(fast == exact,
+        s"tau=$tau: missing=${exact -- fast} extra=${fast -- exact}")
+    }
+    // integer-boundary fixture: J exactly 0.5 at tau = 0.5 (ceil(t*|d|)
+    // lands on an integer; the epsilon'd ceiling must keep the pair) —
+    // 8 tokens -> 6 trigrams per doc, sharing exactly 4: J = 4/8 = 0.5
+    val bd = Seq(
+      (1L, "s1 s2 s3 s4 s5 s6 x1 x2"),
+      (2L, "s1 s2 s3 s4 s5 s6 y1 y2")).toDF("doc_id", "text")
+    val kept = Dedup.prefixFilterPairs(bd, 3, 0.5).collect()
+    assert(kept.length == 1 && kept.head.getDouble(2) == 0.5,
+      s"boundary pair must survive: ${kept.toSeq}")
+  }
+
   test("dsir weights rank target-like docs above off-domain docs") {
     val s2 = spark; import s2.implicits._
     val target = Seq((100L, "cat sat mat cat purred"),
