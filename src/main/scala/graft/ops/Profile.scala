@@ -846,4 +846,74 @@ object Profile {
       .select(col("source"), col("v"), col("key").as("q"),
         col("v_norm"))
   }
+
+  /** Cumulative Poisson(1) inverse CDF from a [0,1) draw — the resample
+    * count of one row in one bootstrap replica. Shared literal ladder
+    * with the q224 oracle; capped at 8 (P(X > 8) < 1e-6).
+    */
+  private def poissonInv(u: org.apache.spark.sql.Column) =
+    when(u < 0.3678794412, 0).when(u < 0.7357588823, 1)
+      .when(u < 0.9196986029, 2).when(u < 0.9810118431, 3)
+      .when(u < 0.9963401532, 4).when(u < 0.9994058152, 5)
+      .when(u < 0.9999167589, 6).when(u < 0.9999897509, 7)
+      .otherwise(8)
+
+  /** Percentile-bootstrap confidence interval for each group's mean,
+    * via the POISSON bootstrap: instead of drawing B resamples of the
+    * data (impossible without B full passes), every row independently
+    * contributes `Poisson(1)`-many copies to each replica — for large n
+    * this is the classical multinomial bootstrap to O(1/n), and it
+    * needs ONE pass (Chamandy et al., "Estimating Uncertainty for
+    * Massive Data Streams", Google TR 2012; Kleiner et al.'s BLB is the
+    * same observation). Draws are md5-seeded from (id, replica), so the
+    * interval is deterministic and the oracle replays it bit-for-bit.
+    *
+    * `valueCol` is cast to LONG: with integer measures every replica
+    * sum is exact integer arithmetic, so the replica means are
+    * IDENTICAL doubles on any engine regardless of summation order —
+    * the [[ksDrift]] quantization discipline. Quantize a float measure
+    * first (e.g. cents). Returns per group: row count `n`, point
+    * estimate `mean`, usable replica count `m` (replicas where the
+    * group resampled empty are dropped — at any real n that is a
+    * e^{-n} event), and the `[ci_lo, ci_hi]` percentile interval at
+    * sorted 1-based indices `floor(q·(m−1)) + 1`.
+    *
+    * Shape at 100 TB: the per-row `replicas`-way expansion is pipelined
+    * straight into a partial aggregation — the (group, replica) grain
+    * (|groups|·B rows) is the FIRST thing shuffled, never the exploded
+    * stream. Then one group-grain agg sorts B replica means per group.
+    * Cost is B narrow draws per row; B trades CI resolution for CPU.
+    */
+  def bootstrapCI(df: DataFrame, groupCol: String, valueCol: String,
+      idCol: String, replicas: Int = 100,
+      alpha: Double = 0.05): DataFrame = {
+    require(replicas >= 2, s"replicas=$replicas must be >= 2")
+    require(alpha > 0.0 && alpha < 1.0, s"alpha=$alpha must be in (0,1)")
+    val rows = df.select(col(groupCol).as("grp"),
+      col(valueCol).cast("long").as("v"),
+      col(idCol).cast("string").as("id")).where(col("v").isNotNull)
+    val rep = rows
+      .select(col("grp"), col("v"), col("id"),
+        explode(expr(s"sequence(0, ${replicas - 1})")).as("r"))
+      .withColumn("c", poissonInv(Sampling.hashUnit(
+        concat(col("id"), lit(":"), col("r")), "boot:")))
+      .groupBy("grp", "r")
+      .agg(sum(col("c") * col("v")).as("sv"), sum("c").as("sc"))
+      .where(col("sc") > 0)
+      .select(col("grp"),
+        (col("sv").cast("double") / col("sc")).as("mean_r"))
+    val stats = rows.groupBy("grp").agg(count(lit(1)).as("n"),
+      (sum("v").cast("double") / count(lit(1))).as("mean"))
+    val ci = rep.groupBy("grp")
+      .agg(sort_array(collect_list("mean_r")).as("ms"))
+      .select(col("grp"), size(col("ms")).as("m"), col("ms"))
+      .select(col("grp"), col("m"),
+        element_at(col("ms"), floor(lit(alpha / 2) * (col("m") - 1))
+          .cast("int") + 1).as("ci_lo"),
+        element_at(col("ms"), floor(lit(1 - alpha / 2) * (col("m") - 1))
+          .cast("int") + 1).as("ci_hi"))
+    stats.join(ci, "grp")
+      .select(col("grp").as("group"), col("n"), col("mean"), col("m"),
+        col("ci_lo"), col("ci_hi"))
+  }
 }

@@ -5295,6 +5295,55 @@ object TrainingOps {
               |JOIN sizes na ON na.id = id1 JOIN sizes nb ON nb.id = id2
               |WHERE CAST(n_common AS DOUBLE) / (na.n_sh + nb.n_sh - n_common) >= 0.7
               |ORDER BY 1, 2""".stripMargin)),
+
+    // Poisson-bootstrap CI for each source's mean doc length: one pass,
+    // md5-seeded Poisson(1) resample counts per (doc, replica), replica
+    // means from exact integer sums, percentile interval from the
+    // sorted replica means. The oracle replays the identical draw
+    // ladder and index arithmetic, so the interval hash-matches.
+    QueryDef("q224_bootstrap_ci",
+      (s, d) => graft.ops.Profile.bootstrapCI(table(s, d, "documents"),
+          "source", "n_chars", "doc_id", replicas = 100, alpha = 0.05)
+        .select(col("group"), col("n"), round(col("mean"), 6).as("mean"),
+          col("m"), round(col("ci_lo"), 6).as("ci_lo"),
+          round(col("ci_hi"), 6).as("ci_hi"))
+        .orderBy("group"),
+      Some(s"""WITH rows_ AS (SELECT source AS grp,
+              |    CAST(n_chars AS BIGINT) AS v,
+              |    CAST(doc_id AS VARCHAR) AS id FROM documents),
+              |drawn AS (SELECT grp, v, r,
+              |    ${drawSqlOn("boot:", "id || ':' || CAST(r AS VARCHAR)")}
+              |      AS u
+              |  FROM rows_, UNNEST(generate_series(0, 99)) t(r)),
+              |rep AS (SELECT grp, r, SUM(c * v) AS sv, SUM(c) AS sc
+              |  FROM (SELECT grp, v, r,
+              |      CASE WHEN u < 0.3678794412 THEN 0
+              |        WHEN u < 0.7357588823 THEN 1
+              |        WHEN u < 0.9196986029 THEN 2
+              |        WHEN u < 0.9810118431 THEN 3
+              |        WHEN u < 0.9963401532 THEN 4
+              |        WHEN u < 0.9994058152 THEN 5
+              |        WHEN u < 0.9999167589 THEN 6
+              |        WHEN u < 0.9999897509 THEN 7 ELSE 8 END AS c
+              |    FROM drawn) x
+              |  GROUP BY 1, 2 HAVING SUM(c) > 0),
+              |means AS (SELECT grp, CAST(sv AS DOUBLE) / sc AS mean_r,
+              |    ROW_NUMBER() OVER (PARTITION BY grp ORDER BY
+              |      CAST(sv AS DOUBLE) / sc) AS rn,
+              |    COUNT(*) OVER (PARTITION BY grp) AS m
+              |  FROM rep),
+              |stats AS (SELECT grp, COUNT(*) AS n,
+              |    CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean
+              |  FROM rows_ GROUP BY 1)
+              |SELECT s.grp AS "group", s.n, ROUND(s.mean, 6) AS mean,
+              |  lo.m, ROUND(lo.mean_r, 6) AS ci_lo,
+              |  ROUND(hi.mean_r, 6) AS ci_hi
+              |FROM stats s
+              |JOIN means lo ON lo.grp = s.grp
+              |  AND lo.rn = FLOOR(0.025 * (lo.m - 1)) + 1
+              |JOIN means hi ON hi.grp = s.grp
+              |  AND hi.rn = FLOOR(0.975 * (hi.m - 1)) + 1
+              |ORDER BY 1""".stripMargin)),
   )
 
   /** DuckDB replay of [[graft.ops.TextAnalysis.tailRepetition]] over

@@ -1683,6 +1683,30 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
       s"boundary pair must survive: ${kept.toSeq}")
   }
 
+  test("poisson bootstrap CI brackets the mean and is deterministic") {
+    val s2 = spark; import s2.implicits._
+    val big = (1L to 200L).map(i => ("a", i, i))
+    val one = Seq(("b", 7L, 9001L))
+    val fx = (big ++ one).toDF("src", "x", "id")
+    def run() = Profile.bootstrapCI(fx, "src", "x", "id",
+        replicas = 80, alpha = 0.1)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getInt(3),
+          r.getDouble(4), r.getDouble(5))).toMap
+    val got = run()
+    val (n, mean, m, lo, hi) = got("a")
+    assert(n == 200 && mean == 100.5)
+    assert(m == 80, s"200-row group never resamples empty: $m")
+    assert(lo < mean && mean < hi, s"CI [$lo, $hi] must bracket $mean")
+    assert(hi - lo < 30, s"CI too wide for n=200: [$lo, $hi]")
+    // singleton group: every non-empty replica mean is exactly the
+    // value; ~e^{-1} of replicas resample empty and are dropped
+    val (n1, mean1, m1, lo1, hi1) = got("b")
+    assert(n1 == 1 && mean1 == 7.0 && lo1 == 7.0 && hi1 == 7.0)
+    assert(m1 < 80 && m1 > 30, s"empty replicas must drop: m=$m1")
+    assert(run() == got, "draws are md5-seeded: identical on re-run")
+  }
+
   test("dsir weights rank target-like docs above off-domain docs") {
     val s2 = spark; import s2.implicits._
     val target = Seq((100L, "cat sat mat cat purred"),
