@@ -201,4 +201,75 @@ object Linkage {
         math.log((1 - m(i)) / (1 - u(i))) / ln2, lam)
     }.toDF("field", "m", "u", "w_agree", "w_disagree", "lambda")
   }
+
+  /** Golden-record survivorship: collapse each entity cluster (from
+    * [[linkageScores]] + [[graft.ops.Dedup.components]], exact-dup
+    * groups, or any `(idCol, cluster_id)` relation) into ONE merged
+    * record, choosing each field's surviving value independently by a
+    * per-field rule — the master-data-management endgame after linkage
+    * has decided WHICH records are the same entity:
+    *
+    *   - `"mode"`    most frequent non-null value, ties → smallest
+    *   - `"max"`     largest by numeric value (field must parse as a
+    *                 number), ties → smallest string rendering
+    *   - `"min"`     smallest by numeric value, same tie rule
+    *   - `"longest"` longest string (the fullest variant of a name or
+    *                 address), ties → smallest
+    *
+    * Every rule reduces to ONE shared shape: melt the fields to
+    * `(cluster, field, value)` (narrow 1→N), aggregate that to the
+    * distinct-value grain with counts, then take `min_by(value,
+    * (sortKey, value))` where sortKey is the rule's CASE expression
+    * (−count / −num / num / −length) — so adding a rule is one CASE
+    * branch, not a new aggregation pass. Values survive as strings
+    * (they cross field types in one column); numeric rules order by the
+    * double cast, not the rendering.
+    *
+    * Returns one row per cluster: `cluster_id`, `n_records`, and one
+    * column per field holding the surviving value.
+    *
+    * Shape at 100 TB: one equi-join onto the cluster relation, one
+    * partial-agg shuffle to the (cluster, field, value) grain, one agg
+    * to (cluster, field), and a literal-pivot back to columns on the
+    * ≤ |fields|-rows-per-cluster relation. No window over raw rows, no
+    * per-field pass.
+    */
+  def goldenRecords(records: DataFrame, clusters: DataFrame,
+      idCol: String, fields: Seq[(String, String)]): DataFrame = {
+    val rules = Set("mode", "max", "min", "longest")
+    require(fields.nonEmpty && fields.forall(f => rules(f._2)),
+      s"each field needs a rule in $rules: $fields")
+    val cl = clusters.select(col(idCol).as("__gid"), col("cluster_id"))
+    val joined = records.join(cl, records(idCol) === cl("__gid"))
+    val melted = joined.select(col("cluster_id"), col("__gid"),
+        explode(array(fields.map { case (f, _) =>
+          struct(lit(f).as("field"), col(f).cast("string").as("value"))
+        }: _*)).as("fv"))
+      .select(col("cluster_id"), col("fv.field"), col("fv.value"))
+      .where(col("value").isNotNull)
+    val ruleCase = fields.tail.foldLeft(
+      when(col("field") === fields.head._1, lit(fields.head._2))) {
+      case (acc, (f, r)) => acc.when(col("field") === f, lit(r))
+    }
+    val counted = melted.groupBy("cluster_id", "field", "value")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rule", ruleCase)
+      // numeric rules exclude values that don't parse as numbers
+      .withColumn("num", expr("try_cast(value AS double)"))
+      .where(!col("rule").isin("max", "min") || col("num").isNotNull)
+      .withColumn("sort_key",
+        when(col("rule") === "mode", -col("cnt").cast("double"))
+          .when(col("rule") === "max", -col("num"))
+          .when(col("rule") === "min", col("num"))
+          .otherwise(-length(col("value")).cast("double")))
+    val survivors = counted.groupBy("cluster_id", "field")
+      .agg(min_by(col("value"),
+        struct(col("sort_key"), col("value"))).as("survivor"))
+    val sizes = joined.groupBy("cluster_id")
+      .agg(countDistinct(col("__gid")).as("n_records"))
+    sizes.join(
+      survivors.groupBy("cluster_id").pivot("field", fields.map(_._1))
+        .agg(first("survivor")),
+      Seq("cluster_id"), "left")
+  }
 }

@@ -5344,6 +5344,80 @@ object TrainingOps {
               |JOIN means hi ON hi.grp = s.grp
               |  AND hi.rn = FLOOR(0.975 * (hi.m - 1)) + 1
               |ORDER BY 1""".stripMargin)),
+
+    // Golden-record survivorship over planted near-dup variants: every
+    // 17th doc gets a re-hosted copy (upper-cased, punctuation-suffixed,
+    // different source, n_chars+3); normalized-hash clusters then merge
+    // back to ONE record per entity with per-field rules — source/lang
+    // by mode (the 1-1 source tie resolves to the smallest string),
+    // n_chars by numeric max (the variant wins), text by longest.
+    QueryDef("q225_golden_records",
+      (s, d) => {
+        val docs = table(s, d, "documents")
+          .select("doc_id", "text", "lang", "source", "n_chars")
+        val variants = docs.where(col("doc_id") % 17 === 0)
+          .select((col("doc_id") + 3000000L).as("doc_id"),
+            concat(upper(col("text")), lit(" !!")).as("text"),
+            col("lang"), lit("mirror").as("source"),
+            (col("n_chars") + 3).as("n_chars"))
+        val reg = docs.unionByName(variants)
+        val clusters = reg.select(col("doc_id"),
+          md5(Dedup.normalizeForDedup(col("text"))).as("cluster_id"))
+        Linkage.goldenRecords(reg, clusters, "doc_id",
+            Seq("source" -> "mode", "lang" -> "mode",
+              "n_chars" -> "max", "text" -> "longest"))
+          .select(col("cluster_id"), col("n_records"), col("source"),
+            col("lang"), col("n_chars"), col("text"))
+          .orderBy("cluster_id")
+      },
+      Some("""WITH reg AS (
+             |  SELECT doc_id, text, lang, source,
+             |    CAST(n_chars AS BIGINT) AS n_chars FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 3000000, upper(text) || ' !!', lang,
+             |    'mirror', n_chars + 3
+             |  FROM documents WHERE doc_id % 17 = 0),
+             |cl AS (SELECT doc_id,
+             |    md5(trim(regexp_replace(regexp_replace(lower(text),
+             |      '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')))
+             |      AS cluster_id FROM reg),
+             |r AS (SELECT cl.cluster_id, reg.* FROM reg
+             |  JOIN cl USING (doc_id)),
+             |melt AS (
+             |  SELECT cluster_id, 'source' AS field, source AS value,
+             |    'mode' AS rule FROM r
+             |  UNION ALL SELECT cluster_id, 'lang', lang, 'mode' FROM r
+             |  UNION ALL SELECT cluster_id, 'n_chars',
+             |    CAST(n_chars AS VARCHAR), 'max' FROM r
+             |  UNION ALL SELECT cluster_id, 'text', text, 'longest'
+             |    FROM r),
+             |cnt AS (SELECT cluster_id, field, value, rule,
+             |    COUNT(*) AS c
+             |  FROM melt WHERE value IS NOT NULL GROUP BY 1, 2, 3, 4),
+             |keyed AS (SELECT *,
+             |    CASE rule WHEN 'mode' THEN -CAST(c AS DOUBLE)
+             |      WHEN 'max' THEN -TRY_CAST(value AS DOUBLE)
+             |      WHEN 'min' THEN TRY_CAST(value AS DOUBLE)
+             |      ELSE -CAST(LENGTH(value) AS DOUBLE) END AS sort_key
+             |  FROM cnt
+             |  WHERE rule NOT IN ('max', 'min')
+             |    OR TRY_CAST(value AS DOUBLE) IS NOT NULL),
+             |surv AS (SELECT cluster_id, field, value,
+             |    ROW_NUMBER() OVER (PARTITION BY cluster_id, field
+             |      ORDER BY sort_key, value) AS rn
+             |  FROM keyed),
+             |sizes AS (SELECT cluster_id,
+             |    COUNT(DISTINCT doc_id) AS n_records
+             |  FROM r GROUP BY 1)
+             |SELECT s.cluster_id, s.n_records,
+             |  MAX(CASE WHEN field = 'source' THEN value END) AS source,
+             |  MAX(CASE WHEN field = 'lang' THEN value END) AS lang,
+             |  MAX(CASE WHEN field = 'n_chars' THEN value END)
+             |    AS n_chars,
+             |  MAX(CASE WHEN field = 'text' THEN value END) AS text
+             |FROM sizes s JOIN surv ON surv.cluster_id = s.cluster_id
+             |  AND rn = 1
+             |GROUP BY 1, 2 ORDER BY 1""".stripMargin)),
   )
 
   /** DuckDB replay of [[graft.ops.TextAnalysis.tailRepetition]] over

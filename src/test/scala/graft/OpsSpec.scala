@@ -1683,6 +1683,33 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
       s"boundary pair must survive: ${kept.toSeq}")
   }
 
+  test("golden records survive fields by per-field rules") {
+    val s2 = spark; import s2.implicits._
+    val reg = Seq(
+      // cluster c1: 3 records
+      (1L, "Acme Corp", "NY", "33", "bob@a.com"),
+      (2L, "Acme Corporation", "NY", "35", null),
+      (3L, "Acme", "SF", "34", "b@a.com"),
+      // cluster c2: singleton with an unparseable numeric field
+      (4L, "Solo Ltd", null, "n/a", "x@y.z"))
+      .toDF("id", "name", "city", "age", "email")
+    val cl = Seq((1L, "c1"), (2L, "c1"), (3L, "c1"), (4L, "c2"))
+      .toDF("id", "cluster_id")
+    val got = Linkage.goldenRecords(reg, cl, "id",
+        Seq("name" -> "longest", "city" -> "mode",
+          "age" -> "max", "email" -> "mode"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getString(2), r.getString(3),
+          r.getString(4), r.getString(5))).toMap
+    // longest name; mode city (2-1); numeric max age; email mode is a
+    // 1-1-and-a-null tie -> smallest string
+    assert(got("c1") == ((3L, "Acme Corporation", "NY", "35", "b@a.com")),
+      s"c1: ${got("c1")}")
+    // singleton: age 'n/a' doesn't parse -> max rule yields no survivor
+    assert(got("c2") == ((1L, "Solo Ltd", null, null, "x@y.z")),
+      s"c2: ${got("c2")}")
+  }
+
   test("poisson bootstrap CI brackets the mean and is deterministic") {
     val s2 = spark; import s2.implicits._
     val big = (1L to 200L).map(i => ("a", i, i))
