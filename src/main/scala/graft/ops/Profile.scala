@@ -916,4 +916,76 @@ object Profile {
       .select(col("grp").as("group"), col("n"), col("mean"), col("m"),
         col("ci_lo"), col("ci_hi"))
   }
+
+  /** Smallest value whose cumulative count reaches the lower-median
+    * rank, on an already-collapsed `(value, count)` relation — the
+    * exact lower median without ever sorting raw rows. The cumulative
+    * window is single-partition over DISTINCT VALUES (the
+    * [[ksDrift]]/[[paretoProfile]] reporting-grain contract).
+    */
+  private def medianOfCounts(vc: DataFrame, valueCol: String,
+      cntCol: String): DataFrame = {
+    val wCum = Window.orderBy(valueCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    vc.withColumn("__cum", sum(cntCol).over(wCum))
+      .withColumn("__n", sum(cntCol).over(Window.partitionBy(lit(1))))
+      .where(col("__cum") >= expr("(__n + 1) DIV 2"))
+      .agg(min(valueCol).as("median"))
+  }
+
+  /** Seasonally-adjusted anomaly detection: each event's value against
+    * the exact lower MEDIAN of its own hour-of-week cell, then a
+    * global robust (median/MAD) gate on the residuals — the detector
+    * that doesn't page on Monday 9am because Monday 9am is always like
+    * that, and doesn't let a corrupted feed move its own baseline
+    * (medians move one rank where means move arbitrarily). Returns the
+    * anomalous events with their cell baseline, residual, and
+    * deviation; `mad = 0` (majority-constant residuals) degrades to
+    * "any deviation", the [[robustStats]] convention.
+    *
+    * `valueCol` is cast to LONG (quantize floats first, e.g. cents):
+    * every median, residual, and threshold compare is then exact
+    * 64-bit integer arithmetic — bit-deterministic, no float caveats.
+    *
+    * Shape at 100 TB: unlike a naive per-cell sort window (168
+    * partitions ⇒ n/168 rows EACH — a scale-killer), every order
+    * statistic here runs on a COLLAPSED grain: one partial-agg shuffle
+    * to (dow, hour, value) for the cell medians (≤ 168·|values| rows),
+    * one to the residual-value grain for the global median/MAD, and
+    * the final flag is a narrow filter against TWO broadcast numbers.
+    * Raw events are never sorted, never windowed.
+    */
+  def seasonalAnomalies(events: DataFrame, tsCol: String,
+      valueCol: String, madK: Int = 5,
+      idCol: String = "event_id"): DataFrame = {
+    require(madK >= 1, s"madK=$madK must be >= 1")
+    val base = events.select(col(idCol).as("id"),
+      expr(s"pmod(CAST($tsCol AS BIGINT) div 86400000000 + 4, 7)")
+        .as("dow"),
+      expr(s"pmod(CAST($tsCol AS BIGINT) div 3600000000, 24)")
+        .as("hour"),
+      col(valueCol).cast("long").as("v"))
+    val vc = base.groupBy("dow", "hour", "v").agg(count(lit(1)).as("c"))
+    val wCell = Window.partitionBy("dow", "hour").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cellMed = vc
+      .withColumn("cum", sum("c").over(wCell))
+      .withColumn("cn", sum("c").over(Window.partitionBy("dow", "hour")))
+      .where(col("cum") >= expr("(cn + 1) DIV 2"))
+      .groupBy("dow", "hour").agg(min("v").as("cell_median"))
+    val resid = base.join(broadcast(cellMed), Seq("dow", "hour"))
+      .withColumn("residual", col("v") - col("cell_median"))
+    val rc = resid.groupBy("residual").agg(count(lit(1)).as("c"))
+    val medR = medianOfCounts(rc, "residual", "c")
+      .select(col("median").as("med_r"))
+    val dc = rc.crossJoin(broadcast(medR))
+      .select(abs(col("residual") - col("med_r")).as("d"), col("c"))
+      .groupBy("d").agg(sum("c").as("c"))
+    val madR = medianOfCounts(dc, "d", "c").select(col("median").as("mad"))
+    resid.crossJoin(broadcast(medR.crossJoin(madR)))
+      .withColumn("dev", abs(col("residual") - col("med_r")))
+      .where(col("dev") > lit(madK.toLong) * col("mad"))
+      .select(col("id"), col("dow"), col("hour"), col("v"),
+        col("cell_median"), col("residual"), col("dev"))
+  }
 }

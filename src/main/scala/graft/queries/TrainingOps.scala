@@ -5418,6 +5418,53 @@ object TrainingOps {
              |FROM sizes s JOIN surv ON surv.cluster_id = s.cluster_id
              |  AND rn = 1
              |GROUP BY 1, 2 ORDER BY 1""".stripMargin)),
+
+    // Seasonally-adjusted anomalies: each event's cents value vs the
+    // exact lower median of its own hour-of-week cell, residuals gated
+    // by a global median/MAD rule. All order statistics run on
+    // collapsed (value, count) grains — raw events are never sorted —
+    // and everything is 64-bit integer arithmetic, so the flag set
+    // hash-replays exactly.
+    QueryDef("q226_seasonal_anomalies",
+      (s, d) => graft.ops.Profile.seasonalAnomalies(
+          eventsMicros(s, d).withColumn("cents",
+            round(col("value") * 100).cast("long")),
+          "ts_us", "cents", madK = 5)
+        .orderBy("id"),
+      Some("""WITH base AS (SELECT event_id AS id,
+             |    (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+             |    (epoch_us(ts) // 3600000000) % 24 AS hour,
+             |    CAST(ROUND(value * 100) AS BIGINT) AS v
+             |  FROM events),
+             |vc AS (SELECT dow, hour, v, COUNT(*) AS c
+             |  FROM base GROUP BY 1, 2, 3),
+             |cm AS (SELECT dow, hour, MIN(v) AS cell_median FROM (
+             |    SELECT *, SUM(c) OVER (PARTITION BY dow, hour
+             |        ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+             |      SUM(c) OVER (PARTITION BY dow, hour) AS cn FROM vc)
+             |  WHERE cum >= (cn + 1) // 2 GROUP BY 1, 2),
+             |resid AS (SELECT b.id, b.dow, b.hour, b.v, cm.cell_median,
+             |    b.v - cm.cell_median AS residual
+             |  FROM base b JOIN cm USING (dow, hour)),
+             |rc AS (SELECT residual, COUNT(*) AS c FROM resid
+             |  GROUP BY 1),
+             |mr AS (SELECT MIN(residual) AS med_r FROM (
+             |    SELECT *, SUM(c) OVER (ORDER BY residual
+             |        ROWS UNBOUNDED PRECEDING) AS cum,
+             |      SUM(c) OVER () AS n FROM rc)
+             |  WHERE cum >= (n + 1) // 2),
+             |dc AS (SELECT ABS(residual - med_r) AS d, SUM(c) AS c
+             |  FROM rc CROSS JOIN mr GROUP BY 1),
+             |md AS (SELECT MIN(d) AS mad FROM (
+             |    SELECT *, SUM(c) OVER (ORDER BY d
+             |        ROWS UNBOUNDED PRECEDING) AS cum,
+             |      SUM(c) OVER () AS n FROM dc)
+             |  WHERE cum >= (n + 1) // 2)
+             |SELECT id, dow, hour, v, cell_median, residual,
+             |  ABS(residual - med_r) AS dev
+             |FROM resid CROSS JOIN mr CROSS JOIN md
+             |WHERE ABS(residual - med_r) > 5 * mad
+             |ORDER BY id""".stripMargin)),
   )
 
   /** DuckDB replay of [[graft.ops.TextAnalysis.tailRepetition]] over

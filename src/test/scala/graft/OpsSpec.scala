@@ -1683,6 +1683,34 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
       s"boundary pair must survive: ${kept.toSeq}")
   }
 
+  test("seasonal anomalies flag the planted spike, not the pattern") {
+    val s2 = spark; import s2.implicits._
+    val hourUs = 3600000000L
+    // two weeks of hourly events: hour 9 always runs at 100, every
+    // other hour at 10 — a calendar-blind detector would flag every
+    // hour-9 event; the seasonal baseline absorbs them. One planted
+    // spike (id 9999) at an ordinary hour.
+    val rows = for (day <- 0 until 14; h <- 0 until 24) yield {
+      val id = day * 100L + h
+      val ts = (day * 24L + h) * hourUs
+      val v = if (h == 9) 100L + (day % 2) else 10L + (day % 3)
+      (id, ts, v)
+    }
+    val fx = (rows :+ ((9999L, 5L * hourUs, 500L)))
+      .toDF("event_id", "ts_us", "v")
+    val got = Profile.seasonalAnomalies(fx, "ts_us", "v", madK = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(9999L), s"only the spike must flag: $got")
+    // constant stream + one deviation: mad = 0 degrades to
+    // "any deviation from the cell median"
+    // the deviant shares id 1's (dow, hour) cell — one week later
+    val const = ((1L to 50L).map(i => (i, i * hourUs, 7L)) :+
+      ((99L, (1L + 168L) * hourUs, 8L))).toDF("event_id", "ts_us", "v")
+    val flagged = Profile.seasonalAnomalies(const, "ts_us", "v")
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged == Set(99L), s"mad=0 must still flag: $flagged")
+  }
+
   test("golden records survive fields by per-field rules") {
     val s2 = spark; import s2.implicits._
     val reg = Seq(
