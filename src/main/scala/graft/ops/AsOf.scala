@@ -201,4 +201,48 @@ object AsOf {
         last(col("obs"), ignoreNulls = true).over(w).as("filled"),
         col("obs").isNotNull.cast("int").as("observed"))
   }
+
+  /** Time-weighted average of an irregular last-observation-carried-
+    * forward series over the window `[startUs, endUs)` — the TWAP a
+    * plain `avg` gets WRONG on irregular observations (a price that
+    * sat at 10 for six hours then ticked 5 times at 100 in a minute
+    * time-weights to ≈10, not ≈85). Each observation holds from its
+    * timestamp until the next one (duplicate-timestamp ties are
+    * zero-length except the last, ordered by value), clipped to the
+    * window; the LAST observation BEFORE the window provides the
+    * opening value, clipped to start — plain segment arithmetic, no
+    * special case. Returns per key: `n_obs` (observations contributing
+    * time), `covered_us` (end − max(start, first observation)), and
+    * `twa = Σ v·dt / Σ dt`.
+    *
+    * `valueCol` is cast to LONG (quantize floats first); v·dt products
+    * accumulate in decimal(38,0), so the weighted sum is EXACT at any
+    * magnitude and the single final divide is the only float — the
+    * oracle replays it bit-for-bit (its BIGINT sums are exact hugeint).
+    *
+    * Shape at 100 TB: one key-partitioned `lead` window over events
+    * already filtered to `ts < end` (partition pruning takes that to
+    * the scan), one partial-agg shuffle to the key grain. No spine
+    * materialization, no per-bucket explosion — contrast
+    * [[gapFillLocf]], which trades exactly that for a regular grid.
+    */
+  def timeWeightedAvg(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, startUs: Long, endUs: Long): DataFrame = {
+    require(endUs > startUs, s"window [$startUs, $endUs) is empty")
+    val b = events.select(col(keyCol).as("key"),
+        col(tsCol).cast("long").as("ts"),
+        col(valueCol).cast("long").as("v"))
+      .where(col("ts") < endUs)
+    val w = Window.partitionBy("key").orderBy("ts", "v")
+    val seg = b.withColumn("nxt", lead("ts", 1).over(w))
+      .withColumn("dt", greatest(
+        least(coalesce(col("nxt"), lit(endUs)), lit(endUs)) -
+          greatest(col("ts"), lit(startUs)), lit(0L)))
+    seg.groupBy("key").agg(
+        sum(when(col("dt") > 0, 1L).otherwise(0L)).as("n_obs"),
+        sum("dt").as("covered_us"),
+        (sum(col("v").cast("decimal(38,0)") * col("dt")).cast("double") /
+          sum("dt")).as("twa"))
+      .where(col("covered_us") > 0)
+  }
 }

@@ -5465,6 +5465,37 @@ object TrainingOps {
              |FROM resid CROSS JOIN mr CROSS JOIN md
              |WHERE ABS(residual - med_r) > 5 * mad
              |ORDER BY id""".stripMargin)),
+
+    // Time-weighted average per user over a two-week window: LOCF
+    // segments clipped to the window, the last pre-window event opens
+    // the series, duplicate-ts ties hold zero time except the last.
+    // v·dt sums are exact (decimal vs hugeint); the one divide is the
+    // only float.
+    QueryDef("q227_time_weighted_avg",
+      (s, d) => graft.ops.AsOf.timeWeightedAvg(
+          eventsMicros(s, d).withColumn("cents",
+            round(col("value") * 100).cast("long")),
+          "user_id", "ts_us", "cents",
+          startUs = 1704672000000000L, endUs = 1705881600000000L)
+        .select(col("key").as("user_id"), col("n_obs"),
+          col("covered_us"), round(col("twa"), 6).as("twa"))
+        .orderBy("user_id"),
+      Some("""WITH b AS (SELECT user_id AS key, epoch_us(ts) AS ts,
+             |    CAST(ROUND(value * 100) AS BIGINT) AS v
+             |  FROM events WHERE epoch_us(ts) < 1705881600000000),
+             |seg AS (SELECT key, v,
+             |    GREATEST(LEAST(COALESCE(LEAD(ts) OVER (
+             |        PARTITION BY key ORDER BY ts, v),
+             |        1705881600000000), 1705881600000000)
+             |      - GREATEST(ts, 1704672000000000), 0) AS dt
+             |  FROM b)
+             |SELECT key AS user_id,
+             |  CAST(SUM(CASE WHEN dt > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_obs,
+             |  CAST(SUM(dt) AS BIGINT) AS covered_us,
+             |  ROUND(CAST(SUM(v * dt) AS DOUBLE) / SUM(dt), 6) AS twa
+             |FROM seg GROUP BY 1 HAVING SUM(dt) > 0
+             |ORDER BY 1""".stripMargin)),
   )
 
   /** DuckDB replay of [[graft.ops.TextAnalysis.tailRepetition]] over

@@ -1683,6 +1683,26 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
       s"boundary pair must survive: ${kept.toSeq}")
   }
 
+  test("time-weighted average clips, opens pre-window, holds ties") {
+    val s2 = spark; import s2.implicits._
+    val fx = Seq(
+      // "a": pre-window event opens at 100; switch mid-window
+      ("a", 50L, 10L), ("a", 150L, 30L),
+      // "b": series starts inside the window — covered is partial
+      ("b", 120L, 6L),
+      // "c": duplicate-ts tick — only the last (by value) holds time
+      ("c", 150L, 4L), ("c", 150L, 8L),
+      // "d": entirely after the window — excluded
+      ("d", 250L, 99L)).toDF("k", "ts", "v")
+    val got = AsOf.timeWeightedAvg(fx, "k", "ts", "v", 100L, 200L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got("a") == ((2L, 100L, 20.0)), s"a: ${got("a")}")
+    assert(got("b") == ((1L, 80L, 6.0)), s"b: ${got("b")}")
+    assert(got("c") == ((1L, 50L, 8.0)), s"c: ${got("c")}")
+    assert(!got.contains("d"), s"post-window key must drop: $got")
+  }
+
   test("seasonal anomalies flag the planted spike, not the pattern") {
     val s2 = spark; import s2.implicits._
     val hourUs = 3600000000L
