@@ -398,6 +398,32 @@ object StreamingQuery {
              |SELECT * FROM (SELECT * FROM m UNION ALL SELECT * FROM u)
              |ORDER BY click_id, purchase_id NULLS FIRST""".stripMargin)),
 
+    // Chained stateful aggregations: exact distinct users per tumbling
+    // window (dedupe-to-(window,user) agg feeding a per-window count
+    // agg, both stateful, append mode). Same watermark cutoff as q65;
+    // COUNT(DISTINCT) is unsupported in streaming, so this two-level
+    // shape IS the exact-cardinality path.
+    QueryDef("q228_streaming_distinct",
+      (s, d) => runStream(s, d, "stream_distinct")(
+        Streams.windowedDistinctUsers(_, "1 hour", "30 minutes"))(df =>
+        df.select(col("window_start"), col("distinct_users"),
+            col("n_events"))
+          .orderBy("window_start")),
+      Some("""WITH cutoff AS (
+             |  SELECT MAX(epoch_us(ts)) - 1800000000 AS wm FROM events),
+             |agg AS (
+             |  SELECT STRFTIME(make_timestamp(
+             |      (epoch_us(ts) // 3600000000) * 3600000000),
+             |      '%Y-%m-%d %H:%M:%S') AS window_start,
+             |    (epoch_us(ts) // 3600000000) * 3600000000 + 3600000000
+             |      AS window_end_us,
+             |    COUNT(DISTINCT user_id) AS distinct_users,
+             |    COUNT(*) AS n_events
+             |  FROM events GROUP BY 1, 2)
+             |SELECT window_start, distinct_users, n_events
+             |FROM agg, cutoff WHERE window_end_us <= wm
+             |ORDER BY window_start""".stripMargin)),
+
     // Stream-stream FULL OUTER interval join: both abandonment
     // directions in one query — q188's null-padded purchases AND q214's
     // null-padded clicks, from the SAME state stores the inner join

@@ -69,6 +69,37 @@ object Streams {
           .as("window_start"),
         col(dimAttr), col("n"), col("total_value"))
 
+  /** EXACT distinct users per tumbling window, streaming — TWO chained
+    * stateful aggregations in one query (Spark's multiple-stateful-
+    * operator support): the inner agg deduplicates to the
+    * (window, user) grain and emits each pair once when the watermark
+    * closes its window; the outer agg counts those pairs per window.
+    * This is the shape `approx_count_distinct` can't replace when the
+    * answer must be exact, and a single agg can't express at all in
+    * append mode (COUNT(DISTINCT) is unsupported in streaming).
+    *
+    * State cost: the inner store holds one entry per LIVE
+    * (window, user) — bounded by the watermark horizon × active users,
+    * the same bound windowed dedup pays — and the outer holds one
+    * counter per live window. Emission cutoff is q65's: a window
+    * reports iff the final watermark passed its end; the pair rows the
+    * inner agg emits carry the window itself as event time, so the
+    * outer agg closes the same windows in the following micro-batch.
+    */
+  def windowedDistinctUsers(events: DataFrame,
+      windowLen: String = "1 hour",
+      watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy(col("window"))
+      .agg(count(lit(1)).as("distinct_users"),
+        sum("n_events").as("n_events"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("window_start"),
+        col("distinct_users"), col("n_events"))
+
   /** Gap-based session aggregation via the built-in session window
     * (streaming analog of q20_events_sessionize).
     */

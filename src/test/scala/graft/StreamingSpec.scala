@@ -530,6 +530,39 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("chained stateful aggs: exact windowed distinct, dups collapse") {
+    val s2 = spark; import s2.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = Streams.windowedDistinctUsers(input.toDF(), "1 hour",
+        "30 minutes")
+      .writeStream.format("memory").queryName("win_distinct")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        // hour 10: user 1 three times, user 2 once -> distinct 2, n 4
+        Event(1, ts("2024-01-01 10:05:00"), 1, "click", 0.0),
+        Event(2, ts("2024-01-01 10:10:00"), 1, "click", 0.0),
+        Event(3, ts("2024-01-01 10:40:00"), 1, "click", 0.0),
+        Event(4, ts("2024-01-01 10:20:00"), 2, "click", 0.0),
+        // hour 11: inside the final watermark -> withheld
+        Event(5, ts("2024-01-01 11:20:00"), 9, "click", 0.0))
+      q.processAllAvailable()
+      // advance the watermark past hour 10's end (wm = 11:30)
+      input.addData(Event(6, ts("2024-01-01 12:00:00"), 9, "click", 0.0))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val rows = spark.table("win_distinct")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(rows == Set(("2024-01-01 10:00:00", 2L, 4L)),
+        s"hour 10 closes with exact distinct; hour 11+ withheld: $rows")
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("win_distinct")
+    }
+  }
+
   test("full-outer interval join: each side pays ITS OWN eviction delay") {
     val s2 = spark; import s2.implicits._
     implicit val ctx = spark.sqlContext
