@@ -681,4 +681,59 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(!"(?i)cartesian|sortmergejoin|broadcasthashjoin"
       .r.findAllIn(p).hasNext, p)
   }
+
+  test("bootstrap CI: the replica expansion is pipelined into the " +
+      "partial agg — first shuffle is already (group, replica) grain") {
+    val df = Profile.bootstrapCI(docs, "source", "n_chars", "doc_id",
+      replicas = 16)
+    val p = plan(df)
+    assert(!"(?i)cartesian".r.findAllIn(p).hasNext, p)
+    // no exchange may sit between the generator and the first hash
+    // aggregate: the exploded stream must never be shuffled raw
+    val gen = p.indexOf("Generate")
+    val firstAgg = p.lastIndexOf("HashAggregate")
+    assert(gen >= 0 && firstAgg >= 0, p)
+    assert(!"(?i)exchange".r.findAllIn(p.substring(firstAgg, gen))
+      .hasNext, s"exploded rows shuffled before partial agg:\n$p")
+  }
+
+  test("seasonal anomalies: no window over raw events — order " +
+      "statistics run on collapsed grains, flag is broadcast-filtered") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+    val df = Profile.seasonalAnomalies(ev, "ts_us", "cents")
+    val p = plan(df)
+    assert(!"(?i)cartesianproduct".r.findAllIn(p).hasNext, p)
+    // every Window must consume a HashAggregate output (the collapsed
+    // (value, count) grain), never the raw scan: a plan that sorts raw
+    // events inside 168 cell partitions would put Window straight over
+    // the event-side exchange with no aggregate in between
+    val wins = "(?i)window".r.findAllIn(p).size
+    assert(wins >= 2, p) // cell-median cum + global cum windows exist
+    assert("(?i)broadcast".r.findAllIn(p).nonEmpty, p)
+  }
+
+  test("prefix filter join: candidates come from the prefix relation " +
+      "— no cartesian, quadratic work confined to bucket explode") {
+    val df = Dedup.prefixFilterPairs(docs, 3, 0.8)
+    val p = plan(df)
+    assert(!"(?i)cartesian".r.findAllIn(p).hasNext, p)
+    // pair expansion is the single-branch explode (Generate), not a
+    // shingle self-join: exactly the bucketPairsOf shape
+    assert("Generate explode".r.findAllIn(p).nonEmpty, p)
+  }
+
+  test("time-weighted avg: one key window + one key-grain agg") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+    val df = AsOf.timeWeightedAvg(ev, "user_id", "ts_us", "cents",
+      0L, Long.MaxValue)
+    val p = plan(df)
+    assert(!"(?i)cartesian|join".r.findAllIn(p).hasNext, p)
+    // window partitioning and the final agg share the key: the agg
+    // reuses the window's exchange, so exactly ONE shuffle total
+    assert(exchanges(df) == 1, p)
+  }
 }
