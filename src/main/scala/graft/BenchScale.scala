@@ -35,7 +35,13 @@ object BenchScale {
     "q190_bpe_sampled", "q191_nb_holdout", "q192_pareto_bucketed",
     "q188_streaming_left_join", "q189_streaming_timeout",
     "q213_bpe_local", "q214_streaming_reverse_attribution",
-    "q216_kcenters_batched", "q217_skew_join")
+    "q216_kcenters_batched", "q217_skew_join",
+    // round-8 additions: the ungated exact-tier prefix-filter join is
+    // the headline scale claim; the rest are the new profiling /
+    // streaming / time-series shapes
+    "q223_prefix_filter_join", "q224_bootstrap_ci",
+    "q225_golden_records", "q226_seasonal_anomalies",
+    "q227_time_weighted_avg", "q228_streaming_distinct")
 
   private def loadavg: String =
     try scala.io.Source.fromFile("/proc/loadavg").mkString.trim

@@ -158,4 +158,99 @@ object Sketch {
       .where(col("n") > col("total") * phi)
       .select(col("v").as(valueCol), col("n"))
   }
+
+  /** Deterministic HyperLogLog registers (Flajolet et al. 2007) from
+    * md5 — unlike [[rollingDistinct]]'s DataSketches HLL (opaque
+    * internals, validated against exact counts in a tolerance band),
+    * every bit here is plan arithmetic a SQL engine replays, so the
+    * ESTIMATE ITSELF hash-verifies. `logBuckets` must be a multiple of
+    * 4 (nibble-aligned bucket split; m = 2^logBuckets buckets): the
+    * bucket is the hash's first `logBuckets` bits, the rank is the
+    * 1-based position of the first 1-bit in the NEXT 64 bits (65 if
+    * all zero), computed by stripping leading '0' hex chars — no float,
+    * no UDF. Registers are `max(rank)` per (group, bucket): idempotent
+    * under duplicates (no pre-distinct needed) and mergeable by `max`.
+    *
+    * Shape at 100 TB: ONE partial-agg shuffle to the (group, bucket)
+    * grain — max combines map-side, so at most |groups|·m rows move.
+    */
+  def hllRegisters(df: DataFrame, groupCol: String, keyCol: String,
+      logBuckets: Int): DataFrame = {
+    require(logBuckets >= 4 && logBuckets <= 16 && logBuckets % 4 == 0,
+      s"logBuckets=$logBuckets must be one of 4, 8, 12, 16")
+    val h = md5(concat(lit("hll:"), col(keyCol).cast("string")))
+    val rest = substring(h, logBuckets / 4 + 1, 16)
+    val stripped = regexp_replace(rest, "^0+", "")
+    val firstNib = substring(stripped, 1, 1)
+    val bits = when(firstNib === "1", 3)
+      .when(firstNib.isin("2", "3"), 2)
+      .when(firstNib.isin("4", "5", "6", "7"), 1).otherwise(0)
+    val rank = when(length(stripped) === 0, lit(65)).otherwise(
+      (lit(16) - length(stripped)) * 4 + bits + 1)
+    df.select(col(groupCol).as("group"),
+        conv(substring(h, 1, logBuckets / 4), 16, 10).cast("long")
+          .as("bucket"),
+        rank.as("rank"))
+      .groupBy("group", "bucket").agg(max("rank").as("reg"))
+  }
+
+  /** HLL estimate from a [[hllRegisters]] relation (any (group, bucket,
+    * reg) rows — including ones merged across periods by `max`). The
+    * harmonic denominator is EXACT: Σ 2^(65−reg) accumulates as
+    * decimal(38,0) integers (empty buckets contribute 2^65), so
+    * summation order cannot move a bit; the only floats are the final
+    * fixed-shape expression and the small-range linear-counting branch
+    * (`m·ln(m/V)` when `E ≤ 2.5m` and empty buckets exist — standard
+    * HLL, NOT HLL++ bias tables, which is why this coexists with
+    * `approx_count_distinct` rather than replacing it).
+    */
+  def hllEstimate(registers: DataFrame, logBuckets: Int): DataFrame = {
+    val m = 1L << logBuckets
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val two65 = new java.math.BigDecimal(
+      java.math.BigInteger.ONE.shiftLeft(65))
+    registers.groupBy("group")
+      .agg(count(lit(1)).as("present"),
+        sum(pow(lit(2.0), lit(65) - col("reg")).cast("decimal(38,0)"))
+          .as("s"))
+      .withColumn("denom", col("s").cast("double") +
+        (lit(m) - col("present")).cast("double") * lit(two65.doubleValue))
+      .withColumn("e_raw",
+        lit(alpha * m * m) * lit(two65.doubleValue) / col("denom"))
+      .withColumn("v_empty", lit(m) - col("present"))
+      .select(col("group"), col("present"),
+        when(col("e_raw") <= lit(2.5 * m) && col("v_empty") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("v_empty")))
+          .otherwise(col("e_raw")).as("estimate"))
+  }
+
+  /** Group-wise approximate distinct with an exactly-replayable answer:
+    * [[hllRegisters]] + [[hllEstimate]] in one call.
+    */
+  def hllDistinct(df: DataFrame, groupCol: String, keyCol: String,
+      logBuckets: Int = 8): DataFrame =
+    hllEstimate(hllRegisters(df, groupCol, keyCol, logBuckets),
+      logBuckets)
+
+  /** Rolling trailing-window distinct from deterministic HLL: one
+    * register relation at the (period, bucket) grain, then every
+    * trailing window is a `max`-merge of `windowLen` periods'
+    * registers — [[rollingDistinct]]'s 100 TB pattern (raw keys shuffle
+    * ONCE, windows reuse fixed-size sketches) with a hash-verifiable
+    * estimate instead of a banded one.
+    */
+  def hllRolling(df: DataFrame, periodCol: String, keyCol: String,
+      windowLen: Int, logBuckets: Int = 8): DataFrame = {
+    require(windowLen >= 1, s"windowLen=$windowLen must be >= 1")
+    val regs = hllRegisters(df, periodCol, keyCol, logBuckets)
+    val anchors = regs.select(col("group").as("_anchor")).distinct()
+    val merged = regs
+      .join(anchors, col("group").between(
+        col("_anchor") - (windowLen - 1), col("_anchor")))
+      .groupBy(col("_anchor"), col("bucket"))
+      .agg(max("reg").as("reg"))
+      .select(col("_anchor").as("group"), col("bucket"), col("reg"))
+    hllEstimate(merged, logBuckets)
+      .select(col("group").as("period"), col("present"), col("estimate"))
+  }
 }

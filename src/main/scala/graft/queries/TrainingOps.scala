@@ -5496,6 +5496,97 @@ object TrainingOps {
              |  ROUND(CAST(SUM(v * dt) AS DOUBLE) / SUM(dt), 6) AS twa
              |FROM seg GROUP BY 1 HAVING SUM(dt) > 0
              |ORDER BY 1""".stripMargin)),
+
+    // Deterministic HLL: md5-bucketed register-max sketch whose
+    // ESTIMATE hash-verifies (vs q63/q142's DataSketches band checks) —
+    // the harmonic denominator is an exact integer sum (hugeint vs
+    // decimal), the final expression is fixed-shape float arithmetic
+    // written identically on both engines.
+    QueryDef("q229_hll_distinct",
+      (s, d) => graft.ops.Sketch.hllDistinct(eventsMicros(s, d),
+          "event_type", "user_id", logBuckets = 8)
+        .select(col("group").as("event_type"), col("present"),
+          round(col("estimate"), 4).as("estimate"))
+        .orderBy("event_type"),
+      Some("""WITH h AS (SELECT event_type AS grp,
+             |    md5('hll:' || CAST(user_id AS VARCHAR)) AS hx
+             |  FROM events),
+             |ranked AS (SELECT grp,
+             |    (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+             |      + strpos('0123456789abcdef', substr(hx, 2, 1)) - 1
+             |      AS bucket,
+             |    CASE WHEN s = '' THEN 65
+             |      ELSE (16 - LENGTH(s)) * 4 +
+             |        CASE WHEN substr(s, 1, 1) = '1' THEN 3
+             |          WHEN substr(s, 1, 1) IN ('2', '3') THEN 2
+             |          WHEN substr(s, 1, 1) IN ('4', '5', '6', '7')
+             |            THEN 1
+             |          ELSE 0 END + 1 END AS rank
+             |  FROM (SELECT grp, hx,
+             |      REGEXP_REPLACE(substr(hx, 3, 16), '^0+', '') AS s
+             |    FROM h)),
+             |regs AS (SELECT grp, bucket, MAX(rank) AS reg
+             |  FROM ranked GROUP BY 1, 2),
+             |est AS (SELECT grp, COUNT(*) AS present,
+             |    CAST(SUM(CAST(POW(2, 65 - reg) AS HUGEINT)) AS DOUBLE)
+             |      + (256 - COUNT(*)) * POW(2, 65) AS denom
+             |  FROM regs GROUP BY 1)
+             |SELECT grp AS event_type, present,
+             |  ROUND(CASE WHEN (0.7213 / (1 + 1.079 / 256)) * 256 * 256
+             |        * POW(2, 65) / denom <= 2.5 * 256
+             |      AND (256 - present) > 0
+             |    THEN 256.0 * LN(256.0 / (256 - present))
+             |    ELSE (0.7213 / (1 + 1.079 / 256)) * 256 * 256
+             |      * POW(2, 65) / denom END, 4) AS estimate
+             |FROM est ORDER BY 1""".stripMargin)),
+
+    // Rolling 7-day distinct users from the SAME deterministic sketch:
+    // raw keys shuffle once to the (day, bucket) register grain, every
+    // trailing window max-merges 7 fixed-size sketches — q142's scale
+    // pattern, upgraded from band-checked to hash-checked.
+    QueryDef("q230_hll_rolling",
+      (s, d) => graft.ops.Sketch.hllRolling(
+          eventsMicros(s, d).withColumn("day",
+            expr("ts_us DIV 86400000000")),
+          "day", "user_id", windowLen = 7, logBuckets = 8)
+        .select(col("period").as("day"), col("present"),
+          round(col("estimate"), 4).as("estimate"))
+        .orderBy("day"),
+      Some("""WITH h AS (SELECT epoch_us(ts) // 86400000000 AS day,
+             |    md5('hll:' || CAST(user_id AS VARCHAR)) AS hx
+             |  FROM events),
+             |ranked AS (SELECT day,
+             |    (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+             |      + strpos('0123456789abcdef', substr(hx, 2, 1)) - 1
+             |      AS bucket,
+             |    CASE WHEN s = '' THEN 65
+             |      ELSE (16 - LENGTH(s)) * 4 +
+             |        CASE WHEN substr(s, 1, 1) = '1' THEN 3
+             |          WHEN substr(s, 1, 1) IN ('2', '3') THEN 2
+             |          WHEN substr(s, 1, 1) IN ('4', '5', '6', '7')
+             |            THEN 1
+             |          ELSE 0 END + 1 END AS rank
+             |  FROM (SELECT day, hx,
+             |      REGEXP_REPLACE(substr(hx, 3, 16), '^0+', '') AS s
+             |    FROM h)),
+             |regs AS (SELECT day, bucket, MAX(rank) AS reg
+             |  FROM ranked GROUP BY 1, 2),
+             |merged AS (SELECT a.day, r.bucket, MAX(r.reg) AS reg
+             |  FROM (SELECT DISTINCT day FROM regs) a
+             |  JOIN regs r ON r.day BETWEEN a.day - 6 AND a.day
+             |  GROUP BY 1, 2),
+             |est AS (SELECT day, COUNT(*) AS present,
+             |    CAST(SUM(CAST(POW(2, 65 - reg) AS HUGEINT)) AS DOUBLE)
+             |      + (256 - COUNT(*)) * POW(2, 65) AS denom
+             |  FROM merged GROUP BY 1)
+             |SELECT day, present,
+             |  ROUND(CASE WHEN (0.7213 / (1 + 1.079 / 256)) * 256 * 256
+             |        * POW(2, 65) / denom <= 2.5 * 256
+             |      AND (256 - present) > 0
+             |    THEN 256.0 * LN(256.0 / (256 - present))
+             |    ELSE (0.7213 / (1 + 1.079 / 256)) * 256 * 256
+             |      * POW(2, 65) / denom END, 4) AS estimate
+             |FROM est ORDER BY 1""".stripMargin)),
   )
 
   /** DuckDB replay of [[graft.ops.TextAnalysis.tailRepetition]] over

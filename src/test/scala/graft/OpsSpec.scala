@@ -1683,6 +1683,33 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
       s"boundary pair must survive: ${kept.toSeq}")
   }
 
+  test("deterministic HLL: accurate, mergeable, duplicate-immune") {
+    val s2 = spark; import s2.implicits._
+    val big = (1L to 5000L).map(i => ("big", i))
+    val dups = (1L to 5000L).map(i => ("big", i)) // exact duplicates
+    val tiny = Seq(("tiny", 1L), ("tiny", 2L), ("tiny", 3L))
+    val fx = (big ++ dups ++ tiny).toDF("grp", "k")
+    val est = Sketch.hllDistinct(fx, "grp", "k", logBuckets = 8)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // m=256 -> ~6.5% standard error; duplicates must not inflate
+    assert(math.abs(est("big") - 5000) < 0.2 * 5000, s"big: $est")
+    // small-range linear counting: 256·ln(256/253) ≈ 3.02
+    assert(math.abs(est("tiny") - 3.0) < 0.2, s"tiny: $est")
+    // mergeability: registers of the union == max-merge of halves
+    val a = fx.where(col("k") <= 2500L)
+    val b = fx.where(col("k") > 2500L)
+    val mergedHalves = Sketch.hllRegisters(a, "grp", "k", 8)
+      .unionByName(Sketch.hllRegisters(b, "grp", "k", 8))
+      .groupBy("group", "bucket").agg(max("reg").as("reg"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+      .toSet
+    val whole = Sketch.hllRegisters(fx, "grp", "k", 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+      .toSet
+    assert(mergedHalves == whole, "register max-merge must equal the " +
+      "union's registers")
+  }
+
   test("time-weighted average clips, opens pre-window, holds ties") {
     val s2 = spark; import s2.implicits._
     val fx = Seq(
