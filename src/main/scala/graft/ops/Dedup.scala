@@ -731,24 +731,47 @@ object Dedup {
     * common gram escaped A's prefix, ALL common grams would sit in A's
     * suffix of size `ceil(t·|A|) - 1 < t·|A|` — contradiction, and
     * symmetrically for B. So every qualifying pair shares a gram lying in
-    * BOTH prefixes and the prefix-bucket expansion finds it. The ceiling
-    * is taken as `ceil(t·|d| - 1e-9)` so an IEEE wobble at an exact
-    * integer boundary can only LENGTHEN a prefix (extra candidates are
-    * re-scored exactly and filtered; a shortened prefix could lose pairs).
+    * BOTH prefixes and the prefix-bucket expansion finds it. Every
+    * ceiling is taken with a `- 1e-9` epsilon so an IEEE wobble at an
+    * exact integer boundary can only LENGTHEN a prefix / WEAKEN a prune
+    * (extra candidates are re-scored exactly and filtered; the strict
+    * direction could lose pairs).
+    *
+    * Two further PPJoin prunes, both applied per collision BEFORE the
+    * dedup/verify stages, both derived from the pair's true overlap
+    * requirement `α = ceil(t/(1+t)·(|A|+|B|))`:
+    *   - INDEXING prefix: order each pair (a, b) by (size, id), a
+    *     smallest. A qualifying pair has `|B| >= |A|`, so
+    *     `α >= 2t/(1+t)·|A|`, and the prefix lemma confines some common
+    *     gram to a's first `|A| - ceil(2t/(1+t)·|A|) + 1` grams — a
+    *     SHORTER prefix than the symmetric bound (at t=0.7: 0.18·|A| vs
+    *     0.30·|A|). Collisions where the smaller side sits past its
+    *     indexing prefix generate no candidate.
+    *   - POSITIONAL filter: a collision at ranks (pa, pb) bounds the
+    *     achievable overlap by `min(pa,pb)-1` common grams before it,
+    *     itself, and `min(|A|-pa, |B|-pb)` after; candidates whose bound
+    *     falls below α are dropped without verification.
     *
     * Shape at 100 TB: this is the exact-tier shape that survives scale
     * where [[jaccardPairs]] does not — the quadratic bucket expansion runs
     * only on PREFIX grams, which the df-ascending order makes the rarest
-    * grams in the corpus (stop-word buckets never form), and the length
-    * filter `min(|A|,|B|) >= t·max(|A|,|B|)` prunes candidates before the
-    * verify join. Verification touches the gram relation once more,
-    * semi-joined down to candidate ids. Three shuffles total: df agg +
-    * per-doc rank window, prefix-bucket expansion, verify join.
+    * grams in the corpus (stop-word buckets never form), and the
+    * size/positional prunes cut candidates before they are even
+    * deduplicated. Verification joins the candidate list twice against a
+    * per-doc sorted gram-array relation (linear in the corpus) and
+    * intersects arrays per pair — candidates move with two narrow
+    * equi-joins; the gram relation is never expanded candidate-ways.
+    * Candidate volume itself is a DATA property: it scales with
+    * Σ per-gram prefix-bucket C(df,2), i.e. linearly in docs when
+    * near-dup density per doc is bounded (measured: 10× docs with ~10
+    * perturbed twins each → 10× prefix rows, ~126× candidates — the
+    * twins, not the operator; per-candidate cost stayed flat).
     */
   def prefixFilterPairs(docs: DataFrame, n: Int,
       minJaccard: Double): DataFrame = {
     require(minJaccard > 0.0 && minJaccard <= 1.0,
       s"minJaccard=$minJaccard must be in (0, 1]")
+    val t = minJaccard
     val sh = shingles(docs, n)
     val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
@@ -756,24 +779,37 @@ object Dedup {
     val prefix = sh.join(dfreq, "shingle").join(sizes, "id")
       .withColumn("pos", row_number().over(wDoc))
       .where(col("pos") <=
-        col("n_sh") - ceil(lit(minJaccard) * col("n_sh") - 1e-9) + 1)
+        col("n_sh") - ceil(lit(t) * col("n_sh") - 1e-9) + 1)
+    // pairs ordered by (n_sh, id): `a` is the smaller set of the two
+    val alpha = ceil(lit(t / (1 + t)) *
+      (col("a.n_sh") + col("b.n_sh")) - 1e-9)
     val cand = bucketPairsOf(
-        prefix.select(col("shingle"), struct(col("id"), col("n_sh")).as("p")),
+        prefix.select(col("shingle"),
+          struct(col("n_sh"), col("id"), col("pos")).as("p")),
         Seq("shingle"), col("p"))
-      .select(col("a.id").as("id1"), col("a.n_sh").as("n1"),
-        col("b.id").as("id2"), col("b.n_sh").as("n2"))
+      .where(col("a.pos") <= col("a.n_sh") -
+        ceil(lit(2 * t / (1 + t)) * col("a.n_sh") - 1e-9) + 1)
+      .where(least(col("a.pos"), col("b.pos")) +
+        least(col("a.n_sh") - col("a.pos"),
+          col("b.n_sh") - col("b.pos")) >= alpha)
+      .where(col("a.n_sh") >= lit(t) * col("b.n_sh"))
+      .select(least(col("a.id"), col("b.id")).as("id1"),
+        greatest(col("a.id"), col("b.id")).as("id2"),
+        (col("a.n_sh") + col("b.n_sh")).as("nsum"))
       .distinct()
-      .where(least(col("n1"), col("n2")) >=
-        lit(minJaccard) * greatest(col("n1"), col("n2")))
-    val s1 = sh.select(col("id").as("id1"), col("shingle"))
-    val s2 = sh.select(col("id").as("id2"), col("shingle"))
-    cand.join(s1, "id1").join(s2, Seq("id2", "shingle"))
-      .groupBy("id1", "id2", "n1", "n2")
-      .agg(count(lit(1)).as("n_common"))
+    val docSets = sh.groupBy("id")
+      .agg(sort_array(collect_list("shingle")).as("grams"))
+    cand
+      .join(docSets.select(col("id").as("id1"), col("grams").as("g1")),
+        "id1")
+      .join(docSets.select(col("id").as("id2"), col("grams").as("g2")),
+        "id2")
+      .withColumn("n_common",
+        size(array_intersect(col("g1"), col("g2"))).cast("long"))
       .select(col("id1"), col("id2"),
         (col("n_common").cast("double") /
-          (col("n1") + col("n2") - col("n_common"))).as("jaccard"))
-      .where(col("jaccard") >= minJaccard)
+          (col("nsum") - col("n_common"))).as("jaccard"))
+      .where(col("jaccard") >= t)
   }
 
   def fuzzyJoin(left: DataFrame, right: DataFrame,

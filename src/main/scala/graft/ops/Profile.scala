@@ -988,4 +988,76 @@ object Profile {
       .select(col("id"), col("dow"), col("hour"), col("v"),
         col("cell_median"), col("residual"), col("dev"))
   }
+
+  /** EXACT per-key lower quantiles, generalized from [[robustStats]]'s
+    * median to any quantile list: for each key and each `q ∈ qs`,
+    * the smallest value whose cumulative count reaches rank
+    * `max(1, ceil(q·n))` — the type-1 ("lower") quantile, which is
+    * always an ACTUAL data value, so with integral input every output
+    * is exact and engine-replayable (no interpolation float). `q = 0`
+    * reports the minimum, `q = 1` the maximum. The ceil is epsilon'd
+    * (`ceil(q·n − 1e-9)`) so an exactly-integral `q·n` (e.g. q=0.25,
+    * n=400 → rank 100) cannot round UP to 101 through IEEE
+    * representation of q.
+    *
+    * `valueCol` is cast to LONG (quantize floats first, e.g. cents) —
+    * the [[ksDrift]] discipline.
+    *
+    * Shape at 100 TB: the whole computation runs on the COLLAPSED
+    * (key, value, count) grain — one partial-agg shuffle collapses the
+    * corpus, then the cumulative window sorts DISTINCT VALUES per key,
+    * not rows (the [[seasonalAnomalies]] contract: a billion-row key
+    * with 50k distinct lengths windows 50k rows). All |qs| quantiles
+    * ride ONE window pass — the rank explode happens after the
+    * cumulative sums, on the collapsed grain.
+    */
+  def exactQuantiles(df: DataFrame, keyCol: String, valueCol: String,
+      qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"qs=$qs must be non-empty fractions in [0, 1]")
+    val grain = df.select(col(keyCol).as("key"),
+        col(valueCol).cast("long").as("v"))
+      .where(col("v").isNotNull)
+      .groupBy("key", "v").agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy("key").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grain
+      .withColumn("cum", sum("c").over(wCum))
+      .withColumn("n", sum("c").over(Window.partitionBy("key")))
+      .withColumn("q", explode(array(qs.map(lit): _*)))
+      .where(col("cum") >=
+        greatest(lit(1L), ceil(col("q") * col("n") - 1e-9)))
+      .groupBy("key", "q").agg(min("v").as("value"))
+  }
+
+  /** Winsorize (clip) each row's value at its OWN key's exact
+    * [`qLo`, `qHi`] quantiles — the outlier-taming step before means,
+    * regressions, or reward models see a heavy-tailed measure: a key's
+    * top 5% no longer drags that key's statistics, and every key gets
+    * its own clip points (a global clip would flatten small-scale keys
+    * to a constant). Appends `v_clip` (= value clamped into the key's
+    * band); the quantiles are [[exactQuantiles]]' type-1 values, so
+    * clip points are actual data values and the clamp is exact integer
+    * arithmetic.
+    *
+    * Shape at 100 TB: [[exactQuantiles]]' collapsed-grain pass, a
+    * pivot of the two quantiles to one row per key (≤ 2 rows/key in,
+    * 1 out), and ONE equi-join of that key-grain relation back onto
+    * the corpus — broadcast when keys are few, shuffle-on-key
+    * otherwise; either way the corpus moves at most once.
+    */
+  def winsorize(df: DataFrame, keyCol: String, valueCol: String,
+      qLo: Double, qHi: Double): DataFrame = {
+    require(qLo >= 0.0 && qLo < qHi && qHi <= 1.0,
+      s"need 0 <= qLo < qHi <= 1, got [$qLo, $qHi]")
+    val cuts = exactQuantiles(df, keyCol, valueCol, Seq(qLo, qHi))
+      .groupBy("key").agg(
+        min(when(col("q") === qLo, col("value"))).as("lo"),
+        min(when(col("q") === qHi, col("value"))).as("hi"))
+      .withColumnRenamed("key", keyCol)
+    df.join(cuts, keyCol)
+      .withColumn("v_clip",
+        least(greatest(col(valueCol).cast("long"), col("lo")), col("hi")))
+      .drop("lo", "hi")
+  }
 }

@@ -115,6 +115,46 @@ object Sampling {
       least(col(weightCol).cast("double"), lit(cap)) * rate)
   }
 
+  /** EXACT-size weighted sample WITHOUT replacement per group, in one
+    * pass (Efraimidis & Spirakis 2006, log-key form): each row draws
+    * `u ∈ (0,1)` from its content hash and scores `key = ln(u) / w`; the
+    * k rows with the LARGEST key per group are distributed exactly as k
+    * sequential without-replacement draws proportional to `w`. This is
+    * what [[weightedSample]] (Bernoulli, random SIZE) can't give: a
+    * quota — "exactly 10k docs per source, long docs favored" — without
+    * any sequential draw loop. Ordering-equivalent to
+    * [[weightedCapPerKey]]'s `u^(1/w)` key (ln is monotone), but built
+    * for the case that op's window can't survive: FEW, GIANT groups.
+    *
+    * Shape at 100 TB: the selection routes through
+    * [[graft.ops.TopK.perKey]]'s partial aggregator — each map task
+    * keeps at most k candidates per group, so the exchange carries
+    * ≤ k·partitions rows per group instead of the whole group. A
+    * 2-group/50-billion-row corpus costs two ≤ k·partitions merges, not
+    * two single-partition window sorts. Returns the SELECTION
+    * `(group, id, wor_rank)` with rank 1..k; recover payloads with a
+    * semi-join on `idCol` (at scale that join is the cheap part).
+    *
+    * Determinism: `u = (h + 0.5) / 65536` from the md5 draw (never 0, so
+    * `ln` is finite) and the key is quantized to an exact integer
+    * `round(ln(u)/w · 1e12)` — a 1-ulp `ln` disagreement between engines
+    * collapses, rank ties break by `idCol`, and a SQL oracle replays the
+    * integer key digit-for-digit. |key| ≤ ln(65536/0.5)·1e12 < 2^44 for
+    * w ≥ 1, exact in both long and double.
+    */
+  def weightedSampleWOR(df: DataFrame, groupCol: String, k: Int,
+      weightCol: String, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    val u = hashUnit(col(textCol), "wor:") + lit(0.5 / 65536)
+    val keyQ = round(log(u) / col(weightCol).cast("double") * 1e12, 0)
+    val scored = df.where(col(weightCol) > 0)
+      .withColumn("__wor_key", keyQ.cast("long"))
+    TopK.perKey(scored, groupCol, "__wor_key", idCol, k)
+      .withColumnRenamed("rk", "wor_rank")
+      .drop("__wor_key")
+  }
+
   /** Cap the number of rows kept per key at `maxN` (the C4/RefinedWeb
     * "documents per domain" cap that stops one crawl host from dominating
     * the training mix). Survivors are chosen by content-hash rank — the

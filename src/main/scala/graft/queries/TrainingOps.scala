@@ -5587,6 +5587,71 @@ object TrainingOps {
              |    ELSE (0.7213 / (1 + 1.079 / 256)) * 256 * 256
              |      * POW(2, 65) / denom END, 4) AS estimate
              |FROM est ORDER BY 1""".stripMargin)),
+
+    // Exact-size weighted sample WITHOUT replacement per source
+    // (Efraimidis-Spirakis log keys through the partial top-k
+    // aggregator — no per-group window): the oracle replays the same
+    // content-hash draw, the same integer-quantized ln(u)/w key, and
+    // the same (key DESC, doc_id) tiebreak, so ranks match row-for-row.
+    QueryDef("q231_weighted_wor",
+      (s, d) => Sampling.weightedSampleWOR(
+          table(s, d, "documents"), "source", 20, "n_chars")
+        .select(col("doc_id"), col("source"), col("wor_rank"))
+        .orderBy("doc_id"),
+      Some(s"""WITH r AS (SELECT doc_id, source,
+              |    ROW_NUMBER() OVER (PARTITION BY source
+              |      ORDER BY CAST(round(ln(${drawSql("wor:")}
+              |            + 0.5 / 65536.0) / n_chars * 1e12, 0)
+              |          AS BIGINT) DESC, doc_id) AS wor_rank
+              |  FROM documents WHERE n_chars > 0)
+              |SELECT doc_id, source, wor_rank FROM r
+              |WHERE wor_rank <= 20 ORDER BY doc_id""".stripMargin)),
+
+    // Exact per-key lower quantiles on the collapsed (key, value, count)
+    // grain — every reported value is an actual data value, so integral
+    // input hash-compares with no interpolation float; the oracle
+    // replays the same cumulative ranks and the same epsilon'd ceil.
+    QueryDef("q232_exact_quantiles",
+      (s, d) => graft.ops.Profile.exactQuantiles(
+          table(s, d, "documents"), "lang", "n_chars",
+          Seq(0.1, 0.25, 0.5, 0.75, 0.9))
+        .select(col("key").as("lang"), col("q"), col("value"))
+        .orderBy("lang", "q"),
+      Some("""WITH g AS (SELECT lang, n_chars AS v, COUNT(*) AS c
+             |  FROM documents GROUP BY 1, 2),
+             |w AS (SELECT lang, v,
+             |    SUM(c) OVER (PARTITION BY lang ORDER BY v) AS cum,
+             |    SUM(c) OVER (PARTITION BY lang) AS n FROM g)
+             |SELECT lang, q, MIN(v) AS value FROM w,
+             |  (SELECT UNNEST([0.1, 0.25, 0.5, 0.75, 0.9]) AS q) qs
+             |WHERE cum >= GREATEST(1, CEIL(q * n - 1e-9))
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Per-key winsorization at exact [5%, 95%] quantiles: clip points
+    // are actual data values, the clamp is integer arithmetic, and the
+    // corpus moves through ONE equi-join against the key-grain cuts.
+    QueryDef("q233_winsorize",
+      (s, d) => graft.ops.Profile.winsorize(
+          table(s, d, "documents"), "lang", "n_chars", 0.05, 0.95)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("v_clip"))
+        .orderBy("doc_id"),
+      Some("""WITH g AS (SELECT lang, n_chars AS v, COUNT(*) AS c
+             |  FROM documents GROUP BY 1, 2),
+             |w AS (SELECT lang, v,
+             |    SUM(c) OVER (PARTITION BY lang ORDER BY v) AS cum,
+             |    SUM(c) OVER (PARTITION BY lang) AS n FROM g),
+             |qv AS (SELECT lang, q, MIN(v) AS value FROM w,
+             |    (SELECT UNNEST([0.05, 0.95]) AS q) qs
+             |  WHERE cum >= GREATEST(1, CEIL(q * n - 1e-9))
+             |  GROUP BY 1, 2),
+             |cuts AS (SELECT lang,
+             |    MIN(CASE WHEN q = 0.05 THEN value END) AS lo,
+             |    MIN(CASE WHEN q = 0.95 THEN value END) AS hi
+             |  FROM qv GROUP BY 1)
+             |SELECT d.doc_id, d.lang, d.n_chars,
+             |  LEAST(GREATEST(d.n_chars, c.lo), c.hi) AS v_clip
+             |FROM documents d JOIN cuts c USING (lang)
+             |ORDER BY doc_id""".stripMargin)),
   )
 
   /** DuckDB replay of [[graft.ops.TextAnalysis.tailRepetition]] over

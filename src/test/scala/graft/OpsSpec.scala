@@ -2063,6 +2063,89 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(all == Set(1L, 2L, 3L), all.toString)
   }
 
+  test("weighted WOR sample: equals the window replay of its own key " +
+      "on any partitioning; giant single group; zero weight excluded") {
+    val s2 = spark; import s2.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // same-salt, same-quantized-key window replay — the ranking contract
+    def replay(df: org.apache.spark.sql.DataFrame, grp: String, k: Int) = df
+      .where(col("n_chars") > 0)
+      .withColumn("u",
+        Sampling.hashUnit(col("text"), "wor:") + lit(0.5 / 65536))
+      .withColumn("key",
+        round(log(col("u")) / col("n_chars").cast("double") * 1e12, 0)
+          .cast("long"))
+      .withColumn("wor_rank", row_number().over(Window.partitionBy(grp)
+        .orderBy(col("key").desc, col("doc_id").asc)))
+      .where(col("wor_rank") <= k)
+      .select(col(grp), col("doc_id"), col("wor_rank"))
+    val expect = replay(docs, "source", 7).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    // merge correctness must not depend on how rows land in partitions
+    for (parts <- Seq(1, 7)) {
+      val got = Sampling.weightedSampleWOR(docs.repartition(parts),
+          "source", 7, "n_chars")
+        .select(col("source"), col("doc_id"), col("wor_rank"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+        .toSet
+      assert(got == expect, s"parts=$parts")
+    }
+    // one giant group — the shape the window op can't survive at scale
+    val one = docs.withColumn("g", lit("all"))
+    val gotOne = Sampling.weightedSampleWOR(one, "g", 5, "n_chars")
+      .select("doc_id", "wor_rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val expOne = replay(one, "g", 5).select("doc_id", "wor_rank")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(gotOne == expOne && gotOne.size == 5)
+    // zero/negative weights are never sampled
+    val fx2 = Seq((1L, "aa", "k", 3L), (2L, "bb", "k", 0L),
+      (3L, "cc", "k", -4L)).toDF("doc_id", "text", "k", "n_chars")
+    val kept = Sampling.weightedSampleWOR(fx2, "k", 10, "n_chars")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L), kept.toString)
+  }
+
+  test("exact quantiles: hand-computed ranks, ties collapse, " +
+      "integral q*n does not round up, endpoints are min/max") {
+    val s2 = spark; import s2.implicits._
+    val fx = ((1 to 10).map(v => ("a", v.toLong)) ++
+      Seq(("b", 5L), ("b", 5L), ("b", 5L), ("b", 7L)) ++
+      Seq(("c", 42L))).toDF("k", "v")
+    val got = graft.ops.Profile
+      .exactQuantiles(fx, "k", "v", Seq(0.0, 0.25, 0.5, 0.75, 0.8, 1.0))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getLong(2)).toMap
+    // key a: n=10 — ranks 1, 3, 5, 8 (ceil(7.5)), 8, 10
+    assert(got(("a", 0.0)) == 1L && got(("a", 0.25)) == 3L)
+    assert(got(("a", 0.5)) == 5L && got(("a", 1.0)) == 10L)
+    // key b: n=4 over collapsed grain {5:3, 7:1} — q=0.75 hits rank 3
+    // EXACTLY (0.75*4 = 3.0 must not ceil to 4), q=0.8 rank 4 -> 7
+    assert(got(("b", 0.5)) == 5L && got(("b", 0.75)) == 5L)
+    assert(got(("b", 0.8)) == 7L)
+    // singleton key: every quantile is the one value
+    assert(Seq(0.0, 0.25, 0.5, 0.75, 0.8, 1.0)
+      .forall(q => got(("c", q)) == 42L))
+  }
+
+  test("winsorize clips at per-key exact quantiles and leaves " +
+      "in-band values untouched") {
+    val s2 = spark; import s2.implicits._
+    val fx = ((1 to 10).map(v => ("a", v.toLong)) ++
+      (100 to 1000 by 100).map(v => ("b", v.toLong)))
+      .toDF("k", "v")
+    val got = graft.ops.Profile.winsorize(fx, "k", "v", 0.2, 0.8)
+      .select("k", "v", "v_clip").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // key a: cuts at ranks 2 and 8 -> [2, 8]
+    assert(got(("a", 1L)) == 2L && got(("a", 2L)) == 2L)
+    assert(got(("a", 5L)) == 5L)
+    assert(got(("a", 9L)) == 8L && got(("a", 10L)) == 8L)
+    // key b gets ITS OWN band [200, 800], not key a's
+    assert(got(("b", 100L)) == 200L && got(("b", 1000L)) == 800L)
+    assert(got(("b", 500L)) == 500L)
+  }
+
   test("partial top-k per key equals the window form on any partitioning") {
     val s2 = spark; import s2.implicits._
     import org.apache.spark.sql.expressions.Window
