@@ -624,4 +624,28 @@ object Curation {
       .select(col("doc_id"), col("n_hits"),
         (col("n_hits").cast("double") / col("n_grams")).as("hit_frac"))
   }
+
+  /** k-anonymity / l-diversity profile over a quasi-identifier set —
+    * the privacy audit a dataset runs before release: every
+    * equivalence class (one combination of `quasiCols` values) reports
+    * its size, the number of DISTINCT values of `sensitiveCol` inside
+    * it (l-diversity: a class of 50 people all sharing one diagnosis
+    * is k-anonymous and still leaks), and an `at_risk` flag for
+    * classes smaller than `k`. Join the flagged classes back on the
+    * quasi columns to suppress or generalize the offending rows.
+    *
+    * Shape at 100 TB: ONE aggregation to the quasi-identifier grain;
+    * the distinct count is Spark's standard two-phase distinct-agg
+    * expansion (partial distinct on (class, value), then count) — no
+    * windows, no joins, no driver state.
+    */
+  def kAnonymityProfile(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, k: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier")
+    require(k >= 2, s"k=$k below 2 makes every class anonymous")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(col(sensitiveCol)).as("l_distinct"))
+      .withColumn("at_risk", col("class_size") < k)
+  }
 }

@@ -1030,6 +1030,61 @@ object Profile {
       .groupBy("key", "q").agg(min("v").as("value"))
   }
 
+  /** Per-key autocorrelation function at lags 1..`maxLag` — the
+    * seasonality/momentum fingerprint of a metric stream: a daily
+    * cadence shows as a spike at its lag, white noise decays to ~0,
+    * and a trending series stays high at every lag. Pairs are
+    * (x_t, x_{t−lag}) in (`tsCol`, `idCol`) order; `acf` is Pearson
+    * correlation over the pairs,
+    * `(n·Σxy − Σx·Σy) / sqrt((n·Σxx − Σx²)·(n·Σyy − Σy²))`.
+    *
+    * `valueCol` is cast to LONG (quantize floats first — cents) and
+    * every sum accumulates in decimal(38,0), so both covariance
+    * numerators are EXACT integers on any engine; the one float is the
+    * final divide (the [[bootstrapCI]] discipline). Keys with a
+    * degenerate side (zero variance among paired values, or fewer than
+    * 2 pairs) report NULL, never ±Infinity.
+    *
+    * Shape at 100 TB: ONE key-partitioned sort window computes all
+    * `maxLag` lag columns in a single pass, a narrow unpivot stacks
+    * them to (key, lag) pairs, and ONE partial-agg shuffle reduces to
+    * the (key, lag) grain — |keys|·maxLag output rows.
+    */
+  def acfProfile(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, maxLag: Int, idCol: String = "event_id")
+      : DataFrame = {
+    require(maxLag >= 1, s"maxLag=$maxLag must be >= 1")
+    val w = Window.partitionBy("key")
+      .orderBy(col(tsCol), col(idCol))
+    val lagged = df
+      .select(col(keyCol).as("key"), col(tsCol), col(idCol),
+        col(valueCol).cast("long").as("x"))
+      .select(col("key") +: col("x") +:
+        (1 to maxLag).map(l => lag("x", l).over(w).as(s"y$l")): _*)
+    val stacked = lagged.select(col("key"), col("x"),
+        expr(s"stack($maxLag, " + (1 to maxLag)
+          .map(l => s"$l, y$l").mkString(", ") + ") AS (lag, y)"))
+      .select(col("key"), col("lag"), col("x"), col("y"))
+      .where(col("y").isNotNull)
+    val dec = "decimal(38,0)"
+    val agg = stacked.groupBy("key", "lag").agg(
+      count(lit(1)).as("n_pairs"),
+      sum(col("x").cast(dec)).as("sx"),
+      sum(col("y").cast(dec)).as("sy"),
+      sum((col("x") * col("x")).cast(dec)).as("sxx"),
+      sum((col("y") * col("y")).cast(dec)).as("syy"),
+      sum((col("x") * col("y")).cast(dec)).as("sxy"))
+    val varX = (col("n_pairs") * col("sxx") - col("sx") * col("sx"))
+      .cast("double")
+    val varY = (col("n_pairs") * col("syy") - col("sy") * col("sy"))
+      .cast("double")
+    val cov = (col("n_pairs") * col("sxy") - col("sx") * col("sy"))
+      .cast("double")
+    agg.select(col("key"), col("lag"), col("n_pairs"),
+      when(col("n_pairs") >= 2 && varX > 0 && varY > 0,
+        cov / sqrt(varX * varY)).as("acf"))
+  }
+
   /** Winsorize (clip) each row's value at its OWN key's exact
     * [`qLo`, `qHi`] quantiles — the outlier-taming step before means,
     * regressions, or reward models see a heavy-tailed measure: a key's

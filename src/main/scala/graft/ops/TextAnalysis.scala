@@ -1095,4 +1095,50 @@ object TextAnalysis {
         count(lit(1)).as("n_shared"))
       .where(col("cos") >= minCos)
   }
+
+  /** Flesch reading ease + Flesch–Kincaid grade level per document —
+    * the classic readability pair a curation mix uses to stratify
+    * difficulty (kids' corpora vs legal text) or to flag degenerate
+    * machine text (reading ease far outside [0, 100]).
+    *
+    * Syllables use a fixed replayable heuristic: per word,
+    * `max(1, vowelGroups − silentE)`, where vowelGroups counts maximal
+    * `[aeiouy]+` runs and silentE is 1 when the word matches
+    * `[^aeiouy]e$` (trailing e after a consonant — "table"/"house"
+    * drop one group; "tree"/"be" don't, their final `e` extends a
+    * vowel run). The rule trades linguistic fidelity for exact
+    * cross-engine replay — the stratification SIGNAL survives the
+    * approximation. Sentences count maximal `[.!?]+` runs, floored at
+    * 1 (a fragment is one sentence). Counts are exact integers; the
+    * two scores are fixed-order double arithmetic over integer ratios,
+    * identical on any IEEE engine.
+    *
+    * Shape at 100 TB: purely narrow — one projection, the syllable sum
+    * an ordered `aggregate` fold over the token array (no explode, no
+    * shuffle, no UDF).
+    */
+  def readability(docs: DataFrame): DataFrame = {
+    val base = docs
+      .where(col("text").isNotNull.and(length(trim(col("text"))) > 0))
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_words"),
+        greatest(lit(1L), size(regexp_extract_all(col("text"),
+          lit("[.!?]+"), lit(0))).cast("long")).as("n_sentences"),
+        expr("""aggregate(split(text, ' '), CAST(0 AS BIGINT),
+          (acc, w) -> acc + greatest(1,
+            size(regexp_extract_all(w, '[aeiouy]+', 0)) -
+            CASE WHEN w rlike '[^aeiouy]e$' THEN 1 ELSE 0 END))""")
+          .as("n_syllables"))
+    base
+      .withColumn("wps",
+        col("n_words").cast("double") / col("n_sentences"))
+      .withColumn("spw",
+        col("n_syllables").cast("double") / col("n_words"))
+      .select(col("doc_id"), col("n_words"), col("n_sentences"),
+        col("n_syllables"),
+        (lit(206.835) - lit(1.015) * col("wps")
+          - lit(84.6) * col("spw")).as("reading_ease"),
+        (lit(0.39) * col("wps") + lit(11.8) * col("spw")
+          - lit(15.59)).as("fk_grade"))
+  }
 }

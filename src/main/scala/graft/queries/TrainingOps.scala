@@ -5652,6 +5652,135 @@ object TrainingOps {
              |  LEAST(GREATEST(d.n_chars, c.lo), c.hi) AS v_clip
              |FROM documents d JOIN cuts c USING (lang)
              |ORDER BY doc_id""".stripMargin)),
+
+    // Flesch readability: exact integer word/sentence/syllable counts
+    // under a fixed replayable heuristic; the oracle replays the same
+    // vowel-group regex, silent-e rule, and fixed-order score formulas,
+    // so even the doubles hash-match.
+    QueryDef("q234_readability",
+      (s, d) => TextAnalysis.readability(
+          table(s, d, "documents").select(col("doc_id"),
+            // salt in sentence punctuation so n_sentences varies (the
+            // synthetic corpus has none): terminate every 7 words
+            concat(regexp_replace(col("text"),
+              "((?:\\S+ ){6}\\S+) ", "$1. "), lit(".")).as("text")))
+        .select(col("doc_id"), col("n_words"), col("n_sentences"),
+          col("n_syllables"), round(col("reading_ease"), 6)
+            .as("reading_ease"), round(col("fk_grade"), 6).as("fk_grade"))
+        .orderBy("doc_id"),
+      Some("""WITH salted AS (SELECT doc_id,
+             |    regexp_replace(text, '((?:\S+ ){6}\S+) ', '\1. ', 'g')
+             |      || '.' AS text FROM documents),
+             |t AS (SELECT doc_id, text,
+             |    string_split(text, ' ') AS ws,
+             |    GREATEST(1, len(regexp_extract_all(text, '[.!?]+')))
+             |      AS n_sentences
+             |  FROM salted WHERE text IS NOT NULL
+             |    AND strlen(trim(text)) > 0),
+             |w AS (SELECT doc_id, n_sentences,
+             |    CAST(len(ws) AS BIGINT) AS n_words, UNNEST(ws) AS w
+             |  FROM t),
+             |s AS (SELECT doc_id, ANY_VALUE(n_sentences) AS n_sentences,
+             |    ANY_VALUE(n_words) AS n_words,
+             |    CAST(SUM(GREATEST(1,
+             |      len(regexp_extract_all(w, '[aeiouy]+')) -
+             |      CASE WHEN regexp_matches(w, '[^aeiouy]e$')
+             |        THEN 1 ELSE 0 END)) AS BIGINT) AS n_syllables
+             |  FROM w GROUP BY doc_id)
+             |SELECT doc_id, n_words,
+             |  CAST(n_sentences AS BIGINT) AS n_sentences, n_syllables,
+             |  ROUND(206.835 - 1.015 * (CAST(n_words AS DOUBLE)
+             |      / n_sentences)
+             |    - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 6)
+             |    AS reading_ease,
+             |  ROUND(0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+             |    + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words)
+             |    - 15.59, 6) AS fk_grade
+             |FROM s ORDER BY doc_id""".stripMargin)),
+
+    // k-anonymity / l-diversity audit over (segment, nation) quasi-ids
+    // with account balance as the sensitive attribute: exact class
+    // sizes, exact sensitive diversity, sub-k classes flagged.
+    QueryDef("q235_k_anonymity",
+      (s, d) => Curation.kAnonymityProfile(table(s, d, "customer"),
+          Seq("c_mktsegment", "c_nationkey"), "c_acctbal", k = 5)
+        .orderBy("c_mktsegment", "c_nationkey"),
+      Some("""SELECT c_mktsegment, c_nationkey,
+             |  CAST(COUNT(*) AS BIGINT) AS class_size,
+             |  CAST(COUNT(DISTINCT c_acctbal) AS BIGINT) AS l_distinct,
+             |  COUNT(*) < 5 AS at_risk
+             |FROM customer GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Per-user autocorrelation of the cents stream at lags 1..3: both
+    // covariance numerators are exact integer sums (decimal vs
+    // hugeint); the oracle pairs rows by row-number self-join — the
+    // exact relational replay of the engine's lag windows — and mirrors
+    // the double arithmetic operation-for-operation.
+    QueryDef("q236_acf",
+      (s, d) => graft.ops.Profile.acfProfile(
+          eventsMicros(s, d).withColumn("cents",
+            round(col("value") * 100).cast("long")),
+          "user_id", "ts_us", "cents", maxLag = 3)
+        .select(col("key").as("user_id"), col("lag"), col("n_pairs"),
+          round(col("acf"), 6).as("acf"))
+        .orderBy("user_id", "lag"),
+      Some("""WITH b AS (SELECT user_id AS key, event_id,
+             |    epoch_us(ts) AS tu,
+             |    CAST(ROUND(value * 100) AS BIGINT) AS v
+             |  FROM events),
+             |r AS (SELECT key, v, ROW_NUMBER() OVER (
+             |    PARTITION BY key ORDER BY tu, event_id) AS rn FROM b),
+             |p AS (SELECT a.key, l.lag, a.v AS x, c.v AS y
+             |  FROM r a
+             |  CROSS JOIN (SELECT UNNEST([1, 2, 3]) AS lag) l
+             |  JOIN r c ON c.key = a.key AND c.rn = a.rn - l.lag),
+             |agg AS (SELECT key, lag,
+             |    CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             |    SUM(x) AS sx, SUM(y) AS sy, SUM(x * x) AS sxx,
+             |    SUM(y * y) AS syy, SUM(x * y) AS sxy
+             |  FROM p GROUP BY 1, 2)
+             |SELECT key AS user_id, lag, n_pairs,
+             |  ROUND(CASE WHEN n_pairs >= 2
+             |      AND n_pairs * sxx - sx * sx > 0
+             |      AND n_pairs * syy - sy * sy > 0
+             |    THEN CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+             |      / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
+             |        * CAST(n_pairs * syy - sy * sy AS DOUBLE))
+             |    ELSE NULL END, 6) AS acf
+             |FROM agg ORDER BY 1, 2""".stripMargin)),
+
+    // Exact second-moment (Gram/covariance) profile of the embedding
+    // corpus: components quantized ONCE (round(v*1e6), the SQL ROUND
+    // rule), every sum exact integer arithmetic — the one-pass
+    // distributed half of PCA/whitening. 2080 upper-triangle pairs at
+    // d=64; the oracle replays quantization, sums, and the one double
+    // divide operation-for-operation (hugeint vs decimal numerator).
+    QueryDef("q237_gram_profile",
+      (s, d) => graft.ops.Moments.gramProfile(
+          table(s, d, "embeddings"), d = 64)
+        .select(col("i"), col("j"), col("n"), col("s_i"), col("s_j"),
+          col("s_ij"), round(col("cov"), 9).as("cov"))
+        .orderBy("i", "j"),
+      Some("""WITH e AS (SELECT vec_id, i,
+             |    CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1e6)
+             |      AS BIGINT) AS q
+             |  FROM embeddings, UNNEST(generate_series(1, 64)) t(i)),
+             |nn AS (SELECT COUNT(*) AS n FROM embeddings),
+             |si AS (SELECT i, CAST(SUM(q) AS BIGINT) AS s
+             |  FROM e GROUP BY 1),
+             |pair AS (SELECT a.i AS i, b.i AS j,
+             |    CAST(SUM(a.q * b.q) AS BIGINT) AS s_ij
+             |  FROM e a JOIN e b ON a.vec_id = b.vec_id AND b.i >= a.i
+             |  GROUP BY 1, 2)
+             |SELECT p.i, p.j, CAST(nn.n AS BIGINT) AS n, x.s AS s_i,
+             |  y.s AS s_j, p.s_ij,
+             |  ROUND(CAST(CAST(nn.n AS HUGEINT) * p.s_ij
+             |      - CAST(x.s AS HUGEINT) * y.s AS DOUBLE)
+             |    / (CAST(nn.n AS DOUBLE) * CAST(nn.n AS DOUBLE) * 1e12),
+             |    9) AS cov
+             |FROM pair p, nn
+             |JOIN si x ON x.i = p.i JOIN si y ON y.i = p.j
+             |ORDER BY 1, 2""".stripMargin)),
   )
 
   /** DuckDB replay of [[graft.ops.TextAnalysis.tailRepetition]] over

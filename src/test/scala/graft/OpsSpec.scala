@@ -2146,6 +2146,97 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got(("b", 500L)) == 500L)
   }
 
+  test("readability: hand-counted words/sentences/syllables, silent-e " +
+      "rule, no-vowel floor, fragment counts one sentence") {
+    val s2 = spark; import s2.implicits._
+    val fx = Seq(
+      (1L, "the cat sat."),            // 3 words, 1 sentence, 3 syl
+      (2L, "table house tree be"),     // silent-e: 1+1+1+1
+      (3L, "xyz zzz"),                 // no vowels -> floor 1 each
+      (4L, "one two! three four? five.")) // 3 sentences, syl 1+1+1+1+2
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.readability(fx).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    assert(got(1L)._1 == 3L && got(1L)._2 == 1L && got(1L)._3 == 3L)
+    assert(got(2L) == ((4L, 1L, 4L,
+      206.835 - 1.015 * 4.0 - 84.6 * 1.0,
+      0.39 * 4.0 + 11.8 * 1.0 - 15.59)))
+    assert(got(3L)._3 == 2L && got(3L)._2 == 1L)
+    assert(got(4L)._1 == 5L && got(4L)._2 == 3L && got(4L)._3 == 6L)
+    // the classic anchor: ease = 206.835 - 1.015*(w/s) - 84.6*(syl/w)
+    val (w, s, syl, ease, fk) = got(4L)
+    assert(ease == 206.835 - 1.015 * (w.toDouble / s)
+      - 84.6 * (syl.toDouble / w))
+    assert(fk == 0.39 * (w.toDouble / s) + 11.8 * (syl.toDouble / w)
+      - 15.59)
+  }
+
+  test("k-anonymity profile: sub-k class flagged, l-diversity exposes " +
+      "a uniform sensitive value in a large class") {
+    val s2 = spark; import s2.implicits._
+    val fx = (Seq(("A", 1, "x"), ("A", 1, "x"), ("A", 1, "y")) ++
+      (1 to 6).map(_ => ("A", 2, "z")))
+      .toDF("seg", "nat", "diag")
+    val got = graft.ops.Curation
+      .kAnonymityProfile(fx, Seq("seg", "nat"), "diag", k = 5)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    // 3 < k: at risk, two distinct diagnoses
+    assert(got(("A", 1)) == ((3L, 2L, true)))
+    // 6 >= k: k-anonymous, but l = 1 says everyone shares one value
+    assert(got(("A", 2)) == ((6L, 1L, false)))
+  }
+
+  test("acf profile: alternating series gives exactly -1/+1/-1 at lags " +
+      "1/2/3; constant series is NULL; trending series is +1 at lag 1") {
+    val s2 = spark; import s2.implicits._
+    val alt = (1 to 6).map(t =>
+      ("alt", t.toLong, t.toLong, if (t % 2 == 1) 1L else -1L))
+    val const = (1 to 5).map(t => ("const", t.toLong, t.toLong, 7L))
+    val lin = (1 to 6).map(t => ("lin", t.toLong, t.toLong, t.toLong))
+    val fx = (alt ++ const ++ lin).toDF("k", "ts", "eid", "v")
+    val got = graft.ops.Profile.acfProfile(fx, "k", "ts", "v", 3, "eid")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got(("alt", 1)).contains(-1.0))
+    assert(got(("alt", 2)).contains(1.0))
+    assert(got(("alt", 3)).contains(-1.0))
+    // zero variance on both sides -> NULL, never Infinity
+    assert(got(("const", 1)).isEmpty)
+    // a monotone trend is perfectly self-correlated at every lag
+    assert(got(("lin", 1)).contains(1.0) && got(("lin", 3)).contains(1.0))
+  }
+
+  test("gram profile: hand-computed exact sums and covariance on a " +
+      "2-dim fixture; buffer merge independent of partitioning") {
+    val s2 = spark; import s2.implicits._
+    val fx = Seq(Seq(1.0f, 2.0f), Seq(3.0f, 4.0f), Seq(-1.0f, 0.5f))
+      .toDF("embedding")
+    for (parts <- Seq(1, 3)) {
+      val got = graft.ops.Moments
+        .gramProfile(fx.repartition(parts), d = 2)
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+            r.getDouble(6))).toMap
+      // q = v * 1e6 exactly for these values
+      val (n, s1, s2v) = (3L, 3000000L, 6500000L)
+      assert(got((1, 1)) ==
+        ((n, s1, s1, 11000000000000L,
+          (3.0 * 11e12 - 9e12) / (9.0 * 1e12))), got((1, 1)).toString)
+      assert(got((1, 2))._4 == 13500000000000L)
+      assert(got((2, 2)) ==
+        ((n, s2v, s2v, 20250000000000L,
+          (3.0 * 20.25e12 - 6.5e6 * 6.5e6) / (9.0 * 1e12))))
+      // population variance of x1 = {1, 3, -1} is 8/3
+      assert(math.abs(got((1, 1))._5 - 8.0 / 3.0) < 1e-12)
+    }
+  }
+
   test("partial top-k per key equals the window form on any partitioning") {
     val s2 = spark; import s2.implicits._
     import org.apache.spark.sql.expressions.Window
