@@ -648,4 +648,35 @@ object Curation {
         countDistinct(col(sensitiveCol)).as("l_distinct"))
       .withColumn("at_risk", col("class_size") < k)
   }
+
+  /** Encoding-anomaly (mojibake) detection — the cheap signal that a
+    * crawl shard went through the wrong charset somewhere upstream:
+    *   - `n_replacement`: U+FFFD replacement characters (a decoder
+    *     already gave up);
+    *   - `n_c1`: C1 control block U+0080–U+009F (valid cp1252 bytes
+    *     decoded as Latin-1 — never legitimate in text);
+    *   - `n_double_utf8`: the `Ã`/`Â` + continuation-range signature
+    *     (`[ÂÃ][U+0080–U+00BF]`) of UTF-8 bytes decoded as Latin-1
+    *     ("é" → "Ã©", NBSP → "Â ");
+    *   - `n_c0`: C0 controls other than tab/newline/CR (binary junk in
+    *     a text column).
+    * `suspect` flags any nonzero count — route those docs to
+    * re-decoding or the reject pile before they poison a tokenizer
+    * vocabulary with mojibake tokens.
+    *
+    * Shape at 100 TB: purely narrow — four codegen'd regex counts per
+    * row, no shuffle, no UDF.
+    */
+  def encodingAnomalies(docs: DataFrame): DataFrame = {
+    def cnt(pat: String) =
+      size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long")
+    docs.select(col("doc_id"),
+        cnt("\uFFFD").as("n_replacement"),
+        cnt("[\u0080-\u009F]").as("n_c1"),
+        cnt("[\u00C2\u00C3][\u0080-\u00BF]").as("n_double_utf8"),
+        cnt("[\u0000-\u0008\u000B\u000C\u000E-\u001F]").as("n_c0"))
+      .withColumn("suspect",
+        col("n_replacement") + col("n_c1") + col("n_double_utf8")
+          + col("n_c0") > 0)
+  }
 }

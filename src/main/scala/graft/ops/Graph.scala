@@ -319,6 +319,49 @@ object Graph {
     out
   }
 
+  /** BFS shortest-path distances (in hops) from a seed set, out to
+    * `maxHops` — the influence-radius / contamination-blast-radius
+    * query ("everything within 3 links of a known-bad host"). Treats
+    * the graph as UNDIRECTED; returns `(node, dist)` for every node
+    * reached, dist 0 for the seeds themselves. Nodes beyond `maxHops`
+    * (or disconnected) are absent. Deterministic: a node's dist is its
+    * BFS layer — the minimum hop count — independent of traversal
+    * order.
+    *
+    * Shape at 100 TB: per hop, ONE equi-join of the FRONTIER (not the
+    * visited set, not the corpus) against the adjacency relation plus
+    * one anti-join against visited — cost tracks the frontier's edge
+    * boundary, the [[kCorePeel]] localCheckpoint chain caps lineage,
+    * and an exhausted frontier makes remaining rounds no-ops.
+    */
+  def kHopDistances(edges: DataFrame, seeds: DataFrame,
+      maxHops: Int): DataFrame = {
+    require(maxHops >= 1, s"maxHops=$maxHops must be >= 1")
+    val dir = edges.select(col("src").cast("long").as("u"),
+        col("dst").cast("long").as("v"))
+      .where(col("u") =!= col("v"))
+    val adj = dir
+      .unionAll(dir.select(col("v").as("u"), col("u").as("v")))
+      .distinct().localCheckpoint(true)
+    var dist = seeds.select(col("node").cast("long").as("node"))
+      .distinct().withColumn("dist", lit(0))
+      .localCheckpoint(true)
+    var frontier = dist.select("node")
+    for (h <- 1 to maxHops) {
+      val next = frontier
+        .join(adj, frontier("node") === adj("u"))
+        .select(col("v").as("node")).distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .withColumn("dist", lit(h))
+        .localCheckpoint(true)
+      val merged = dist.unionAll(next).localCheckpoint(true)
+      ckptStorage(dist).foreach(_.unpersist(blocking = false))
+      dist = merged
+      frontier = next.select("node")
+    }
+    dist
+  }
+
   private def ckptStorage(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
     df.queryExecution.analyzed match {
       case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)

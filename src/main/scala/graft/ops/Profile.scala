@@ -1030,6 +1030,47 @@ object Profile {
       .groupBy("key", "q").agg(min("v").as("value"))
   }
 
+  /** Equi-join cardinality estimate BEFORE running the join — the
+    * plan-or-veto check for a join you suspect will explode: exact
+    * per-key counts on both sides collapse each input to its key
+    * grain, the key-grain join multiplies them, and the result is the
+    * EXACT output row count the real join would produce, plus the
+    * top-`topK` contributing keys (the skew hot list you'd salt or
+    * filter). `share` = key's fraction of total output rows.
+    *
+    * Shape at 100 TB: one partial-agg shuffle per side to the key
+    * grain, a key-grain equi-join (collapsed — never the corpora), the
+    * total as a single-row broadcast, and the hot list through
+    * [[graft.ops.TopK.perKey]]'s partial aggregator — no global sort,
+    * no window. Keys must be integral ([[graft.ops.TopK]]'s id
+    * contract); `pairs` sums in decimal(38,0) so a 10¹⁸-row prediction
+    * reports, not overflows.
+    */
+  def joinCardinality(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, topK: Int = 10): DataFrame = {
+    require(topK >= 1, s"topK=$topK must be >= 1")
+    val lc = left.select(col(leftKey).cast("long").as("key"))
+      .where(col("key").isNotNull)
+      .groupBy("key").agg(count(lit(1)).as("n_left"))
+    val rc = right.select(col(rightKey).cast("long").as("key"))
+      .where(col("key").isNotNull)
+      .groupBy("key").agg(count(lit(1)).as("n_right"))
+    val per = lc.join(rc, "key")
+      .withColumn("pairs", col("n_left") * col("n_right"))
+    val tot = per.agg(
+      sum(col("pairs").cast("decimal(38,0)")).as("total_pairs"),
+      count(lit(1)).as("n_shared_keys"))
+    val top = TopK.perKey(per.withColumn("g", lit(1)),
+        "g", "pairs", "key", topK)
+      .select(col("key"), col("rk"))
+    top.join(per, "key").crossJoin(broadcast(tot))
+      .select(col("rk"), col("key"), col("n_left"), col("n_right"),
+        col("pairs"), col("n_shared_keys"),
+        col("total_pairs").cast("long").as("total_pairs"),
+        (col("pairs").cast("double") /
+          col("total_pairs").cast("double")).as("share"))
+  }
+
   /** Per-key autocorrelation function at lags 1..`maxLag` — the
     * seasonality/momentum fingerprint of a metric stream: a daily
     * cadence shows as a spike at its lag, white noise decays to ~0,

@@ -5781,6 +5781,143 @@ object TrainingOps {
              |FROM pair p, nn
              |JOIN si x ON x.i = p.i JOIN si y ON y.i = p.j
              |ORDER BY 1, 2""".stripMargin)),
+
+    // Encoding-anomaly (mojibake) detection: documents salted with
+    // deterministic charset damage (the corpus itself is clean — the
+    // q88 salting discipline), counts replayed by the same four regex
+    // classes in RE2 syntax.
+    QueryDef("q238_encoding_anomalies",
+      (s, d) => Curation.encodingAnomalies(
+          table(s, d, "documents").select(col("doc_id"), concat(
+            col("text"),
+            when(col("doc_id") % 7 === 0, lit(" cafÃ©"))
+              .otherwise(lit("")),
+            when(col("doc_id") % 11 === 0, lit(" x�y"))
+              .otherwise(lit("")),
+            when(col("doc_id") % 13 === 0,
+              lit(" a\u0085b\u0001c")).otherwise(lit(""))).as("text")))
+        .orderBy("doc_id"),
+      Some("""WITH salted AS (SELECT doc_id, text
+             |    || CASE WHEN doc_id % 7 = 0
+             |      THEN ' caf' || chr(195) || chr(169) ELSE '' END
+             |    || CASE WHEN doc_id % 11 = 0
+             |      THEN ' x' || chr(65533) || 'y' ELSE '' END
+             |    || CASE WHEN doc_id % 13 = 0
+             |      THEN ' a' || chr(133) || 'b' || chr(1) || 'c'
+             |      ELSE '' END AS text
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(len(regexp_extract_all(text, '\x{FFFD}'))
+             |    AS BIGINT) AS n_replacement,
+             |  CAST(len(regexp_extract_all(text,
+             |    '[\x{0080}-\x{009F}]')) AS BIGINT) AS n_c1,
+             |  CAST(len(regexp_extract_all(text,
+             |    '[\x{00C2}\x{00C3}][\x{0080}-\x{00BF}]')) AS BIGINT)
+             |    AS n_double_utf8,
+             |  CAST(len(regexp_extract_all(text,
+             |    '[\x{0000}-\x{0008}\x{000B}\x{000C}\x{000E}-\x{001F}]'))
+             |    AS BIGINT) AS n_c0,
+             |  len(regexp_extract_all(text, '\x{FFFD}'))
+             |    + len(regexp_extract_all(text, '[\x{0080}-\x{009F}]'))
+             |    + len(regexp_extract_all(text,
+             |      '[\x{00C2}\x{00C3}][\x{0080}-\x{00BF}]'))
+             |    + len(regexp_extract_all(text,
+             |      '[\x{0000}-\x{0008}\x{000B}\x{000C}\x{000E}-\x{001F}]'))
+             |    > 0 AS suspect
+             |FROM salted ORDER BY doc_id""".stripMargin)),
+
+    // k-hop BFS distances from a seed set over the co-purchase graph
+    // (the blast-radius query): frontier-joined layers in the engine,
+    // a recursive CTE with MIN(dist) in the oracle — both are the BFS
+    // layer number, deterministic regardless of traversal order.
+    QueryDef("q239_khop_bfs",
+      (s, d) => {
+        val li = table(s, d, "lineitem")
+          .where(col("l_partkey") < 2000)
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val e = li.as("a").join(li.as("b"), Seq("l_orderkey"))
+          .where(col("a.l_partkey") < col("b.l_partkey"))
+          .select(col("a.l_partkey").as("src"),
+            col("b.l_partkey").as("dst"))
+        val seeds = table(s, d, "part").where(col("p_partkey") < 20)
+          .select(col("p_partkey").as("node"))
+        graft.ops.Graph.kHopDistances(e, seeds, maxHops = 3)
+          .orderBy("node")
+      },
+      Some("""WITH RECURSIVE li AS (
+             |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+             |  WHERE l_partkey < 2000),
+             |e0 AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
+             |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+             |  WHERE a.l_partkey < b.l_partkey),
+             |e AS (SELECT DISTINCT src, dst FROM (
+             |  SELECT src, dst FROM e0
+             |  UNION ALL SELECT dst, src FROM e0)),
+             |bfs(node, dist) AS (
+             |  SELECT CAST(p_partkey AS BIGINT), 0 FROM part
+             |  WHERE p_partkey < 20
+             |  UNION
+             |  SELECT e.dst, b.dist + 1 FROM bfs b
+             |  JOIN e ON e.src = b.node WHERE b.dist < 3)
+             |SELECT node, MIN(dist) AS dist FROM bfs
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Join-cardinality estimator on the lineitem self-join by part:
+    // exact predicted output rows from collapsed key-grain counts plus
+    // the top skew contributors — the plan-or-veto profile run BEFORE
+    // a suspicious join.
+    QueryDef("q240_join_cardinality",
+      (s, d) => {
+        val li = table(s, d, "lineitem")
+        graft.ops.Profile.joinCardinality(li, li,
+            "l_partkey", "l_partkey", topK = 15)
+          .select(col("rk"), col("key"), col("n_left"), col("n_right"),
+            col("pairs"), col("n_shared_keys"), col("total_pairs"),
+            round(col("share"), 9).as("share"))
+          .orderBy("rk")
+      },
+      Some("""WITH c AS (SELECT l_partkey AS key,
+             |    CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM lineitem GROUP BY 1),
+             |per AS (SELECT a.key, a.n AS n_left, b.n AS n_right,
+             |    a.n * b.n AS pairs
+             |  FROM c a JOIN c b USING (key)),
+             |tot AS (SELECT CAST(SUM(pairs) AS BIGINT) AS total_pairs,
+             |    CAST(COUNT(*) AS BIGINT) AS n_shared_keys FROM per),
+             |r AS (SELECT key, n_left, n_right, pairs,
+             |    ROW_NUMBER() OVER (ORDER BY pairs DESC, key) AS rk
+             |  FROM per)
+             |SELECT rk, key, n_left, n_right, pairs, n_shared_keys,
+             |  total_pairs,
+             |  ROUND(CAST(pairs AS DOUBLE)
+             |    / CAST(total_pairs AS DOUBLE), 9) AS share
+             |FROM r, tot WHERE rk <= 15 ORDER BY rk""".stripMargin)),
+
+    // Tokenizer fertility per language: subword tokens per whitespace
+    // word under the corpus's own 6-merge BPE — the multilingual
+    // fairness metric (a language the tokenizer fragments pays more
+    // sequence length for the same text). Same merge table and apply
+    // fold as q144; the oracle re-derives both and aggregates by lang.
+    QueryDef("q241_tokenizer_fertility",
+      (s, d) => {
+        val docs = table(s, d, "documents")
+        val merges = TextAnalysis.bpeTrain(docs, 6).orderBy("step")
+          .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+        docs
+          .select(col("lang"),
+            explode(filter(split(col("text"), " "),
+              w => length(w) > 0)).as("w"))
+          .select(col("lang"),
+            size(TextAnalysis.bpeApply(col("w"), merges)).as("nt"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_words"),
+            sum(col("nt")).cast("long").as("n_tokens"))
+          .select(col("lang"), col("n_words"), col("n_tokens"),
+            round(col("n_tokens").cast("double") / col("n_words"), 9)
+              .as("fertility"))
+          .orderBy("lang")
+      },
+      Some(bpeFertilityOracleSql(6))),
   )
 
   /** DuckDB replay of [[graft.ops.TextAnalysis.tailRepetition]] over
@@ -6143,7 +6280,11 @@ object TrainingOps {
     * tokenizes via the distinct-word vocab where the engine bakes the
     * fold into a narrow per-occurrence expression.
     */
-  private def bpeApplyOracleSql(k: Int): String = {
+  /** Shared CTE prefix for the BPE-apply oracles: vocabulary, symbol
+    * split, and `k` unrolled merge rounds, ending at relation `s&lt;k&gt;`
+    * (w, freq, syms).
+    */
+  private def bpeOracleCtes(k: Int): String = {
     val sb = new StringBuilder
     sb ++= """WITH v0 AS MATERIALIZED (
              |  SELECT w, COUNT(*) AS freq
@@ -6169,17 +6310,36 @@ object TrainingOps {
                |      ELSE acc || x END) AS syms
                |  FROM s${i - 1}, m$i m)""".stripMargin
     }
-    sb ++= s"""
-              |, dw AS (SELECT doc_id, ws[t.g] AS w, t.g AS pos
-              |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
-              |        FROM documents) dd,
-              |       UNNEST(generate_series(1, len(ws))) t(g)
-              |  WHERE len(ws[t.g]) > 0)
-              |SELECT doc_id, CAST(SUM(len(s.syms)) AS BIGINT) AS n_tokens,
-              |  array_to_string(flatten(list(s.syms ORDER BY pos)), ' ')
-              |    AS tokens
-              |FROM dw JOIN s$k s USING (w)
-              |GROUP BY doc_id ORDER BY doc_id""".stripMargin
     sb.toString
   }
+
+  private def bpeApplyOracleSql(k: Int): String =
+    bpeOracleCtes(k) + s"""
+      |, dw AS (SELECT doc_id, ws[t.g] AS w, t.g AS pos
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+      |        FROM documents) dd,
+      |       UNNEST(generate_series(1, len(ws))) t(g)
+      |  WHERE len(ws[t.g]) > 0)
+      |SELECT doc_id, CAST(SUM(len(s.syms)) AS BIGINT) AS n_tokens,
+      |  array_to_string(flatten(list(s.syms ORDER BY pos)), ' ')
+      |    AS tokens
+      |FROM dw JOIN s$k s USING (w)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Per-language fertility (subword tokens per whitespace word) under
+    * the same `k`-merge tokenizer — the q241 oracle.
+    */
+  private def bpeFertilityOracleSql(k: Int): String =
+    bpeOracleCtes(k) + s"""
+      |, dw AS (SELECT lang, ws[t.g] AS w
+      |  FROM (SELECT lang, string_split(text, ' ') AS ws
+      |        FROM documents) dd,
+      |       UNNEST(generate_series(1, len(ws))) t(g)
+      |  WHERE len(ws[t.g]) > 0)
+      |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+      |  CAST(SUM(len(s.syms)) AS BIGINT) AS n_tokens,
+      |  ROUND(CAST(SUM(len(s.syms)) AS DOUBLE) / COUNT(*), 9)
+      |    AS fertility
+      |FROM dw JOIN s$k s USING (w)
+      |GROUP BY lang ORDER BY lang""".stripMargin
 }

@@ -2237,6 +2237,65 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("encoding anomalies: each damage class counted separately, " +
+      "clean text and legitimate whitespace stay clean") {
+    val s2 = spark; import s2.implicits._
+    val fx = Seq(
+      (1L, "perfectly clean text\twith tab\nand newline"),
+      (2L, "lost � twice � here"),
+      (3L, "cafÃ© and nbsp Â\u00A0 mojibake"),
+      (4L, "c1 control \u0085 inside"),
+      (5L, "binary \u0001 junk \u001F here"))
+      .toDF("doc_id", "text")
+    val got = graft.ops.Curation.encodingAnomalies(fx).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getBoolean(5))).toMap
+    assert(got(1L) == ((0L, 0L, 0L, 0L, false)))
+    assert(got(2L) == ((2L, 0L, 0L, 0L, true)))
+    // double-UTF8 signature twice; the continuation chars (U+00A9,
+    // U+00A0) are NOT in the C1 block
+    assert(got(3L) == ((0L, 0L, 2L, 0L, true)))
+    assert(got(4L) == ((0L, 1L, 0L, 0L, true)))
+    assert(got(5L) == ((0L, 0L, 0L, 2L, true)))
+  }
+
+  test("k-hop BFS: layered distances on a path, hop cap excludes the " +
+      "tail, disconnected nodes absent, off-graph seed reports dist 0, " +
+      "triangle takes the min") {
+    val s2 = spark; import s2.implicits._
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (9L, 10L))
+      .toDF("src", "dst")
+    val got = graft.ops.Graph.kHopDistances(
+        path, Seq(1L, 100L).toDF("node"), maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3, 100L -> 0),
+      got.toString)
+    // cycle: both neighbors of the seed are layer 1, never layer 2
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    val gt = graft.ops.Graph.kHopDistances(
+        tri, Seq(1L).toDF("node"), maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(gt == Map(1L -> 0, 2L -> 1, 3L -> 1), gt.toString)
+  }
+
+  test("join cardinality: prediction equals the real join's row count; " +
+      "skew ranking and shares; one-sided keys excluded") {
+    val s2 = spark; import s2.implicits._
+    val left = Seq(1L, 1L, 1L, 2L, 9L).toDF("k")
+    val right = Seq(1L, 1L, 2L, 2L, 2L, 7L).toDF("k2")
+    val got = graft.ops.Profile.joinCardinality(left, right, "k", "k2")
+      .collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getDouble(7))).toMap
+    // key 1: 3*2 = 6 pairs; key 2: 1*3 = 3; keys 9/7 never join
+    assert(got(1) == ((1L, 6L, 2L, 9L, 6.0 / 9.0)), got.toString)
+    assert(got(2) == ((2L, 3L, 2L, 9L, 3.0 / 9.0)))
+    // the estimate IS the real join size
+    val real = left.join(right, col("k") === col("k2")).count()
+    assert(real == 9L)
+  }
+
   test("partial top-k per key equals the window form on any partitioning") {
     val s2 = spark; import s2.implicits._
     import org.apache.spark.sql.expressions.Window
