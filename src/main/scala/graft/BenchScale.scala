@@ -41,7 +41,12 @@ object BenchScale {
     // streaming / time-series shapes
     "q223_prefix_filter_join", "q224_bootstrap_ci",
     "q225_golden_records", "q226_seasonal_anomalies",
-    "q227_time_weighted_avg", "q228_streaming_distinct")
+    "q227_time_weighted_avg", "q228_streaming_distinct",
+    // late round-8 additions: the partial-agg WOR quota, the dense
+    // moments aggregator, BFS frontier layers, and the key-grain join
+    // estimator — the four genuinely new physical shapes
+    "q231_weighted_wor", "q237_gram_profile",
+    "q239_khop_bfs", "q240_join_cardinality")
 
   private def loadavg: String =
     try scala.io.Source.fromFile("/proc/loadavg").mkString.trim

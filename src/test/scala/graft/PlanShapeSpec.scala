@@ -736,4 +736,39 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     // reuses the window's exchange, so exactly ONE shuffle total
     assert(exchanges(df) == 1, p)
   }
+
+  test("weighted WOR: partial top-k aggregation, no Window, filter " +
+      "pushed to the scan") {
+    val df = Sampling.weightedSampleWOR(docs, "source", 5, "n_chars")
+    val p = plan(df)
+    // the selection is the TopK aggregator with map-side combine —
+    // a per-group row_number Window here would be the giant-group
+    // hotspot the op exists to avoid
+    assert(!"(?i)window".r.findAllIn(p).hasNext, p)
+    assert("partial_topkagg".r.findAllIn(p).nonEmpty, p)
+    assert("GreaterThan\\(n_chars,0\\)".r.findAllIn(p).nonEmpty, p)
+  }
+
+  test("gram profile: ONE moment aggregation with map-side combine — " +
+      "the exchange never carries exploded pair rows") {
+    val df = Moments.gramProfile(emb, d = 64)
+    val p = plan(df)
+    // partial + final GramAgg pair, single exchange between them, and
+    // the pair-grain Generate sits ABOVE the aggregation (narrow
+    // explode of one d(d+1)/2 array), never below it
+    assert("partial_gramagg".r.findAllIn(p).nonEmpty, p)
+    assert(exchanges(df) == 1, p)
+    assert(!"(?i)cartesian|sortmergejoin".r.findAllIn(p).hasNext, p)
+  }
+
+  test("join cardinality: corpora collapse to key grain before any " +
+      "join; the skew list is the partial top-k aggregator") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val df = Profile.joinCardinality(li, li, "l_partkey", "l_partkey")
+    val p = plan(df)
+    assert("partial_topkagg".r.findAllIn(p).nonEmpty, p)
+    assert(!"(?i)cartesianproduct".r.findAllIn(p).hasNext, p)
+    // the single-row totals side arrives broadcast
+    assert("(?i)broadcast".r.findAllIn(p).nonEmpty, p)
+  }
 }
