@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FloatCosine, FloatDot, NfcNormalize, PorterStem}
+import graft.functions.{FloatCosine, FloatDot, JaroWinkler, NfcNormalize, PorterStem}
 
 /** Session-extension registration: makes graft's native expressions
   * available to pure-SQL users at session construction, with no code call —
@@ -33,5 +33,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("float_cosine"),
       new ExpressionInfo(classOf[FloatCosine].getName, "float_cosine"),
       (exprs: Seq[Expression]) => graft.functions.buildFloatCosine(exprs)))
+    e.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+      (exprs: Seq[Expression]) => graft.functions.buildJaroWinkler(exprs)))
   }
 }

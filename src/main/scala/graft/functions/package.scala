@@ -27,6 +27,12 @@ package object functions {
   def float_cosine(a: Column, b: Column): Column =
     toColumn(FloatCosine(toExpr(a), toExpr(b)))
 
+  /** Jaro-Winkler similarity of two string columns (RapidFuzz/DuckDB
+    * semantics; see [[JaroWinkler]]).
+    */
+  def jaro_winkler(a: Column, b: Column): Column =
+    toColumn(JaroWinkler(toExpr(a), toExpr(b)))
+
   /** Register graft SQL functions on a session (idempotent), enabling
     * `SELECT porter_stem(col)` in `spark.sql`.
     */
@@ -39,6 +45,8 @@ package object functions {
       "nfc_normalize", exprs => buildNfcNormalize(exprs), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "float_cosine", exprs => buildFloatCosine(exprs), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "jaro_winkler", exprs => buildJaroWinkler(exprs), "scala_udf")
   }
 
   private[graft] def buildPorterStem(exprs: Seq[Expression]): PorterStem = {
@@ -63,5 +71,11 @@ package object functions {
     require(exprs.length == 2,
       s"float_cosine requires exactly 2 arguments, got ${exprs.length}")
     FloatCosine(exprs(0), exprs(1))
+  }
+
+  private[graft] def buildJaroWinkler(exprs: Seq[Expression]): JaroWinkler = {
+    require(exprs.length == 2,
+      s"jaro_winkler requires exactly 2 arguments, got ${exprs.length}")
+    JaroWinkler(exprs(0), exprs(1))
   }
 }

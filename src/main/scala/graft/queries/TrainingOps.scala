@@ -5918,6 +5918,36 @@ object TrainingOps {
           .orderBy("lang")
       },
       Some(bpeFertilityOracleSql(6))),
+
+    // Native jaro_winkler expression over brand-blocked part-name
+    // pairs: the Census string comparator as a codegen'd Catalyst
+    // expression, scored identically (probed semantics: 0.7 boost
+    // threshold, prefix cap 4, empty side -> 0) by DuckDB's built-in.
+    QueryDef("q242_jaro_winkler_pairs",
+      (s, d) => {
+        import graft.functions.jaro_winkler
+        val p = table(s, d, "part").where(col("p_partkey") < 300)
+          .select(col("p_partkey"), col("p_brand"), col("p_name"))
+        p.as("a").join(p.as("b"), Seq("p_brand"))
+          .where(col("a.p_partkey") < col("b.p_partkey"))
+          .select(col("p_brand"),
+            col("a.p_partkey").as("id1"),
+            col("b.p_partkey").as("id2"),
+            round(jaro_winkler(col("a.p_name"), col("b.p_name")), 6)
+              .as("jw"))
+          .where(col("jw") >= 0.8)
+          .orderBy("id1", "id2")
+      },
+      Some("""WITH p AS (SELECT p_partkey, p_brand, p_name FROM part
+             |  WHERE p_partkey < 300)
+             |SELECT a.p_brand, a.p_partkey AS id1, b.p_partkey AS id2,
+             |  ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6)
+             |    AS jw
+             |FROM p a JOIN p b ON a.p_brand = b.p_brand
+             |  AND a.p_partkey < b.p_partkey
+             |WHERE ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6)
+             |  >= 0.8
+             |ORDER BY 2, 3""".stripMargin)),
   )
 
   /** DuckDB replay of [[graft.ops.TextAnalysis.tailRepetition]] over
