@@ -1096,6 +1096,44 @@ object TextAnalysis {
       .where(col("cos") >= minCos)
   }
 
+  /** NDCG@k per query over a ranked, relevance-labeled result relation
+    * `(query_id, rk, rel)` — the ranking-quality metric that grades a
+    * retrieval stack ([[bm25TopK]], [[hybridRrf]], an ANN re-ranker)
+    * with graded relevance and positional discounts: `DCG@k =
+    * Σ rel_i / log2(i + 1)` over retrieved rank order, `IDCG@k` the
+    * same sum over the best possible ordering of the SAME judged rows
+    * (ties in rel break by retrieved rank, so the ideal permutation —
+    * and the float summation order — is deterministic), `ndcg =
+    * dcg / idcg` (NULL when every rel is 0; there is nothing to rank).
+    *
+    * Both sums are ordered `aggregate` folds (the BM25/q116 float
+    * discipline), so engines replay them term-for-term.
+    *
+    * Shape at 100 TB: rows are already k-per-query; one per-query
+    * window for the ideal ranks + one query-grain agg.
+    */
+  def ndcgAtK(ranked: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val ln2 = math.log(2.0)
+    val base = ranked.where(col("rk") <= k)
+      .withColumn("gain",
+        col("rel").cast("double") / (log(col("rk") + 1) / lit(ln2)))
+    val wIdeal = Window.partitionBy("query_id")
+      .orderBy(col("rel").desc, col("rk").asc)
+    base
+      .withColumn("irk", row_number().over(wIdeal))
+      .withColumn("igain",
+        col("rel").cast("double") / (log(col("irk") + 1) / lit(ln2)))
+      .groupBy("query_id")
+      .agg(
+        expr("aggregate(array_sort(collect_list(struct(rk, gain))), " +
+          "cast(0.0 as double), (a, x) -> a + x.gain)").as("dcg"),
+        expr("aggregate(array_sort(collect_list(struct(irk, igain))), " +
+          "cast(0.0 as double), (a, x) -> a + x.igain)").as("idcg"))
+      .withColumn("ndcg",
+        when(col("idcg") > 0, col("dcg") / col("idcg")))
+  }
+
   /** Flesch reading ease + Flesch–Kincaid grade level per document —
     * the classic readability pair a curation mix uses to stratify
     * difficulty (kids' corpora vs legal text) or to flag degenerate

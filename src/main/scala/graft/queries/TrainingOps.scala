@@ -1819,39 +1819,10 @@ object TrainingOps {
       // lesson: DuckDB's inlining planner re-evaluates the chain per
       // reference and the un-pinned replay OOMs at sf1 (observed 85 GB;
       // 52 s bounded with the pins)
-      Some("""WITH toks AS MATERIALIZED (SELECT doc_id,
-             |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl,
-             |    UNNEST(string_split(text, ' ')) AS term FROM documents),
-             |tf AS MATERIALIZED (SELECT doc_id, dl, term,
-             |    CAST(COUNT(*) AS DOUBLE) AS tf
-             |  FROM toks GROUP BY 1, 2, 3),
-             |qt AS MATERIALIZED (SELECT doc_id AS query_id,
-             |    UNNEST(list_distinct(string_split(text, ' '))) AS term
-             |  FROM documents
-             |  WHERE doc_id % 250 = 0 AND doc_id < 100000),
-             |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
-             |    AVG(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS avgdl
-             |  FROM documents),
-             |posts AS MATERIALIZED (SELECT * FROM tf
-             |  WHERE term IN (SELECT term FROM qt)),
-             |df AS MATERIALIZED (SELECT term, CAST(COUNT(*) AS DOUBLE)
-             |    AS df
-             |  FROM posts GROUP BY 1),
-             |w AS (SELECT q.query_id, p.doc_id, p.term,
-             |    ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
-             |      (p.tf * 2.2) /
-             |      (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl)) AS w
-             |  FROM posts p JOIN df d USING (term) JOIN qt q USING (term)
-             |  CROSS JOIN stats s),
-             |sc AS (SELECT query_id, doc_id,
-             |    list_reduce(list(w ORDER BY term), (a, b) -> a + b)
-             |      AS score
-             |  FROM w GROUP BY 1, 2),
-             |r AS (SELECT query_id, doc_id, score, ROW_NUMBER() OVER (
-             |    PARTITION BY query_id ORDER BY score DESC, doc_id ASC)
-             |    AS rk FROM sc)
-             |SELECT query_id, rk, doc_id, ROUND(score, 5) AS score
-             |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin)),
+      Some(bm25OracleCtes +
+        """
+          |SELECT query_id, rk, doc_id, ROUND(score, 5) AS score
+          |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin)),
 
     // CCNet-style perplexity quality gate: every 10th document is the
     // curated reference slice, the add-one bigram LM it trains scores the
@@ -5948,6 +5919,132 @@ object TrainingOps {
              |WHERE ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6)
              |  >= 0.8
              |ORDER BY 2, 3""".stripMargin)),
+
+    // NDCG@5 of the q116 BM25 ranking against deterministic graded
+    // relevance (query-doc distinct-term overlap): positional-discount
+    // sums as ordered folds, ideal permutation tie-broken by retrieved
+    // rank so even the float summation order replays. The oracle
+    // extends q116's shared ranked chain.
+    QueryDef("q243_ndcg",
+      (s, d) => {
+        val docs = table(s, d, "documents")
+        val queries = docs
+          .where(col("doc_id") % 250 === 0 && col("doc_id") < 100000)
+          .select(col("doc_id").as("query_id"), col("text"))
+        val ranked = TextAnalysis.bm25TopK(docs, queries, k = 5)
+        val rel = ranked
+          .join(queries.select(col("query_id"),
+            split(col("text"), " ").as("qt")), "query_id")
+          .join(docs.select(col("doc_id"),
+            split(col("text"), " ").as("dt")), "doc_id")
+          .withColumn("rel", size(array_intersect(
+            array_distinct(col("qt")), array_distinct(col("dt"))))
+            .cast("long"))
+          .select("query_id", "rk", "rel")
+        TextAnalysis.ndcgAtK(rel, 5)
+          .select(col("query_id"), round(col("dcg"), 6).as("dcg"),
+            round(col("idcg"), 6).as("idcg"),
+            round(col("ndcg"), 6).as("ndcg"))
+          .orderBy("query_id")
+      },
+      Some(bm25OracleCtes + """
+        |, top AS (SELECT query_id, doc_id, rk FROM r WHERE rk <= 5),
+        |relj AS (SELECT t.query_id, t.rk,
+        |    CAST(len(list_intersect(
+        |      list_distinct(string_split(qd.text, ' ')),
+        |      list_distinct(string_split(dd.text, ' ')))) AS BIGINT)
+        |      AS rel
+        |  FROM top t JOIN documents qd ON qd.doc_id = t.query_id
+        |  JOIN documents dd ON dd.doc_id = t.doc_id),
+        |ir AS (SELECT query_id, rk, rel, ROW_NUMBER() OVER (
+        |    PARTITION BY query_id ORDER BY rel DESC, rk ASC) AS irk
+        |  FROM relj),
+        |g AS (SELECT query_id,
+        |    list_reduce(list(CAST(rel AS DOUBLE) / (ln(rk + 1) / ln(2))
+        |      ORDER BY rk), (a, b) -> a + b) AS dcg,
+        |    list_reduce(list(CAST(rel AS DOUBLE) / (ln(irk + 1) / ln(2))
+        |      ORDER BY irk), (a, b) -> a + b) AS idcg
+        |  FROM ir GROUP BY 1)
+        |SELECT query_id, ROUND(dcg, 6) AS dcg, ROUND(idcg, 6) AS idcg,
+        |  ROUND(CASE WHEN idcg > 0 THEN dcg / idcg END, 6) AS ndcg
+        |FROM g ORDER BY query_id""".stripMargin)),
+
+    // Population Stability Index of each source's doc-length
+    // distribution vs src1: integer-exact equi-width binning over the
+    // reference bounds, full bin grid, smoothed densities, ordered
+    // fold — the reference scores exactly 0.
+    QueryDef("q244_psi_drift",
+      (s, d) => graft.ops.Profile.psiDrift(
+          table(s, d, "documents"), "source", "n_chars",
+          refGroup = "src1", bins = 10)
+        .select(col("grp").as("source"), col("n"),
+          round(col("psi"), 9).as("psi"))
+        .orderBy("source"),
+      Some("""WITH base AS (SELECT source AS grp, n_chars AS v
+             |  FROM documents),
+             |bounds AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM base
+             |  WHERE grp = 'src1'),
+             |binned AS (SELECT grp,
+             |    CAST(LEAST(9, GREATEST(0,
+             |      ((v - lo) * 10) // (hi - lo + 1))) AS INT) AS bin,
+             |    CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM base, bounds GROUP BY 1, 2),
+             |grid AS (SELECT grp, t.b AS bin
+             |  FROM (SELECT DISTINCT grp FROM binned),
+             |    UNNEST(generate_series(0, 9)) t(b)),
+             |dense AS (SELECT g.grp, g.bin, COALESCE(c, 0) AS c
+             |  FROM grid g LEFT JOIN binned b
+             |    ON b.grp = g.grp AND b.bin = g.bin),
+             |wn AS (SELECT grp, bin, c,
+             |    SUM(c) OVER (PARTITION BY grp) AS n FROM dense),
+             |ref AS (SELECT bin, c AS rc, n AS rn FROM wn
+             |  WHERE grp = 'src1'),
+             |t AS (SELECT w.grp, w.bin, w.n,
+             |    ((w.c + 0.5) / (w.n + 5.0) - (r.rc + 0.5) / (r.rn + 5.0))
+             |      * ln(((w.c + 0.5) / (w.n + 5.0))
+             |        / ((r.rc + 0.5) / (r.rn + 5.0))) AS term
+             |  FROM wn w JOIN ref r USING (bin))
+             |SELECT grp AS source, CAST(MAX(n) AS BIGINT) AS n,
+             |  ROUND(list_reduce(list(term ORDER BY bin),
+             |    (a, b) -> a + b), 9) AS psi
+             |FROM t GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Time-to-convert distribution: first view -> first purchase
+    // latency per user, exact [p50, p90, p99] per weekly cohort of the
+    // first view — funnel latency percentiles on the collapsed
+    // exactQuantiles grain, all integer microsecond arithmetic.
+    QueryDef("q245_time_to_convert",
+      (s, d) => {
+        val ev = eventsMicros(s, d)
+        val v0 = ev.where(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts_us").as("t0"))
+        val p1 = ev.where(col("event_type") === "purchase")
+          .groupBy("user_id").agg(min("ts_us").as("t1"))
+        val lat = v0.join(p1, "user_id")
+          .where(col("t1") >= col("t0"))
+          .select(expr("t0 DIV 604800000000").as("cohort"),
+            (col("t1") - col("t0")).as("latency_us"))
+        graft.ops.Profile.exactQuantiles(lat, "cohort", "latency_us",
+            Seq(0.5, 0.9, 0.99))
+          .select(col("key").as("cohort"), col("q"), col("value"))
+          .orderBy("cohort", "q")
+      },
+      Some("""WITH v0 AS (SELECT user_id, MIN(epoch_us(ts)) AS t0
+             |  FROM events WHERE event_type = 'view' GROUP BY 1),
+             |p1 AS (SELECT user_id, MIN(epoch_us(ts)) AS t1
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+             |lat AS (SELECT t0 // 604800000000 AS cohort,
+             |    t1 - t0 AS latency_us
+             |  FROM v0 JOIN p1 USING (user_id) WHERE t1 >= t0),
+             |g AS (SELECT cohort, latency_us AS v, COUNT(*) AS c
+             |  FROM lat GROUP BY 1, 2),
+             |w AS (SELECT cohort, v,
+             |    SUM(c) OVER (PARTITION BY cohort ORDER BY v) AS cum,
+             |    SUM(c) OVER (PARTITION BY cohort) AS n FROM g)
+             |SELECT cohort, q, MIN(v) AS value FROM w,
+             |  (SELECT UNNEST([0.5, 0.9, 0.99]) AS q) qs
+             |WHERE cum >= GREATEST(1, CEIL(q * n - 1e-9))
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
   )
 
   /** DuckDB replay of [[graft.ops.TextAnalysis.tailRepetition]] over
@@ -6310,6 +6407,43 @@ object TrainingOps {
     * tokenizes via the distinct-word vocab where the engine bakes the
     * fold into a narrow per-occurrence expression.
     */
+  /** Shared BM25 oracle chain (q116 + the q243 NDCG evaluation): the
+    * full tokenize → tf → postings → idf → per-term weight → ordered
+    * score fold → ranked relation `r(query_id, doc_id, score, rk)`.
+    */
+  private def bm25OracleCtes: String =
+    """WITH toks AS MATERIALIZED (SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl,
+      |    UNNEST(string_split(text, ' ')) AS term FROM documents),
+      |tf AS MATERIALIZED (SELECT doc_id, dl, term,
+      |    CAST(COUNT(*) AS DOUBLE) AS tf
+      |  FROM toks GROUP BY 1, 2, 3),
+      |qt AS MATERIALIZED (SELECT doc_id AS query_id,
+      |    UNNEST(list_distinct(string_split(text, ' '))) AS term
+      |  FROM documents
+      |  WHERE doc_id % 250 = 0 AND doc_id < 100000),
+      |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+      |    AVG(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS avgdl
+      |  FROM documents),
+      |posts AS MATERIALIZED (SELECT * FROM tf
+      |  WHERE term IN (SELECT term FROM qt)),
+      |df AS MATERIALIZED (SELECT term, CAST(COUNT(*) AS DOUBLE)
+      |    AS df
+      |  FROM posts GROUP BY 1),
+      |w AS (SELECT q.query_id, p.doc_id, p.term,
+      |    ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+      |      (p.tf * 2.2) /
+      |      (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl)) AS w
+      |  FROM posts p JOIN df d USING (term) JOIN qt q USING (term)
+      |  CROSS JOIN stats s),
+      |sc AS (SELECT query_id, doc_id,
+      |    list_reduce(list(w ORDER BY term), (a, b) -> a + b)
+      |      AS score
+      |  FROM w GROUP BY 1, 2),
+      |r AS (SELECT query_id, doc_id, score, ROW_NUMBER() OVER (
+      |    PARTITION BY query_id ORDER BY score DESC, doc_id ASC)
+      |    AS rk FROM sc)""".stripMargin
+
   /** Shared CTE prefix for the BPE-apply oracles: vocabulary, symbol
     * split, and `k` unrolled merge rounds, ending at relation `s&lt;k&gt;`
     * (w, freq, syms).

@@ -2296,6 +2296,51 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(real == 9L)
   }
 
+  test("ndcg@k: hand-computed discounts, perfectly-ordered query " +
+      "scores exactly 1, all-zero relevance is NULL, k filter applies") {
+    val s2 = spark; import s2.implicits._
+    val fx = Seq(
+      ("A", 1, 3L), ("A", 2, 1L), ("A", 3, 2L),
+      ("B", 1, 5L), ("B", 2, 3L), ("B", 3, 1L),
+      ("C", 1, 0L), ("C", 2, 0L),
+      ("D", 1, 1L), ("D", 6, 99L)) // rk 6 must not leak into @5
+      .toDF("query_id", "rk", "rel")
+    val got = graft.ops.TextAnalysis.ndcgAtK(fx, 5).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    def log2(x: Double) = math.log(x) / math.log(2.0)
+    val dcgA = 3.0 / log2(2) + 1.0 / log2(3) + 2.0 / log2(4)
+    val idcgA = 3.0 / log2(2) + 2.0 / log2(3) + 1.0 / log2(4)
+    assert(math.abs(got("A")._1 - dcgA) < 1e-12)
+    assert(math.abs(got("A")._2 - idcgA) < 1e-12)
+    // already ideally ordered -> identical fold -> exactly 1.0
+    assert(got("B")._3.contains(1.0))
+    assert(got("C")._3.isEmpty && got("C")._1 == 0.0)
+    // only the rk<=5 row counts for D
+    assert(got("D")._1 == 1.0 && got("D")._3.contains(1.0))
+  }
+
+  test("psi drift: reference scores exactly 0, hand-computed shift, " +
+      "out-of-reference-bounds values clamp into edge bins") {
+    val s2 = spark; import s2.implicits._
+    val fx = (Seq(0L, 1L, 5L, 6L).map(("r", _)) ++
+      Seq(0L, 1L, 2L, 7L).map(("c1", _)) ++
+      Seq(100L, 101L).map(("c2", _))).toDF("g", "v")
+    val got = graft.ops.Profile.psiDrift(fx, "g", "v", "r", bins = 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(1),
+        r.getDouble(2))).toMap
+    def p(c: Double, n: Double) = (c + 0.5) / (n + 1.0)
+    def term(c: Double, n: Double, rc: Double, rn: Double) =
+      (p(c, n) - p(rc, rn)) * math.log(p(c, n) / p(rc, rn))
+    assert(got("r") == ((4L, 0.0)))
+    // ref bounds [0, 6]: bin = v*2 DIV 7 -> r bins (2,2); c1 (3,1)
+    val psi1 = term(3, 4, 2, 4) + term(1, 4, 2, 4)
+    assert(math.abs(got("c1")._2 - psi1) < 1e-12, got("c1").toString)
+    // 100/101 both clamp to the top bin -> counts (0, 2)
+    val psi2 = term(0, 2, 2, 4) + term(2, 2, 2, 4)
+    assert(math.abs(got("c2")._2 - psi2) < 1e-12)
+  }
+
   test("partial top-k per key equals the window form on any partitioning") {
     val s2 = spark; import s2.implicits._
     import org.apache.spark.sql.expressions.Window
