@@ -245,4 +245,50 @@ object AsOf {
           sum("dt")).as("twa"))
       .where(col("covered_us") > 0)
   }
+
+  /** Union-length of possibly-overlapping `[start, end)` intervals per
+    * key — "how much wall-clock was this machine actually busy", "how
+    * long was the user in ANY session": overlaps counted once, the
+    * measure utilization/SLA math needs where a naive `sum(end−start)`
+    * double-counts. Returns per key: interval count, merged
+    * `covered` duration, the overall `span` (max end − min start), and
+    * `utilization = covered / span`. Zero/negative-length intervals
+    * contribute nothing. All integer arithmetic except the one
+    * utilization divide.
+    *
+    * The classic sweep, relationally: each interval becomes a `+1`
+    * point at start and `−1` at end; within a key, time between a
+    * point and the next is covered iff the running active count is
+    * positive. Ties process starts before ends (tag order), which
+    * cannot change the total — a zero-length segment adds zero.
+    *
+    * Shape at 100 TB: ONE key-partitioned sort window over 2 points
+    * per interval (running sum + lead ride the same sort), then a
+    * key-grain agg on the window's own partitioning — one exchange
+    * total, the [[timeWeightedAvg]] contract.
+    */
+  def intervalCoverage(df: DataFrame, keyCol: String,
+      startCol: String, endCol: String): DataFrame = {
+    val iv = df.select(col(keyCol).as("key"),
+        col(startCol).cast("long").as("s"),
+        col(endCol).cast("long").as("e"))
+      .where(col("s") < col("e"))
+    val pts = iv.select(col("key"), col("s").as("t"),
+        lit(0).as("tag"), lit(1L).as("delta"))
+      .unionAll(iv.select(col("key"), col("e").as("t"),
+        lit(1).as("tag"), lit(-1L).as("delta")))
+    val w = Window.partitionBy("key").orderBy(col("t"), col("tag"))
+    pts
+      .withColumn("active", sum("delta").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("nxt", lead("t", 1).over(w))
+      .groupBy("key")
+      .agg(
+        (sum(when(col("delta") > 0, 1L).otherwise(0L))).as("n_intervals"),
+        sum(when(col("active") > 0 && col("nxt").isNotNull,
+          col("nxt") - col("t")).otherwise(0L)).as("covered"),
+        (max("t") - min("t")).as("span"))
+      .withColumn("utilization",
+        col("covered").cast("double") / col("span"))
+  }
 }

@@ -6045,6 +6045,42 @@ object TrainingOps {
              |  (SELECT UNNEST([0.5, 0.9, 0.99]) AS q) qs
              |WHERE cum >= GREATEST(1, CEIL(q * n - 1e-9))
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Interval-union coverage per user over deterministic synthetic
+    // event durations: overlaps counted once via the +1/-1 sweep —
+    // busy-time / SLA math a naive sum(end-start) double-counts. All
+    // integer microseconds; the oracle replays the identical sweep.
+    QueryDef("q246_interval_coverage",
+      (s, d) => AsOf.intervalCoverage(
+          eventsMicros(s, d).select(col("user_id"), col("ts_us"),
+            (col("ts_us") + (col("event_id") % 1000 + 1) * 1000000L)
+              .as("end_us")),
+          "user_id", "ts_us", "end_us")
+        .select(col("key").as("user_id"), col("n_intervals"),
+          col("covered"), col("span"),
+          round(col("utilization"), 9).as("utilization"))
+        .orderBy("user_id"),
+      Some("""WITH iv AS (SELECT user_id AS key, epoch_us(ts) AS s,
+             |    epoch_us(ts) + (event_id % 1000 + 1) * 1000000 AS e
+             |  FROM events),
+             |pts AS (SELECT key, s AS t, 0 AS tag, 1 AS delta
+             |  FROM iv WHERE s < e
+             |  UNION ALL SELECT key, e, 1, -1 FROM iv WHERE s < e),
+             |wn AS (SELECT key, t, tag, delta,
+             |    SUM(delta) OVER (PARTITION BY key ORDER BY t, tag
+             |      ROWS UNBOUNDED PRECEDING) AS active,
+             |    LEAD(t) OVER (PARTITION BY key ORDER BY t, tag) AS nxt
+             |  FROM pts)
+             |SELECT key AS user_id,
+             |  CAST(SUM(CASE WHEN delta > 0 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_intervals,
+             |  CAST(SUM(CASE WHEN active > 0 AND nxt IS NOT NULL
+             |    THEN nxt - t ELSE 0 END) AS BIGINT) AS covered,
+             |  CAST(MAX(t) - MIN(t) AS BIGINT) AS span,
+             |  ROUND(CAST(SUM(CASE WHEN active > 0 AND nxt IS NOT NULL
+             |      THEN nxt - t ELSE 0 END) AS DOUBLE)
+             |    / (MAX(t) - MIN(t)), 9) AS utilization
+             |FROM wn GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 
   /** DuckDB replay of [[graft.ops.TextAnalysis.tailRepetition]] over

@@ -2341,6 +2341,28 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(got("c2")._2 - psi2) < 1e-12)
   }
 
+  test("interval coverage: overlap counted once, disjoint sums, " +
+      "nesting absorbed, touching intervals merge, empty dropped") {
+    val s2 = spark; import s2.implicits._
+    val fx = Seq(
+      ("overlap", 0L, 10L), ("overlap", 5L, 15L),
+      ("disjoint", 0L, 5L), ("disjoint", 10L, 15L),
+      ("nested", 0L, 100L), ("nested", 10L, 20L),
+      ("touching", 0L, 5L), ("touching", 5L, 10L),
+      ("hasempty", 0L, 4L), ("hasempty", 3L, 3L))
+      .toDF("k", "s", "e")
+    val got = graft.ops.AsOf.intervalCoverage(fx, "k", "s", "e")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(got("overlap") == ((2L, 15L, 15L, 1.0)))
+    assert(got("disjoint") == ((2L, 10L, 15L, 10.0 / 15.0)))
+    assert(got("nested") == ((2L, 100L, 100L, 1.0)))
+    assert(got("touching") == ((2L, 10L, 10L, 1.0)))
+    // the zero-length interval contributes neither count nor time
+    assert(got("hasempty") == ((1L, 4L, 4L, 1.0)))
+  }
+
   test("partial top-k per key equals the window form on any partitioning") {
     val s2 = spark; import s2.implicits._
     import org.apache.spark.sql.expressions.Window
