@@ -253,4 +253,48 @@ object Sketch {
     hllEstimate(merged, logBuckets)
       .select(col("group").as("period"), col("present"), col("estimate"))
   }
+
+  /** Pairwise set-overlap estimates between ALL groups from ONE
+    * register relation — the "which sources share users/documents"
+    * triage a mixing pipeline runs before paying for exact overlap
+    * (q136's n-gram tier): `|A∪B|` is a register max-merge (HLL unions
+    * are lossless), `|A∩B|` follows by inclusion–exclusion (clamped at
+    * 0 — small sketches can go negative), and `jaccard_est =
+    * |A∩B|/|A∪B|`. Identical groups estimate jaccard EXACTLY 1
+    * (`a + a − a` is exact in IEEE).
+    *
+    * Shape at 100 TB: the corpus shuffles ONCE into (group, bucket)
+    * registers; everything pairwise runs on |G|²·m sketch rows with
+    * the tiny pair list broadcast — the corpus is never re-read,
+    * never self-joined.
+    */
+  def hllOverlap(df: DataFrame, groupCol: String, keyCol: String,
+      logBuckets: Int = 8): DataFrame = {
+    val regs = hllRegisters(df, groupCol, keyCol, logBuckets)
+    val singles = hllEstimate(regs, logBuckets)
+      .select(col("group"), col("estimate"))
+    val pairIds = singles.select(col("group").as("ga"))
+      .crossJoin(broadcast(singles.select(col("group").as("gb"))))
+      .where(col("ga") < col("gb"))
+    val uregs = regs
+      .join(broadcast(pairIds),
+        col("group") === col("ga") || col("group") === col("gb"))
+      .groupBy("ga", "gb", "bucket").agg(max("reg").as("reg"))
+    val uest = hllEstimate(
+        uregs.select(struct(col("ga"), col("gb")).as("group"),
+          col("bucket"), col("reg")), logBuckets)
+      .select(col("group.ga").as("ga"), col("group.gb").as("gb"),
+        col("estimate").as("est_union"))
+    uest
+      .join(broadcast(singles.select(col("group").as("ga"),
+        col("estimate").as("est_a"))), "ga")
+      .join(broadcast(singles.select(col("group").as("gb"),
+        col("estimate").as("est_b"))), "gb")
+      .withColumn("est_intersect",
+        greatest(lit(0.0), col("est_a") + col("est_b") - col("est_union")))
+      .withColumn("jaccard_est",
+        col("est_intersect") / col("est_union"))
+      .select("ga", "gb", "est_a", "est_b", "est_union",
+        "est_intersect", "jaccard_est")
+  }
 }

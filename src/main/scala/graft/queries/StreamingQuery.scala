@@ -501,5 +501,38 @@ object StreamingQuery {
       Some("""SELECT user_id, COUNT(*) AS n_events,
              |  ROUND(SUM(value), 4) AS total_value
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Streaming weighted WOR quota: the Efraimidis-Spirakis key fold
+    // is associative and commutative, so the final state equals the
+    // batch selection over the same events under ANY micro-batching;
+    // the oracle ranks the same integer keys relationally.
+    QueryDef("q247_streaming_weighted_sample",
+      (s, d) => runStreamUpdate(s, d, "stream_wor")(df =>
+        Streams.weightedSampleTopK(df, k = 10).toDF)(df => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("n_seen").desc)
+        df.withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("event_type"),
+            posexplode(col("ids")).as(Seq("i", "event_id")))
+          .select(col("event_type"),
+            (col("i") + 1).cast("int").as("wor_rank"), col("event_id"))
+          .orderBy("event_type", "wor_rank")
+      }),
+      Some(s"""WITH s AS (SELECT event_type, event_id,
+              |    CAST(round(ln(${TrainingOps.drawSqlOn("wor:",
+                     "CAST(event_id AS VARCHAR)")}
+              |      + 0.5 / 65536.0) / value * 1e12, 0) AS BIGINT)
+              |      AS key
+              |  FROM events WHERE value > 0),
+              |r AS (SELECT event_type, event_id, ROW_NUMBER() OVER (
+              |    PARTITION BY event_type ORDER BY key DESC, event_id)
+              |    AS wor_rank
+              |  FROM s)
+              |SELECT event_type, CAST(wor_rank AS INT) AS wor_rank,
+              |  event_id FROM r
+              |WHERE wor_rank <= 10
+              |ORDER BY event_type, wor_rank""".stripMargin)),
   )
 }

@@ -45,7 +45,7 @@ object TrainingOps {
   /** [[drawSql]] over an arbitrary SQL expression (the cluster-key
     * draw in q221 hashes a BIGINT rendered as its decimal string).
     */
-  private def drawSqlOn(salt: String, e: String): String =
+  private[queries] def drawSqlOn(salt: String, e: String): String =
     s"""((((strpos('0123456789abcdef', substr(md5('$salt' || ($e)), 1, 1)) - 1) * 16
        |      + strpos('0123456789abcdef', substr(md5('$salt' || ($e)), 2, 1)) - 1) * 16
        |      + strpos('0123456789abcdef', substr(md5('$salt' || ($e)), 3, 1)) - 1) * 16
@@ -6081,6 +6081,79 @@ object TrainingOps {
              |      THEN nxt - t ELSE 0 END) AS DOUBLE)
              |    / (MAX(t) - MIN(t)), 9) AS utilization
              |FROM wn GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // HLL set algebra: pairwise audience overlap between event types
+    // from ONE register relation — lossless sketch unions, inclusion-
+    // exclusion intersections, all on the q229 deterministic registers
+    // so every estimate hash-verifies.
+    QueryDef("q248_hll_overlap",
+      (s, d) => graft.ops.Sketch.hllOverlap(eventsMicros(s, d),
+          "event_type", "user_id", logBuckets = 8)
+        .select(col("ga"), col("gb"),
+          round(col("est_a"), 4).as("est_a"),
+          round(col("est_b"), 4).as("est_b"),
+          round(col("est_union"), 4).as("est_union"),
+          round(col("est_intersect"), 4).as("est_intersect"),
+          round(col("jaccard_est"), 6).as("jaccard_est"))
+        .orderBy("ga", "gb"),
+      Some("""WITH h AS (SELECT event_type AS grp,
+             |    md5('hll:' || CAST(user_id AS VARCHAR)) AS hx
+             |  FROM events),
+             |ranked AS (SELECT grp,
+             |    (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+             |      + strpos('0123456789abcdef', substr(hx, 2, 1)) - 1
+             |      AS bucket,
+             |    CASE WHEN s = '' THEN 65
+             |      ELSE (16 - LENGTH(s)) * 4 +
+             |        CASE WHEN substr(s, 1, 1) = '1' THEN 3
+             |          WHEN substr(s, 1, 1) IN ('2', '3') THEN 2
+             |          WHEN substr(s, 1, 1) IN ('4', '5', '6', '7')
+             |            THEN 1
+             |          ELSE 0 END + 1 END AS rank
+             |  FROM (SELECT grp, hx,
+             |      REGEXP_REPLACE(substr(hx, 3, 16), '^0+', '') AS s
+             |    FROM h)),
+             |regs AS (SELECT grp, bucket, MAX(rank) AS reg
+             |  FROM ranked GROUP BY 1, 2),
+             |e1 AS (SELECT grp, COUNT(*) AS present,
+             |    CAST(SUM(CAST(POW(2, 65 - reg) AS HUGEINT)) AS DOUBLE)
+             |      + (256 - COUNT(*)) * POW(2, 65) AS denom
+             |  FROM regs GROUP BY 1),
+             |est AS (SELECT grp,
+             |    CASE WHEN (0.7213 / (1 + 1.079 / 256)) * 256 * 256
+             |          * POW(2, 65) / denom <= 2.5 * 256
+             |        AND (256 - present) > 0
+             |      THEN 256.0 * LN(256.0 / (256 - present))
+             |      ELSE (0.7213 / (1 + 1.079 / 256)) * 256 * 256
+             |        * POW(2, 65) / denom END AS e
+             |  FROM e1),
+             |pairs AS (SELECT a.grp AS ga, b.grp AS gb
+             |  FROM (SELECT DISTINCT grp FROM regs) a,
+             |    (SELECT DISTINCT grp FROM regs) b WHERE a.grp < b.grp),
+             |uregs AS (SELECT p.ga, p.gb, r.bucket, MAX(r.reg) AS reg
+             |  FROM pairs p JOIN regs r ON r.grp = p.ga OR r.grp = p.gb
+             |  GROUP BY 1, 2, 3),
+             |u1 AS (SELECT ga, gb, COUNT(*) AS present,
+             |    CAST(SUM(CAST(POW(2, 65 - reg) AS HUGEINT)) AS DOUBLE)
+             |      + (256 - COUNT(*)) * POW(2, 65) AS denom
+             |  FROM uregs GROUP BY 1, 2),
+             |uest AS (SELECT ga, gb,
+             |    CASE WHEN (0.7213 / (1 + 1.079 / 256)) * 256 * 256
+             |          * POW(2, 65) / denom <= 2.5 * 256
+             |        AND (256 - present) > 0
+             |      THEN 256.0 * LN(256.0 / (256 - present))
+             |      ELSE (0.7213 / (1 + 1.079 / 256)) * 256 * 256
+             |        * POW(2, 65) / denom END AS eu
+             |  FROM u1)
+             |SELECT u.ga, u.gb, ROUND(a.e, 4) AS est_a,
+             |  ROUND(b.e, 4) AS est_b, ROUND(u.eu, 4) AS est_union,
+             |  ROUND(GREATEST(0.0, a.e + b.e - u.eu), 4)
+             |    AS est_intersect,
+             |  ROUND(GREATEST(0.0, a.e + b.e - u.eu) / u.eu, 6)
+             |    AS jaccard_est
+             |FROM uest u JOIN est a ON a.grp = u.ga
+             |JOIN est b ON b.grp = u.gb
+             |ORDER BY 1, 2""".stripMargin)),
   )
 
   /** DuckDB replay of [[graft.ops.TextAnalysis.tailRepetition]] over

@@ -355,4 +355,63 @@ object Streams {
           next
       }
   }
+
+  final case class WorCand(key: Long, id: Long)
+  final case class WorState(n_seen: Long, top: List[WorCand])
+  final case class WorSample(event_type: String, n_seen: Long,
+      ids: Seq[Long], keys: Seq[Long])
+
+  /** Streaming twin of [[graft.ops.Sampling.weightedSampleWOR]]: an
+    * exact-size weighted sample WITHOUT replacement per key, maintained
+    * over an unbounded stream — "always hold the 10k most
+    * representative events per type, long-value events favored",
+    * without re-reading history. Efraimidis–Spirakis keys make this
+    * possible: each event's `round(ln(u)/w·1e12)` key is a pure
+    * function of the event itself, and keeping the k best keys is an
+    * associative, commutative fold — so the state after ANY prefix of
+    * the stream, under ANY micro-batching, equals the batch
+    * `weightedSampleWOR` selection over the same events (stream/batch
+    * equivalence by construction, pinned in StreamingSpec).
+    *
+    * State per key: the k (key, id) pairs + one counter — O(k),
+    * independent of stream length; no watermark needed (the sample is
+    * over ALL history by definition). Emits the current selection
+    * each batch (update mode); the latest emission per key (largest
+    * `n_seen` — monotone) is the answer.
+    */
+  def weightedSampleTopK(events: DataFrame, k: Int): Dataset[WorSample] = {
+    require(k > 0, s"k=$k must be positive")
+    val s2 = events.sparkSession; import s2.implicits._
+    val scored = events
+      .where(col("value") > 0)
+      .withColumn("u",
+        conv(substring(md5(concat(lit("wor:"),
+          col("event_id").cast("string"))), 1, 4), 16, 10).cast("double")
+          / 65536.0 + lit(0.5 / 65536))
+      .select(col("event_type"),
+        round(log(col("u")) / col("value") * 1e12, 0).cast("long")
+          .as("key"),
+        col("event_id").as("id"))
+      .as[(String, Long, Long)]
+    scored.groupByKey(_._1)
+      .mapGroupsWithState[WorState, WorSample](GroupStateTimeout.NoTimeout) {
+        (grp, batch, state: GroupState[WorState]) =>
+          def better(a: WorCand, b: WorCand): Boolean =
+            a.key > b.key || (a.key == b.key && a.id < b.id)
+          var st = state.getOption.getOrElse(WorState(0L, Nil))
+          batch.foreach { case (_, key, id) =>
+            val c = WorCand(key, id)
+            val buf = st.top
+            val nb =
+              if (buf.size >= k && !better(c, buf.last)) buf
+              else {
+                val (pre, post) = buf.span(better(_, c))
+                ((pre :+ c) ++ post.take(k - pre.size - 1)).toList
+              }
+            st = WorState(st.n_seen + 1, nb)
+          }
+          state.update(st)
+          WorSample(grp, st.n_seen, st.top.map(_.id), st.top.map(_.key))
+      }
+  }
 }

@@ -2363,6 +2363,68 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got("hasempty") == ((1L, 4L, 4L, 1.0)))
   }
 
+  test("interval coverage matches a brute-force union on seeded random " +
+      "interval soups") {
+    val s2 = spark; import s2.implicits._
+    val rnd = new scala.util.Random(42)
+    val fx = (1 to 300).map { _ =>
+      val k = s"k${rnd.nextInt(5)}"
+      val s0 = rnd.nextInt(1000).toLong
+      (k, s0, s0 + rnd.nextInt(50).toLong)
+    }
+    val got = graft.ops.AsOf.intervalCoverage(
+        fx.toDF("k", "s", "e"), "k", "s", "e")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val expect = fx.filter(t => t._2 < t._3).groupBy(_._1).map {
+      case (k, ivs) =>
+        val covered = ivs.flatMap(t => t._2 until t._3).toSet.size.toLong
+        k -> covered
+    }
+    assert(got == expect, s"got $got expect $expect")
+  }
+
+  test("exact quantiles match a sorted brute force on seeded random " +
+      "per-key data at every requested q") {
+    val s2 = spark; import s2.implicits._
+    val rnd = new scala.util.Random(7)
+    val fx = (1 to 500).map(_ =>
+      (s"g${rnd.nextInt(4)}", rnd.nextInt(40).toLong))
+    val qs = Seq(0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0)
+    val got = graft.ops.Profile.exactQuantiles(
+        fx.toDF("k", "v"), "k", "v", qs)
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getLong(2)).toMap
+    for ((k, vs0) <- fx.groupBy(_._1); q <- qs) {
+      val vs = vs0.map(_._2).sorted
+      val rank = math.max(1, math.ceil(q * vs.size - 1e-9).toLong).toInt
+      assert(got((k, q)) == vs(rank - 1),
+        s"key $k q $q: got ${got((k, q))}, want ${vs(rank - 1)}")
+    }
+  }
+
+  test("hll overlap: identical groups score jaccard exactly 1, " +
+      "disjoint groups near 0, subset recovers the small side") {
+    val s2 = spark; import s2.implicits._
+    val a = (1L to 600L).map(("a", _))
+    val a2 = (1L to 600L).map(("a2", _)) // identical membership to a
+    val b = (2001L to 2600L).map(("b", _)) // disjoint from a
+    val c = (1L to 120L).map(("c", _)) // subset of a
+    val fx = (a ++ a2 ++ b ++ c).toDF("g", "k")
+    val got = graft.ops.Sketch.hllOverlap(fx, "g", "k", logBuckets = 8)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6))).toMap
+    val (ea, _, eu, ei, j) = got(("a", "a2"))
+    // identical registers: union == single, intersect == single, j == 1
+    assert(eu == ea && ei == ea && j == 1.0, got(("a", "a2")).toString)
+    // disjoint 600-vs-600: intersection estimate well below either side
+    assert(got(("a", "b"))._5 < 0.25, got(("a", "b")).toString)
+    // subset: intersection ~ |c|, within HLL error (~6.5% SE, 3 sigma
+    // on two sketches)
+    val interAC = got(("a", "c"))._4
+    assert(interAC > 60 && interAC < 190, interAC.toString)
+  }
+
   test("partial top-k per key equals the window form on any partitioning") {
     val s2 = spark; import s2.implicits._
     import org.apache.spark.sql.expressions.Window

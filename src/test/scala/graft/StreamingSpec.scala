@@ -649,4 +649,52 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       spark.catalog.dropTempView("timeout_sessions")
     }
   }
+
+  test("streaming weighted WOR equals the batch selection under " +
+      "adversarial micro-batching; zero weights never enter state") {
+    val s2 = spark; import s2.implicits._
+    implicit val ctx = spark.sqlContext
+    val all = (1L to 40L).map(i =>
+      Event(i, ts("2024-01-01 10:00:00"), 1L, if (i % 2 == 0) "x" else "y",
+        if (i % 7 == 0) 0.0 else (i % 5 + 1).toDouble))
+    val input = MemoryStream[Event]
+    val q = Streams.weightedSampleTopK(input.toDS().toDF(), k = 3)
+      .toDF().writeStream.format("memory").queryName("wor_stream")
+      .outputMode("update").start()
+    try {
+      // adversarial order: reversed, split mid-group across batches
+      val shuffled = all.reverse
+      input.addData(shuffled.take(13): _*); q.processAllAvailable()
+      input.addData(shuffled.slice(13, 14): _*); q.processAllAvailable()
+      input.addData(shuffled.drop(14): _*); q.processAllAvailable()
+      val fin = spark.table("wor_stream")
+        .groupBy("event_type").agg(max(struct(col("n_seen"),
+          col("ids"))).as("m"))
+        .select(col("event_type"), col("m.ids").as("ids"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      // batch replay: same key, same ordering, via a plain window
+      import org.apache.spark.sql.expressions.Window
+      val batch = all.toDF()
+        .where(col("value") > 0)
+        .withColumn("u",
+          conv(substring(md5(concat(lit("wor:"),
+            col("event_id").cast("string"))), 1, 4), 16, 10)
+            .cast("double") / 65536.0 + lit(0.5 / 65536))
+        .withColumn("key",
+          round(log(col("u")) / col("value") * 1e12, 0).cast("long"))
+        .withColumn("rk", row_number().over(Window
+          .partitionBy("event_type")
+          .orderBy(col("key").desc, col("event_id"))))
+        .where(col("rk") <= 3)
+        .collect()
+        .map(r => (r.getAs[String]("event_type"),
+          r.getAs[Int]("rk"), r.getAs[Long]("event_id")))
+        .groupBy(_._1).map { case (g, rs) =>
+          g -> rs.sortBy(_._2).map(_._3).toSeq }
+      assert(fin == batch, s"stream $fin vs batch $batch")
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("wor_stream")
+    }
+  }
 }
