@@ -197,6 +197,87 @@ object Multimodal {
       }
     }
 
+  /** 64-bit difference hash (dHash) of one image: NN-sample a 9×8
+    * integer-luma grid (the [[resizeOne]] index math, `x·w/9`, `y·h/8`)
+    * and set bit `y·8 + x` when the right neighbor is STRICTLY
+    * brighter. Every step is integer arithmetic on decoded pixels, so
+    * the hash is engine-replayable wherever the pixels are (PPM bytes
+    * are raw; a SQL oracle recomputes the same grid from the same
+    * bytes). None for undecodable media — perceptual identity of junk
+    * is meaningless, stub features are not.
+    */
+  private[graft] def dhashOne(bytes: Array[Byte]): Option[Long] =
+    try {
+      readImageIO(bytes).orElse(ppmImage(bytes)).map { img =>
+        val w = img.getWidth; val h = img.getHeight
+        def lum(x: Int, y: Int): Int = {
+          val rgb = img.getRGB(x * w / 9, y * h / 8)
+          (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000
+        }
+        var hash = 0L
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            if (lum(x + 1, y) > lum(x, y)) hash |= 1L << (y * 8 + x)
+            x += 1
+          }
+          y += 1
+        }
+        hash
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** (doc_id, dhash) for every decodable image — the perceptual
+    * fingerprint column image dedup runs on: re-encodes, minor recrops,
+    * and palette shifts move few bits where a content change moves
+    * many. Partition-batched narrow decode, undecodable rows dropped.
+    */
+  def imageDhash(media: DataFrame): DataFrame = {
+    val s2 = media.sparkSession; import s2.implicits._
+    media.select(col("doc_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        dhashOne(bytes).map(h => (id, h))
+      })
+      .toDF("doc_id", "dhash")
+  }
+
+  /** Near-duplicate image pairs: all (id1 < id2) with
+    * `popcount(dhash1 XOR dhash2) <= maxHamming`, found WITHOUT an
+    * all-pairs pass — the [[graft.ops.Dedup]] SimHash discipline
+    * applied to the perceptual hash: split the 64 bits into
+    * `maxHamming + 1` bands (pigeonhole: any qualifying pair agrees
+    * exactly on at least one band), bucket on (band, value), expand
+    * inside buckets, then exact `bit_count` re-scoring kills the false
+    * candidates. Requires `maxHamming <= 15` (16 bands of 4 bits would
+    * collide everything; 4 bands of 16 bits hold to 3, 8 bands of 8
+    * bits to 7 — band width adapts).
+    *
+    * Shape at 100 TB: one decode scan → one (band, value) bucket
+    * shuffle → in-bucket expansion + narrow exact filter. Never
+    * images², never pixels past the decode.
+    */
+  def dhashPairs(media: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"maxHamming=$maxHamming out of [0, 15]")
+    val bands = maxHamming + 1
+    val width = 64 / bands // >= 4 given the cap
+    val hashed = imageDhash(media)
+    val banded = hashed.select(col("doc_id"), col("dhash"),
+        explode(expr(s"transform(sequence(0, ${bands - 1}), b -> " +
+          s"struct(b AS band, shiftrightunsigned(dhash, b * $width) & " +
+          s"${(1L << width) - 1} AS v))")).as("bv"))
+      .select(col("bv.band"), col("bv.v"),
+        struct(col("doc_id"), col("dhash")).as("p"))
+    Dedup.bucketPairsOf(banded, Seq("band", "v"), col("p"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        expr("bit_count(a.dhash ^ b.dhash)").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
   /** Typed decoded-audio row (sibling of [[MediaFeatures]] for the audio
     * modality: rate/channels/frames instead of pixel dimensions).
     */

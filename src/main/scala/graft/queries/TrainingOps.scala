@@ -6154,6 +6154,68 @@ object TrainingOps {
              |FROM uest u JOIN est a ON a.grp = u.ga
              |JOIN est b ON b.grp = u.gb
              |ORDER BY 1, 2""".stripMargin)),
+
+    // Perceptual-hash (dHash) image near-dup pairs over REAL decoded
+    // 16x16 PPMs (q74's synthesis, plus planted one-byte-perturbed
+    // twins on odd ids): the engine decodes actual bytes and bands the
+    // 64-bit hash; the oracle recomputes the same 9x8 integer-luma
+    // grid, the same strict-comparison bits, and all-pairs hamming.
+    QueryDef("q249_image_dhash_pairs",
+      (s, d) => {
+        val base = table(s, d, "documents")
+          .where(col("doc_id") < 600)
+          .where(expr("octet_length(text) = length(text)"))
+          .select(col("doc_id"),
+            rpad(substring(col("text"), 1, 768), 768, "x").as("px"))
+        val even = base.where(col("doc_id") % 2 === 0)
+        val odd = base.where(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), (col("doc_id") - 1).as("prev"))
+          .join(even.select(col("doc_id").as("prev"),
+            col("px").as("ppx")), "prev")
+          .select(col("doc_id"),
+            concat(lit("Z"), substring(col("ppx"), 2, 767)).as("px"))
+        val media = even.unionByName(odd)
+          .select(col("doc_id"),
+            concat(lit("P6\n16 16\n255\n"), col("px"))
+              .cast("binary").as("media"))
+        Multimodal.dhashPairs(media, maxHamming = 8)
+          .orderBy("id1", "id2")
+      },
+      Some("""WITH base AS (SELECT doc_id,
+             |    rpad(substr(text, 1, 768), 768, 'x') AS px
+             |  FROM documents
+             |  WHERE doc_id < 600 AND strlen(text) = length(text)),
+             |evens AS (SELECT * FROM base WHERE doc_id % 2 = 0),
+             |odds AS (SELECT o.doc_id,
+             |    'Z' || substr(e.px, 2, 767) AS px
+             |  FROM base o JOIN evens e ON e.doc_id = o.doc_id - 1
+             |  WHERE o.doc_id % 2 = 1),
+             |m AS (SELECT * FROM evens UNION ALL SELECT * FROM odds),
+             |g AS (SELECT doc_id, x, y,
+             |    (ascii(substr(px,
+             |        ((y * 2) * 16 + (x * 16) // 9) * 3 + 1, 1)) * 299
+             |     + ascii(substr(px,
+             |        ((y * 2) * 16 + (x * 16) // 9) * 3 + 2, 1)) * 587
+             |     + ascii(substr(px,
+             |        ((y * 2) * 16 + (x * 16) // 9) * 3 + 3, 1)) * 114)
+             |      // 1000 AS lum
+             |  FROM m, UNNEST(generate_series(0, 8)) tx(x),
+             |    UNNEST(generate_series(0, 7)) ty(y)),
+             |bits AS (SELECT a.doc_id, a.y * 8 + a.x AS k,
+             |    CASE WHEN b.lum > a.lum THEN '1' ELSE '0' END AS bit
+             |  FROM g a JOIN g b ON b.doc_id = a.doc_id AND b.y = a.y
+             |    AND b.x = a.x + 1
+             |  WHERE a.x < 8),
+             |h AS (SELECT doc_id,
+             |    string_agg(bit, '' ORDER BY k) AS bs
+             |  FROM bits GROUP BY 1),
+             |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+             |    CAST(len(list_filter(generate_series(1, 64),
+             |      i -> substr(a.bs, i, 1) != substr(b.bs, i, 1)))
+             |      AS INT) AS hamming
+             |  FROM h a JOIN h b ON a.doc_id < b.doc_id)
+             |SELECT id1, id2, hamming FROM p WHERE hamming <= 8
+             |ORDER BY 1, 2""".stripMargin)),
   )
 
   /** DuckDB replay of [[graft.ops.TextAnalysis.tailRepetition]] over

@@ -2425,6 +2425,33 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(interAC > 60 && interAC < 190, interAC.toString)
   }
 
+  test("image dhash: gradient saturates all bits, constant is zero, " +
+      "one-pixel edit moves one bit, banding finds exactly the near " +
+      "pairs, junk is dropped") {
+    val s2 = spark; import s2.implicits._
+    def img(f: (Int, Int) => Int): Array[Byte] = {
+      val header = "P6\n9 8\n255\n".getBytes("ISO-8859-1")
+      val raster = new Array[Byte](9 * 8 * 3)
+      for (y <- 0 until 8; x <- 0 until 9; c <- 0 until 3)
+        raster((y * 9 + x) * 3 + c) = f(x, y).toByte
+      header ++ raster
+    }
+    val grad = img((x, _) => x * 20)
+    val const = img((_, _) => 0)
+    // bump pixel (4,3) to 200: only the (x=4, y=3) comparison flips
+    val nearGrad = img((x, y) => if (x == 4 && y == 3) 200 else x * 20)
+    assert(graft.ops.Multimodal.dhashOne(grad).contains(-1L)) // all 64
+    assert(graft.ops.Multimodal.dhashOne(const).contains(0L))
+    assert(graft.ops.Multimodal.dhashOne("junk".getBytes).isEmpty)
+    val media = Seq(1L -> grad, 2L -> grad, 3L -> nearGrad, 4L -> const,
+      5L -> "junk".getBytes).toDF("doc_id", "media")
+    val got = graft.ops.Multimodal.dhashPairs(media, maxHamming = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(got == Map((1L, 2L) -> 0, (1L, 3L) -> 1, (2L, 3L) -> 1),
+      got.toString)
+  }
+
   test("partial top-k per key equals the window form on any partitioning") {
     val s2 = spark; import s2.implicits._
     import org.apache.spark.sql.expressions.Window
