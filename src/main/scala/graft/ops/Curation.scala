@@ -536,7 +536,7 @@ object Curation {
     * subexpression elimination shares the digest across the positions).
     * Requires `(h+1)·6 <= 32` hex chars, i.e. numHashes <= 5.
     */
-  private def bloomPos(c: Column, h: Int, numBits: Int): Column =
+  private[ops] def bloomPos(c: Column, h: Int, numBits: Int): Column =
     pmod(conv(substring(md5(c), h * 6 + 1, 6), 16, 10)
       .cast("long"), lit(numBits.toLong))
 

@@ -27,4 +27,41 @@ object Skew {
       explode(expr(s"sequence(0, ${salt - 1})")))
     bigS.join(smallS, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** Bloom-pruned equi-join `big ⋈ small`: semantically IDENTICAL to
+    * the plain inner join (the exact join still runs — Bloom false
+    * positives are eliminated there; false negatives are impossible by
+    * construction, the filter tests the same md5 positions the build
+    * set inserted), but the big side is first cut by a NARROW
+    * plan-literal Bloom probe, so what reaches the join's exchange is
+    * only the rows that might match. The selective-join shuffle
+    * reducer: when the small side matches 1% of a 100 TB fact table,
+    * the shuffle shrinks ~100× for the cost of `numHashes` md5 probes
+    * per row at the scan — where Spark's own runtime row-group filter
+    * can't help because the selectivity lives INSIDE row groups.
+    *
+    * The filter is a fixed `numBits/8`-byte `typedLit` (the
+    * [[Curation.decontaminateBloom]] payload discipline): no broadcast
+    * table, no second job over the big side.
+    */
+  def bloomPrunedJoin(big: DataFrame, small: DataFrame, bigKey: String,
+      smallKey: String, numBits: Int = 1 << 21,
+      numHashes: Int = 3): DataFrame = {
+    require(numBits % 32 == 0 && numBits > 0,
+      s"numBits=$numBits must be a positive multiple of 32")
+    val bloomArr = Curation.bloomFilterOf(
+        small.select(col(smallKey).cast("string").as("v")).distinct(),
+        "v", numBits, numHashes)
+      .first().getSeq[Long](0).toArray
+    val member = expr("forall(__ps, p -> (shiftright(" +
+      "element_at(__bloom, CAST(p div 32 AS INT) + 1), " +
+      "CAST(p % 32 AS INT)) & 1) = 1)")
+    val pruned = big
+      .withColumn("__bloom", typedLit(bloomArr.toSeq))
+      .withColumn("__ps", array((0 until numHashes).map(h =>
+        Curation.bloomPos(col(bigKey).cast("string"), h, numBits)): _*))
+      .where(member)
+      .drop("__bloom", "__ps")
+    pruned.join(small, col(bigKey) === col(smallKey))
+  }
 }

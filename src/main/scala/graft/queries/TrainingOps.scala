@@ -6216,6 +6216,26 @@ object TrainingOps {
              |  FROM h a JOIN h b ON a.doc_id < b.doc_id)
              |SELECT id1, id2, hamming FROM p WHERE hamming <= 8
              |ORDER BY 1, 2""".stripMargin)),
+
+    // Bloom-pruned selective join: identical rows to the plain join
+    // (the oracle IS the plain join — false positives die in the exact
+    // join, false negatives are impossible), with the fact side cut by
+    // a narrow plan-literal Bloom probe before the exchange.
+    QueryDef("q250_bloom_pruned_join",
+      (s, d) => Skew.bloomPrunedJoin(
+          table(s, d, "orders"),
+          table(s, d, "customer")
+            .where(col("c_mktsegment") === "BUILDING" &&
+              col("c_nationkey") < 5),
+          "o_custkey", "c_custkey")
+        .select(col("o_orderkey"), col("o_custkey"), col("c_nationkey"),
+          round(col("c_acctbal"), 2).as("c_acctbal"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o.o_orderkey, o.o_custkey, c.c_nationkey,
+             |  ROUND(c.c_acctbal, 2) AS c_acctbal
+             |FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+             |WHERE c.c_mktsegment = 'BUILDING' AND c.c_nationkey < 5
+             |ORDER BY 1""".stripMargin)),
   )
 
   /** DuckDB replay of [[graft.ops.TextAnalysis.tailRepetition]] over

@@ -23,4 +23,27 @@ class SkewSpec extends AnyFunSuite with SparkTestBase {
     assert(salted.length == plain.length)
     assert(salted.sameElements(plain))
   }
+
+  test("bloom-pruned join returns exactly the plain join and the probe " +
+      "filter sits below the join") {
+    val s2 = spark; import s2.implicits._
+    val big = spark.range(5000)
+      .select(col("id").as("bk"), (col("id") * 7 % 100).as("v"))
+    // small matches a 1% slice; 'absent' keys must not leak through
+    val small = (1 to 50).map(i => (i * 100L, i))
+      .toDF("sk", "w")
+    val plain = big.join(small, col("bk") === col("sk"))
+      .select("bk", "v", "w").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
+    val viaBloom = Skew.bloomPrunedJoin(big, small, "bk", "sk",
+        numBits = 1 << 12, numHashes = 3)
+      .select("bk", "v", "w").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
+    assert(viaBloom.sameElements(plain),
+      s"${viaBloom.length} vs ${plain.length}")
+    // the Bloom probe must prune BEFORE the join, as a narrow filter
+    val p = Skew.bloomPrunedJoin(big, small, "bk", "sk")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("forall"), p)
+  }
 }
