@@ -347,6 +347,78 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  final case class AudioBlock(doc_id: Long, block: Int, n_samples: Int,
+      energy: Long, zcr: Long)
+
+  /** Per-block audio features over REAL decoded PCM — the
+    * feature-extraction tier an audio corpus runs before silence
+    * trimming, voice-activity gating, or fingerprint dedup:
+    *   - `energy`: Σ (u − 128)² over the block's unsigned high-byte
+    *     samples (exact integer — silence ≈ 0, clipping ≈ 128²·n);
+    *   - `zcr`: strict sign alternations around the midline within the
+    *     block (noise/fricatives high, tones low, DC zero).
+    * Blocks are `blockLen` samples; the trailing partial block reports
+    * with its own `n_samples`. Undecodable media yields no rows.
+    *
+    * Shape at 100 TB: partition-batched narrow decode → 1→N block
+    * rows; no shuffle, no UDF registry, integers end to end.
+    */
+  def audioBlockFeatures(media: DataFrame,
+      blockLen: Int): Dataset[AudioBlock] = {
+    require(blockLen >= 2, s"blockLen=$blockLen must be >= 2")
+    val s2 = media.sparkSession; import s2.implicits._
+    media.select(col("doc_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        wavSamplesU8(bytes).toSeq.flatMap { u =>
+          u.grouped(blockLen).zipWithIndex.map { case (blk, bi) =>
+            var energy = 0L
+            var zcr = 0L
+            var i = 0
+            while (i < blk.length) {
+              val d = blk(i) - 128
+              energy += d.toLong * d
+              if (i > 0 && (blk(i - 1) - 128).toLong * d < 0) zcr += 1
+              i += 1
+            }
+            AudioBlock(id, bi, blk.length, energy, zcr)
+          }
+        }
+      })
+  }
+
+  /** The unsigned high-order byte of every PCM sample in a WAV —
+    * [[decodeWav]]'s sample walk, returned raw for feature extraction.
+    */
+  private[graft] def wavSamplesU8(bytes: Array[Byte])
+      : Option[Array[Int]] = {
+    if (bytes.length < 44 || bytes(0) != 'R' || bytes(1) != 'I' ||
+      bytes(2) != 'F' || bytes(3) != 'F' || bytes(8) != 'W' ||
+      bytes(9) != 'A' || bytes(10) != 'V' || bytes(11) != 'E') return None
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        val bytesPerSample = math.max(1, (fmt.getSampleSizeInBits + 7) / 8)
+        val signed = fmt.getEncoding ==
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        val data = ais.readAllBytes()
+        val out = new Array[Int](data.length / bytesPerSample)
+        var i = 0
+        var k = 0
+        while (i + bytesPerSample <= data.length) {
+          val hi =
+            if (fmt.isBigEndian) data(i) else data(i + bytesPerSample - 1)
+          out(k) = if (signed) (hi ^ 0x80) & 0xff else hi & 0xff
+          i += bytesPerSample
+          k += 1
+        }
+        Some(out)
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** Encode raw 8-bit unsigned PCM samples as a canonical 44-byte-header
     * WAV. Test-fixture generator for the real [[decodeWav]] path: the
     * decoded amplitude histogram is exactly the histogram of the input

@@ -6236,6 +6236,48 @@ object TrainingOps {
              |FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
              |WHERE c.c_mktsegment = 'BUILDING' AND c.c_nationkey < 5
              |ORDER BY 1""".stripMargin)),
+
+    // Audio block features over REAL decoded WAVs (q90's PCM synth):
+    // per 64-sample block, exact integer energy and zero-crossing rate
+    // - the silence-trim / VAD feature tier; the oracle replays the
+    // same arithmetic on the same source bytes.
+    QueryDef("q251_audio_blocks",
+      (s, d) => {
+        val s2 = s; import s2.implicits._
+        val media = table(s, d, "documents")
+          .where(expr("octet_length(text) = length(text)"))
+          .select(col("doc_id"),
+            rpad(substring(col("text"), 1, 192), 192, "x").as("px"))
+          .as[(Long, String)]
+          .map { case (id, px) =>
+            (id, Multimodal.encodePcmWav(
+              px.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1),
+              8000))
+          }
+          .toDF("doc_id", "media")
+        Multimodal.audioBlockFeatures(media, blockLen = 64).toDF()
+          .orderBy("doc_id", "block")
+      },
+      Some("""WITH p AS (SELECT doc_id,
+             |    rpad(substr(text, 1, 192), 192, 'x') AS px
+             |  FROM documents WHERE strlen(text) = length(text)),
+             |chars AS (SELECT doc_id, i,
+             |    CAST((i - 1) // 64 AS INT) AS block,
+             |    ascii(substr(px, i, 1)) - 128 AS d
+             |  FROM p, UNNEST(generate_series(1, 192)) t(i)),
+             |z AS (SELECT a.doc_id, a.block,
+             |    CASE WHEN a.d * b.d < 0 THEN 1 ELSE 0 END AS x
+             |  FROM chars a JOIN chars b ON b.doc_id = a.doc_id
+             |    AND b.i = a.i + 1 AND b.block = a.block),
+             |zc AS (SELECT doc_id, block, CAST(SUM(x) AS BIGINT) AS zcr
+             |  FROM z GROUP BY 1, 2)
+             |SELECT c.doc_id, c.block, CAST(COUNT(*) AS INT) AS n_samples,
+             |  CAST(SUM(c.d * c.d) AS BIGINT) AS energy,
+             |  COALESCE(zc.zcr, 0) AS zcr
+             |FROM chars c LEFT JOIN zc
+             |  ON zc.doc_id = c.doc_id AND zc.block = c.block
+             |GROUP BY c.doc_id, c.block, zc.zcr
+             |ORDER BY 1, 2""".stripMargin)),
   )
 
   /** DuckDB replay of [[graft.ops.TextAnalysis.tailRepetition]] over

@@ -2452,6 +2452,25 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
       got.toString)
   }
 
+  test("audio block features: silence is zero, alternation maxes zcr, " +
+      "trailing partial block reports its own size, junk yields no rows") {
+    val s2 = spark; import s2.implicits._
+    val silence = Array.fill(64)(128)
+    val alt = Array.tabulate(64)(i => if (i % 2 == 0) 129 else 127)
+    val loudDc = Array.fill(22)(200)
+    val pcm = (silence ++ alt ++ loudDc).map(_.toByte)
+    val media = Seq(
+      1L -> graft.ops.Multimodal.encodePcmWav(pcm, 8000),
+      2L -> "not audio".getBytes).toDF("doc_id", "media")
+    val got = graft.ops.Multimodal.audioBlockFeatures(media, 64)
+      .collect().map(b => (b.doc_id, b.block) ->
+        (b.n_samples, b.energy, b.zcr)).toMap
+    assert(got == Map(
+      (1L, 0) -> ((64, 0L, 0L)),
+      (1L, 1) -> ((64, 64L, 63L)),
+      (1L, 2) -> ((22, 22L * 72 * 72, 0L))), got.toString)
+  }
+
   test("partial top-k per key equals the window form on any partitioning") {
     val s2 = spark; import s2.implicits._
     import org.apache.spark.sql.expressions.Window
