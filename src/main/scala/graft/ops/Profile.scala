@@ -1030,6 +1030,44 @@ object Profile {
       .groupBy("key", "q").agg(min("v").as("value"))
   }
 
+  /** Declarative data-quality expectations — the Deequ-style contract
+    * gate a pipeline runs before promoting a snapshot: each rule is a
+    * (name, SQL predicate, tolerated violation rate) triple, and EVERY
+    * rule is evaluated in ONE pass over the corpus (a single aggregate
+    * computes all violation counts — no per-rule jobs, no per-rule
+    * scans). Returns per rule: row count, violation count, violation
+    * rate, and `passed` (`viol_rate <= maxViolRate`). NULL predicate
+    * results count as violations (an expectation that cannot be
+    * evaluated is not met).
+    *
+    * Shape at 100 TB: one narrow projection computing \|rules\| flags +
+    * one global aggregate; the melt to rule rows happens on the single
+    * aggregated row.
+    */
+  def expectations(df: DataFrame,
+      rules: Seq[(String, String, Double)]): DataFrame = {
+    require(rules.nonEmpty, "need at least one rule")
+    require(rules.map(_._1).distinct.size == rules.size,
+      "rule names must be unique")
+    val aggs = count(lit(1)).as("__n") +: rules.zipWithIndex.map {
+      case ((_, pred, _), i) =>
+        sum(when(coalesce(expr(pred), lit(false)), 0L).otherwise(1L))
+          .as(s"__v$i")
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = rules.zipWithIndex.map { case ((name, _, maxRate), i) =>
+      s"'$name', __v$i, CAST($maxRate AS DOUBLE)"
+    }.mkString(", ")
+    one.select(col("__n"),
+        expr(s"stack(${rules.size}, $stacked) " +
+          "AS (rule, n_violations, max_viol_rate)"))
+      .select(col("rule"), col("__n").as("n_rows"), col("n_violations"),
+        (col("n_violations").cast("double") / col("__n"))
+          .as("viol_rate"),
+        (col("n_violations").cast("double") / col("__n") <=
+          col("max_viol_rate")).as("passed"))
+  }
+
   /** Population Stability Index per group against a designated
     * REFERENCE group — the industry-standard drift score next to
     * [[ksDrift]] (KS answers "are they different", PSI weights WHERE

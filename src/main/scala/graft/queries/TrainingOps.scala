@@ -6278,6 +6278,48 @@ object TrainingOps {
              |  ON zc.doc_id = c.doc_id AND zc.block = c.block
              |GROUP BY c.doc_id, c.block, zc.zcr
              |ORDER BY 1, 2""".stripMargin)),
+
+    // Declarative data-quality expectations over lineitem: four rules,
+    // ONE pass (a single aggregate computes every violation count);
+    // NULL predicate results count as violations.
+    QueryDef("q252_expectations",
+      (s, d) => graft.ops.Profile.expectations(
+          table(s, d, "lineitem"), Seq(
+            ("qty_positive", "l_quantity > 0", 0.0),
+            ("discount_unit_range",
+              "l_discount >= 0 AND l_discount <= 0.1", 0.0),
+            ("price_floor", "l_extendedprice > 2000", 0.1),
+            ("returnflag_domain",
+              "l_returnflag IN ('A', 'N', 'R')", 0.0)))
+        .select(col("rule"), col("n_rows"), col("n_violations"),
+          round(col("viol_rate"), 9).as("viol_rate"), col("passed"))
+        .orderBy("rule"),
+      Some("""WITH f AS (SELECT
+             |    CASE WHEN COALESCE(l_quantity > 0, false)
+             |      THEN 0 ELSE 1 END AS v1,
+             |    CASE WHEN COALESCE(l_discount >= 0 AND l_discount <= 0.1,
+             |      false) THEN 0 ELSE 1 END AS v2,
+             |    CASE WHEN COALESCE(l_extendedprice > 2000, false)
+             |      THEN 0 ELSE 1 END AS v3,
+             |    CASE WHEN COALESCE(l_returnflag IN ('A', 'N', 'R'),
+             |      false) THEN 0 ELSE 1 END AS v4
+             |  FROM lineitem),
+             |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(SUM(v1) AS BIGINT) AS v1,
+             |    CAST(SUM(v2) AS BIGINT) AS v2,
+             |    CAST(SUM(v3) AS BIGINT) AS v3,
+             |    CAST(SUM(v4) AS BIGINT) AS v4 FROM f),
+             |m AS (
+             |  SELECT 'qty_positive' AS rule, n, v1 AS v, 0.0 AS mx
+             |    FROM a
+             |  UNION ALL SELECT 'discount_unit_range', n, v2, 0.0 FROM a
+             |  UNION ALL SELECT 'price_floor', n, v3, 0.1 FROM a
+             |  UNION ALL SELECT 'returnflag_domain', n, v4, 0.0
+             |    FROM a)
+             |SELECT rule, n AS n_rows, v AS n_violations,
+             |  ROUND(CAST(v AS DOUBLE) / n, 9) AS viol_rate,
+             |  CAST(v AS DOUBLE) / n <= mx AS passed
+             |FROM m ORDER BY rule""".stripMargin)),
   )
 
   /** DuckDB replay of [[graft.ops.TextAnalysis.tailRepetition]] over

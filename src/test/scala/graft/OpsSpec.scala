@@ -2471,6 +2471,30 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
       (1L, 2) -> ((22, 22L * 72 * 72, 0L))), got.toString)
   }
 
+  test("expectations: one pass evaluates every rule, NULLs violate, " +
+      "tolerance gates pass/fail, plan has exactly one aggregate pass") {
+    val s2 = spark; import s2.implicits._
+    val fx = Seq((1, Some(5)), (2, Some(-1)), (3, None), (4, Some(9)))
+      .toDF("id", "v")
+    val df = graft.ops.Profile.expectations(fx, Seq(
+      ("v_positive", "v > 0", 0.0),
+      ("v_positive_tolerant", "v > 0", 0.5),
+      ("id_small", "id < 100", 0.0)))
+    // capture pre-execution (post-execution AQE appends the initial
+    // plan again, double-counting nodes)
+    val planStr = df.queryExecution.executedPlan.toString
+    val got = df.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getBoolean(4))).toMap
+    // -1 violates, NULL violates
+    assert(got("v_positive") == ((4L, 2L, false)), got.toString)
+    assert(got("v_positive_tolerant") == ((4L, 2L, true)))
+    assert(got("id_small") == ((4L, 0L, true)))
+    // ONE scan feeds every rule - no per-rule pass over the corpus
+    val scans = "(?i)tablescan|filescan".r.findAllIn(planStr).size
+    assert(scans == 1, s"$scans scans")
+  }
+
   test("partial top-k per key equals the window form on any partitioning") {
     val s2 = spark; import s2.implicits._
     import org.apache.spark.sql.expressions.Window
