@@ -1030,6 +1030,34 @@ object Profile {
       .groupBy("key", "q").agg(min("v").as("value"))
   }
 
+  /** Calendar-completeness profile of an event stream: one row for
+    * EVERY day between the corpus's first and last (the Benford/PSI
+    * full-grid discipline — a silent ingestion gap is a finding, not a
+    * missing row), with exact row and distinct-entity counts and an
+    * `is_gap` flag. The freshness/completeness SLA table a pipeline
+    * alerts on.
+    *
+    * Shape at 100 TB: one day-grain partial agg (distinct via the
+    * standard two-phase expansion), bounds as a single broadcast row,
+    * and the day grid exploded from ONE `sequence` — grid size is
+    * calendar days, never rows.
+    */
+  def calendarCompleteness(df: DataFrame, tsUsCol: String,
+      idCol: String): DataFrame = {
+    val byDay = df
+      .select(expr(s"$tsUsCol DIV 86400000000").as("day"), col(idCol))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col(idCol)).as("n_distinct"))
+    val grid = byDay.agg(min("day").as("lo"), max("day").as("hi"))
+      .select(explode(expr("sequence(lo, hi)")).as("day"))
+    grid.join(byDay, Seq("day"), "left")
+      .select(col("day"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        col("n_rows").isNull.as("is_gap"))
+  }
+
   /** Declarative data-quality expectations — the Deequ-style contract
     * gate a pipeline runs before promoting a snapshot: each rule is a
     * (name, SQL predicate, tolerated violation rate) triple, and EVERY

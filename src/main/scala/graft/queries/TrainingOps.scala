@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ops.{AsOf, Basket, Curation, Dedup, Funnel, Linkage,
@@ -278,30 +279,10 @@ object TrainingOps {
         .groupBy("pred_lang")
         .agg(count(lit(1)).as("n_docs"), round(avg("score"), 4).as("avg_score"))
         .orderBy("pred_lang"),
-      Some("""WITH toks AS (SELECT doc_id, UNNEST(string_split(text, ' ')) word
-             |              FROM documents),
-             |totals AS (SELECT doc_id, COUNT(*) n_tok FROM toks GROUP BY 1),
-             |lex(lang, word) AS (VALUES
-             |  ('en','the'),('en','a'),('en','of'),('en','and'),('en','to'),
-             |  ('en','in'),('en','is'),('en','it'),
-             |  ('de','der'),('de','die'),('de','das'),('de','und'),('de','ist'),
-             |  ('de','ein'),('de','zu'),('de','den'),
-             |  ('fr','le'),('fr','la'),('fr','les'),('fr','et'),('fr','est'),
-             |  ('fr','un'),('fr','une'),('fr','des')),
-             |langs AS (SELECT DISTINCT lang FROM lex),
-             |hits AS (SELECT doc_id, lang, COUNT(*) n_hit
-             |         FROM toks JOIN lex USING (word) GROUP BY 1, 2),
-             |scored AS (SELECT t.doc_id, l.lang,
-             |    COALESCE(h.n_hit, 0) * 1.0 / t.n_tok AS score
-             |  FROM totals t CROSS JOIN langs l
-             |  LEFT JOIN hits h ON h.doc_id = t.doc_id AND h.lang = l.lang),
-             |best AS (SELECT doc_id, lang, score,
-             |    ROW_NUMBER() OVER (PARTITION BY doc_id
-             |      ORDER BY score DESC, lang ASC) rk
-             |  FROM scored)
-             |SELECT lang AS pred_lang, COUNT(*) AS n_docs,
-             |  ROUND(AVG(score), 4) AS avg_score
-             |FROM best WHERE rk = 1 GROUP BY 1 ORDER BY 1""".stripMargin)),
+      Some(langIdOracleCtes + """
+        |SELECT lang AS pred_lang, COUNT(*) AS n_docs,
+        |  ROUND(AVG(score), 4) AS avg_score
+        |FROM best WHERE rk = 1 GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // ratios/quality ship UNROUNDED: every metric is per-row narrow IEEE
     // arithmetic evaluated in the same order on both engines, so the raw
@@ -6320,6 +6301,54 @@ object TrainingOps {
              |  ROUND(CAST(v AS DOUBLE) / n, 9) AS viol_rate,
              |  CAST(v AS DOUBLE) / n <= mx AS passed
              |FROM m ORDER BY rule""".stripMargin)),
+
+    // Calendar-completeness SLA profile: one row per day between the
+    // corpus's first and last (silent ingestion gaps are FINDINGS),
+    // exact row/distinct-user counts, gap flags.
+    QueryDef("q253_calendar_completeness",
+      (s, d) => graft.ops.Profile.calendarCompleteness(
+          eventsMicros(s, d), "ts_us", "user_id")
+        .orderBy("day"),
+      Some("""WITH byday AS (SELECT epoch_us(ts) // 86400000000 AS day,
+             |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+             |  FROM events GROUP BY 1),
+             |grid AS (SELECT UNNEST(generate_series(
+             |    (SELECT MIN(day) FROM byday),
+             |    (SELECT MAX(day) FROM byday))) AS day)
+             |SELECT g.day, COALESCE(b.n_rows, 0) AS n_rows,
+             |  COALESCE(b.n_distinct, 0) AS n_distinct,
+             |  b.n_rows IS NULL AS is_gap
+             |FROM grid g LEFT JOIN byday b ON b.day = g.day
+             |ORDER BY 1""".stripMargin)),
+
+    // Language-ID evaluation: the q47 heuristic's confusion matrix
+    // against the labeled lang column, with per-true-class shares —
+    // the accuracy audit a curation pipeline runs before trusting a
+    // classifier to route the mixture.
+    QueryDef("q254_langid_confusion",
+      (s, d) => {
+        val docs = table(s, d, "documents")
+        val pred = TextAnalysis.langId(docs)
+          .select(col("doc_id"), col("pred_lang"))
+        docs.select(col("doc_id"), col("lang")).join(pred, "doc_id")
+          .groupBy("lang", "pred_lang")
+          .agg(count(lit(1)).as("n_docs"))
+          .withColumn("row_frac", round(
+            col("n_docs").cast("double") /
+              sum("n_docs").over(Window.partitionBy("lang")), 6))
+          .orderBy("lang", "pred_lang")
+      },
+      Some(langIdOracleCtes + """
+        |, pred AS (SELECT doc_id, lang AS pred_lang FROM best
+        |  WHERE rk = 1),
+        |m AS (SELECT d.lang, p.pred_lang,
+        |    CAST(COUNT(*) AS BIGINT) AS n_docs
+        |  FROM documents d JOIN pred p USING (doc_id) GROUP BY 1, 2)
+        |SELECT lang, pred_lang, n_docs,
+        |  ROUND(CAST(n_docs AS DOUBLE) / SUM(n_docs)
+        |    OVER (PARTITION BY lang), 6) AS row_frac
+        |FROM m ORDER BY 1, 2""".stripMargin)),
   )
 
   /** DuckDB replay of [[graft.ops.TextAnalysis.tailRepetition]] over
@@ -6682,6 +6711,32 @@ object TrainingOps {
     * tokenizes via the distinct-word vocab where the engine bakes the
     * fold into a narrow per-occurrence expression.
     */
+  /** Shared language-ID oracle chain (q47 + the q254 evaluation):
+    * stopword-lexicon scoring to the ranked relation `best`.
+    */
+  private def langIdOracleCtes: String =
+    """WITH toks AS (SELECT doc_id, UNNEST(string_split(text, ' ')) word
+      |              FROM documents),
+      |totals AS (SELECT doc_id, COUNT(*) n_tok FROM toks GROUP BY 1),
+      |lex(lang, word) AS (VALUES
+      |  ('en','the'),('en','a'),('en','of'),('en','and'),('en','to'),
+      |  ('en','in'),('en','is'),('en','it'),
+      |  ('de','der'),('de','die'),('de','das'),('de','und'),('de','ist'),
+      |  ('de','ein'),('de','zu'),('de','den'),
+      |  ('fr','le'),('fr','la'),('fr','les'),('fr','et'),('fr','est'),
+      |  ('fr','un'),('fr','une'),('fr','des')),
+      |langs AS (SELECT DISTINCT lang FROM lex),
+      |hits AS (SELECT doc_id, lang, COUNT(*) n_hit
+      |         FROM toks JOIN lex USING (word) GROUP BY 1, 2),
+      |scored AS (SELECT t.doc_id, l.lang,
+      |    COALESCE(h.n_hit, 0) * 1.0 / t.n_tok AS score
+      |  FROM totals t CROSS JOIN langs l
+      |  LEFT JOIN hits h ON h.doc_id = t.doc_id AND h.lang = l.lang),
+      |best AS (SELECT doc_id, lang, score,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id
+      |      ORDER BY score DESC, lang ASC) rk
+      |  FROM scored)""".stripMargin
+
   /** Shared BM25 oracle chain (q116 + the q243 NDCG evaluation): the
     * full tokenize → tf → postings → idf → per-term weight → ordered
     * score fold → ranked relation `r(query_id, doc_id, score, rk)`.

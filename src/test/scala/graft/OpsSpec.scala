@@ -2495,6 +2495,23 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(scans == 1, s"$scans scans")
   }
 
+  test("calendar completeness: silent gap days emitted with zeros and " +
+      "flagged; counts exact at the edges") {
+    val s2 = spark; import s2.implicits._
+    val us = 86400000000L
+    val fx = Seq((100L * us + 5, 1L), (100L * us + 9, 2L),
+      (100L * us + 10, 1L), (103L * us, 9L)).toDF("ts_us", "uid")
+    val got = graft.ops.Profile
+      .calendarCompleteness(fx, "ts_us", "uid")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(got == Map(
+      100L -> ((3L, 2L, false)),
+      101L -> ((0L, 0L, true)),
+      102L -> ((0L, 0L, true)),
+      103L -> ((1L, 1L, false))), got.toString)
+  }
+
   test("partial top-k per key equals the window form on any partitioning") {
     val s2 = spark; import s2.implicits._
     import org.apache.spark.sql.expressions.Window
