@@ -46,7 +46,11 @@ object BenchScale {
     // moments aggregator, BFS frontier layers, and the key-grain join
     // estimator — the four genuinely new physical shapes
     "q231_weighted_wor", "q237_gram_profile",
-    "q239_khop_bfs", "q240_join_cardinality")
+    "q239_khop_bfs", "q240_join_cardinality",
+    // final round-8 additions: retrieval eval on the BM25 chain, the
+    // decode-heavy perceptual-hash pair join, and the single-pass
+    // expectations gate
+    "q243_ndcg", "q249_image_dhash_pairs", "q252_expectations")
 
   private def loadavg: String =
     try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
