@@ -534,5 +534,47 @@ object StreamingQuery {
               |  event_id FROM r
               |WHERE wor_rank <= 10
               |ORDER BY event_type, wor_rank""".stripMargin)),
+
+    // Streaming windowed funnel: view -> click -> purchase within 30
+    // minutes of the first view, finalized (append-mode, never
+    // revised) when the watermark closes each user's window; the
+    // oracle replays the chained earliest-admissible times and q189's
+    // final-watermark cutoff.
+    QueryDef("q255_streaming_funnel",
+      (s, d) => runStream(s, d, "stream_funnel")(df => {
+        import s.implicits._
+        Streams.funnelWithin(
+          df.select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value")).as[Streams.Event],
+          Seq("view", "click", "purchase")).toDF()
+      })(df => df.orderBy("user_id")),
+      Some("""WITH cutoff AS (
+             |  SELECT (MAX(epoch_us(ts)) // 1000 - 1800000) * 1000
+             |    AS wm_us FROM events),
+             |e AS (SELECT user_id, epoch_us(ts) AS us, event_type
+             |  FROM events),
+             |s1 AS (SELECT user_id, MIN(us) AS t1 FROM e
+             |  WHERE event_type = 'view' GROUP BY 1),
+             |s2 AS (SELECT a.user_id, MIN(b.us) AS t2
+             |  FROM s1 a JOIN e b ON b.user_id = a.user_id
+             |    AND b.event_type = 'click' AND b.us >= a.t1
+             |    AND b.us <= a.t1 + 1800000000
+             |  GROUP BY 1),
+             |s3 AS (SELECT a.user_id, MIN(b.us) AS t3
+             |  FROM s1 a JOIN s2 c ON c.user_id = a.user_id
+             |  JOIN e b ON b.user_id = a.user_id
+             |    AND b.event_type = 'purchase' AND b.us >= c.t2
+             |    AND b.us <= a.t1 + 1800000000
+             |  GROUP BY 1)
+             |SELECT s1.user_id AS user_id, s1.t1 AS t1_us,
+             |  CAST(1 + CASE WHEN s2.t2 IS NOT NULL THEN 1 ELSE 0 END
+             |    + CASE WHEN s3.t3 IS NOT NULL THEN 1 ELSE 0 END
+             |    AS INT) AS n_stages,
+             |  COALESCE(s3.t3, s2.t2, s1.t1) AS t_last_us
+             |FROM s1
+             |LEFT JOIN s2 ON s2.user_id = s1.user_id
+             |LEFT JOIN s3 ON s3.user_id = s1.user_id, cutoff
+             |WHERE s1.t1 + 1800000000 <= wm_us
+             |ORDER BY s1.user_id""".stripMargin)),
   )
 }

@@ -356,6 +356,94 @@ object Streams {
       }
   }
 
+  final case class FunnelState(t1: Long, pend: List[(Int, Long)])
+  final case class FunnelOut(user_id: Long, t1_us: Long, n_stages: Int,
+      t_last_us: Long)
+
+  /** Streaming WINDOWED funnel: for each user, the earliest stage-1
+    * event opens a `horizonUs` window, and each later stage completes
+    * at its earliest event with `t_{i-1} <= ts <= t1 + horizon` — the
+    * q180 windowed-funnel semantics maintained incrementally over an
+    * unbounded stream. Emits ONE append-mode row per user with a
+    * stage-1 event, exactly when the watermark passes `t1 + horizon`:
+    * at that point no admissible event can still arrive (anything new
+    * has `ts > wm >= t1 + horizon`, outside the window, and `> t1`, so
+    * it cannot reopen an earlier window) — the emission is final by
+    * the watermark contract, never revised.
+    *
+    * Out-of-order correctness: later-stage events that arrive BEFORE
+    * their stage-1 opener are retained, but only while they could
+    * still matter — a pending (stage, ts) survives iff `ts >= t1c`
+    * (admissible under the current opener) OR `ts > wm` (admissible
+    * under a yet-unseen earlier opener, which must carry `ts > wm`).
+    * Everything else prunes, so state per key is the single opener
+    * timestamp plus the pending events inside the watermark horizon —
+    * bounded, however long the stream runs. Users who never produce a
+    * stage-1 event drain to empty state and evict via the event-time
+    * timeout.
+    */
+  def funnelWithin(events: Dataset[Event], stages: Seq[String],
+      horizonUs: Long = 30L * 60 * 1000000,
+      watermark: String = "30 minutes"): Dataset[FunnelOut] = {
+    require(stages.size >= 2 && stages.distinct == stages,
+      s"stages must be >= 2 distinct names: $stages")
+    require(horizonUs > 0, s"horizonUs=$horizonUs must be positive")
+    val s2 = events.sparkSession; import s2.implicits._
+    val idx = stages.zipWithIndex.toMap
+    def micros(ts: java.sql.Timestamp): Long =
+      Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user, batch, state: GroupState[FunnelState]) =>
+          val prev = state.getOption.getOrElse(FunnelState(-1L, Nil))
+          var t1 = prev.t1
+          var pend = prev.pend
+          batch.foreach { e =>
+            idx.get(e.event_type).foreach { i =>
+              val us = micros(e.ts)
+              if (i == 0) { if (t1 < 0 || us < t1) t1 = us }
+              else pend = (i, us) :: pend
+            }
+          }
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          pend = pend.filter { case (_, us) =>
+            (t1 >= 0 && us >= t1) || us > wmUs
+          }
+          if (t1 >= 0 && wmUs >= t1 + horizonUs) {
+            // window closed: chain the earliest admissible stage times
+            state.remove()
+            var bound = t1
+            var last = t1
+            var n = 1
+            var i = 1
+            var go = true
+            while (go && i < stages.size) {
+              val cand = pend.collect {
+                case (s, us) if s == i && us >= bound &&
+                  us <= t1 + horizonUs => us
+              }
+              if (cand.isEmpty) go = false
+              else { bound = cand.min; last = bound; n += 1; i += 1 }
+            }
+            Iterator.single(FunnelOut(user, t1, n, last))
+          } else if (t1 < 0 && pend.isEmpty) {
+            state.remove()
+            Iterator.empty
+          } else {
+            state.update(FunnelState(t1, pend))
+            val wakeUs =
+              if (t1 >= 0) t1 + horizonUs
+              else pend.map(_._2).max
+            state.setTimeoutTimestamp(Math.max((wakeUs - 1) / 1000 + 1,
+              state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
   final case class WorCand(key: Long, id: Long)
   final case class WorState(n_seen: Long, top: List[WorCand])
   final case class WorSample(event_type: String, n_seen: Long,

@@ -650,6 +650,58 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("streaming windowed funnel: in-window chain completes, " +
+      "out-of-window stage stalls, opener-less user emits nothing, " +
+      "out-of-order arrival still chains, unclosed window withheld") {
+    val s2 = spark; import s2.implicits._
+    implicit val ctx = spark.sqlContext
+    def e(id: Long, t: String, u: Long, typ: String) =
+      Event(id, ts(t), u, typ, 1.0)
+    val input = MemoryStream[Event]
+    val q = Streams.funnelWithin(input.toDS(),
+        Seq("view", "click", "purchase"))
+      .toDF().writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("append").start()
+    try {
+      // u4's later stages arrive BEFORE its opener (across batches);
+      // batch 1 tops out at 10:20 so the 10:00 opener in batch 2 is
+      // still inside the 30-minute watermark
+      input.addData(
+        e(1, "2024-01-01 10:00:00", 1, "view"),
+        e(2, "2024-01-01 10:10:00", 1, "click"),
+        e(3, "2024-01-01 10:20:00", 1, "purchase"),
+        e(4, "2024-01-01 10:00:00", 2, "view"),
+        e(6, "2024-01-01 10:00:00", 3, "click"), // no opener ever
+        e(7, "2024-01-01 10:20:00", 4, "purchase"),
+        e(8, "2024-01-01 10:10:00", 4, "click"))
+      q.processAllAvailable()
+      input.addData(e(9, "2024-01-01 10:00:00", 4, "view"),
+        e(5, "2024-01-01 10:40:00", 2, "click")) // outside u2's window
+      q.processAllAvailable()
+      // advance the watermark past every 10:00 window; u5's window
+      // (11:45 + 30m) stays OPEN under wm = 12:00 - 30m
+      input.addData(e(10, "2024-01-01 11:45:00", 5, "view"),
+        e(11, "2024-01-01 12:00:00", 9, "view"))
+      q.processAllAvailable()
+      input.addData(e(12, "2024-01-01 12:00:01", 9, "click"))
+      q.processAllAvailable()
+      val got = spark.table("funnel_stream").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2),
+          r.getLong(3))).toMap
+      def us(t: String) = ts(t).getTime * 1000L
+      assert(got == Map(
+        1L -> ((us("2024-01-01 10:00:00"), 3,
+          us("2024-01-01 10:20:00"))),
+        2L -> ((us("2024-01-01 10:00:00"), 1,
+          us("2024-01-01 10:00:00"))),
+        4L -> ((us("2024-01-01 10:00:00"), 3,
+          us("2024-01-01 10:20:00")))), got.toString)
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("funnel_stream")
+    }
+  }
+
   test("streaming weighted WOR equals the batch selection under " +
       "adversarial micro-batching; zero weights never enter state") {
     val s2 = spark; import s2.implicits._
