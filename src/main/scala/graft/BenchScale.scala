@@ -120,8 +120,11 @@ object BenchScale {
     }.mkString("{", ",", "}")
     val failed = rows.collect { case (n, None) => "\"" + n + "\"" }
       .mkString("[", ",", "]")
+    // default to a scratch path: committed round artifacts (r0N_sf1.json)
+    // are curated merges, and an unexported default must never clobber a
+    // previous round's record (it did once - restored from history)
     val artifact = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "bench/r07_sf1.json")
+      "bench/scale_scratch.json")
     val line =
       f"""{"metric":"scale_rehearsal","sfA":"$sfA","sfB":"$sfB","queries":$qs,"failed":$failed,"loadavg_start":"$loadStart","loadavg_end":"$loadavg","gc_sec":$gcSec%.1f,"artifact":"$artifact"}"""
     try {

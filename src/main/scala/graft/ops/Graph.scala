@@ -347,6 +347,7 @@ object Graph {
       .distinct().withColumn("dist", lit(0))
       .localCheckpoint(true)
     var frontier = dist.select("node")
+    var prevNext: Option[org.apache.spark.sql.DataFrame] = None
     for (h <- 1 to maxHops) {
       val next = frontier
         .join(adj, frontier("node") === adj("u"))
@@ -356,9 +357,16 @@ object Graph {
         .localCheckpoint(true)
       val merged = dist.unionAll(next).localCheckpoint(true)
       ckptStorage(dist).foreach(_.unpersist(blocking = false))
+      // the previous frontier layer is merged into dist by now
+      prevNext.flatMap(ckptStorage)
+        .foreach(_.unpersist(blocking = false))
+      prevNext = Some(next)
       dist = merged
       frontier = next.select("node")
     }
+    // dist is an eager localCheckpoint: safe to release its inputs
+    ckptStorage(adj).foreach(_.unpersist(blocking = false))
+    prevNext.flatMap(ckptStorage).foreach(_.unpersist(blocking = false))
     dist
   }
 

@@ -67,8 +67,9 @@ object Moments {
 
   /** The (i, j, n, s_i, s_j, s_ij, cov) relation for every 1-based pair
     * i ≤ j: exact integer sums of the 1e6-quantized components, plus
-    * the sample covariance
-    * `cov = (n·s_ij − s_i·s_j) / (n² · 1e12)` of the ORIGINAL scale —
+    * the POPULATION covariance
+    * `cov = (n·s_ij − s_i·s_j) / (n² · 1e12)` of the ORIGINAL scale
+    * (÷n², not n(n−1) — rescale for the unbiased estimator) —
     * the numerator exact in decimal(38,0), one double divide at the
     * end. `d` is the (fixed, caller-known) embedding dimension.
     *

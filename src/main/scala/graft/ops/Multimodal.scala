@@ -264,11 +264,15 @@ object Multimodal {
       s"maxHamming=$maxHamming out of [0, 15]")
     val bands = maxHamming + 1
     val width = 64 / bands // >= 4 given the cap
+    // NB (1L << 64) wraps to 1 in Scala/Java: the single-band exact-dup
+    // case (maxHamming = 0) must mask with -1, not (1 << 64) - 1 = 0,
+    // or every image lands in ONE bucket
+    val mask = if (width == 64) -1L else (1L << width) - 1
     val hashed = imageDhash(media)
     val banded = hashed.select(col("doc_id"), col("dhash"),
         explode(expr(s"transform(sequence(0, ${bands - 1}), b -> " +
           s"struct(b AS band, shiftrightunsigned(dhash, b * $width) & " +
-          s"${(1L << width) - 1} AS v))")).as("bv"))
+          s"${mask}L AS v))")).as("bv"))
       .select(col("bv.band"), col("bv.v"),
         struct(col("doc_id"), col("dhash")).as("p"))
     Dedup.bucketPairsOf(banded, Seq("band", "v"), col("p"))

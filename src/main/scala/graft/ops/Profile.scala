@@ -1077,6 +1077,9 @@ object Profile {
     require(rules.nonEmpty, "need at least one rule")
     require(rules.map(_._1).distinct.size == rules.size,
       "rule names must be unique")
+    require(rules.forall(r => !r._1.contains("'")),
+      "rule names must not contain single quotes " +
+        "(they are spliced into a SQL literal)")
     val aggs = count(lit(1)).as("__n") +: rules.zipWithIndex.map {
       case ((_, pred, _), i) =>
         sum(when(coalesce(expr(pred), lit(false)), 0L).otherwise(1L))
@@ -1121,11 +1124,17 @@ object Profile {
     val base = df.select(col(groupCol).as("grp"),
         col(valueCol).cast("long").as("v"))
       .where(col("v").isNotNull)
-    val bounds = base.where(col("grp") === refGroup)
-      .agg(min("v").as("lo"), max("v").as("hi"))
-    val binned = base.crossJoin(broadcast(bounds))
+    // bounds become plan literals; a missing reference group must FAIL
+    // loudly (the abTest guard), not silently emit an empty profile
+    val b = base.where(col("grp") === refGroup)
+      .agg(min("v").as("lo"), max("v").as("hi")).first()
+    require(!b.isNullAt(0),
+      s"psiDrift: reference group '$refGroup' has no rows")
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val binned = base
       .withColumn("bin", least(lit(bins - 1), greatest(lit(0L),
-        expr(s"((v - lo) * $bins) DIV (hi - lo + 1)"))).cast("int"))
+        expr(s"((v - ${lo}L) * $bins) DIV (${hi}L - ${lo}L + 1)")))
+        .cast("int"))
       .groupBy("grp", "bin").agg(count(lit(1)).as("c"))
     val grid = binned.select("grp").distinct()
       .withColumn("bin", explode(expr(s"sequence(0, ${bins - 1})")))
@@ -1194,9 +1203,10 @@ object Profile {
     * `(n·Σxy − Σx·Σy) / sqrt((n·Σxx − Σx²)·(n·Σyy − Σy²))`.
     *
     * `valueCol` is cast to LONG (quantize floats first — cents) and
-    * every sum accumulates in decimal(38,0), so both covariance
-    * numerators are EXACT integers on any engine; the one float is the
-    * final divide (the [[bootstrapCI]] discipline). Keys with a
+    * every product and sum runs in decimal(38,0), so both covariance
+    * numerators are EXACT integers on any engine for |value| up to
+    * ~10¹⁸; the one float is the final divide (the [[bootstrapCI]]
+    * discipline). Keys with a
     * degenerate side (zero variance among paired values, or fewer than
     * 2 pairs) report NULL, never ±Infinity.
     *
@@ -1222,13 +1232,17 @@ object Profile {
       .select(col("key"), col("lag"), col("x"), col("y"))
       .where(col("y").isNotNull)
     val dec = "decimal(38,0)"
+    // cast BEFORE multiplying: a long*long product wraps silently at
+    // |v| >= ~3e9 where the decimal product stays exact
+    val xd = col("x").cast(dec)
+    val yd = col("y").cast(dec)
     val agg = stacked.groupBy("key", "lag").agg(
       count(lit(1)).as("n_pairs"),
-      sum(col("x").cast(dec)).as("sx"),
-      sum(col("y").cast(dec)).as("sy"),
-      sum((col("x") * col("x")).cast(dec)).as("sxx"),
-      sum((col("y") * col("y")).cast(dec)).as("syy"),
-      sum((col("x") * col("y")).cast(dec)).as("sxy"))
+      sum(xd).as("sx"),
+      sum(yd).as("sy"),
+      sum(xd * xd).as("sxx"),
+      sum(yd * yd).as("syy"),
+      sum(xd * yd).as("sxy"))
     val varX = (col("n_pairs") * col("sxx") - col("sx") * col("sx"))
       .cast("double")
     val varY = (col("n_pairs") * col("syy") - col("sy") * col("sy"))

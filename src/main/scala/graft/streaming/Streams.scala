@@ -381,6 +381,12 @@ object Streams {
     * bounded, however long the stream runs. Users who never produce a
     * stage-1 event drain to empty state and evict via the event-time
     * timeout.
+    *
+    * One funnel per user, matching the batch oracle's global-MIN
+    * opener: after a user's row emits, an O(1) tombstone survives in
+    * state so a LATER view cannot open a second funnel and emit a
+    * second (oracle-divergent) row — the [[runningUserTotals]]
+    * per-key-forever state class, 16 bytes per converted user.
     */
   def funnelWithin(events: Dataset[Event], stages: Seq[String],
       horizonUs: Long = 30L * 60 * 1000000,
@@ -399,47 +405,59 @@ object Streams {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user, batch, state: GroupState[FunnelState]) =>
           val prev = state.getOption.getOrElse(FunnelState(-1L, Nil))
-          var t1 = prev.t1
-          var pend = prev.pend
-          batch.foreach { e =>
-            idx.get(e.event_type).foreach { i =>
-              val us = micros(e.ts)
-              if (i == 0) { if (t1 < 0 || us < t1) t1 = us }
-              else pend = (i, us) :: pend
-            }
-          }
-          val wmUs = state.getCurrentWatermarkMs() * 1000L
-          pend = pend.filter { case (_, us) =>
-            (t1 >= 0 && us >= t1) || us > wmUs
-          }
-          if (t1 >= 0 && wmUs >= t1 + horizonUs) {
-            // window closed: chain the earliest admissible stage times
-            state.remove()
-            var bound = t1
-            var last = t1
-            var n = 1
-            var i = 1
-            var go = true
-            while (go && i < stages.size) {
-              val cand = pend.collect {
-                case (s, us) if s == i && us >= bound &&
-                  us <= t1 + horizonUs => us
-              }
-              if (cand.isEmpty) go = false
-              else { bound = cand.min; last = bound; n += 1; i += 1 }
-            }
-            Iterator.single(FunnelOut(user, t1, n, last))
-          } else if (t1 < 0 && pend.isEmpty) {
-            state.remove()
+          if (prev.t1 == -2L) {
+            // tombstone: this user's funnel already emitted
             Iterator.empty
           } else {
-            state.update(FunnelState(t1, pend))
-            val wakeUs =
-              if (t1 >= 0) t1 + horizonUs
-              else pend.map(_._2).max
-            state.setTimeoutTimestamp(Math.max((wakeUs - 1) / 1000 + 1,
-              state.getCurrentWatermarkMs() + 1))
-            Iterator.empty
+            var t1 = prev.t1
+            var pend = prev.pend
+            batch.foreach { e =>
+              idx.get(e.event_type).foreach { i =>
+                val us = micros(e.ts)
+                if (i == 0) { if (t1 < 0 || us < t1) t1 = us }
+                else pend = (i, us) :: pend
+              }
+            }
+            val wmUs = state.getCurrentWatermarkMs() * 1000L
+            pend = pend.filter { case (_, us) =>
+              (t1 >= 0 && us >= t1) || us > wmUs
+            }
+            if (t1 >= 0 && wmUs >= t1 + horizonUs) {
+              // window closed: chain the earliest admissible stage
+              // times, then tombstone (NOT remove - a later opener
+              // must not start a second, oracle-divergent funnel)
+              state.update(FunnelState(-2L, Nil))
+              var bound = t1
+              var last = t1
+              var n = 1
+              var i = 1
+              var go = true
+              while (go && i < stages.size) {
+                val cand = pend.collect {
+                  case (s, us) if s == i && us >= bound &&
+                    us <= t1 + horizonUs => us
+                }
+                if (cand.isEmpty) go = false
+                else { bound = cand.min; last = bound; n += 1; i += 1 }
+              }
+              Iterator.single(FunnelOut(user, t1, n, last))
+            } else if (t1 < 0 && pend.isEmpty) {
+              state.remove()
+              Iterator.empty
+            } else {
+              state.update(FunnelState(t1, pend))
+              // wake a hair BEFORE the close (timeouts fire on wm
+              // STRICTLY past the stamp): each firing either emits or
+              // re-arms at wm+1, so the first watermark at or past
+              // t1 + horizon is never missed even on an exact-boundary
+              // final watermark
+              val wakeMs =
+                if (t1 >= 0) (t1 + horizonUs) / 1000 - 1
+                else pend.map(_._2).max / 1000
+              state.setTimeoutTimestamp(Math.max(wakeMs,
+                state.getCurrentWatermarkMs() + 1))
+              Iterator.empty
+            }
           }
       }
   }
@@ -472,10 +490,8 @@ object Streams {
     val s2 = events.sparkSession; import s2.implicits._
     val scored = events
       .where(col("value") > 0)
-      .withColumn("u",
-        conv(substring(md5(concat(lit("wor:"),
-          col("event_id").cast("string"))), 1, 4), 16, 10).cast("double")
-          / 65536.0 + lit(0.5 / 65536))
+      .withColumn("u", graft.ops.Sampling.hashUnit(
+        col("event_id").cast("string"), "wor:") + lit(0.5 / 65536))
       .select(col("event_type"),
         round(log(col("u")) / col("value") * 1e12, 0).cast("long")
           .as("key"),

@@ -2450,6 +2450,11 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
     assert(got == Map((1L, 2L) -> 0, (1L, 3L) -> 1, (2L, 3L) -> 1),
       got.toString)
+    // exact-dup mode: the single 64-bit band must mask with -1L (the
+    // (1L << 64) wraparound regression), finding exactly the 0-pair
+    val exact = graft.ops.Multimodal.dhashPairs(media, maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact == Set((1L, 2L)), exact.toString)
   }
 
   test("audio block features: silence is zero, alternation maxes zcr, " +
