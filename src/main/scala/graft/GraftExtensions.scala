@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FloatCosine, FloatDot, JaroWinkler, NfcNormalize, PorterStem}
+import graft.functions.{DamerauLevenshtein, FloatCosine, FloatDot, JaroWinkler, NfcNormalize, PorterStem}
 
 /** Session-extension registration: makes graft's native expressions
   * available to pure-SQL users at session construction, with no code call —
@@ -37,5 +37,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("jaro_winkler"),
       new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
       (exprs: Seq[Expression]) => graft.functions.buildJaroWinkler(exprs)))
+    e.injectFunction((
+      FunctionIdentifier("damerau_levenshtein"),
+      new ExpressionInfo(classOf[DamerauLevenshtein].getName,
+        "damerau_levenshtein"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.buildDamerauLevenshtein(exprs)))
   }
 }

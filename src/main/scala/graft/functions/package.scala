@@ -33,6 +33,12 @@ package object functions {
   def jaro_winkler(a: Column, b: Column): Column =
     toColumn(JaroWinkler(toExpr(a), toExpr(b)))
 
+  /** Full (unrestricted) Damerau-Levenshtein distance of two string
+    * columns (byte-wise DuckDB semantics; see [[DamerauLevenshtein]]).
+    */
+  def damerau_levenshtein(a: Column, b: Column): Column =
+    toColumn(DamerauLevenshtein(toExpr(a), toExpr(b)))
+
   /** Register graft SQL functions on a session (idempotent), enabling
     * `SELECT porter_stem(col)` in `spark.sql`.
     */
@@ -47,6 +53,9 @@ package object functions {
       "float_cosine", exprs => buildFloatCosine(exprs), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "jaro_winkler", exprs => buildJaroWinkler(exprs), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "damerau_levenshtein",
+      exprs => buildDamerauLevenshtein(exprs), "scala_udf")
   }
 
   private[graft] def buildPorterStem(exprs: Seq[Expression]): PorterStem = {
@@ -77,5 +86,13 @@ package object functions {
     require(exprs.length == 2,
       s"jaro_winkler requires exactly 2 arguments, got ${exprs.length}")
     JaroWinkler(exprs(0), exprs(1))
+  }
+
+  private[graft] def buildDamerauLevenshtein(
+      exprs: Seq[Expression]): DamerauLevenshtein = {
+    require(exprs.length == 2,
+      s"damerau_levenshtein requires exactly 2 arguments, got " +
+        s"${exprs.length}")
+    DamerauLevenshtein(exprs(0), exprs(1))
   }
 }

@@ -1254,6 +1254,45 @@ object Profile {
         cov / sqrt(varX * varY)).as("acf"))
   }
 
+  /** EXACT per-key WEIGHTED lower quantiles — [[exactQuantiles]] with
+    * each row counting `weightCol` times instead of once: for each key
+    * and each `q ∈ qs`, the smallest value whose cumulative weight
+    * reaches `max(1, ceil(q·W))` with `W` the key's total weight. The
+    * estimator a token-budgeted corpus wants ("the median document
+    * length *by token mass*, not by document count"), and the exact
+    * counterpart of frequency-weighted percentile sketches. Weights are
+    * cast to LONG; rows with NULL or non-positive weight are dropped
+    * (a zero-mass row cannot move a rank) — integral weights keep the
+    * rank arithmetic exact and the output an actual data value, so
+    * results hash-compare with no interpolation float. With
+    * `weight ≡ 1` this is definitionally [[exactQuantiles]]
+    * (spec-pinned equivalence).
+    *
+    * Shape at 100 TB: identical to [[exactQuantiles]] — one partial-agg
+    * shuffle collapses the corpus to the (key, value, Σweight) grain,
+    * the cumulative window sorts DISTINCT VALUES per key (never rows),
+    * and all |qs| quantiles ride that one window pass.
+    */
+  def weightedQuantiles(df: DataFrame, keyCol: String, valueCol: String,
+      weightCol: String, qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"qs=$qs must be non-empty fractions in [0, 1]")
+    val grain = df.select(col(keyCol).as("key"),
+        col(valueCol).cast("long").as("v"),
+        col(weightCol).cast("long").as("wt"))
+      .where(col("v").isNotNull && col("wt") > 0)
+      .groupBy("key", "v").agg(sum("wt").as("c"))
+    val wCum = Window.partitionBy("key").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grain
+      .withColumn("cum", sum("c").over(wCum))
+      .withColumn("n", sum("c").over(Window.partitionBy("key")))
+      .withColumn("q", explode(array(qs.map(lit): _*)))
+      .where(col("cum") >=
+        greatest(lit(1L), ceil(col("q") * col("n") - 1e-9)))
+      .groupBy("key", "q").agg(min("v").as("value"))
+  }
+
   /** Winsorize (clip) each row's value at its OWN key's exact
     * [`qLo`, `qHi`] quantiles — the outlier-taming step before means,
     * regressions, or reward models see a heavy-tailed measure: a key's

@@ -6349,6 +6349,66 @@ object TrainingOps {
         |  ROUND(CAST(n_docs AS DOUBLE) / SUM(n_docs)
         |    OVER (PARTITION BY lang), 6) AS row_frac
         |FROM m ORDER BY 1, 2""".stripMargin)),
+
+    // Weighted exact quantiles: price distribution per return flag
+    // weighted by quantity (the "median price by unit mass" a spend
+    // profile wants). Engine and oracle share the collapsed
+    // (key, value, Σweight) grain and the epsilon'd ceil ranks; floor
+    // is applied explicitly on both sides (Spark's double→long cast
+    // truncates while DuckDB's rounds, so neither side casts raw).
+    QueryDef("q256_weighted_quantiles",
+      (s, d) => graft.ops.Profile.weightedQuantiles(
+          table(s, d, "lineitem")
+            .select(col("l_returnflag"),
+              floor(col("l_extendedprice")).as("price_fl"),
+              col("l_quantity").cast("long").as("qty")),
+          "l_returnflag", "price_fl", "qty",
+          Seq(0.1, 0.25, 0.5, 0.75, 0.9))
+        .select(col("key").as("l_returnflag"), col("q"), col("value"))
+        .orderBy("l_returnflag", "q"),
+      Some("""WITH g AS (SELECT l_returnflag AS key,
+             |    CAST(FLOOR(l_extendedprice) AS BIGINT) AS v,
+             |    SUM(CAST(l_quantity AS BIGINT)) AS c
+             |  FROM lineitem GROUP BY 1, 2),
+             |w AS (SELECT key, v,
+             |    SUM(c) OVER (PARTITION BY key ORDER BY v) AS cum,
+             |    SUM(c) OVER (PARTITION BY key) AS n FROM g)
+             |SELECT key AS l_returnflag, q, MIN(v) AS value FROM w,
+             |  (SELECT UNNEST([0.1, 0.25, 0.5, 0.75, 0.9]) AS q) qs
+             |WHERE cum >= GREATEST(1, CEIL(q * n - 1e-9))
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Native damerau_levenshtein expression over brand-blocked
+    // part-name pairs: the FULL (unrestricted, Lowrance-Wagner)
+    // transposition-aware edit distance as a codegen'd Catalyst
+    // expression, matched exactly (byte-wise; unrestricted, not OSA)
+    // by DuckDB's built-in. The q242 twin on the distance side of the
+    // fuzzy-matching coin: a low-distance gate instead of a
+    // high-similarity one.
+    QueryDef("q257_damerau_levenshtein_pairs",
+      (s, d) => {
+        import graft.functions.damerau_levenshtein
+        val p = table(s, d, "part").where(col("p_partkey") < 300)
+          .select(col("p_partkey"), col("p_brand"), col("p_name"))
+        p.as("a").join(p.as("b"), Seq("p_brand"))
+          .where(col("a.p_partkey") < col("b.p_partkey"))
+          .select(col("p_brand"),
+            col("a.p_partkey").as("id1"),
+            col("b.p_partkey").as("id2"),
+            damerau_levenshtein(col("a.p_name"), col("b.p_name"))
+              .as("dl"))
+          .where(col("dl") <= 12)
+          .orderBy("id1", "id2")
+      },
+      Some("""WITH p AS (SELECT p_partkey, p_brand, p_name FROM part
+             |  WHERE p_partkey < 300)
+             |SELECT a.p_brand, a.p_partkey AS id1, b.p_partkey AS id2,
+             |  CAST(damerau_levenshtein(a.p_name, b.p_name) AS INTEGER)
+             |    AS dl
+             |FROM p a JOIN p b ON a.p_brand = b.p_brand
+             |  AND a.p_partkey < b.p_partkey
+             |WHERE damerau_levenshtein(a.p_name, b.p_name) <= 12
+             |ORDER BY 2, 3""".stripMargin)),
   )
 
   /** DuckDB replay of [[graft.ops.TextAnalysis.tailRepetition]] over

@@ -2128,6 +2128,41 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
       .forall(q => got(("c", q)) == 42L))
   }
 
+  test("weighted quantiles: weight-1 degenerates to exactQuantiles, " +
+      "equals row-expansion, mass moves the median, bad weights drop") {
+    val s2 = spark; import s2.implicits._
+    val fx = ((1 to 10).map(v => ("a", v.toLong, 1L + (v % 3))) ++
+      Seq(("b", 5L, 3L), ("b", 7L, 1L), ("c", 42L, 9L)))
+      .toDF("k", "v", "w")
+    val qs = Seq(0.0, 0.25, 0.5, 0.75, 1.0)
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getLong(2)).toMap
+    // weight ≡ 1 is definitionally exactQuantiles
+    val unit = toMap(graft.ops.Profile.weightedQuantiles(
+      fx.withColumn("one", lit(1L)), "k", "v", "one", qs))
+    val exact = toMap(graft.ops.Profile.exactQuantiles(fx, "k", "v", qs))
+    assert(unit == exact)
+    // weighted result == exactQuantiles of the w-times row expansion
+    val weighted = toMap(graft.ops.Profile
+      .weightedQuantiles(fx, "k", "v", "w", qs))
+    val expanded = toMap(graft.ops.Profile.exactQuantiles(
+      fx.withColumn("i", explode(expr("sequence(1, w)"))), "k", "v", qs))
+    assert(weighted == expanded)
+    // mass dominates: one heavy value owns the median
+    val heavy = Seq(("h", 1L, 1L), ("h", 2L, 1L), ("h", 10L, 8L))
+      .toDF("k", "v", "w")
+    val hm = toMap(graft.ops.Profile
+      .weightedQuantiles(heavy, "k", "v", "w", Seq(0.5)))
+    assert(hm(("h", 0.5)) == 10L)
+    // NULL / zero / negative weights are dropped, not counted
+    val dirty = Seq(("d", 1L, Some(5L)), ("d", 100L, Some(0L)),
+      ("d", 200L, Some(-3L)), ("d", 300L, None))
+      .toDF("k", "v", "w")
+    val dm = toMap(graft.ops.Profile
+      .weightedQuantiles(dirty, "k", "v", "w", Seq(0.5, 1.0)))
+    assert(dm(("d", 0.5)) == 1L && dm(("d", 1.0)) == 1L)
+  }
+
   test("winsorize clips at per-key exact quantiles and leaves " +
       "in-band values untouched") {
     val s2 = spark; import s2.implicits._
