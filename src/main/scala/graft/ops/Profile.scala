@@ -1323,4 +1323,52 @@ object Profile {
         least(greatest(col(valueCol).cast("long"), col("lo")), col("hi")))
       .drop("lo", "hi")
   }
+
+  /** Classifier calibration profile — the reliability diagram plus its
+    * two headline numbers, per group: scores in [0, 1] are cut into
+    * `bins` equal-width confidence bins (`bin = min(bins−1,
+    * floor(score·bins))`, so score 1.0 lands in the top bin), and each
+    * (group, bin) row reports its count, mean predicted confidence,
+    * observed positive rate, and gap (observed − predicted). Each row
+    * also carries the group's expected calibration error
+    * (ECE = Σ_b n_b/N · |gap_b|, the standard reliability-weighted
+    * miscalibration score) and Brier score (mean (score − label)²) so
+    * a model audit is one relation, not three. Empty bins are absent
+    * (a bin with no predictions has no calibration evidence — unlike
+    * [[benford]]'s grid, zero rows here contribute zero ECE mass by
+    * definition, so densifying would only add NULL rows).
+    *
+    * The evaluation every scored filter in a training pipeline needs
+    * before its scores gate data: a quality model that says 0.9 must
+    * be right ~90% of the time, or its threshold means nothing.
+    *
+    * Shape at 100 TB: ONE partial-agg shuffle to the (group, bin)
+    * grain (≤ bins rows per group), then two windows on the GROUP
+    * partitioning of that collapsed grain — the corpus moves once.
+    */
+  def calibrationProfile(df: DataFrame, groupCol: String,
+      scoreCol: String, labelCol: String, bins: Int): DataFrame = {
+    require(bins > 0, s"bins=$bins must be positive")
+    val wg = Window.partitionBy("grp")
+    df.select(col(groupCol).as("grp"),
+        col(scoreCol).cast("double").as("s"),
+        col(labelCol).cast("double").as("y"))
+      .where(col("s").isNotNull && col("y").isNotNull)
+      .withColumn("bin", least(lit(bins - 1),
+        floor(col("s") * bins).cast("int")))
+      .groupBy("grp", "bin")
+      .agg(count(lit(1)).as("n"), sum("s").as("ssum"),
+        sum("y").as("ysum"),
+        sum((col("s") - col("y")) * (col("s") - col("y"))).as("sq"))
+      .withColumn("ece", round(
+        sum(abs(col("ysum") - col("ssum"))).over(wg) /
+          sum("n").over(wg), 6))
+      .withColumn("brier",
+        round(sum("sq").over(wg) / sum("n").over(wg), 6))
+      .select(col("grp"), col("bin"), col("n"),
+        round(col("ssum") / col("n"), 6).as("confidence"),
+        round(col("ysum") / col("n"), 6).as("accuracy"),
+        round((col("ysum") - col("ssum")) / col("n"), 6).as("gap"),
+        col("ece"), col("brier"))
+  }
 }

@@ -6409,6 +6409,46 @@ object TrainingOps {
              |  AND a.p_partkey < b.p_partkey
              |WHERE damerau_levenshtein(a.p_name, b.p_name) <= 12
              |ORDER BY 2, 3""".stripMargin)),
+
+    // Calibration profile of a deterministically OVER-confident scorer
+    // per language: score = content-hash draw s, label ~ planted with
+    // P(y=1) = s^2 < s, so accuracy trails confidence in every bin and
+    // ECE is materially positive. Every sum is EXACT (scores are
+    // 2^-16 multiples, squares 2^-32 multiples, labels integers), so
+    // bin sums are order-independent and both engines divide the same
+    // rationals — no float-summation-order hazard behind the hash.
+    QueryDef("q258_calibration",
+      (s, d) => {
+        val scored = table(s, d, "documents").select(col("lang"),
+            Sampling.hashUnit(col("text"), "calsc:").as("score"),
+            when(Sampling.hashUnit(col("text"), "callab:") <
+              Sampling.hashUnit(col("text"), "calsc:") *
+                Sampling.hashUnit(col("text"), "calsc:"), 1.0d)
+              .otherwise(0.0d).as("label"))
+        graft.ops.Profile
+          .calibrationProfile(scored, "lang", "score", "label", 10)
+          .orderBy("grp", "bin")
+      },
+      Some(s"""WITH sc AS (SELECT lang,
+             |    ${drawSql("calsc:")} AS s,
+             |    CASE WHEN ${drawSql("callab:")} <
+             |        (${drawSql("calsc:")}) * (${drawSql("calsc:")})
+             |      THEN 1.0 ELSE 0.0 END AS y
+             |  FROM documents),
+             |b AS (SELECT lang AS grp,
+             |    LEAST(9, CAST(FLOOR(s * 10) AS INT)) AS bin,
+             |    COUNT(*) AS n, SUM(s) AS ssum, SUM(y) AS ysum,
+             |    SUM((s - y) * (s - y)) AS sq
+             |  FROM sc GROUP BY 1, 2)
+             |SELECT grp, bin, n,
+             |  ROUND(ssum / n, 6) AS confidence,
+             |  ROUND(ysum / n, 6) AS accuracy,
+             |  ROUND((ysum - ssum) / n, 6) AS gap,
+             |  ROUND(SUM(ABS(ysum - ssum)) OVER (PARTITION BY grp)
+             |    / SUM(n) OVER (PARTITION BY grp), 6) AS ece,
+             |  ROUND(SUM(sq) OVER (PARTITION BY grp)
+             |    / SUM(n) OVER (PARTITION BY grp), 6) AS brier
+             |FROM b ORDER BY 1, 2""".stripMargin)),
   )
 
   /** DuckDB replay of [[graft.ops.TextAnalysis.tailRepetition]] over

@@ -2163,6 +2163,46 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(dm(("d", 0.5)) == 1L && dm(("d", 1.0)) == 1L)
   }
 
+  test("calibration profile: hand-computed bins, ECE and Brier; " +
+      "perfect scores give zero error; nulls drop; top bin closed") {
+    val s2 = spark; import s2.implicits._
+    val fx = Seq(("g", 0.2, 0.0), ("g", 0.3, 1.0), ("g", 0.8, 1.0),
+      ("g", 0.9, 0.0), ("g", 1.0, 1.0)).toDF("grp", "s", "y")
+    val got = graft.ops.Profile
+      .calibrationProfile(fx, "grp", "s", "y", 2)
+      .orderBy("bin").collect()
+    assert(got.length == 2)
+    val b0 = got(0); val b1 = got(1)
+    // bin 0: {0.2/0, 0.3/1} -> conf .25, acc .5, gap .25
+    assert(b0.getAs[Int]("bin") == 0 && b0.getAs[Long]("n") == 2L)
+    assert(b0.getAs[Double]("confidence") == 0.25)
+    assert(b0.getAs[Double]("accuracy") == 0.5)
+    assert(b0.getAs[Double]("gap") == 0.25)
+    // bin 1: {0.8/1, 0.9/0, 1.0/1} — score 1.0 joins the TOP bin
+    assert(b1.getAs[Int]("bin") == 1 && b1.getAs[Long]("n") == 3L)
+    assert(b1.getAs[Double]("confidence") == 0.9)
+    assert(b1.getAs[Double]("accuracy") == 0.666667)
+    assert(b1.getAs[Double]("gap") == -0.233333)
+    // group stats ride every row: ECE = (0.5 + 0.7)/5, Brier = 1.38/5
+    for (r <- got) {
+      assert(r.getAs[Double]("ece") == 0.24)
+      assert(r.getAs[Double]("brier") == 0.276)
+    }
+    // a perfectly calibrated hard classifier has zero ECE and Brier
+    val perfect = Seq(("p", 0.0, 0.0), ("p", 1.0, 1.0), ("p", 1.0, 1.0))
+      .toDF("grp", "s", "y")
+    val pg = graft.ops.Profile
+      .calibrationProfile(perfect, "grp", "s", "y", 4).collect()
+    assert(pg.forall(r => r.getAs[Double]("ece") == 0.0 &&
+      r.getAs[Double]("brier") == 0.0))
+    // NULL score or label rows are dropped, not zero-counted
+    val dirty = Seq(("d", Some(0.5), Some(1.0)), ("d", None, Some(1.0)),
+      ("d", Some(0.5), None)).toDF("grp", "s", "y")
+    val dg = graft.ops.Profile
+      .calibrationProfile(dirty, "grp", "s", "y", 2).collect()
+    assert(dg.length == 1 && dg(0).getAs[Long]("n") == 1L)
+  }
+
   test("winsorize clips at per-key exact quantiles and leaves " +
       "in-band values untouched") {
     val s2 = spark; import s2.implicits._
