@@ -1324,6 +1324,47 @@ object Profile {
       .drop("lo", "hi")
   }
 
+  /** Dataset content manifest — an ORDER-INDEPENDENT, MERGEABLE
+    * fingerprint of a relation's content, the "did these two copies of
+    * the corpus actually match?" primitive a 100 TB pipeline needs for
+    * replica verification, snapshot diffing, and reproducibility
+    * claims. Each row is serialized (chosen columns cast to string, joined on the
+    * U+0001 separator, NULL → a U+0000 sentinel so NULL ≠ empty string), hashed to a
+    * 60-bit integer (first 15 hex digits of md5 — exact DECIMAL
+    * arithmetic, no float anywhere), and assigned to one of `shards`
+    * buckets by hash. Output: one row per shard (`shard`, `n`,
+    * `fingerprint` = Σ row-hashes mod 2^61−1) plus a root row
+    * (`shard = -1`) over the whole relation. Addition mod a prime is
+    * commutative and associative, so the fingerprint is invariant to
+    * row order and partitioning BY CONSTRUCTION, shard manifests from
+    * independent jobs MERGE into the root by modular addition (the
+    * spec pins `root = Σ shards mod p`), and two corpora differing in
+    * any single row differ in their shard AND root fingerprints with
+    * probability 1 − 2⁻⁶⁰ per check.
+    *
+    * Shape at 100 TB: ONE partial-agg shuffle on the ≤ `shards`-row
+    * grain (ROLLUP shares it — the root is the same partial sums
+    * re-reduced); the corpus is scanned once, moved never. Verifying
+    * two 100 TB replicas = two independent manifest runs + a
+    * `shards`-row diff.
+    */
+  def datasetManifest(df: DataFrame, cols: Seq[String],
+      shards: Int): DataFrame = {
+    require(cols.nonEmpty, "need at least one column to fingerprint")
+    require(shards > 0, s"shards=$shards must be positive")
+    val p = lit(new java.math.BigDecimal(2305843009213693951L))
+    val ser = concat_ws("\u0001",
+      cols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)
+    df.select(conv(substring(md5(ser), 1, 15), 16, 10)
+        .cast("decimal(38,0)").as("h"))
+      .withColumn("shard", (col("h") % shards).cast("int"))
+      .rollup("shard")
+      .agg(count(lit(1)).as("n"), (sum("h") % p).cast("long")
+        .as("fingerprint"))
+      .select(coalesce(col("shard"), lit(-1)).as("shard"),
+        col("n"), col("fingerprint"))
+  }
+
   /** Classifier calibration profile — the reliability diagram plus its
     * two headline numbers, per group: scores in [0, 1] are cut into
     * `bins` equal-width confidence bins (`bin = min(bins−1,

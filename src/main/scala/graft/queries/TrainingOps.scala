@@ -60,6 +60,13 @@ object TrainingOps {
     .map(i => s"(strpos('0123456789abcdef', substr($x, $i, 1)) - 1)")
     .reduceLeft((a, b) => s"($a * 16 + $b)")
 
+  /** 15-hex-digit md5 prefix as an int64 (< 2^60 — the
+    * [[graft.ops.Profile.datasetManifest]] row-hash convention).
+    */
+  private def hex15Sql(x: String): String = (1 to 15)
+    .map(i => s"(strpos('0123456789abcdef', substr($x, $i, 1)) - 1)")
+    .reduceLeft((a, b) => s"($a * 16 + $b)")
+
   private def shinglesSql(cond: String = "TRUE") =
     s"""toks AS (SELECT doc_id id, string_split(text, ' ') l FROM documents
       |          WHERE $cond AND len(string_split(text, ' ')) >= 3),
@@ -6449,6 +6456,31 @@ object TrainingOps {
              |  ROUND(SUM(sq) OVER (PARTITION BY grp)
              |    / SUM(n) OVER (PARTITION BY grp), 6) AS brier
              |FROM b ORDER BY 1, 2""".stripMargin)),
+
+    // Dataset content manifest over all five documents columns:
+    // order-independent 60-bit row hashes summed mod 2^61-1 per hash
+    // shard + a root row via ROLLUP. DuckDB replays the exact modular
+    // arithmetic in HUGEINT against Spark's DECIMAL(38,0) — byte-equal
+    // fingerprints, no float anywhere.
+    QueryDef("q259_dataset_manifest",
+      (s, d) => graft.ops.Profile.datasetManifest(
+          table(s, d, "documents"),
+          Seq("doc_id", "text", "lang", "source", "n_chars"), 8)
+        .orderBy("shard"),
+      Some(s"""WITH m AS (SELECT md5(concat_ws(chr(1),
+             |    COALESCE(CAST(doc_id AS VARCHAR), chr(0)),
+             |    COALESCE(text, chr(0)), COALESCE(lang, chr(0)),
+             |    COALESCE(source, chr(0)),
+             |    COALESCE(CAST(n_chars AS VARCHAR), chr(0)))) AS hx
+             |  FROM documents),
+             |r AS (SELECT ${hex15Sql("hx")} AS h FROM m),
+             |s AS (SELECT CAST(h % 8 AS INT) AS shard,
+             |    COUNT(*) AS n,
+             |    CAST(SUM(CAST(h AS HUGEINT)) % 2305843009213693951
+             |      AS BIGINT) AS fingerprint
+             |  FROM r GROUP BY ROLLUP (shard))
+             |SELECT COALESCE(shard, -1) AS shard, n, fingerprint
+             |FROM s ORDER BY 1""".stripMargin)),
   )
 
   /** DuckDB replay of [[graft.ops.TextAnalysis.tailRepetition]] over

@@ -2163,6 +2163,36 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(dm(("d", 0.5)) == 1L && dm(("d", 1.0)) == 1L)
   }
 
+  test("dataset manifest: partition-invariant, root merges shards " +
+      "mod p, single-row edits flip fingerprints, NULL != empty") {
+    val s2 = spark; import s2.implicits._
+    val p = BigInt(2305843009213693951L)
+    val fx = (1 to 200).map(i => (i.toLong, s"text-$i", s"s${i % 3}"))
+      .toDF("id", "text", "src")
+    def mf(df: org.apache.spark.sql.DataFrame) = graft.ops.Profile
+      .datasetManifest(df, Seq("id", "text", "src"), 4).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val a = mf(fx.repartition(7))
+    val b = mf(fx.repartition(2).sort(desc("text")))
+    assert(a == b) // row order and partitioning are invisible
+    // root row (-1) is the modular sum of the shard fingerprints
+    val shardSum = a.collect { case (s, (_, f)) if s >= 0 => BigInt(f) }
+      .sum % p
+    assert(BigInt(a(-1)._2) == shardSum)
+    assert(a(-1)._1 == 200L && a.collect {
+      case (s, (n, _)) if s >= 0 => n }.sum == 200L)
+    // one changed row changes the root (and exactly one shard count)
+    val edited = mf(fx.withColumn("text",
+      when(col("id") === 17L, lit("tampered")).otherwise(col("text"))))
+    assert(edited(-1)._2 != a(-1)._2)
+    assert(edited(-1)._1 == 200L)
+    // NULL and empty string serialize differently
+    val withNull = Seq((1L, Option.empty[String], "s"))
+      .toDF("id", "text", "src")
+    val withEmpty = Seq((1L, Option(""), "s")).toDF("id", "text", "src")
+    assert(mf(withNull)(-1)._2 != mf(withEmpty)(-1)._2)
+  }
+
   test("calibration profile: hand-computed bins, ECE and Brier; " +
       "perfect scores give zero error; nulls drop; top bin closed") {
     val s2 = spark; import s2.implicits._
