@@ -58,6 +58,16 @@ case class DamerauLevenshtein(left: Expression, right: Expression)
 
 object DamerauLevenshtein {
 
+  /** Lowrance–Wagner needs the FULL (|a|+2)×(|b|+2) matrix (the
+    * transposition lookback reaches arbitrarily far up), so cost is
+    * inherently O(|a|·|b|) ints PER ROW. Cap the matrix at 2^22 cells
+    * (16 MiB) — far above any key/name/title, far below the multi-GB
+    * allocation a document column would demand — and fail loudly
+    * instead of OOMing an executor when the function is pointed at
+    * long text by mistake.
+    */
+  val MaxCells: Long = 1L << 22
+
   /** The shared interpreted/codegen kernel: Lowrance–Wagner over the
     * UTF-8 bytes, `da` as a 256-slot last-seen-row table (the byte
     * alphabet — no hashing in the inner loop).
@@ -69,6 +79,13 @@ object DamerauLevenshtein {
     val l2 = s2.length
     if (l1 == 0) return l2
     if (l2 == 0) return l1
+    if ((l1 + 2).toLong * (l2 + 2).toLong > MaxCells)
+      throw new IllegalArgumentException(
+        s"damerau_levenshtein inputs of $l1 x $l2 bytes exceed the " +
+          s"$MaxCells-cell matrix cap (~16 MiB/row): the unrestricted " +
+          "distance is O(|a|*|b|) space by construction. Intended for " +
+          "short keys/names gated by a blocking join - truncate or " +
+          "switch to levenshtein/SimHash for long text.")
     val inf = l1 + l2
     val d = Array.ofDim[Int](l1 + 2, l2 + 2)
     d(0)(0) = inf

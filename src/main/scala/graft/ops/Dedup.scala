@@ -60,6 +60,27 @@ object Dedup {
     if (dedup) raw.distinct() else raw
   }
 
+  /** Hard ceiling on the quadratic bucket expansion (the enforced form
+    * of the "candidate volume is linear when per-doc twin density is
+    * bounded" invariant): any bucket holding more than this many
+    * payloads generates NO pairs and is counted into the query's
+    * `graft_bucket_spill_*` observed metric instead of silently costing
+    * C(size, 2) candidates. 65536 ids ≈ 2.1e9 pairs per bucket — far
+    * above anything a sane banding produces (measured adversarial max:
+    * ~8k), far below the 10^7-id bucket that would OOM the collect_list
+    * or take a task hostage. A spilled bucket is a DATA pathology
+    * (stop-gram prefix, degenerate band, unremoved exact duplicates);
+    * the metric names it instead of the operator absorbing it.
+    */
+  val DefaultMaxBucket: Int = 1 << 16
+
+  /** Unique observation names: Spark requires distinct observed-metric
+    * names within a query unless the subplans are identical (a
+    * self-union of ONE capped expansion is fine; two different capped
+    * ops in one query need different names).
+    */
+  private val spillSeq = new java.util.concurrent.atomic.AtomicLong()
+
   /** All ordered id pairs (id1 < id2) inside each bucket of `keyed`,
     * where a bucket is one group of `keys`. Replaces a bucket-key
     * SELF-JOIN: the upstream pipeline (corpus scan → signatures → bucket
@@ -69,14 +90,13 @@ object Dedup {
     * is the same quadratic CPU cost the join shape had, but memory
     * differs: `collect_list` buffers one whole bucket per aggregation row
     * (unspillable), so a degenerate bucket of millions of ids would OOM a
-    * task where the self-join would have spilled. LSH banding plus
-    * exact-dedup-first keeps buckets orders of magnitude below that
-    * (measured max bucket on an adversarial 50k-doc probe: ~8k ids ≈
-    * 0.5 MB); if a bucket-size profile ever approaches 10^7, route those
-    * buckets through the join shape instead.
+    * task where the self-join would have spilled. `maxBucket` (see
+    * [[DefaultMaxBucket]]) is the enforced ceiling: oversized buckets
+    * yield no pairs and surface in the observed spill metric.
     */
-  private def bucketPairs(keyed: DataFrame, keys: Seq[String]): DataFrame =
-    bucketPairsOf(keyed, keys, col("id"))
+  private def bucketPairs(keyed: DataFrame, keys: Seq[String],
+      maxBucket: Int = DefaultMaxBucket): DataFrame =
+    bucketPairsOf(keyed, keys, col("id"), maxBucket)
       .select(col("a").as("id1"), col("b").as("id2"))
 
   /** Generalized single-branch pair expansion: all ordered payload pairs
@@ -86,27 +106,55 @@ object Dedup {
     * id first). This is the shape that replaces EVERY bucket-key self-join
     * in the engine: one upstream evaluation, one shuffle, pairs by
     * exploding each bucket's sorted payload list.
+    *
+    * Buckets larger than `maxBucket` produce NO pairs; their count,
+    * their id volume, and the query's max bucket size are recorded as
+    * the observed metric `graft_bucket_spill_<n>` (columns
+    * `spilled_buckets`, `spilled_ids`, `max_bucket`) — an aggregate
+    * computed INSIDE the existing aggregation's output stream, zero
+    * extra jobs. `spilled_buckets == 0` is the exactness certificate:
+    * when it holds, the capped expansion is byte-identical to the
+    * uncapped one; when it doesn't, the caller sees exactly how much
+    * pathological volume was refused.
+    *
+    * Read-side AQE corner: if the DOWNSTREAM result of the whole query
+    * is empty, AQE's empty-relation propagation prunes the (already
+    * executed) metric stage from the final plan and
+    * `QueryExecution.observedMetrics` comes back empty — the SQL UI
+    * still records the stage. Audit queries that must READ the metric
+    * programmatically should keep a non-empty output or disable AQE
+    * for the audit run (OpsSpec pins both modes).
     */
   private[ops] def bucketPairsOf(keyed: DataFrame, keys: Seq[String],
-      payload: Column): DataFrame =
+      payload: Column, maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    require(maxBucket >= 2, s"maxBucket=$maxBucket must be >= 2")
     keyed.groupBy(keys.map(col): _*)
       .agg(sort_array(collect_list(payload)).as("ms"))
       .where(size(col("ms")) > 1)
+      .observe(s"graft_bucket_spill_${spillSeq.incrementAndGet()}",
+        sum(when(size(col("ms")) > maxBucket, 1L).otherwise(0L))
+          .as("spilled_buckets"),
+        sum(when(size(col("ms")) > maxBucket,
+          size(col("ms")).cast("long")).otherwise(0L)).as("spilled_ids"),
+        max(size(col("ms"))).as("max_bucket"))
+      .where(size(col("ms")) <= maxBucket)
       .select(explode(expr(
         "flatten(transform(ms, (x, i) -> transform(" +
           "slice(ms, i + 2, size(ms)), y -> struct(x AS a, y AS b))))"))
         .as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
+  }
 
   /** Exact pairwise n-gram Jaccard similarity >= `minJaccard`.
     * Quadratic in co-shingle document pairs — the small-scale oracle for
     * [[minhashCandidates]]; at 100 TB run MinHash first and feed the
     * candidate pairs through this for exact re-scoring.
     */
-  def jaccardPairs(docs: DataFrame, n: Int, minJaccard: Double): DataFrame = {
+  def jaccardPairs(docs: DataFrame, n: Int, minJaccard: Double,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val sh = shingles(docs, n)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val inter = bucketPairs(sh, Seq("shingle"))
+    val inter = bucketPairs(sh, Seq("shingle"), maxBucket)
       .groupBy("id1", "id2")
       .agg(count(lit(1)).as("n_common"))
     inter
@@ -206,9 +254,9 @@ object Dedup {
     * near-dup detection feasible at 100 TB.
     */
   def minhashCandidates(docs: DataFrame, n: Int, numHashes: Int,
-      rowsPerBand: Int): DataFrame =
+      rowsPerBand: Int, maxBucket: Int = DefaultMaxBucket): DataFrame =
     bucketPairs(minhashBandKeys(docs, n, numHashes, rowsPerBand),
-      Seq("band", "band_key")).distinct()
+      Seq("band", "band_key"), maxBucket).distinct()
 
   /** Candidate-then-verify near-dup pairs: [[minhashCandidates]]
     * re-scored with BOUNDED edit distance — the two-tier discipline of
@@ -540,14 +588,14 @@ object Dedup {
     * re-score with a wider signature, not to widen the bands.
     */
   def simhashCandidates(docs: DataFrame, maxHamming: Int,
-      numBands: Int = 4): DataFrame = {
+      numBands: Int = 4, maxBucket: Int = DefaultMaxBucket): DataFrame = {
     require(numBands > maxHamming,
       s"pigeonhole cover needs numBands=$numBands > maxHamming=$maxHamming")
     // single-branch bucket expansion (see bucketPairsOf) carrying the full
     // signature into each pair for exact Hamming re-scoring; struct order
     // is id order since ids are unique per bucket
     bucketPairsOf(simhashBands(docs, numBands), Seq("band", "band_bits"),
-        struct(col("id"), col("simhash")))
+        struct(col("id"), col("simhash")), maxBucket = maxBucket)
       .select(col("a.id").as("id1"), col("b.id").as("id2"),
         expr("bit_count(a.simhash ^ b.simhash)").cast("int").as("hamming"))
       .where(col("hamming") <= maxHamming)
@@ -766,9 +814,18 @@ object Dedup {
     * near-dup density per doc is bounded (measured: 10× docs with ~10
     * perturbed twins each → 10× prefix rows, ~126× candidates — the
     * twins, not the operator; per-candidate cost stayed flat).
+    * `maxBucket` (default [[DefaultMaxBucket]]) makes that bound an
+    * ENFORCED invariant rather than an observation: a prefix bucket
+    * larger than the cap yields no candidates and is counted into the
+    * `graft_bucket_spill_*` observed metric. `spilled_buckets == 0`
+    * (the normal case — df-ascending prefix order keeps buckets
+    * rare-gram-sized) certifies the output is EXACTLY
+    * [[jaccardPairs]]'; a nonzero spill trades bounded recall loss on
+    * the pathological buckets for a bounded plan, with the refused
+    * volume reported, never absorbed.
     */
   def prefixFilterPairs(docs: DataFrame, n: Int,
-      minJaccard: Double): DataFrame = {
+      minJaccard: Double, maxBucket: Int = DefaultMaxBucket): DataFrame = {
     require(minJaccard > 0.0 && minJaccard <= 1.0,
       s"minJaccard=$minJaccard must be in (0, 1]")
     val t = minJaccard
@@ -786,7 +843,7 @@ object Dedup {
     val cand = bucketPairsOf(
         prefix.select(col("shingle"),
           struct(col("n_sh"), col("id"), col("pos")).as("p")),
-        Seq("shingle"), col("p"))
+        Seq("shingle"), col("p"), maxBucket)
       .where(col("a.pos") <= col("a.n_sh") -
         ceil(lit(2 * t / (1 + t)) * col("a.n_sh") - 1e-9) + 1)
       .where(least(col("a.pos"), col("b.pos")) +

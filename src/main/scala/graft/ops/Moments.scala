@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
@@ -13,13 +13,18 @@ import org.apache.spark.sql.functions._
   *
   * Determinism: each component is quantized ONCE on input —
   * `q = round(v · 1e6)` half-away-from-zero, the same rule as SQL
-  * `ROUND` — and every downstream sum/product is exact 64-bit / decimal
-  * integer arithmetic, so results are bit-identical on any engine and
+  * `ROUND` — and every downstream sum/product is exact integer
+  * arithmetic, so results are bit-identical on any engine and
   * replayable in a SQL oracle. The only approximation is the input
-  * quantization (|error| ≤ 5e-7 per component). Overflow envelope: for
-  * unit-scale components (|v| ≤ ~1) each pair sum |Σ qᵢqⱼ| ≤ n·1e12,
-  * exact in a long up to n ≈ 9e6 and in the decimal(38,0) merge far
-  * beyond any corpus; quantize coarser for larger `|v|`.
+  * quantization (|error| ≤ 5e-7 per component). Overflow envelope:
+  * every accumulator (linear AND pair) is a signed 128-bit integer
+  * (two-long hi/lo buffer slots, reconstructed as decimal(38,0) in the
+  * output plan), so for unit-scale components (per-row pair product
+  * ~1e12) the sums stay exact past 10^25 rows — no silent wraparound
+  * at any realistic corpus size. Each per-row product is additionally
+  * `Math.multiplyExact`-guarded, so components big enough to overflow
+  * the 64-bit product (|q| > ~3e9, i.e. |v| > ~3e3) fail loudly with
+  * an instruction to quantize coarser instead of corrupting sums.
   */
 object Moments {
 
@@ -27,17 +32,34 @@ object Moments {
   private def halfAway(x: Double): Long =
     (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)).toLong
 
-  /** Flat exact-moment buffer: slots [0, d) hold `Σ qᵢ`, slots
+  /** Add the signed long `v` into the 128-bit accumulator at logical
+    * slot `k` of `b` (slot k = longs 2k (hi) / 2k+1 (lo, unsigned)).
+    * Branch-free carry; exact for any sequence of adds whose true sum
+    * stays inside a signed 128-bit integer.
+    */
+  private def add128(b: Array[Long], k: Int, v: Long): Unit = {
+    val lo = b(2 * k + 1)
+    val nlo = lo + v
+    val carry = ((lo & v) | ((lo | v) & ~nlo)) >>> 63
+    b(2 * k + 1) = nlo
+    b(2 * k) += (v >> 63) + carry
+  }
+
+  /** Flat exact-moment buffer: logical slots [0, d) hold `Σ qᵢ`, slots
     * [d, d + d(d+1)/2) the upper triangle `Σ qᵢqⱼ` (i ≤ j) in row-major
-    * order. Each map task folds its rows into ONE buffer, so the
-    * exchange carries `partitions` buffers of `d + d(d+1)/2` longs —
-    * never `n·d²` exploded rows. This is [[graft.ops.TopK]]'s partial-
-    * aggregation discipline applied to dense moments.
+    * order — each logical slot a SIGNED 128-BIT integer stored as two
+    * longs (hi, lo-unsigned), so sums never wrap at any corpus size
+    * (the old single-long pair sums wrapped silently past ~9e6 rows of
+    * unit-scale embeddings). Each map task folds its rows into ONE
+    * buffer, so the exchange carries `partitions` buffers of
+    * `2·(d + d(d+1)/2)` longs — never `n·d²` exploded rows. This is
+    * [[graft.ops.TopK]]'s partial-aggregation discipline applied to
+    * dense moments.
     */
   private final class GramAgg(d: Int)
       extends Aggregator[Seq[Float], Array[Long], Seq[Long]] {
-    private val len = d + d * (d + 1) / 2
-    override def zero: Array[Long] = new Array[Long](len)
+    private val slots = d + d * (d + 1) / 2
+    override def zero: Array[Long] = new Array[Long](2 * slots)
     override def reduce(b: Array[Long], v: Seq[Float]): Array[Long] = {
       require(v.length == d, s"expected dim $d, got ${v.length}")
       val q = new Array[Long](d)
@@ -46,16 +68,28 @@ object Moments {
       var k = d
       i = 0
       while (i < d) {
-        b(i) += q(i)
+        add128(b, i, q(i))
         var j = i
-        while (j < d) { b(k) += q(i) * q(j); j += 1; k += 1 }
+        while (j < d) {
+          // loud failure (quantize coarser) beats a silent 64-bit wrap
+          add128(b, k, Math.multiplyExact(q(i), q(j)))
+          j += 1; k += 1
+        }
         i += 1
       }
       b
     }
     override def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
-      var i = 0
-      while (i < len) { x(i) += y(i); i += 1 }
+      var k = 0
+      while (k < slots) {
+        val lo = x(2 * k + 1)
+        val v = y(2 * k + 1)
+        val nlo = lo + v
+        val carry = ((lo & v) | ((lo | v) & ~nlo)) >>> 63
+        x(2 * k + 1) = nlo
+        x(2 * k) += y(2 * k) + carry
+        k += 1
+      }
       x
     }
     override def finish(b: Array[Long]): Seq[Long] = b.toSeq
@@ -66,17 +100,18 @@ object Moments {
   }
 
   /** The (i, j, n, s_i, s_j, s_ij, cov) relation for every 1-based pair
-    * i ≤ j: exact integer sums of the 1e6-quantized components, plus
-    * the POPULATION covariance
+    * i ≤ j: exact integer sums of the 1e6-quantized components as
+    * decimal(38,0) (reconstructed from [[GramAgg]]'s 128-bit hi/lo
+    * slots — exact at any corpus size), plus the POPULATION covariance
     * `cov = (n·s_ij − s_i·s_j) / (n² · 1e12)` of the ORIGINAL scale
     * (÷n², not n(n−1) — rescale for the unbiased estimator) —
     * the numerator exact in decimal(38,0), one double divide at the
     * end. `d` is the (fixed, caller-known) embedding dimension.
     *
     * Shape at 100 TB: ONE aggregation with map-side combine (see
-    * [[GramAgg]]) to a single `d + d(d+1)/2`-long row, then a narrow
-    * driver-free explode to the pair grain. No shuffle ever carries
-    * more than `partitions` buffers.
+    * [[GramAgg]]) to a single `2·(d + d(d+1)/2)`-long row, then a
+    * narrow driver-free explode to the pair grain. No shuffle ever
+    * carries more than `partitions` buffers.
     */
   def gramProfile(df: DataFrame, d: Int,
       vecCol: String = "embedding"): DataFrame = {
@@ -89,22 +124,28 @@ object Moments {
     for (i <- 1 to d; j <- i to d) { iIdx(k) = i; jIdx(k) = j; k += 1 }
     val agg = udaf(new GramAgg(d), ExpressionEncoder[Seq[Float]]())
     val dec = "decimal(38,0)"
+    val two64 = lit("18446744073709551616").cast(dec)
+    // signed-128 (hi, lo-unsigned) at 1-based logical slot -> decimal
+    def dec128(slot: Column): Column = {
+      val hi = element_at(col("s"), (slot * 2 - 1).cast("int"))
+      val lo = element_at(col("s"), (slot * 2).cast("int"))
+      (hi.cast(dec) * two64 + when(lo < 0, lo.cast(dec) + two64)
+        .otherwise(lo.cast(dec))).cast(dec)
+    }
     df.agg(count(lit(1)).as("n"), agg(col(vecCol)).as("s"))
       .select(col("n"), col("s"),
-        posexplode(expr(s"slice(s, ${d + 1}, $nPairs)"))
-          .as(Seq("k", "s_ij")))
-      .select(
+        explode(expr(s"sequence(0, ${nPairs - 1})")).as("k"))
+      .select(col("n"), col("s"),
         element_at(typedLit(iIdx.toSeq), col("k") + 1).as("i"),
         element_at(typedLit(jIdx.toSeq), col("k") + 1).as("j"),
-        col("n"),
-        element_at(col("s"),
-          element_at(typedLit(iIdx.toSeq), col("k") + 1)).as("s_i"),
-        element_at(col("s"),
-          element_at(typedLit(jIdx.toSeq), col("k") + 1)).as("s_j"),
-        col("s_ij"))
+        (col("k") + d + 1).as("pslot"))
+      .select(col("i"), col("j"), col("n"),
+        dec128(col("i")).as("s_i"),
+        dec128(col("j")).as("s_j"),
+        dec128(col("pslot")).as("s_ij"))
       .withColumn("cov",
-        (col("n").cast(dec) * col("s_ij").cast(dec)
-          - col("s_i").cast(dec) * col("s_j").cast(dec)).cast("double")
+        (col("n").cast(dec) * col("s_ij")
+          - col("s_i") * col("s_j")).cast("double")
           / (col("n").cast("double") * col("n").cast("double") * 1e12))
   }
 
@@ -147,13 +188,13 @@ object Moments {
     val n = g.head.getAs[Long]("n")
     require(n >= 2, s"need >= 2 rows, got $n")
     val c = Array.ofDim[Double](d, d)
-    val s = new Array[Long](d)
+    val s = new Array[Double](d)
     g.foreach { r =>
       val i = r.getAs[Int]("i") - 1
       val j = r.getAs[Int]("j") - 1
       c(i)(j) = r.getAs[Double]("cov")
       c(j)(i) = c(i)(j)
-      s(i) = r.getAs[Long]("s_i")
+      s(i) = r.getAs[java.math.BigDecimal]("s_i").doubleValue()
     }
     val v = Array.fill(d)(r12(1.0 / math.sqrt(d.toDouble)))
     for (_ <- 1 to iters) {
@@ -171,7 +212,7 @@ object Moments {
       i = 0
       while (i < d) { v(i) = r12(w(i) / nrm); i += 1 }
     }
-    val mu = Array.tabulate(d)(i => s(i).toDouble / (n.toDouble * 1e6))
+    val mu = Array.tabulate(d)(i => s(i) / (n.toDouble * 1e6))
     var muDotV = 0.0
     for (i <- 0 until d) muDotV += mu(i) * v(i)
     val vL = typedLit(v.toSeq)

@@ -1166,8 +1166,11 @@ object Profile {
     * total as a single-row broadcast, and the hot list through
     * [[graft.ops.TopK.perKey]]'s partial aggregator — no global sort,
     * no window. Keys must be integral ([[graft.ops.TopK]]'s id
-    * contract); `pairs` sums in decimal(38,0) so a 10¹⁸-row prediction
-    * reports, not overflows.
+    * contract); per-key `pairs` AND `total_pairs` multiply/sum in
+    * decimal(38,0) end to end, so a 10¹⁸⁺-pair prediction reports
+    * exactly instead of wrapping a long; the top-K ranking ordinal
+    * saturates at Long.MaxValue (membership stays correct, ties past
+    * saturation break by key).
     */
   def joinCardinality(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String, topK: Int = 10): DataFrame = {
@@ -1178,18 +1181,25 @@ object Profile {
     val rc = right.select(col(rightKey).cast("long").as("key"))
       .where(col("key").isNotNull)
       .groupBy("key").agg(count(lit(1)).as("n_right"))
+    val dec = "decimal(38,0)"
     val per = lc.join(rc, "key")
-      .withColumn("pairs", col("n_left") * col("n_right"))
+      .withColumn("pairs",
+        (col("n_left").cast(dec) * col("n_right").cast(dec)).cast(dec))
     val tot = per.agg(
-      sum(col("pairs").cast("decimal(38,0)")).as("total_pairs"),
+      sum(col("pairs")).cast(dec).as("total_pairs"),
       count(lit(1)).as("n_shared_keys"))
-    val top = TopK.perKey(per.withColumn("g", lit(1)),
-        "g", "pairs", "key", topK)
+    // ranking ordinal: saturate at Long.MaxValue so a >9.2e18-pair hot
+    // key still ranks at the top (ties past saturation break by key)
+    // instead of wrapping negative and vanishing from the hot list;
+    // the REPORTED pairs column stays decimal-exact.
+    val top = TopK.perKey(
+        per.withColumn("g", lit(1)).withColumn("__jc_ord",
+          least(col("pairs"), lit(Long.MaxValue).cast(dec)).cast("long")),
+        "g", "__jc_ord", "key", topK)
       .select(col("key"), col("rk"))
     top.join(per, "key").crossJoin(broadcast(tot))
       .select(col("rk"), col("key"), col("n_left"), col("n_right"),
-        col("pairs"), col("n_shared_keys"),
-        col("total_pairs").cast("long").as("total_pairs"),
+        col("pairs"), col("n_shared_keys"), col("total_pairs"),
         (col("pairs").cast("double") /
           col("total_pairs").cast("double")).as("share"))
   }

@@ -140,14 +140,20 @@ object Sampling {
     * `round(ln(u)/w · 1e12)` — a 1-ulp `ln` disagreement between engines
     * collapses, rank ties break by `idCol`, and a SQL oracle replays the
     * integer key digit-for-digit. |key| ≤ ln(65536/0.5)·1e12 < 2^44 for
-    * w ≥ 1, exact in both long and double.
+    * w ≥ 1, exact in both long and double. Weights below ~2.6e-6 would
+    * push the key past the long range (where Spark's non-ANSI cast
+    * clamps but other engines error), so the key is clamped EXPLICITLY
+    * at −4.6e18 on both the engine and oracle sides: ultra-tiny weights
+    * collapse into one bottom-priority tie bucket (they were never
+    * going to be drawn) and the selection stays engine-exact.
     */
   def weightedSampleWOR(df: DataFrame, groupCol: String, k: Int,
       weightCol: String, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     require(k > 0, s"k=$k must be positive")
     val u = hashUnit(col(textCol), "wor:") + lit(0.5 / 65536)
-    val keyQ = round(log(u) / col(weightCol).cast("double") * 1e12, 0)
+    val keyQ = round(greatest(
+      log(u) / col(weightCol).cast("double") * 1e12, lit(-4.6e18)), 0)
     val scored = df.where(col(weightCol) > 0)
       .withColumn("__wor_key", keyQ.cast("long"))
     TopK.perKey(scored, groupCol, "__wor_key", idCol, k)

@@ -49,19 +49,28 @@ object Skew {
       numHashes: Int = 3): DataFrame = {
     require(numBits % 32 == 0 && numBits > 0,
       s"numBits=$numBits must be a positive multiple of 32")
+    // collision-safe internals: fail fast rather than shadow a caller
+    // column of the same name
+    Seq("__graft_bloom", "__graft_ps").foreach { c =>
+      require(!big.columns.contains(c) && !small.columns.contains(c),
+        s"bloomPrunedJoin reserves internal column name $c")
+    }
     val bloomArr = Curation.bloomFilterOf(
         small.select(col(smallKey).cast("string").as("v")).distinct(),
         "v", numBits, numHashes)
       .first().getSeq[Long](0).toArray
-    val member = expr("forall(__ps, p -> (shiftright(" +
-      "element_at(__bloom, CAST(p div 32 AS INT) + 1), " +
+    val member = expr("forall(__graft_ps, p -> (shiftright(" +
+      "element_at(__graft_bloom, CAST(p div 32 AS INT) + 1), " +
       "CAST(p % 32 AS INT)) & 1) = 1)")
     val pruned = big
-      .withColumn("__bloom", typedLit(bloomArr.toSeq))
-      .withColumn("__ps", array((0 until numHashes).map(h =>
+      .withColumn("__graft_bloom", typedLit(bloomArr.toSeq))
+      .withColumn("__graft_ps", array((0 until numHashes).map(h =>
         Curation.bloomPos(col(bigKey).cast("string"), h, numBits)): _*))
       .where(member)
-      .drop("__bloom", "__ps")
-    pruned.join(small, col(bigKey) === col(smallKey))
+      .drop("__graft_bloom", "__graft_ps")
+    // alias both plans so bigKey == smallKey (the common equi-join
+    // spelling) resolves instead of dying ambiguous at analysis
+    pruned.as("__graft_big").join(small.as("__graft_small"),
+      col(s"__graft_big.$bigKey") === col(s"__graft_small.$smallKey"))
   }
 }

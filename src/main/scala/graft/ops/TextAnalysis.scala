@@ -589,12 +589,27 @@ object TextAnalysis {
     * compares UTF-16 code units, which agrees with UTF-8 binary order
     * on ASCII vocabularies — non-BMP corpora should pin one engine's
     * collation before relying on tie order.
+    *
+    * THE COLLECT IS BOUNDED, not merely "MBs in practice": the
+    * vocabulary is heavy-hitter pruned to the `maxVocab` most frequent
+    * words (ties by word, a total deterministic order) BEFORE it
+    * leaves the cluster, through a TakeOrderedAndProject partial top-k
+    * — never a global sort. Truncation contract (spec-pinned): with
+    * `maxVocab` >= the distinct-word count the output is IDENTICAL to
+    * the unpruned path; below it, training sees exactly the top-V
+    * head — the standard heavy-hitter practice (greedy BPE argmaxes
+    * are decided by high-frequency words; a tail word's pairs can only
+    * matter once its frequency rivals the head, at which point it IS
+    * the head). Driver memory and per-merge CPU are both O(maxVocab)
+    * regardless of corpus size.
     */
   def bpeTrainLocal(docs: DataFrame, numMerges: Int,
-      textCol: String = "text", sampleFraction: Double = 1.0): DataFrame = {
+      textCol: String = "text", sampleFraction: Double = 1.0,
+      maxVocab: Int = 1 << 20): DataFrame = {
     require(numMerges >= 1, s"numMerges=$numMerges must be >= 1")
     require(sampleFraction > 0 && sampleFraction <= 1.0,
       s"sampleFraction=$sampleFraction must be in (0, 1]")
+    require(maxVocab >= 1, s"maxVocab=$maxVocab must be >= 1")
     val spark = docs.sparkSession
     import spark.implicits._
     val trainDocs =
@@ -605,6 +620,8 @@ object TextAnalysis {
       .select(explode(split(col(textCol), " ")).as("w"))
       .where(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("w").asc)
+      .limit(maxVocab)
       .as[(String, Long)].collect()
     def codepoints(w: String): Array[String] = {
       val out = scala.collection.mutable.ArrayBuffer[String]()

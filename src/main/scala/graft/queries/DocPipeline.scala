@@ -203,20 +203,44 @@ object DocPipeline {
       },
       Some(vectorsSql)),
 
-    // Porter stemming over document tokens — the one scalar with no SQL
-    // equivalent in DuckDB (rows-only check; semantics pinned by the
-    // 5.7k-vector golden spec instead). Two-level aggregation: count raw
-    // tokens first (map-side combine collapses the stream to the distinct
-    // vocabulary), stem only the distinct tokens, then re-aggregate — under
-    // a Zipf token distribution this stems |vocab| strings instead of
-    // |corpus| and shuffles vocabulary-sized data, which is the difference
-    // between hours and minutes at 100 TB.
+    // Porter stemming composed with aggregation, HASH-CHECKED end to
+    // end: corpus token positions map deterministically onto the FULL
+    // public 5,751-word golden vocabulary (the q88/q238 salting
+    // discipline — corpus-driven frequencies, engine-independent
+    // words), the engine stems with its own porter_stem, and the
+    // oracle replays via the golden (word -> stem) lookup as literal
+    // VALUES — so every corpus-weighted stem must agree with the
+    // published vectors THROUGH the two-level aggregation. Two-level:
+    // count at the distinct-vocabulary grain first (map-side combine
+    // collapses the position stream), stem only distinct words, then
+    // re-aggregate — this stems |vocab| strings instead of |corpus|,
+    // the difference between hours and minutes at 100 TB.
     QueryDef("q33_doc_stem_freq",
-      (s, d) => table(s, d, "documents")
-        .select(explode(split(col("text"), " ")).as("tok"))
-        .groupBy("tok").agg(count(lit(1)).as("tn"))
-        .groupBy(porter_stem(col("tok")).as("stem")).agg(sum("tn").as("n"))
-        .orderBy(col("n").desc, col("stem").asc),
-      None),
+      (s, d) => {
+        val s2 = s; import s2.implicits._
+        val n = graft.text.PorterGolden.pairs.size
+        val golden = graft.text.PorterGolden.pairs.map(_._1).zipWithIndex
+          .map { case (w, i) => (i.toLong, w) }.toDF("idx", "w")
+        table(s, d, "documents")
+          .select(col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+          .select(pmod(col("doc_id") * 131 + col("pos"),
+            lit(n.toLong)).as("idx"))
+          .join(broadcast(golden), "idx")
+          .groupBy("w").agg(count(lit(1)).as("tn"))
+          .groupBy(porter_stem(col("w")).as("stem"))
+          .agg(sum("tn").as("n"))
+          .orderBy(col("n").desc, col("stem").asc)
+      },
+      Some(s"""WITH g(idx, w, s) AS (VALUES
+              |  ${graft.text.PorterGolden.sqlValues}),
+              |t AS (SELECT doc_id, u.i - 1 AS pos
+              |  FROM documents,
+              |    UNNEST(generate_series(1,
+              |      len(string_split(text, ' ')))) u(i))
+              |SELECT g.s AS stem, CAST(COUNT(*) AS BIGINT) AS n
+              |FROM t JOIN g
+              |  ON g.idx = (t.doc_id * 131 + t.pos) % ${graft.text.PorterGolden.pairs.size}
+              |GROUP BY 1 ORDER BY n DESC, stem""".stripMargin)),
   )
 }

@@ -521,9 +521,10 @@ object StreamingQuery {
           .orderBy("event_type", "wor_rank")
       }),
       Some(s"""WITH s AS (SELECT event_type, event_id,
-              |    CAST(round(ln(${TrainingOps.drawSqlOn("wor:",
+              |    CAST(round(GREATEST(ln(${TrainingOps.drawSqlOn("wor:",
                      "CAST(event_id AS VARCHAR)")}
-              |      + 0.5 / 65536.0) / value * 1e12, 0) AS BIGINT)
+              |      + 0.5 / 65536.0) / value * 1e12, -4.6e18), 0)
+              |      AS BIGINT)
               |      AS key
               |  FROM events WHERE value > 0),
               |r AS (SELECT event_type, event_id, ROW_NUMBER() OVER (

@@ -5004,9 +5004,10 @@ object TrainingOps {
             "transform(sequence(1, size(l) - 1), i -> " +
               "concat(element_at(l, i), '_', element_at(l, i + 1)))"),
             " ").as("text"))
-        TextAnalysis.bpeTrainLocal(docsB, 1000, sampleFraction = 0.5)
+        TextAnalysis.bpeTrainLocal(docsB, 1000, sampleFraction = 0.5,
+          maxVocab = 20000)
       },
-      Some(bpeLocalOracleSql(1000, 0.5))),
+      Some(bpeLocalOracleSql(1000, 0.5, maxVocab = 20000))),
 
     // Fellegi-Sunter EM refinement over q196's blocked register pair:
     // per-field m/u and the prevalence lambda fitted by 5 EM rounds on
@@ -5559,8 +5560,9 @@ object TrainingOps {
         .orderBy("doc_id"),
       Some(s"""WITH r AS (SELECT doc_id, source,
               |    ROW_NUMBER() OVER (PARTITION BY source
-              |      ORDER BY CAST(round(ln(${drawSql("wor:")}
-              |            + 0.5 / 65536.0) / n_chars * 1e12, 0)
+              |      ORDER BY CAST(round(GREATEST(ln(${drawSql("wor:")}
+              |            + 0.5 / 65536.0) / n_chars * 1e12,
+              |            -4.6e18), 0)
               |          AS BIGINT) DESC, doc_id) AS wor_rank
               |  FROM documents WHERE n_chars > 0)
               |SELECT doc_id, source, wor_rank FROM r
@@ -6732,7 +6734,8 @@ object TrainingOps {
     * non-empty tokens), giving a derived vocabulary rich enough for
     * 1000 genuine merges on the fixed 31-word synthetic text.
     */
-  private def bpeLocalOracleSql(k: Int, frac: Double): String =
+  private def bpeLocalOracleSql(k: Int, frac: Double,
+      maxVocab: Int = 1 << 20): String =
     s"""WITH RECURSIVE docs0 AS (
        |  SELECT array_to_string([l[i] || '_' || l[i+1]
        |      FOR i IN generate_series(1, len(l) - 1)], ' ') AS text
@@ -6741,10 +6744,12 @@ object TrainingOps {
        |        FROM documents)
        |  WHERE len(l) >= 2),
        |v0 AS MATERIALIZED (
-       |  SELECT w, COUNT(*) AS freq
-       |  FROM (SELECT UNNEST(string_split(text, ' ')) AS w
-       |        FROM docs0 WHERE ${drawSql("bpe:")} < $frac)
-       |  WHERE len(w) > 0 GROUP BY w),
+       |  SELECT w, freq FROM (
+       |    SELECT w, COUNT(*) AS freq
+       |    FROM (SELECT UNNEST(string_split(text, ' ')) AS w
+       |          FROM docs0 WHERE ${drawSql("bpe:")} < $frac)
+       |    WHERE len(w) > 0 GROUP BY w)
+       |  ORDER BY freq DESC, w LIMIT $maxVocab),
        |st AS (
        |  SELECT 0 AS step, NULL::VARCHAR AS ma, NULL::VARCHAR AS mb,
        |         NULL::BIGINT AS mcnt, freq,

@@ -493,8 +493,11 @@ object Streams {
       .withColumn("u", graft.ops.Sampling.hashUnit(
         col("event_id").cast("string"), "wor:") + lit(0.5 / 65536))
       .select(col("event_type"),
-        round(log(col("u")) / col("value") * 1e12, 0).cast("long")
-          .as("key"),
+        // same explicit −4.6e18 clamp as the batch twin: tiny weights
+        // collapse to one bottom tie bucket instead of overflowing the
+        // long cast differently per engine
+        round(greatest(log(col("u")) / col("value") * 1e12,
+          lit(-4.6e18)), 0).cast("long").as("key"),
         col("event_id").as("id"))
       .as[(String, Long, Long)]
     scored.groupByKey(_._1)

@@ -80,4 +80,19 @@ class DamerauLevenshteinSpec extends AnyFunSuite with SparkTestBase {
       assert((ab == 0) == (a == b))
     }
   }
+
+  test("inputs past the matrix cap fail loudly instead of allocating " +
+      "a multi-GB matrix (document column by mistake)") {
+    def u(s: String) =
+      org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    val long1 = "a" * 3000
+    val long2 = "b" * 3000
+    val e = intercept[IllegalArgumentException] {
+      graft.functions.DamerauLevenshtein.dist(u(long1), u(long2))
+    }
+    assert(e.getMessage.contains("matrix cap"))
+    // just under the cap still computes (2046*2 cells per side)
+    assert(graft.functions.DamerauLevenshtein.dist(
+      u("a" * 2000), u("ab")) == 1999)
+  }
 }

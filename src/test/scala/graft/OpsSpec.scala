@@ -1630,6 +1630,20 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     val localX = TextAnalysis.bpeTrainLocal(docs, 100).count()
     assert(distX == localX && localX < 100,
       s"exhaustion must stop both paths at the same step: $distX/$localX")
+    // truncation contract: maxVocab >= distinct words is EXACTLY the
+    // unpruned path (6 distinct words here)...
+    val full = TextAnalysis.bpeTrainLocal(docs, 8).collect().toSeq
+    val atCount = TextAnalysis.bpeTrainLocal(docs, 8, maxVocab = 6)
+      .collect().toSeq
+    assert(full.map(_.toString) == atCount.map(_.toString))
+    // ...and below it, training sees exactly the (freq desc, word asc)
+    // top-V head: V=2 keeps {newest x6, low x5}, so the first merge
+    // must come from "newest" (pair counts 6) over "low" (5)
+    val pruned = TextAnalysis.bpeTrainLocal(docs, 1, maxVocab = 2)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+    assert(pruned.head._3 == 6L &&
+      "newest".contains(pruned.head._1 + pruned.head._2),
+      pruned.toSeq.toString)
   }
 
   test("containment catches near-supersets jaccard misses") {
@@ -1681,6 +1695,59 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     val kept = Dedup.prefixFilterPairs(bd, 3, 0.5).collect()
     assert(kept.length == 1 && kept.head.getDouble(2) == 0.5,
       s"boundary pair must survive: ${kept.toSeq}")
+  }
+
+  test("bucket cap: a pathological high-density corpus stays within " +
+      "the ceiling with the refused volume reported; zero spill " +
+      "certifies exactness on normal data") {
+    val s2 = spark; import s2.implicits._
+    def spill(df: org.apache.spark.sql.DataFrame): (Long, Long, Int) = {
+      df.collect()
+      val m = df.queryExecution.observedMetrics
+        .collectFirst { case (k, v) if k.startsWith("graft_bucket_spill") => v }
+        .getOrElse(fail("no spill metric observed"))
+      (m.getAs[Long]("spilled_buckets"), m.getAs[Long]("spilled_ids"),
+        m.getAs[Int]("max_bucket"))
+    }
+    // 60 docs all sharing the same 5-token core (every core trigram's
+    // bucket holds all 60 ids) plus a unique tail each
+    val dense = (1L to 60L).map(id =>
+      (id, s"c1 c2 c3 c4 c5 tail$id")).toDF("doc_id", "text")
+    // default cap: zero spill, full pair set - the zero metric is the
+    // exactness certificate (read under AQE: non-empty output keeps
+    // the metric's stage in the final plan)
+    val open = Dedup.jaccardPairs(dense, 3, 0.1)
+    val (sb2, _, mb2) = spill(open)
+    assert(sb2 == 0L && mb2 == 60)
+    assert(open.count() == 60L * 59 / 2)
+    // Capped runs below: these yield EMPTY results, and AQE's
+    // empty-relation propagation prunes the (already-executed) metric
+    // stage out of the final plan, making the value unreadable through
+    // QueryExecution.observedMetrics - a read-side corner documented
+    // on bucketPairsOf (the SQL UI still records it). Disable AQE for
+    // the value assertions.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // capped below the density: the shared buckets are refused (no
+      // quadratic expansion) and the metric reports exactly what was cut
+      val capped = Dedup.jaccardPairs(dense, 3, 0.1, maxBucket = 16)
+      val (sb, si, mb) = spill(capped)
+      assert(capped.count() == 0, "all qualifying pairs lived in the " +
+        "spilled buckets - nothing may leak past the cap")
+      assert(sb == 3L && si == 180L && mb == 60,
+        s"3 core-trigram buckets x 60 ids: got ($sb, $si, $mb)")
+      // the prefix-filter tier caps its PREFIX buckets the same way
+      val cappedPf = Dedup.prefixFilterPairs(dense, 3, 0.1, maxBucket = 16)
+      val (sb3, _, _) = spill(cappedPf)
+      assert(sb3 > 0L)
+      // and the banded minhash tier its band buckets: the giant
+      // all-shared band buckets spill; pairs may still arrive from the
+      // legitimately sub-cap buckets, just never the full quadratic set
+      val cappedMh = Dedup.minhashCandidates(dense, 3, 8, 2, maxBucket = 16)
+      val fullMh = Dedup.minhashCandidates(dense, 3, 8, 2).count()
+      val (sb4, _, _) = spill(cappedMh)
+      assert(sb4 > 0L && cappedMh.count() < fullMh)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
   test("deterministic HLL: accurate, mergeable, duplicate-immune") {
@@ -2326,7 +2393,9 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
         .gramProfile(fx.repartition(parts), d = 2)
         .collect()
         .map(r => (r.getInt(0), r.getInt(1)) ->
-          (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          (r.getLong(2), r.getDecimal(3).longValueExact(),
+            r.getDecimal(4).longValueExact(),
+            r.getDecimal(5).longValueExact(),
             r.getDouble(6))).toMap
       // q = v * 1e6 exactly for these values
       val (n, s1, s2v) = (3L, 3000000L, 6500000L)
@@ -2340,6 +2409,51 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
       // population variance of x1 = {1, 3, -1} is 8/3
       assert(math.abs(got((1, 1))._5 - 8.0 / 3.0) < 1e-12)
     }
+  }
+
+  test("gram profile: pair sums past the 64-bit range stay exact in " +
+      "the 128-bit buffer (signed carries included)") {
+    val s2 = spark; import s2.implicits._
+    // q = 3e9 per component, per-row pair product 9e18 ~ Long.MaxValue:
+    // four rows would wrap a 64-bit sum; the mixed-sign row exercises
+    // the negative-add carry path
+    val fx = Seq(
+      Seq(3000.0f, 3000.0f), Seq(3000.0f, 3000.0f),
+      Seq(3000.0f, 3000.0f), Seq(-3000.0f, 3000.0f))
+      .toDF("embedding")
+    for (parts <- Seq(1, 4)) {
+      val got = graft.ops.Moments
+        .gramProfile(fx.repartition(parts), d = 2)
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) ->
+          (r.getDecimal(3), r.getDecimal(5))).toMap
+      def bd(s: String) = new java.math.BigDecimal(s)
+      assert(got((1, 1))._2.compareTo(bd("36000000000000000000")) == 0,
+        got.toString)
+      assert(got((1, 2))._2.compareTo(bd("18000000000000000000")) == 0)
+      assert(got((2, 2))._2.compareTo(bd("36000000000000000000")) == 0)
+      // linear sums: 3*3e9 - 3e9 = 6e9 and 4*3e9 = 1.2e10
+      assert(got((1, 1))._1.compareTo(bd("6000000000")) == 0)
+      assert(got((2, 2))._1.compareTo(bd("12000000000")) == 0)
+    }
+  }
+
+  test("weighted WOR: ultra-tiny weights clamp to one bottom tie " +
+      "bucket (doc_id order) instead of overflowing the long key") {
+    val s2 = spark; import s2.implicits._
+    val fx = Seq(
+      (1L, "g", 100.0, "doc one text"),
+      (2L, "g", 100.0, "doc two text"),
+      (3L, "g", 1e-9, "doc three text"),
+      (4L, "g", 1e-9, "doc four text"))
+      .toDF("doc_id", "source", "w", "text")
+    val got = graft.ops.Sampling
+      .weightedSampleWOR(fx, "source", 4, "w")
+      .collect().map(r => r.getLong(1) -> r.getInt(2)).toMap
+    // normal weights hold ranks 1-2 (keys ~ -1e11 >> the clamp);
+    // both 1e-9 rows hit the -4.6e18 clamp and tie-break by doc_id
+    assert(Set(got(1L), got(2L)) == Set(1, 2), got.toString)
+    assert(got(3L) == 3 && got(4L) == 4, got.toString)
   }
 
   test("encoding anomalies: each damage class counted separately, " +
@@ -2391,8 +2505,9 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     val right = Seq(1L, 1L, 2L, 2L, 2L, 7L).toDF("k2")
     val got = graft.ops.Profile.joinCardinality(left, right, "k", "k2")
       .collect()
-      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(4),
-        r.getLong(5), r.getLong(6), r.getDouble(7))).toMap
+      .map(r => r.getInt(0) -> (r.getLong(1),
+        r.getDecimal(4).longValueExact(), r.getLong(5),
+        r.getDecimal(6).longValueExact(), r.getDouble(7))).toMap
     // key 1: 3*2 = 6 pairs; key 2: 1*3 = 3; keys 9/7 never join
     assert(got(1) == ((1L, 6L, 2L, 9L, 6.0 / 9.0)), got.toString)
     assert(got(2) == ((2L, 3L, 2L, 9L, 3.0 / 9.0)))

@@ -12,7 +12,7 @@ import graft.text.PorterStemmer
 class PorterStemmerSpec extends AnyFunSuite {
 
   test("matches reference stemmer on 5.7k golden vectors") {
-    val src = Source.fromResource("porter_golden.tsv")
+    val src = Source.fromResource("graft/porter_golden.tsv")
     val rows = try src.getLines().toVector finally src.close()
     assert(rows.size > 5000)
     val bad = rows.flatMap { line =>

@@ -46,4 +46,22 @@ class SkewSpec extends AnyFunSuite with SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(p.contains("forall"), p)
   }
+
+  test("bloom-pruned join: identically-named key columns resolve via " +
+      "the side aliases instead of dying ambiguous") {
+    val s2 = spark; import s2.implicits._
+    val big = Seq(1L, 2L, 3L, 4L, 5L).toDF("key")
+    val small = Seq(2L, 4L).toDF("key")
+    val got = Skew.bloomPrunedJoin(big, small, "key", "key",
+      numBits = 1 << 10, numHashes = 3)
+    assert(got.count() == 2)
+    assert(got.select(col("__graft_big.key")).collect()
+      .map(_.getLong(0)).sorted.sameElements(Array(2L, 4L)))
+    // reserved internal names fail fast instead of shadowing
+    val clash = Seq((1L, Seq(0L))).toDF("key", "__graft_bloom")
+    val e = intercept[IllegalArgumentException] {
+      Skew.bloomPrunedJoin(clash, small, "key", "key")
+    }
+    assert(e.getMessage.contains("__graft_bloom"))
+  }
 }
