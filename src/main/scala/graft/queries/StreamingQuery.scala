@@ -14,6 +14,56 @@ import graft.streaming.Streams
   */
 object StreamingQuery {
 
+  /** Final state-operator footprint of the most recent run per sink
+    * name: (operatorName, numRowsTotal, memoryUsedBytes) from the last
+    * progress that reported state — the artifact
+    * [[graft.BenchState]] records per provider. Bounded (one entry per
+    * battery sink name). */
+  private val stateMetrics =
+    scala.collection.concurrent.TrieMap[String, Seq[(String, Long, Long)]]()
+
+  /** The captured (operatorName, numRowsTotal, memoryUsedBytes) of the
+    * most recent run for `sinkName`, empty if that entry has not run
+    * (or its stream is stateless). */
+  def stateMetricsFor(sinkName: String): Seq[(String, Long, Long)] =
+    stateMetrics.getOrElse(sinkName, Seq.empty)
+
+  /** State-store posture knob: the battery default is Spark's default
+    * in-memory HDFSBackedStateStoreProvider (right for bounded test
+    * streams); a 100 TB deployment holds state OFF-HEAP — set env
+    * `GRAFT_STATE_STORE=rocksdb` (or session conf
+    * `spark.graft.stateStore=rocksdb`) and every battery stream runs
+    * on `RocksDBStateStoreProvider` instead. Results are
+    * provider-independent (the same hash-checked battery passes under
+    * both — rehearsed, not asserted: see bench/r09_state.json); the
+    * provider conf is set for the query's lifetime and restored after.
+    */
+  private def withStateStore[A](s: SparkSession)(body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val want = sys.env.get("GRAFT_STATE_STORE")
+      .orElse(s.conf.getOption("spark.graft.stateStore"))
+    if (want.contains("rocksdb")) {
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+      try body
+      finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    } else body
+  }
+
+  private def captureState(sinkName: String,
+      q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val last = q.recentProgress.reverse
+      .find(p => p.stateOperators != null && p.stateOperators.nonEmpty)
+    last.foreach { p =>
+      stateMetrics(sinkName) = p.stateOperators.toSeq.map(o =>
+        (o.operatorName, o.numRowsTotal, o.memoryUsedBytes))
+    }
+  }
+
   /** Stage the events table as a file-stream directory, run `transform`
     * over the stream to completion into a memory sink, materialize the
     * result shaped and ordered by `shape` (emission order is not
@@ -51,10 +101,13 @@ object StreamingQuery {
         case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
       }
       val name = s"${sinkName}_${System.nanoTime()}"
-      val q = transform(stream)
-        .writeStream.format("memory").queryName(name)
-        .outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
+      withStateStore(s) {
+        val q = transform(stream)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try { q.processAllAvailable(); captureState(sinkName, q) }
+        finally q.stop()
+      }
       val res = shape(s.table(name))
       val rows = res.collect()
       s.catalog.dropTempView(name)
@@ -92,10 +145,13 @@ object StreamingQuery {
         case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
       }
       val name = s"${sinkName}_${System.nanoTime()}"
-      val q = transform(stream)
-        .writeStream.format("memory").queryName(name)
-        .outputMode("update").start()
-      try q.processAllAvailable() finally q.stop()
+      withStateStore(s) {
+        val q = transform(stream)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("update").start()
+        try { q.processAllAvailable(); captureState(sinkName, q) }
+        finally q.stop()
+      }
       val res = shape(s.table(name))
       val rows = res.collect()
       s.catalog.dropTempView(name)
