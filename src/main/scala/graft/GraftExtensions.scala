@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DamerauLevenshtein, FloatCosine, FloatDot, JaroWinkler, NfcNormalize, PorterStem}
+import graft.functions.{DamerauLevenshtein, FloatCosine, FloatDot, JaroWinkler, NfcNormalize, PorterStem, TokenLcs}
 
 /** Session-extension registration: makes graft's native expressions
   * available to pure-SQL users at session construction, with no code call —
@@ -43,5 +43,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "damerau_levenshtein"),
       (exprs: Seq[Expression]) =>
         graft.functions.buildDamerauLevenshtein(exprs)))
+    e.injectFunction((
+      FunctionIdentifier("token_lcs"),
+      new ExpressionInfo(classOf[TokenLcs].getName, "token_lcs"),
+      (exprs: Seq[Expression]) => graft.functions.buildTokenLcs(exprs)))
   }
 }

@@ -39,6 +39,12 @@ package object functions {
   def damerau_levenshtein(a: Column, b: Column): Column =
     toColumn(DamerauLevenshtein(toExpr(a), toExpr(b)))
 
+  /** Longest common TOKEN subsequence length of two string columns
+    * (whitespace tokens; the ROUGE-L core — see [[TokenLcs]]).
+    */
+  def token_lcs(a: Column, b: Column): Column =
+    toColumn(TokenLcs(toExpr(a), toExpr(b)))
+
   /** Register graft SQL functions on a session (idempotent), enabling
     * `SELECT porter_stem(col)` in `spark.sql`.
     */
@@ -56,6 +62,8 @@ package object functions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "damerau_levenshtein",
       exprs => buildDamerauLevenshtein(exprs), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "token_lcs", exprs => buildTokenLcs(exprs), "scala_udf")
   }
 
   private[graft] def buildPorterStem(exprs: Seq[Expression]): PorterStem = {
@@ -94,5 +102,11 @@ package object functions {
       s"damerau_levenshtein requires exactly 2 arguments, got " +
         s"${exprs.length}")
     DamerauLevenshtein(exprs(0), exprs(1))
+  }
+
+  private[graft] def buildTokenLcs(exprs: Seq[Expression]): TokenLcs = {
+    require(exprs.length == 2,
+      s"token_lcs requires exactly 2 arguments, got ${exprs.length}")
+    TokenLcs(exprs(0), exprs(1))
   }
 }

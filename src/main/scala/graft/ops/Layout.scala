@@ -93,4 +93,59 @@ object Layout {
     zValue(df, cols, bits)
       .repartitionByRange(numPartitions, col("zvalue"))
       .sortWithinPartitions("zvalue")
+
+  /** Dense 1-based GLOBAL rank over `(keyCol, idCol)` — exactly SQL's
+    * `ROW_NUMBER() OVER (ORDER BY key, id)` — WITHOUT the
+    * single-partition window that makes the naive spelling a driver-
+    * sized bottleneck (Spark executes an unpartitioned window on ONE
+    * task; at 100 TB that task never finishes). The classic two-pass
+    * distributed ranking instead:
+    *
+    *  1. order-preserving integer bucketing: `bucket = (key − min) ·
+    *     B div (span + 1)` — exact long arithmetic over one min/max
+    *     aggregate, so bucket boundaries are engine-independent and
+    *     replayable in SQL (no sampled range partitioner, whose cuts
+    *     are nondeterministic);
+    *  2. per-bucket counts (ONE partial-agg shuffle) → cumulative
+    *     offsets, collected as ≤ `numBuckets` rows (a documented
+    *     B-bounded collect) and rebroadcast as a plan-literal array;
+    *  3. `rank = offset(bucket) + row_number` within the bucket — the
+    *     window is PARTITIONED by bucket, so the sort parallelizes B
+    *     ways and no task ever sees more than one bucket.
+    *
+    * `keyCol` must be integral (cast to long); `(key, id)` must be
+    * unique or ranks are nondeterministic among ties. Key-value skew
+    * concentrates in one bucket (a constant column degenerates to one
+    * sort task) — raise `numBuckets` or pre-spread the key. Appends
+    * `rankCol`.
+    */
+  def globalRank(df: DataFrame, keyCol: String, idCol: String,
+      rankCol: String = "rk", numBuckets: Int = 1024): DataFrame = {
+    require(numBuckets >= 1, s"numBuckets=$numBuckets must be >= 1")
+    val k = col(keyCol).cast("long")
+    val bounds = df.agg(min(k).as("__mn"), max(k).as("__mx"))
+      .first()
+    if (bounds.isNullAt(0)) return df.withColumn(rankCol, lit(null))
+    val mn = bounds.getLong(0)
+    val span = math.subtractExact(bounds.getLong(1), mn) + 1
+    require(span >= 1 && span <= Long.MaxValue / numBuckets,
+      s"key span $span too wide for exact $numBuckets-bucket arithmetic")
+    val bucket = ((k - mn) * numBuckets / span).cast("int")
+    val withB = df.withColumn("__grk_b", bucket)
+    val counts = withB.groupBy("__grk_b").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = new Array[Long](numBuckets)
+    var acc = 0L
+    for (b <- 0 until numBuckets) {
+      offsets(b) = acc
+      acc += counts.getOrElse(b, 0L)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__grk_b").orderBy(k.asc, col(idCol).asc)
+    withB
+      .withColumn(rankCol,
+        element_at(typedLit(offsets.toSeq), col("__grk_b") + 1) +
+          row_number().over(w))
+      .drop("__grk_b")
+  }
 }

@@ -272,4 +272,45 @@ object Linkage {
         .agg(first("survivor")),
       Seq("cluster_id"), "left")
   }
+
+  /** Sorted-neighborhood blocking (Hernández & Stolfo 1995) — the
+    * third classic candidate generator next to LSH banding and exact
+    * blocking keys: sort the register by a sortkey and emit every
+    * record pair within `window` positions of each other. Catches the
+    * near-miss pairs exact blocking splits (adjacent-but-unequal keys:
+    * truncated names, off-by-one balances) with a candidate count
+    * bounded by `n · (window − 1)` BY CONSTRUCTION — no bucket can
+    * blow up, which is the property neither LSH nor key blocking can
+    * promise.
+    *
+    * Shape at 100 TB: [[graft.ops.Layout.globalRank]]'s two-pass
+    * distributed rank (never a single-partition sort), then each rank
+    * lands in TWO width-`2·window` bands offset by `window` — any two
+    * ranks closer than `window` share at least one band (the shifted-
+    * band cover), so pair generation is [[graft.ops.Dedup]]'s capped
+    * in-bucket expansion over bands of ≤ 2·window rows. One rank pass,
+    * one band shuffle; candidates re-deduped by id pair.
+    *
+    * `keyCol` must be integral (the [[graft.ops.Layout.globalRank]]
+    * contract); returns (id1, id2, rank_dist) with 1 ≤ rank_dist <
+    * window, ids ordered by rank.
+    */
+  def sortedNeighborPairs(df: DataFrame, keyCol: String, idCol: String,
+      window: Int, numBuckets: Int = 1024): DataFrame = {
+    require(window >= 2, s"window=$window must be >= 2")
+    val ranked = Layout.globalRank(df, keyCol, idCol, "__snb_r",
+        numBuckets)
+      .select(col(idCol).as("id"), col("__snb_r").as("r"))
+    val banded = ranked.select(col("id"), col("r"),
+      explode(array(
+        ((col("r") - 1) / (2 * window)).cast("long"),
+        ((col("r") - 1 + window) / (2 * window)).cast("long") +
+          lit(1000000000L))).as("band"))
+    graft.ops.Dedup.bucketPairsOf(banded, Seq("band"),
+        struct(col("r"), col("id")))
+      .where(col("b.r") - col("a.r") < window)
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        (col("b.r") - col("a.r")).cast("int").as("rank_dist"))
+      .distinct()
+  }
 }

@@ -6483,6 +6483,186 @@ object TrainingOps {
              |  FROM r GROUP BY ROLLUP (shard))
              |SELECT COALESCE(shard, -1) AS shard, n, fingerprint
              |FROM s ORDER BY 1""".stripMargin)),
+
+    // Dense GLOBAL rank without the single-partition window: the
+    // two-pass bucket-offset ranking (deterministic integer buckets,
+    // B-bounded offset collect, per-bucket row_number). The oracle IS
+    // the naive global window - results identical, plan shape not.
+    QueryDef("q260_global_rank",
+      (s, d) => graft.ops.Layout.globalRank(
+          table(s, d, "documents").select(col("doc_id"), col("n_chars")),
+          "n_chars", "doc_id", numBuckets = 64)
+        .select(col("doc_id"), col("n_chars"), col("rk"))
+        .orderBy("rk"),
+      Some("""SELECT doc_id, n_chars,
+             |  ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rk
+             |FROM documents ORDER BY rk""".stripMargin)),
+
+    // Sorted-neighborhood blocking (Hernandez-Stolfo): candidate pairs
+    // within 4 rank positions of the balance-cents sort order - the
+    // bounded-candidate generator exact key blocking and LSH both
+    // lack. Oracle replays the global ROW_NUMBER + rank-distance join.
+    QueryDef("q261_sorted_neighbors",
+      (s, d) => graft.ops.Linkage.sortedNeighborPairs(
+          table(s, d, "customer").select(col("c_custkey"),
+            round(col("c_acctbal") * 100, 0).cast("long").as("bal_c")),
+          "bal_c", "c_custkey", window = 4, numBuckets = 64)
+        .orderBy("id1", "id2"),
+      Some("""WITH r AS (SELECT c_custkey AS id,
+             |    CAST(round(c_acctbal * 100, 0) AS BIGINT) AS k
+             |  FROM customer),
+             |rk AS (SELECT id,
+             |    ROW_NUMBER() OVER (ORDER BY k, id) AS r FROM r)
+             |SELECT a.id AS id1, b.id AS id2,
+             |  CAST(b.r - a.r AS INT) AS rank_dist
+             |FROM rk a JOIN rk b ON b.r > a.r AND b.r - a.r < 4
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // ROUGE-L over the native token_lcs expression: candidates salted
+    // with substitutions (every 5th token) AND deletions (every 7th),
+    // which n-gram overlap punishes but the common subsequence sees
+    // through. The oracle replays the full LCS dynamic program as a
+    // recursive CTE whose row fold is a list_reduce (prefix-carrying
+    // accumulator), so every lcs value is derived independently.
+    QueryDef("q262_rouge_l",
+      (s, d) => graft.ops.TextAnalysis.rougeL(
+          table(s, d, "documents").select(col("doc_id"),
+            when(col("doc_id") % 17 === 0, lit(""))
+              .otherwise(array_join(expr(
+                """filter(transform(filter(split(text, ' '),
+                  |    x -> length(x) > 0),
+                  |  (w, i) -> CASE WHEN (i + 1) % 5 = 0
+                  |    THEN 'zz' ELSE w END),
+                  |  (w, i) -> (i + 1) % 7 != 0)""".stripMargin), " "))
+              .as("cand"),
+            col("text").as("ref")))
+        .select(col("doc_id"), col("lcs"), col("len_cand"),
+          col("len_ref"), round(col("r"), 6).as("r"),
+          round(col("p"), 6).as("p"), round(col("f1"), 6).as("f1"))
+        .orderBy("doc_id"),
+      Some("""WITH RECURSIVE
+             |t0 AS (SELECT doc_id,
+             |    list_filter(string_split(text, ' '), x -> len(x) > 0)
+             |      AS rt FROM documents),
+             |t AS (SELECT doc_id, rt,
+             |    CASE WHEN doc_id % 17 = 0 THEN CAST([] AS VARCHAR[])
+             |      ELSE [CASE WHEN i % 5 = 0 THEN 'zz' ELSE rt[i] END
+             |            FOR i IN generate_series(1, len(rt))
+             |            IF i % 7 != 0] END AS ct
+             |  FROM t0),
+             |t2 AS (SELECT doc_id, ct, rt, len(ct) AS n, len(rt) AS m
+             |  FROM t),
+             |st AS (
+             |  SELECT doc_id, ct, rt, n, m, 0 AS i,
+             |         [0 FOR j IN generate_series(0, m)] AS row
+             |  FROM t2
+             |  UNION ALL
+             |  SELECT doc_id, ct, rt, n, m, i + 1,
+             |    list_reduce(
+             |      list_prepend([0],
+             |        [[j, CASE WHEN rt[j] = ct[i + 1]
+             |            THEN 1 ELSE 0 END]
+             |         FOR j IN generate_series(1, m)]),
+             |      (acc, x) -> list_append(acc,
+             |        GREATEST(row[x[1] + 1], acc[-1],
+             |          row[x[1]] + x[2])))
+             |  FROM st WHERE i < n),
+             |f AS (SELECT doc_id, row[m + 1] AS lcs, n, m
+             |  FROM st WHERE i = n),
+             |v AS (SELECT doc_id, lcs, n, m,
+             |    CASE WHEN m = 0 THEN 0.0
+             |      ELSE CAST(lcs AS DOUBLE) / m END AS r,
+             |    CASE WHEN n = 0 THEN 0.0
+             |      ELSE CAST(lcs AS DOUBLE) / n END AS p
+             |  FROM f)
+             |SELECT doc_id, CAST(lcs AS INT) AS lcs,
+             |  CAST(n AS BIGINT) AS len_cand, CAST(m AS BIGINT) AS len_ref,
+             |  ROUND(r, 6) AS r, ROUND(p, 6) AS p,
+             |  ROUND(CASE WHEN r + p = 0.0 THEN 0.0
+             |    ELSE 2.0 * p * r / (p + r) END, 6) AS f1
+             |FROM v ORDER BY doc_id""".stripMargin)),
+
+    // Sentence BLEU-4 of a salted candidate (every 5th token replaced,
+    // every 17th doc emptied) against the original text: clipped
+    // modified precisions, geometric mean, brevity penalty - the
+    // pair-curation metric, replayed gram-for-gram by the oracle.
+    QueryDef("q263_bleu",
+      (s, d) => graft.ops.TextAnalysis.bleuScore(
+          table(s, d, "documents").select(col("doc_id"),
+            when(col("doc_id") % 17 === 0, lit(""))
+              .otherwise(array_join(expr(
+                """transform(filter(split(text, ' '), x -> length(x) > 0),
+                  |  (w, i) -> CASE WHEN (i + 1) % 5 = 0
+                  |    THEN 'zz' ELSE w END)""".stripMargin), " "))
+              .as("cand"),
+            col("text").as("ref")))
+        .select(col("doc_id"), col("len_cand"), col("len_ref"),
+          round(col("p_1"), 6).as("p_1"), round(col("p_2"), 6).as("p_2"),
+          round(col("p_3"), 6).as("p_3"), round(col("p_4"), 6).as("p_4"),
+          round(col("bp"), 6).as("bp"), round(col("bleu"), 6).as("bleu"))
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id,
+             |    list_filter(string_split(text, ' '), x -> len(x) > 0)
+             |      AS rt FROM documents),
+             |c AS (SELECT doc_id, rt,
+             |    CASE WHEN doc_id % 17 = 0 THEN CAST([] AS VARCHAR[])
+             |      ELSE [CASE WHEN i % 5 = 0 THEN 'zz' ELSE rt[i] END
+             |            FOR i IN generate_series(1, len(rt))] END
+             |      AS ct FROM t),
+             |g AS (SELECT doc_id, len(ct) AS lc, len(rt) AS lr,
+             |    [array_to_string(ct[i:i], ' ')
+             |     FOR i IN generate_series(1, len(ct))] AS cg1,
+             |    [array_to_string(rt[i:i], ' ')
+             |     FOR i IN generate_series(1, len(rt))] AS rg1,
+             |    [array_to_string(ct[i:i+1], ' ')
+             |     FOR i IN generate_series(1, len(ct) - 1)] AS cg2,
+             |    [array_to_string(rt[i:i+1], ' ')
+             |     FOR i IN generate_series(1, len(rt) - 1)] AS rg2,
+             |    [array_to_string(ct[i:i+2], ' ')
+             |     FOR i IN generate_series(1, len(ct) - 2)] AS cg3,
+             |    [array_to_string(rt[i:i+2], ' ')
+             |     FOR i IN generate_series(1, len(rt) - 2)] AS rg3,
+             |    [array_to_string(ct[i:i+3], ' ')
+             |     FOR i IN generate_series(1, len(ct) - 3)] AS cg4,
+             |    [array_to_string(rt[i:i+3], ' ')
+             |     FOR i IN generate_series(1, len(rt) - 3)] AS rg4
+             |  FROM c),
+             |p AS (SELECT doc_id, lc, lr,
+             |    CASE WHEN len(cg1) = 0 THEN 0.0 ELSE
+             |      CAST(list_sum([LEAST(len(list_filter(cg1, x -> x = g)),
+             |        len(list_filter(rg1, x -> x = g)))
+             |        FOR g IN list_distinct(cg1)]) AS DOUBLE) / len(cg1)
+             |      END AS p1,
+             |    CASE WHEN len(cg2) = 0 THEN 0.0 ELSE
+             |      CAST(list_sum([LEAST(len(list_filter(cg2, x -> x = g)),
+             |        len(list_filter(rg2, x -> x = g)))
+             |        FOR g IN list_distinct(cg2)]) AS DOUBLE) / len(cg2)
+             |      END AS p2,
+             |    CASE WHEN len(cg3) = 0 THEN 0.0 ELSE
+             |      CAST(list_sum([LEAST(len(list_filter(cg3, x -> x = g)),
+             |        len(list_filter(rg3, x -> x = g)))
+             |        FOR g IN list_distinct(cg3)]) AS DOUBLE) / len(cg3)
+             |      END AS p3,
+             |    CASE WHEN len(cg4) = 0 THEN 0.0 ELSE
+             |      CAST(list_sum([LEAST(len(list_filter(cg4, x -> x = g)),
+             |        len(list_filter(rg4, x -> x = g)))
+             |        FOR g IN list_distinct(cg4)]) AS DOUBLE) / len(cg4)
+             |      END AS p4
+             |  FROM g)
+             |SELECT doc_id, CAST(lc AS BIGINT) AS len_cand,
+             |  CAST(lr AS BIGINT) AS len_ref,
+             |  ROUND(p1, 6) AS p_1, ROUND(p2, 6) AS p_2,
+             |  ROUND(p3, 6) AS p_3, ROUND(p4, 6) AS p_4,
+             |  ROUND(CASE WHEN lc = 0 THEN 0.0
+             |    WHEN lc >= lr THEN 1.0
+             |    ELSE exp(1.0 - CAST(lr AS DOUBLE) / lc) END, 6) AS bp,
+             |  ROUND(CASE WHEN lc = 0 OR p1 = 0 OR p2 = 0 OR p3 = 0
+             |      OR p4 = 0 THEN 0.0
+             |    ELSE (CASE WHEN lc = 0 THEN 0.0 WHEN lc >= lr THEN 1.0
+             |      ELSE exp(1.0 - CAST(lr AS DOUBLE) / lc) END)
+             |      * exp((ln(p1) + ln(p2) + ln(p3) + ln(p4)) / 4) END,
+             |    6) AS bleu
+             |FROM p ORDER BY doc_id""".stripMargin)),
   )
 
   /** DuckDB replay of [[graft.ops.TextAnalysis.tailRepetition]] over

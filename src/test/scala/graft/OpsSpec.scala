@@ -3947,4 +3947,78 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
       .map(_.getString(0)).toSet
     assert(s12 == Set(expected), s"$s12 vs $expected (u=$u1)")
   }
+
+  test("global rank equals the single-partition ROW_NUMBER on any " +
+      "partitioning and bucket count; constant key degenerates safely") {
+    val s2 = spark; import s2.implicits._
+    val rnd = new scala.util.Random(7)
+    val fx = (1L to 500L).map(id => (id, rnd.nextInt(40).toLong - 20L))
+      .toDF("id", "k")
+    val naive = fx.withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("k"), col("id"))))
+      .collect().map(r => r.getLong(0) -> r.getInt(2).toLong).toMap
+    for (parts <- Seq(1, 7); buckets <- Seq(1, 4, 64)) {
+      val got = graft.ops.Layout
+        .globalRank(fx.repartition(parts), "k", "id",
+          numBuckets = buckets)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(got == naive, s"parts=$parts buckets=$buckets")
+    }
+    // constant key: every row in one bucket, ranks still total by id
+    val const = (1L to 50L).map(id => (id, 5L)).toDF("id", "k")
+    val gotC = graft.ops.Layout.globalRank(const, "k", "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert((1L to 50L).forall(id => gotC(id) == id), gotC.toString)
+  }
+
+  test("sorted-neighborhood pairs equal the naive rank-distance join; " +
+      "candidate count bounded by n*(w-1)") {
+    val s2 = spark; import s2.implicits._
+    val rnd = new scala.util.Random(11)
+    val fx = (1L to 200L).map(id => (id, rnd.nextInt(1000).toLong))
+      .toDF("id", "k")
+    val w = 5
+    val ranked = fx.withColumn("r", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(col("k"), col("id"))))
+    val naive = ranked.as("a").join(ranked.as("b"),
+        col("b.r") > col("a.r") && col("b.r") - col("a.r") < w)
+      .select(col("a.id"), col("b.id"),
+        (col("b.r") - col("a.r")).cast("int"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val got = graft.ops.Linkage
+      .sortedNeighborPairs(fx, "k", "id", w, numBuckets = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == naive,
+      s"missing=${naive -- got} extra=${got -- naive}")
+    assert(got.size <= 200 * (w - 1))
+  }
+
+  test("BLEU: the classic clipping example, identity, zero-precision " +
+      "collapse, and brevity penalty") {
+    val s2 = spark; import s2.implicits._
+    val fx = Seq(
+      // Papineni clipping: 7x 'the' vs a reference holding 'the' twice
+      (1L, "the the the the the the the", "the cat is on the mat"),
+      // identity: every precision 1, bp 1, bleu 1
+      (2L, "a b c d e f", "a b c d e f"),
+      // short candidate, perfect grams: bleu = bp = exp(1 - 6/4)
+      (3L, "a b c d", "a b c d e f"),
+      // empty candidate
+      (4L, "", "a b c"))
+      .toDF("doc_id", "cand", "ref")
+    val got = graft.ops.TextAnalysis.bleuScore(fx).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(3), r.getDouble(4),
+        r.getDouble(7), r.getDouble(8))).toMap
+    val (p1a, p2a, _, bleuA) = got(1L)
+    assert(math.abs(p1a - 2.0 / 7.0) < 1e-12, s"clip: $p1a")
+    assert(p2a == 0.0 && bleuA == 0.0)
+    assert(got(2L) == ((1.0, 1.0, 1.0, 1.0)))
+    val (_, _, bp3, bleu3) = got(3L)
+    assert(math.abs(bp3 - math.exp(1.0 - 6.0 / 4.0)) < 1e-12)
+    assert(math.abs(bleu3 - bp3) < 1e-12, "perfect grams: bleu = bp")
+    assert(got(4L) == ((0.0, 0.0, 0.0, 0.0)))
+  }
+
 }

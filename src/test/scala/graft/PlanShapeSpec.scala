@@ -771,4 +771,25 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     // the single-row totals side arrives broadcast
     assert("(?i)broadcast".r.findAllIn(p).nonEmpty, p)
   }
+
+  test("global rank: every window is bucket-PARTITIONED — the " +
+      "single-partition global sort never appears") {
+    val df = Layout.globalRank(
+      docs.select(col("doc_id"), col("n_chars")),
+      "n_chars", "doc_id", numBuckets = 64)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty)
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "an empty partitionSpec is the one-task global sort this op exists to avoid")
+    // rank still exactly matches the naive global window
+    val got = df.orderBy("rk").limit(3).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val naive = docs.select(col("doc_id"), col("n_chars"))
+      .orderBy(col("n_chars"), col("doc_id")).limit(3).collect()
+      .map(_.getLong(0)).zipWithIndex
+      .map { case (id, i) => (id, (i + 1).toLong) }
+    assert(got.sameElements(naive), got.toSeq.toString)
+  }
 }
