@@ -50,7 +50,12 @@ object BenchScale {
     // final round-8 additions: retrieval eval on the BM25 chain, the
     // decode-heavy perceptual-hash pair join, and the single-pass
     // expectations gate
-    "q243_ndcg", "q249_image_dhash_pairs", "q252_expectations")
+    "q243_ndcg", "q249_image_dhash_pairs", "q252_expectations",
+    // round-9 additions: the bucket-offset global rank (the one new
+    // physical shape), sorted-neighborhood blocking over it, and the
+    // narrow per-pair text metrics
+    "q260_global_rank", "q261_sorted_neighbors", "q262_rouge_l",
+    "q263_bleu")
 
   private def loadavg: String =
     try scala.io.Source.fromFile("/proc/loadavg").mkString.trim

@@ -101,11 +101,13 @@ object Layout {
     * task; at 100 TB that task never finishes). The classic two-pass
     * distributed ranking instead:
     *
-    *  1. order-preserving integer bucketing: `bucket = (key − min) ·
-    *     B div (span + 1)` — exact long arithmetic over one min/max
-    *     aggregate, so bucket boundaries are engine-independent and
-    *     replayable in SQL (no sampled range partitioner, whose cuts
-    *     are nondeterministic);
+    *  1. order-preserving bucketing: `bucket = ⌊(key − min) · B /
+    *     span⌋` (clamped to B−1) over one min/max aggregate. The
+    *     boundaries need not be EXACT — any monotone bucket function
+    *     yields exact ranks because the offsets come from the actual
+    *     counts — they only need to be deterministic, which closed
+    *     arithmetic over the two aggregate scalars is (no sampled
+    *     range partitioner, whose cuts are run-dependent);
     *  2. per-bucket counts (ONE partial-agg shuffle) → cumulative
     *     offsets, collected as ≤ `numBuckets` rows (a documented
     *     B-bounded collect) and rebroadcast as a plan-literal array;
@@ -127,10 +129,16 @@ object Layout {
       .first()
     if (bounds.isNullAt(0)) return df.withColumn(rankCol, lit(null))
     val mn = bounds.getLong(0)
-    val span = math.subtractExact(bounds.getLong(1), mn) + 1
-    require(span >= 1 && span <= Long.MaxValue / numBuckets,
-      s"key span $span too wide for exact $numBuckets-bucket arithmetic")
-    val bucket = ((k - mn) * numBuckets / span).cast("int")
+    val mx = bounds.getLong(1)
+    // span as double: monotone (double conversion preserves long order)
+    // is all the bucket function needs; the clamp covers the rounding
+    // at the top edge of astronomically wide spans
+    val span = mx.toDouble - mn.toDouble + 1.0
+    // subtract in DOUBLE (a long k − mn could overflow for a span
+    // crossing the full long range; double stays monotone)
+    val bucket = least(
+      floor((k.cast("double") - mn.toDouble) * numBuckets / span),
+      lit((numBuckets - 1).toDouble)).cast("int")
     val withB = df.withColumn("__grk_b", bucket)
     val counts = withB.groupBy("__grk_b").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap

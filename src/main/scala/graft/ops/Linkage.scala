@@ -301,12 +301,20 @@ object Linkage {
     val ranked = Layout.globalRank(df, keyCol, idCol, "__snb_r",
         numBuckets)
       .select(col(idCol).as("id"), col("__snb_r").as("r"))
+    // two band schemes of width 2w, the second shifted by w: any two
+    // ranks closer than w share a band in at least one scheme. Exact
+    // integer `div` (a double `/` could mis-bucket past 2^53 and LOSE
+    // a pair); the scheme id is its own key column, so scheme-A and
+    // scheme-B bands can never merge.
+    val bw = 2 * window
     val banded = ranked.select(col("id"), col("r"),
       explode(array(
-        ((col("r") - 1) / (2 * window)).cast("long"),
-        ((col("r") - 1 + window) / (2 * window)).cast("long") +
-          lit(1000000000L))).as("band"))
-    graft.ops.Dedup.bucketPairsOf(banded, Seq("band"),
+        struct(lit(0).as("scheme"), expr(s"(r - 1) div $bw").as("band")),
+        struct(lit(1).as("scheme"),
+          expr(s"(r - 1 + $window) div $bw").as("band")))).as("sb"))
+      .select(col("id"), col("r"),
+        col("sb.scheme").as("scheme"), col("sb.band").as("band"))
+    graft.ops.Dedup.bucketPairsOf(banded, Seq("scheme", "band"),
         struct(col("r"), col("id")))
       .where(col("b.r") - col("a.r") < window)
       .select(col("a.id").as("id1"), col("b.id").as("id2"),
