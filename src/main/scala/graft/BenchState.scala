@@ -47,9 +47,11 @@ object BenchState {
     val defs = SparkEntry.defs.map(q => q.name -> q).toMap
 
     def runAll(provider: String): Seq[String] = {
-      if (provider == "rocksdb")
-        spark.conf.set("spark.graft.stateStore", "rocksdb")
-      else spark.conf.unset("spark.graft.stateStore")
+      // set the conf EXPLICITLY for both legs (never unset): the session
+      // conf is the channel withStateStore reads first, so an ambient
+      // GRAFT_STATE_STORE env var cannot silently turn the hdfs leg into
+      // a second rocksdb run
+      spark.conf.set("spark.graft.stateStore", provider)
       statefulEntries.map { case (name, sink) =>
         val res = try {
           val t0 = System.nanoTime()

@@ -124,10 +124,31 @@ object Dedup {
     * still records the stage. Audit queries that must READ the metric
     * programmatically should keep a non-empty output or disable AQE
     * for the audit run (OpsSpec pins both modes).
+    *
+    * STRICT MODE: callers who never read observed metrics can make
+    * recall loss impossible to miss by setting the session conf
+    * `spark.graft.dedup.failOnSpill=true` — an oversized bucket then
+    * FAILS the job with the bucket size in the error (a loud task
+    * failure at the exact offending group) instead of being skipped
+    * and counted. The default stays skip-and-certify: at 100 TB a
+    * single stop-gram bucket should cost recall on one pathological
+    * key, not the whole nightly run, and `spilled_buckets == 0` is
+    * the machine-checkable exactness certificate either way.
     */
   private[ops] def bucketPairsOf(keyed: DataFrame, keys: Seq[String],
       payload: Column, maxBucket: Int = DefaultMaxBucket): DataFrame = {
     require(maxBucket >= 2, s"maxBucket=$maxBucket must be >= 2")
+    val failOnSpill = keyed.sparkSession.conf
+      .getOption("spark.graft.dedup.failOnSpill").exists(_.toBoolean)
+    val sizeGate =
+      if (failOnSpill)
+        when(size(col("ms")) > maxBucket, raise_error(format_string(
+          "bucketPairsOf: bucket of %d ids exceeds maxBucket=" +
+            s"$maxBucket and spark.graft.dedup.failOnSpill=true — " +
+            "remove the degenerate key (stop-gram / exact-duplicate " +
+            "prefix) or raise maxBucket", size(col("ms")))))
+          .otherwise(lit(true))
+      else size(col("ms")) <= maxBucket
     keyed.groupBy(keys.map(col): _*)
       .agg(sort_array(collect_list(payload)).as("ms"))
       .where(size(col("ms")) > 1)
@@ -137,7 +158,7 @@ object Dedup {
         sum(when(size(col("ms")) > maxBucket,
           size(col("ms")).cast("long")).otherwise(0L)).as("spilled_ids"),
         max(size(col("ms"))).as("max_bucket"))
-      .where(size(col("ms")) <= maxBucket)
+      .where(sizeGate)
       .select(explode(expr(
         "flatten(transform(ms, (x, i) -> transform(" +
           "slice(ms, i + 2, size(ms)), y -> struct(x AS a, y AS b))))"))

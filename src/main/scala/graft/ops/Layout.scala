@@ -99,7 +99,7 @@ object Layout {
     * single-partition window that makes the naive spelling a driver-
     * sized bottleneck (Spark executes an unpartitioned window on ONE
     * task; at 100 TB that task never finishes). The classic two-pass
-    * distributed ranking instead:
+    * distributed ranking, plus automatic skew refinement:
     *
     *  1. order-preserving bucketing: `bucket = ⌊(key − min) · B /
     *     span⌋` (clamped to B−1) over one min/max aggregate. The
@@ -110,50 +110,180 @@ object Layout {
     *     range partitioner, whose cuts are run-dependent);
     *  2. per-bucket counts (ONE partial-agg shuffle) → cumulative
     *     offsets, collected as ≤ `numBuckets` rows (a documented
-    *     B-bounded collect) and rebroadcast as a plan-literal array;
+    *     B-bounded collect) and rebroadcast as a plan-literal map;
     *  3. `rank = offset(bucket) + row_number` within the bucket — the
     *     window is PARTITIONED by bucket, so the sort parallelizes B
     *     ways and no task ever sees more than one bucket.
     *
-    * `keyCol` must be integral (cast to long); `(key, id)` must be
-    * unique or ranks are nondeterministic among ties. Key-value skew
-    * concentrates in one bucket (a constant column degenerates to one
-    * sort task) — raise `numBuckets` or pre-spread the key. Appends
-    * `rankCol`.
+    * SKEW GUARD: a bucket holding more than `maxBucketRows` rows (a
+    * constant or low-cardinality key concentrates everything in one
+    * bucket, degenerating step 3 to one sort task) is REFINED before
+    * ranking: a multi-key bucket re-buckets by key range within its
+    * own [min, max]; a single-key bucket (pure ties) sub-buckets by
+    * ID range — monotone in `id`, and ranks among equal keys are
+    * id-ordered, so the refinement is exact, not approximate. Up to
+    * three refinement rounds (each costs one more partial-agg counts
+    * pass at the refined group grain); residual pathology past that
+    * — or a tie group whose ids don't cast to long, which id-range
+    * refinement needs — FAILS LOUDLY rather than silently producing
+    * a task that never finishes. Every refinement is a deterministic
+    * function of collected aggregates, so reruns bucket identically;
+    * output ranks are IDENTICAL with or without refinement (the
+    * grouping only changes the plan, never the ROW_NUMBER semantics).
+    *
+    * Requirements (violations fail loudly, never corrupt ranks):
+    *  - `keyCol` must be integral (cast to long) and NON-NULL — a SQL
+    *    window would sort nulls first; this operator refuses them;
+    *  - `(key, id)` must be unique or ranks are nondeterministic
+    *    among ties;
+    *  - `df` must be DETERMINISTIC under re-evaluation: the plan
+    *    executes once per pass (bounds, counts, final rank), and a
+    *    source whose rows change between actions desynchronizes the
+    *    collected offsets from the final pass (gaps/duplicate ranks).
+    *    Non-deterministic upstream (sampling, `rand`, a mutating
+    *    table) must be checkpointed/cached by the caller first.
+    *
+    * Appends `rankCol`; `rankCol` and the internal `__grk_g` must not
+    * collide with existing columns.
     */
   def globalRank(df: DataFrame, keyCol: String, idCol: String,
-      rankCol: String = "rk", numBuckets: Int = 1024): DataFrame = {
+      rankCol: String = "rk", numBuckets: Int = 1024,
+      maxBucketRows: Long = 1L << 23): DataFrame = {
     require(numBuckets >= 1, s"numBuckets=$numBuckets must be >= 1")
+    require(maxBucketRows >= 1, s"maxBucketRows=$maxBucketRows must be >= 1")
+    for (c <- Seq(rankCol, "__grk_g"))
+      require(!df.columns.contains(c),
+        s"globalRank: input already has a column named '$c' — rename it " +
+          "(the operator appends rankCol and uses __grk_g internally)")
     val k = col(keyCol).cast("long")
-    val bounds = df.agg(min(k).as("__mn"), max(k).as("__mx"))
+    val idL = col(idCol).cast("long")
+    val bounds = df.agg(min(k).as("__mn"), max(k).as("__mx"),
+      sum(when(col(keyCol).isNull, 1L).otherwise(0L)).as("__nulls"))
       .first()
+    if (!bounds.isNullAt(2) && bounds.getLong(2) > 0L)
+      throw new IllegalArgumentException(
+        s"globalRank: keyCol '$keyCol' has ${bounds.getLong(2)} null " +
+          "values — rank order over nulls is undefined here; filter them " +
+          "or coalesce to a sentinel first")
     if (bounds.isNullAt(0)) return df.withColumn(rankCol, lit(null))
-    val mn = bounds.getLong(0)
-    val mx = bounds.getLong(1)
-    // span as double: monotone (double conversion preserves long order)
-    // is all the bucket function needs; the clamp covers the rounding
-    // at the top edge of astronomically wide spans
-    val span = mx.toDouble - mn.toDouble + 1.0
-    // subtract in DOUBLE (a long k − mn could overflow for a span
-    // crossing the full long range; double stays monotone)
-    val bucket = least(
-      floor((k.cast("double") - mn.toDouble) * numBuckets / span),
-      lit((numBuckets - 1).toDouble)).cast("int")
-    val withB = df.withColumn("__grk_b", bucket)
-    val counts = withB.groupBy("__grk_b").agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val offsets = new Array[Long](numBuckets)
+    val (groupExpr, groups) = rankGroups(df, keyCol, idCol,
+      numBuckets, maxBucketRows, bounds.getLong(0), bounds.getLong(1))
+    // offsets in GLOBAL rank order = lexicographic refinement-path order
     var acc = 0L
-    for (b <- 0 until numBuckets) {
-      offsets(b) = acc
-      acc += counts.getOrElse(b, 0L)
-    }
+    val offsets = groups.map { g =>
+      val o = g.gid -> acc
+      acc += g.rows
+      o
+    }.toMap
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("__grk_b").orderBy(k.asc, col(idCol).asc)
-    withB
+      .partitionBy("__grk_g").orderBy(k.asc, col(idCol).asc)
+    df.withColumn("__grk_g", groupExpr)
       .withColumn(rankCol,
-        element_at(typedLit(offsets.toSeq), col("__grk_b") + 1) +
+        element_at(typedLit(offsets), col("__grk_g")) +
           row_number().over(w))
-      .drop("__grk_b")
+      .drop("__grk_g")
+  }
+
+  /** One final rank group = one contiguous slab of the global
+    * (key, id) order: either a key range, or (for a refined tie
+    * group) a single key restricted to an id range. `path` is the
+    * refinement trail; `rows` the group's exact row count. Exposed
+    * private[graft] so specs can assert the skew guard's bound.
+    */
+  private[graft] final case class RankGroup(gid: Int, path: Vector[Int],
+      rows: Long)
+
+  /** [[globalRank]]'s group assignment: the (group-id expression,
+    * final groups in global rank order) pair, with every group's row
+    * count ≤ `maxBucketRows` (the skew refinement loop's exit
+    * condition) or a loud failure.
+    */
+  private[graft] def rankGroups(df: DataFrame, keyCol: String,
+      idCol: String, numBuckets: Int, maxBucketRows: Long,
+      mn: Long, mx: Long): (Column, Seq[RankGroup]) = {
+    val k = col(keyCol).cast("long")
+    // try_cast, not cast: under ANSI a non-integral id must surface as
+    // the driver's actionable "cannot range-refine this tie group"
+    // error (and only when refinement actually needs ids), never as a
+    // task-level CAST_INVALID_INPUT from the stats pass
+    val idL = expr(s"try_cast(`$idCol` as bigint)")
+
+    // Range-normalized sub-bucket of `c` within [lo, hi] to `parts`
+    // cells: subtract in DOUBLE (a long c − lo could overflow for a
+    // span crossing the full long range; double stays monotone — and
+    // monotone + clamped is all a bucket function needs, because the
+    // offsets come from actual counts, not from the boundaries).
+    def rangeBucket(c: Column, lo: Long, hi: Long, parts: Int): Column =
+      least(floor((c.cast("double") - lo.toDouble) * parts /
+          (hi.toDouble - lo.toDouble + 1.0)),
+        lit((parts - 1).toDouble)).cast("int")
+
+    // lexicographic path order IS global rank order, because every
+    // split is monotone in the (key, id) order within its parent
+    var groups: Seq[RankGroup] = (0 until numBuckets).map(b =>
+      RankGroup(b, Vector(b), 0L))
+    var nextGid = numBuckets
+    var groupExpr: Column = rangeBucket(k, mn, mx, numBuckets)
+    var round = 0
+    var done = false
+    while (!done) {
+      // per-group stats in ONE partial-agg shuffle: row count plus the
+      // key/id bounds a refinement of this group would need
+      val stats = df.groupBy(groupExpr.as("__grk_g"))
+        .agg(count(lit(1)).as("n"), min(k).as("kmn"), max(k).as("kmx"),
+          min(idL).as("imn"), max(idL).as("imx"),
+          sum(when(idL.isNull, 1L).otherwise(0L)).as("inull"))
+        .collect()
+        .map(r => r.getInt(0) -> r).toMap
+      groups = groups.map(g => g.copy(rows =
+        stats.get(g.gid).map(_.getLong(1)).getOrElse(0L)))
+      val oversized = groups.filter(_.rows > maxBucketRows)
+      if (oversized.isEmpty) done = true
+      else {
+        if (round >= 3) throw new IllegalStateException(
+          s"globalRank: ${oversized.size} bucket(s) still exceed " +
+            s"maxBucketRows=$maxBucketRows after $round refinement " +
+            s"rounds (worst: ${oversized.map(_.rows).max} rows) " +
+            "— raise maxBucketRows or pre-aggregate the key")
+        round += 1
+        val refined = oversized.flatMap { g =>
+          val r = stats(g.gid)
+          val (kmn, kmx) = (r.getLong(2), r.getLong(3))
+          val parts = math.min(4096L, math.max(2L,
+            2L * ((g.rows + maxBucketRows - 1) / maxBucketRows))).toInt
+          val sub: Column =
+            if (kmn < kmx) rangeBucket(k, kmn, kmx, parts) // split keys
+            else { // pure tie group: split the ids (monotone in id)
+              if (r.getLong(6) > 0L || r.isNullAt(4))
+                throw new IllegalStateException(
+                  s"globalRank: key=$kmn is a tie group of ${g.rows} " +
+                    s"rows (> maxBucketRows=$maxBucketRows) and idCol " +
+                    s"'$idCol' does not cast to long, so the tie group " +
+                    "cannot be range-refined — use an integral id or " +
+                    "raise maxBucketRows")
+              rangeBucket(idL, r.getLong(4), r.getLong(5), parts)
+            }
+          val children = (0 until parts).map { i =>
+            val child = RankGroup(nextGid, g.path :+ i, 0L)
+            nextGid += 1
+            child
+          }
+          // rewrite the group expr: rows of g land in g's children
+          val childGid = children.foldLeft(lit(children.head.gid)) {
+            (acc, c) => when(sub === (c.path.last), lit(c.gid)).otherwise(acc)
+          }
+          groupExpr = when(groupExpr === g.gid, childGid).otherwise(groupExpr)
+          children
+        }
+        val dead = oversized.map(_.gid).toSet
+        groups = groups.filterNot(g => dead(g.gid)) ++ refined
+      }
+    }
+    val ordered = groups.sortWith((a, b) => {
+      val cmp = a.path.zip(b.path).find { case (x, y) => x != y }
+      cmp.map { case (x, y) => x < y }
+        .getOrElse(a.path.length < b.path.length)
+    })
+    (groupExpr, ordered)
   }
 }

@@ -125,11 +125,24 @@ object Moments {
     val agg = udaf(new GramAgg(d), ExpressionEncoder[Seq[Float]]())
     val dec = "decimal(38,0)"
     val two64 = lit("18446744073709551616").cast(dec)
+    // decimal(38,0) tops out at 10^38−1, but the signed-128 accumulator
+    // reaches ±2^127 ≈ 1.7e38: in the band between, non-ANSI Spark would
+    // return a silent NULL from the cast. |hi·2^64 + lo| ≤ (|hi|+1)·2^64,
+    // so |hi| ≤ ⌊(10^38−1)/2^64⌋ − 1 guarantees the reconstruction fits;
+    // past it, fail loudly (this file's overflow discipline). Reaching
+    // the cap takes Σ|q_i·q_j| > 10^38 — about 10^24 rows of ±10^7-
+    // quantized components — far past any corpus, but the guard makes
+    // the envelope a contract instead of a comment.
+    val hiCap = ((BigInt(10).pow(38) - 1) / BigInt(2).pow(64) - 1).toLong
     // signed-128 (hi, lo-unsigned) at 1-based logical slot -> decimal
     def dec128(slot: Column): Column = {
       val hi = element_at(col("s"), (slot * 2 - 1).cast("int"))
       val lo = element_at(col("s"), (slot * 2).cast("int"))
-      (hi.cast(dec) * two64 + when(lo < 0, lo.cast(dec) + two64)
+      val guarded = when(hi > hiCap || hi < -hiCap, raise_error(lit(
+        "gramProfile: a quantized moment sum exceeds the decimal(38,0) " +
+          "reconstruction ceiling (|hi| > (10^38-1)/2^64) — reduce the " +
+          "quantization scale or aggregate in shards"))).otherwise(hi)
+      (guarded.cast(dec) * two64 + when(lo < 0, lo.cast(dec) + two64)
         .otherwise(lo.cast(dec))).cast(dec)
     }
     df.agg(count(lit(1)).as("n"), agg(col(vecCol)).as("s"))

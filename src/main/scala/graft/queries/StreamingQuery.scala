@@ -37,11 +37,15 @@ object StreamingQuery {
     * provider-independent (the same hash-checked battery passes under
     * both — rehearsed, not asserted: see bench/r09_state.json); the
     * provider conf is set for the query's lifetime and restored after.
+    * The SESSION CONF wins over the env var: a programmatic toggle
+    * (BenchState's two-provider loop) must not be silently overridden
+    * by ambient environment — the env var is the coarse whole-process
+    * switch, the conf the per-session one.
     */
   private def withStateStore[A](s: SparkSession)(body: => A): A = {
     val key = "spark.sql.streaming.stateStore.providerClass"
-    val want = sys.env.get("GRAFT_STATE_STORE")
-      .orElse(s.conf.getOption("spark.graft.stateStore"))
+    val want = s.conf.getOption("spark.graft.stateStore")
+      .orElse(sys.env.get("GRAFT_STATE_STORE"))
     if (want.contains("rocksdb")) {
       val prev = s.conf.getOption(key)
       s.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +

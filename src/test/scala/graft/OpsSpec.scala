@@ -1750,6 +1750,27 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("strict spill mode: spark.graft.dedup.failOnSpill=true turns a " +
+      "refused bucket into a loud job failure; normal data unaffected") {
+    val s2 = spark; import s2.implicits._
+    val dense = (1L to 60L).map(id =>
+      (id, s"c1 c2 c3 c4 c5 tail$id")).toDF("doc_id", "text")
+    spark.conf.set("spark.graft.dedup.failOnSpill", "true")
+    try {
+      // the pathological corpus now FAILS instead of silently yielding
+      // zero pairs with only an observed metric to notice
+      val e = intercept[Exception](
+        Dedup.jaccardPairs(dense, 3, 0.1, maxBucket = 16).count())
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else String.valueOf(t.getMessage) +: msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("failOnSpill")),
+        s"want the strict-mode message, got: ${msgs(e)}")
+      // no bucket over the cap -> strict mode changes nothing
+      assert(Dedup.jaccardPairs(dense, 3, 0.1).count() == 60L * 59 / 2)
+    } finally spark.conf.unset("spark.graft.dedup.failOnSpill")
+  }
+
   test("deterministic HLL: accurate, mergeable, duplicate-immune") {
     val s2 = spark; import s2.implicits._
     val big = (1L to 5000L).map(i => ("big", i))
@@ -3970,6 +3991,63 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     val gotC = graft.ops.Layout.globalRank(const, "k", "id")
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert((1L to 50L).forall(id => gotC(id) == id), gotC.toString)
+  }
+
+  test("global rank skew guard: a constant key refines into bounded " +
+      "groups (never one sort task), ranks unchanged; hot-key mixes " +
+      "refine too; violations fail loudly") {
+    val s2 = spark; import s2.implicits._
+    // constant key, 500 rows, cap 40: without the guard this is ONE
+    // 500-row sort task; the guard must split the tie group by id range
+    val const = (1L to 500L).map(id => (id, 7L)).toDF("id", "k")
+    val (_, groupsC) = graft.ops.Layout.rankGroups(
+      const, "k", "id", numBuckets = 8, maxBucketRows = 40L,
+      mn = 7L, mx = 7L)
+    assert(groupsC.map(_.rows).sum == 500L)
+    assert(groupsC.forall(_.rows <= 40L),
+      s"unbounded group survived: ${groupsC.filter(_.rows > 40L)}")
+    val gotC = graft.ops.Layout.globalRank(const, "k", "id",
+        maxBucketRows = 40L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert((1L to 500L).forall(id => gotC(id) == id), "exact ranks")
+    // hot key (80% of rows on k=0) among a spread of cold keys: the
+    // multi-key bucket refines by key range, then the residual pure-tie
+    // child by id range — still bounded, still exact
+    val rnd = new scala.util.Random(3)
+    val hot = (1L to 500L).map(id =>
+      (id, if (id % 5 != 0L) 0L else rnd.nextInt(1000).toLong))
+      .toDF("id", "k")
+    val naive = hot.withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("k"), col("id"))))
+      .collect().map(r => r.getLong(0) -> r.getInt(2).toLong).toMap
+    val (_, groupsH) = graft.ops.Layout.rankGroups(
+      hot, "k", "id", numBuckets = 8, maxBucketRows = 50L,
+      mn = 0L, mx = 999L)
+    assert(groupsH.forall(_.rows <= 50L),
+      s"unbounded group survived: ${groupsH.filter(_.rows > 50L)}")
+    val gotH = graft.ops.Layout.globalRank(hot, "k", "id",
+        numBuckets = 8, maxBucketRows = 50L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(gotH == naive, "skew refinement must not change ranks")
+    // a tie group whose ids do not cast to long cannot be refined:
+    // loud failure, not a silent mega-task
+    val badIds = (1L to 100L).map(id => (s"doc-$id", 7L)).toDF("id", "k")
+    val e = intercept[IllegalStateException](graft.ops.Layout
+      .globalRank(badIds, "k", "id", maxBucketRows = 10L).collect())
+    assert(e.getMessage.contains("does not cast to long"))
+    // null keys refused (a SQL window would sort them first; this
+    // operator's contract is non-null keys)
+    val withNull = Seq((1L, Some(3L)), (2L, None), (3L, Some(1L)))
+      .toDF("id", "k")
+    val e2 = intercept[IllegalArgumentException](
+      graft.ops.Layout.globalRank(withNull, "k", "id"))
+    assert(e2.getMessage.contains("null"))
+    // reserved/output column collisions refused
+    intercept[IllegalArgumentException](graft.ops.Layout.globalRank(
+      const.withColumn("rk", lit(1)), "k", "id"))
+    intercept[IllegalArgumentException](graft.ops.Layout.globalRank(
+      const.withColumn("__grk_g", lit(1)), "k", "id"))
   }
 
   test("sorted-neighborhood pairs equal the naive rank-distance join; " +
