@@ -2,7 +2,7 @@ package graft.ml
 
 import org.apache.spark.ml.classification.RandomForestClassifier
 import org.apache.spark.ml.feature.VectorAssembler
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.pipeline.PairVectors
@@ -74,11 +74,6 @@ object Classify {
           .when(col(c) < -1e15, -1e15)
           .otherwise(col(c)))
     }
-    // Stratified fold assignment (as Weka's CV does): within each label,
-    // spread rows round-robin over folds in a seeded random order — no
-    // fold can end up without train data even on tiny inputs.
-    val byLabel = org.apache.spark.sql.expressions.Window
-      .partitionBy("label").orderBy(rand(seed))
     val prepared = clipped
       .withColumn("label", col("related").cast("double"))
       .cache()
@@ -90,8 +85,19 @@ object Classify {
     val parts = math.max(1, math.min(
       vectors.sparkSession.sparkContext.defaultParallelism,
       (n / 5000L).toInt + 1))
-    val labeled = prepared
-      .withColumn("fold", (row_number().over(byLabel) % folds).cast("int"))
+    // Stratified fold assignment (as Weka's CV does): within each label,
+    // spread rows round-robin over folds in a seeded order. The order is
+    // a CONTENT HASH of the pair key when one is present (deterministic
+    // under any partitioning AND oracle-replayable — see
+    // [[stratifiedFolds]]); inputs without (w1, w2) fall back to the
+    // partition-seeded rand order (still seed-reproducible on a fixed
+    // plan, just not content-addressed).
+    val labeled = (
+      if (prepared.columns.contains("w1") && prepared.columns.contains("w2"))
+        stratifiedFolds(prepared, Seq("w1", "w2"), "label", folds, seed)
+      else prepared.withColumn("fold",
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("label").orderBy(rand(seed))) % folds).cast("int")))
       .repartition(parts)
       .cache()
     val assembler = new VectorAssembler()
@@ -150,6 +156,106 @@ object Classify {
     prepared.unpersist()
     labeled.unpersist()
     out
+  }
+
+  /** Seeded stratified fold assignment as PURE HASH ARITHMETIC: within
+    * each label, rows are ordered by the md5 of their seed-salted id and
+    * dealt round-robin over `folds` (Weka's stratified CV shape,
+    * `Step5.java:133-148` seeding discipline). Content-hash ordering —
+    * not `rand(seed)`, whose draw depends on partition index — makes the
+    * assignment a function of the ROW alone: identical under any
+    * partitioning, any cluster size, and replayable by any engine with
+    * md5 (the DuckDB oracle hash-checks it). Round-robin keeps folds
+    * exactly balanced per label, so no fold lacks train data even on
+    * tiny gold sets.
+    *
+    * Appends `fold` ∈ [0, folds). The window partitions by LABEL (one
+    * sort task per class): right for gold-standard-bounded CV inputs;
+    * for corpus-scale splits use [[hashFolds]], which needs no window.
+    */
+  def stratifiedFolds(df: DataFrame, idCols: Seq[String],
+      labelCol: String, folds: Int, seed: Long = 42L): DataFrame = {
+    require(folds >= 2, s"folds=$folds must be >= 2")
+    require(idCols.nonEmpty, "need at least one id column")
+    val h = md5(concat_ws(":",
+      lit(s"cv$seed") +: idCols.map(c => col(c).cast("string")): _*))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(labelCol))
+      .orderBy(h +: idCols.map(col): _*)
+    df.withColumn("fold", ((row_number().over(w) - 1) % folds).cast("int"))
+  }
+
+  /** Corpus-scale fold/split assignment with NO window and NO shuffle:
+    * `fold = (first 8 hex digits of md5(seed-salted id)) mod folds` — a
+    * narrow per-row expression, so it composes with any plan at any
+    * scale. Statistically (not exactly) balanced: each fold gets a
+    * Binomial(n, 1/folds) share, which at corpus scale is equal to
+    * rounding error; on tiny inputs prefer [[stratifiedFolds]]'
+    * round-robin. md5-prefix arithmetic (not xxhash64) so the DuckDB
+    * oracle replays it digit for digit.
+    */
+  def hashFolds(df: DataFrame, idCols: Seq[String], folds: Int,
+      seed: Long = 42L, foldCol: String = "fold"): DataFrame = {
+    require(folds >= 2, s"folds=$folds must be >= 2")
+    require(idCols.nonEmpty, "need at least one id column")
+    val h = md5(concat_ws(":",
+      lit(s"cv$seed") +: idCols.map(c => col(c).cast("string")): _*))
+    df.withColumn(foldCol,
+      pmod(conv(substring(h, 1, 8), 16, 10).cast("long"), lit(folds))
+        .cast("int"))
+  }
+
+  /** [[evaluate]]'s report algebra as ONE declarative aggregation — the
+    * oracle-checkable form: confusion counts, accuracy, Cohen's kappa,
+    * positive-class and weighted precision/recall/F1, and (when a
+    * `p_similar` column is present) Weka's MAE/RMSE, computed from a
+    * (label, prediction[, p_similar]) relation in a single one-row
+    * DataFrame with the exact zero-denominator conventions of
+    * [[evaluate]] (ClassifySpec pins the 1e-12 equivalence). AUC is the
+    * one metric left to [[evaluate]] — it needs the rank pass.
+    */
+  def evaluateDf(predictions: DataFrame): DataFrame = {
+    val l = col("label").cast("double")
+    val p = col("prediction").cast("double")
+    def cell(lv: Double, pv: Double) =
+      sum(when(l === lv && p === pv, 1L).otherwise(0L))
+    val hasProb = predictions.columns.contains("p_similar")
+    val d = if (hasProb) col("p_similar").cast("double") - l else lit(0.0)
+    val n = col("tp") + col("fn") + col("fp") + col("tn")
+    def ratio(num: Column, den: Column) =
+      when(den === 0L, 0.0).otherwise(num.cast("double") / den)
+    val prec = ratio(col("tp"), col("tp") + col("fp"))
+    val rec = ratio(col("tp"), col("tp") + col("fn"))
+    val precN = ratio(col("tn"), col("tn") + col("fn"))
+    val recN = ratio(col("tn"), col("tn") + col("fp"))
+    def f1Of(pr: Column, rc: Column) =
+      when(pr + rc === 0.0, 0.0).otherwise(lit(2.0) * pr * rc / (pr + rc))
+    val acc = ratio(col("tp") + col("tn"), n)
+    // chance agreement from the margins; kappa 0 at pe = 1 as evaluate()
+    val pe = when(n === 0L, 0.0).otherwise(
+      ((col("tp") + col("fn")).cast("double") * (col("tp") + col("fp"))
+        + (col("tn") + col("fp")).cast("double") * (col("tn") + col("fn")))
+        / (n.cast("double") * n.cast("double")))
+    val wPos = (col("tp") + col("fn")).cast("double") /
+      greatest(n, lit(1L)).cast("double")
+    val wNeg = (col("tn") + col("fp")).cast("double") /
+      greatest(n, lit(1L)).cast("double")
+    predictions
+      .agg(cell(1.0, 1.0).as("tp"), cell(1.0, 0.0).as("fn"),
+        cell(0.0, 1.0).as("fp"), cell(0.0, 0.0).as("tn"),
+        coalesce(avg(abs(d)), lit(0.0)).as("mae"),
+        coalesce(sqrt(avg(d * d)), lit(0.0)).as("rmse"))
+      .select(n.as("n"), col("tp"), col("fn"), col("fp"), col("tn"),
+        acc.as("accuracy"),
+        when(pe === 1.0, 0.0).otherwise((acc - pe) / (lit(1.0) - pe))
+          .as("kappa"),
+        prec.as("precision_similar"), rec.as("recall_similar"),
+        f1Of(prec, rec).as("f1_similar"),
+        (wPos * prec + wNeg * precN).as("weighted_precision"),
+        (wPos * rec + wNeg * recN).as("weighted_recall"),
+        (wPos * f1Of(prec, rec) + wNeg * f1Of(precN, recN))
+          .as("weighted_f1"),
+        col("mae"), col("rmse"))
   }
 
   /** Confusion-matrix evaluation of out-of-fold predictions ("similar" =

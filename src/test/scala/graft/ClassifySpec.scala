@@ -100,6 +100,73 @@ class ClassifySpec extends AnyFunSuite with SparkTestBase {
     assert(r1 == r2)
   }
 
+  test("evaluateDf computes exactly evaluate's report algebra (1e-12), " +
+      "including the zero-denominator conventions") {
+    val s2 = spark; import s2.implicits._
+    val rnd = new scala.util.Random(19)
+    val mixed = (1 to 300).map { _ =>
+      (if (rnd.nextBoolean()) 1.0 else 0.0,
+        if (rnd.nextBoolean()) 1.0 else 0.0, rnd.nextDouble())
+    }.toDF("label", "prediction", "p_similar")
+    // all-positive-predicted (tn + fn = 0) and single-class fixtures
+    // exercise the 0/0 conventions; the mixed fixture the main algebra
+    val onePred = Seq((1.0, 1.0, 0.8), (0.0, 1.0, 0.7))
+      .toDF("label", "prediction", "p_similar")
+    val oneClass = Seq((1.0, 1.0, 0.8), (1.0, 0.0, 0.3))
+      .toDF("label", "prediction", "p_similar")
+    for (fx <- Seq(mixed, onePred, oneClass)) {
+      val r = Classify.evaluate(fx, folds = 2)
+      val d = Classify.evaluateDf(fx).head()
+      def ok(name: String, got: Double, want: Double) =
+        assert(math.abs(got - want) < 1e-12, s"$name: $got vs $want")
+      assert(d.getAs[Long]("n") == r.nInstances)
+      assert(d.getAs[Long]("tp") == r.tp && d.getAs[Long]("fn") == r.fn &&
+        d.getAs[Long]("fp") == r.fp && d.getAs[Long]("tn") == r.tn)
+      ok("accuracy", d.getAs[Double]("accuracy"), r.accuracy)
+      ok("kappa", d.getAs[Double]("kappa"), r.kappa)
+      ok("precision", d.getAs[Double]("precision_similar"), r.precisionSimilar)
+      ok("recall", d.getAs[Double]("recall_similar"), r.recallSimilar)
+      ok("f1", d.getAs[Double]("f1_similar"), r.f1Similar)
+      ok("w_precision", d.getAs[Double]("weighted_precision"),
+        r.weightedPrecision)
+      ok("w_recall", d.getAs[Double]("weighted_recall"), r.weightedRecall)
+      ok("w_f1", d.getAs[Double]("weighted_f1"), r.weightedF1)
+      ok("mae", d.getAs[Double]("mae"), r.mae)
+      ok("rmse", d.getAs[Double]("rmse"), r.rmse)
+    }
+  }
+
+  test("stratifiedFolds: exact per-label round-robin balance, " +
+      "partition-independent; hashFolds: partition-independent and " +
+      "statistically balanced") {
+    val s2 = spark; import s2.implicits._
+    val fx = (1L to 403L).map(id => (id, (id % 3 == 0).toString))
+      .toDF("id", "lab")
+    val a = Classify.stratifiedFolds(fx, Seq("id"), "lab", 10, seed = 5L)
+    val b = Classify.stratifiedFolds(fx.repartition(7), Seq("id"), "lab",
+      10, seed = 5L)
+    val fa = a.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val fb = b.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(fa == fb, "fold assignment must be partition-independent")
+    // exact round-robin: within each label, fold sizes differ by <= 1
+    val sizes = a.groupBy("lab", "fold").count().collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(2)))
+    for ((lab, ns) <- sizes)
+      assert(ns.max - ns.min <= 1L, s"label $lab fold sizes: ${ns.toSeq}")
+    // different seed -> different assignment (salt actually participates)
+    val c = Classify.stratifiedFolds(fx, Seq("id"), "lab", 10, seed = 6L)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(c != fa)
+    val h1 = Classify.hashFolds(fx, Seq("id"), 5, seed = 5L)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val h2 = Classify.hashFolds(fx.repartition(7), Seq("id"), 5, seed = 5L)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(h1 == h2, "hash folds must be partition-independent")
+    val counts = h1.values.groupBy(identity).view.mapValues(_.size)
+    assert((0 until 5).forall(f => counts.getOrElse(f, 0) > 40),
+      s"every fold gets a share: $counts")
+  }
+
   test("end-to-end on the reference fixtures (smoke: tiny gold standard)") {
     val vecs = SemanticPipeline.vectors(spark,
       "/root/reference/small-sample.txt",
