@@ -136,7 +136,8 @@ object Dedup {
     * the machine-checkable exactness certificate either way.
     */
   private[ops] def bucketPairsOf(keyed: DataFrame, keys: Seq[String],
-      payload: Column, maxBucket: Int = DefaultMaxBucket): DataFrame = {
+      payload: Column, maxBucket: Int = DefaultMaxBucket,
+      obs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     require(maxBucket >= 2, s"maxBucket=$maxBucket must be >= 2")
     val failOnSpill = keyed.sparkSession.conf
       .getOption("spark.graft.dedup.failOnSpill").exists(_.toBoolean)
@@ -149,21 +150,78 @@ object Dedup {
             "prefix) or raise maxBucket", size(col("ms")))))
           .otherwise(lit(true))
       else size(col("ms")) <= maxBucket
-    keyed.groupBy(keys.map(col): _*)
+    val spillMetrics = Seq(
+      sum(when(size(col("ms")) > maxBucket, 1L).otherwise(0L))
+        .as("spilled_buckets"),
+      sum(when(size(col("ms")) > maxBucket,
+        size(col("ms")).cast("long")).otherwise(0L)).as("spilled_ids"),
+      max(size(col("ms"))).as("max_bucket"))
+    val sized = keyed.groupBy(keys.map(col): _*)
       .agg(sort_array(collect_list(payload)).as("ms"))
       .where(size(col("ms")) > 1)
-      .observe(s"graft_bucket_spill_${spillSeq.incrementAndGet()}",
-        sum(when(size(col("ms")) > maxBucket, 1L).otherwise(0L))
-          .as("spilled_buckets"),
-        sum(when(size(col("ms")) > maxBucket,
-          size(col("ms")).cast("long")).otherwise(0L)).as("spilled_ids"),
-        max(size(col("ms"))).as("max_bucket"))
+    // an Observation (when the caller wants to READ the certificate
+    // programmatically — see [[spillCertificate]]) or the default
+    // string-named metric (SQL-UI/listener visibility only)
+    val observed = obs match {
+      case Some(o) =>
+        sized.observe(o, spillMetrics.head, spillMetrics.tail: _*)
+      case None => sized.observe(
+        s"graft_bucket_spill_${spillSeq.incrementAndGet()}",
+        spillMetrics.head, spillMetrics.tail: _*)
+    }
+    observed
       .where(sizeGate)
       .select(explode(expr(
         "flatten(transform(ms, (x, i) -> transform(" +
           "slice(ms, i + 2, size(ms)), y -> struct(x AS a, y AS b))))"))
         .as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
+  }
+
+  /** The co-shingle tier's bucket-spill exactness certificate, DRIVER-
+    * VISIBLE as a one-row DataFrame: runs the REAL capped pair expansion
+    * (the same `bucketPairsOf` every candidate tier routes through) with
+    * a readable `Observation`, executes it, and returns
+    * `(spilled_buckets, spilled_ids, max_bucket, n_pairs)` —
+    * `spilled_buckets == 0` certifies the capped expansion was exact;
+    * a non-zero count quantifies exactly how much pathological bucket
+    * volume was refused, next to the `n_pairs` that were produced.
+    *
+    * The certificate action runs with AQE OFF (restored after): AQE's
+    * empty-relation propagation can prune the already-executed metric
+    * stage out of the final plan when the pair output is empty, which
+    * would leave the Observation forever unfilled (the read-side corner
+    * documented on [[bucketPairsOf]]). An audit query pays that plan
+    * tax; the production path never reads the metric synchronously and
+    * keeps AQE.
+    */
+  def spillCertificate(docs: DataFrame, n: Int,
+      maxBucket: Int = DefaultMaxBucket, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    val obs = org.apache.spark.sql.Observation(
+      s"graft_spill_cert_${spillSeq.incrementAndGet()}")
+    val pairs = bucketPairsOf(shingles(docs, n, idCol, textCol),
+      Seq("shingle"), col("id"), maxBucket, Some(obs))
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.getOption(aqeKey)
+    spark.conf.set(aqeKey, "false")
+    val nPairs =
+      try pairs.count()
+      finally prev match {
+        case Some(v) => spark.conf.set(aqeKey, v)
+        case None => spark.conf.unset(aqeKey)
+      }
+    val m = obs.get
+    def asLong(k: String): Long = m.get(k) match {
+      case Some(v: Long) => v
+      case Some(v: Int) => v.toLong
+      case _ => 0L // no bucket held > 1 id: the aggregate stream was empty
+    }
+    import spark.implicits._
+    Seq((asLong("spilled_buckets"), asLong("spilled_ids"),
+      asLong("max_bucket").toInt, nPairs))
+      .toDF("spilled_buckets", "spilled_ids", "max_bucket", "n_pairs")
   }
 
   /** Exact pairwise n-gram Jaccard similarity >= `minJaccard`.

@@ -6663,6 +6663,34 @@ object TrainingOps {
              |      * exp((ln(p1) + ln(p2) + ln(p3) + ln(p4)) / 4) END,
              |    6) AS bleu
              |FROM p ORDER BY doc_id""".stripMargin)),
+
+    // The bucket-spill exactness certificate, DRIVER-VISIBLE and
+    // hash-checked: the capped co-shingle expansion runs with a readable
+    // Observation and the entry RETURNS the observed metric row
+    // (spilled_buckets / spilled_ids / max_bucket) next to the surviving
+    // pair count. maxBucket = 4 is a deliberately pathological cap so
+    // the spill path is exercised on real data at every SF (the sf0.01
+    // co-shingle max bucket is 7); the oracle recomputes the same
+    // numbers from the shingle bucket-size distribution, so what the
+    // observed metric REPORTS is what the data actually contains — the
+    // 100 TB recall-loss contract, checked by the driver instead of
+    // only by a spec.
+    QueryDef("q267_spill_certificate",
+      (s, d) => graft.ops.Dedup.spillCertificate(
+          table(s, d, "documents"), 3, maxBucket = 4)
+        .orderBy("n_pairs"),
+      Some(s"""WITH ${shinglesSql()},
+              |b AS (SELECT shingle, COUNT(*) AS c FROM sh
+              |      GROUP BY 1 HAVING COUNT(*) > 1)
+              |SELECT
+              |  CAST(COALESCE(SUM(CASE WHEN c > 4 THEN 1 ELSE 0 END), 0)
+              |    AS BIGINT) AS spilled_buckets,
+              |  CAST(COALESCE(SUM(CASE WHEN c > 4 THEN c ELSE 0 END), 0)
+              |    AS BIGINT) AS spilled_ids,
+              |  CAST(COALESCE(MAX(c), 0) AS INT) AS max_bucket,
+              |  CAST(COALESCE(SUM(CASE WHEN c <= 4 THEN c * (c - 1) // 2
+              |    ELSE 0 END), 0) AS BIGINT) AS n_pairs
+              |FROM b ORDER BY n_pairs""".stripMargin)),
   )
 
   /** DuckDB replay of [[graft.ops.TextAnalysis.tailRepetition]] over

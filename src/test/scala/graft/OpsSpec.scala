@@ -1771,6 +1771,32 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.conf.unset("spark.graft.dedup.failOnSpill")
   }
 
+  test("spillCertificate: the driver-visible certificate matches the " +
+      "bucket-size distribution; zero spill certifies the full pair set") {
+    val s2 = spark; import s2.implicits._
+    val dense = (1L to 60L).map(id =>
+      (id, s"c1 c2 c3 c4 c5 tail$id")).toDF("doc_id", "text")
+    // open cap: zero spill, n_pairs == all C(60,2) pairs per core bucket
+    val open = Dedup.spillCertificate(dense, 3).head()
+    assert(open.getAs[Long]("spilled_buckets") == 0L)
+    assert(open.getAs[Long]("spilled_ids") == 0L)
+    assert(open.getAs[Int]("max_bucket") == 60)
+    assert(open.getAs[Long]("n_pairs") == 3L * (60L * 59 / 2))
+    // capped: the 3 core-trigram buckets (60 ids each) are refused and
+    // REPORTED; nothing else in this corpus co-buckets
+    val capped = Dedup.spillCertificate(dense, 3, maxBucket = 16).head()
+    assert(capped.getAs[Long]("spilled_buckets") == 3L)
+    assert(capped.getAs[Long]("spilled_ids") == 180L)
+    assert(capped.getAs[Int]("max_bucket") == 60)
+    assert(capped.getAs[Long]("n_pairs") == 0L)
+    // no co-bucketed docs at all: all-zero certificate, no hang
+    val solo = Seq((1L, "a b c d"), (2L, "e f g h")).toDF("doc_id", "text")
+    val none = Dedup.spillCertificate(solo, 3).head()
+    assert(none.getAs[Long]("spilled_buckets") == 0L &&
+      none.getAs[Int]("max_bucket") == 0 &&
+      none.getAs[Long]("n_pairs") == 0L)
+  }
+
   test("deterministic HLL: accurate, mergeable, duplicate-immune") {
     val s2 = spark; import s2.implicits._
     val big = (1L to 5000L).map(i => ("big", i))
