@@ -211,7 +211,12 @@ object Similarity {
     val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
       (i, c.toArray.map(_.toFloat))
     }.toSeq.toDF("cid", "centroid")
-    val assigned = model.transform(featured)
+    // copy drops the trainingSummary (which pins the SparkSession) before
+    // the model rides the assignment closure — a session whose
+    // ObservationManager is initialized is not java-serializable (see
+    // Classify.crossValPredictions)
+    val assigned = model.copy(org.apache.spark.ml.param.ParamMap.empty)
+      .transform(featured)
       .withColumnRenamed("prediction", "cid")
       .drop("features")
     (centroids, assigned)

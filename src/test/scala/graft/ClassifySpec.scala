@@ -93,6 +93,20 @@ class ClassifySpec extends AnyFunSuite with SparkTestBase {
     assert(!report.accuracy.isNaN)
   }
 
+  test("CV survives a session whose ObservationManager is initialized " +
+      "(Observation x MLlib trainingSummary serialization interaction)") {
+    val s2 = spark; import s2.implicits._
+    // any Observation user initializes the shared session's (non-
+    // serializable) ObservationManager; a fitted model's trainingSummary
+    // pins the session, so WITHOUT the model.copy in fitFold every later
+    // prediction closure fails task serialization
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c d f")).toDF("doc_id", "text")
+    graft.ops.Dedup.spillCertificate(docs, 3).collect()
+    val v = syntheticVectors(60)
+    val r = Classify.evaluate(Classify.crossValPredictions(v, 2, 3L, 5))
+    assert(r.nInstances == 60)
+  }
+
   test("seeded CV is reproducible") {
     val v = syntheticVectors(200)
     val r1 = Classify.evaluate(Classify.crossValPredictions(v, 3, 7L, 10))
