@@ -15,6 +15,22 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  /** Materialize EVERY column of a result through the noop sink. A
+    * count()-based timing lets Catalyst optimize the query's own compute
+    * away — column pruning under `count(1)` drops narrow per-row
+    * transforms entirely and EliminateSorts removes the final ORDER BY —
+    * so a map-shaped entry would time the SCAN, not the operator
+    * (measured: q262_rouge_l at 10× data was flat under count(), 10×
+    * under noop). The noop sink consumes complete UnsafeRows with zero
+    * sink cost, which is what a real consumer pays. Round-10 fix: bench
+    * numbers from r9 and earlier under-state narrow map-shaped entries;
+    * agg/join-shaped entries (the vast majority and every headline) are
+    * unaffected because their compute feeds the aggregation itself.
+    */
+  private[graft] def materialize(
+      df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.mode("overwrite").format("noop").save()
+
   private def loadavg: String =
     try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
       .split(" ").take(3).mkString(",")
@@ -75,7 +91,7 @@ object Bench {
       // timing (round-1 lesson: leaked caches inflated q62 by 8×).
       def once(): Double = {
         val t0 = System.nanoTime()
-        q.query(spark, sfDir).count()
+        materialize(q.query(spark, sfDir))
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
         dt
@@ -121,7 +137,7 @@ object Bench {
       java.nio.file.Paths.get(artifact).toAbsolutePath.getParent)
     catch { case scala.util.control.NonFatal(_) => () }
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","samples":$samples,"loadavg_start":"$loadStart","loadavg_end":"$loadavg","gc_sec":$gcSec%.1f,"artifact":"$artifact"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","samples":$samples,"loadavg_start":"$loadStart","loadavg_end":"$loadavg","gc_sec":$gcSec%.1f,"materialize":"noop-sink (round 10+: full-row materialization; count()-timed rounds <= 9 under-state narrow map-shaped entries)","artifact":"$artifact"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(artifact),
       (line + "\n").getBytes("UTF-8"))
     catch { case scala.util.control.NonFatal(e) =>

@@ -95,7 +95,10 @@ object BenchScale {
     def sample(name: String, dir: String): Double = {
       def once(): Double = {
         val t0 = System.nanoTime()
-        defs(name).query(spark, dir).count()
+        // full-row noop materialization, NOT count(): count lets Catalyst
+        // prune a map-shaped entry's own compute (see Bench.materialize),
+        // which flattens exactly the curvature this instrument measures
+        Bench.materialize(defs(name).query(spark, dir))
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
         dt

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DamerauLevenshtein, FloatCosine, FloatDot, JaroWinkler, NfcNormalize, PorterStem, TokenLcs}
+import graft.functions.{DamerauLevenshtein, FloatCosine, FloatDot, JaroWinkler, NfcNormalize, PorterStem, TokenLcs, TokenNgramClip}
 
 /** Session-extension registration: makes graft's native expressions
   * available to pure-SQL users at session construction, with no code call —
@@ -47,5 +47,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("token_lcs"),
       new ExpressionInfo(classOf[TokenLcs].getName, "token_lcs"),
       (exprs: Seq[Expression]) => graft.functions.buildTokenLcs(exprs)))
+    e.injectFunction((
+      FunctionIdentifier("token_ngram_clip"),
+      new ExpressionInfo(classOf[TokenNgramClip].getName,
+        "token_ngram_clip"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.buildTokenNgramClip(exprs)))
   }
 }

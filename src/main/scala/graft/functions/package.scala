@@ -45,6 +45,13 @@ package object functions {
   def token_lcs(a: Column, b: Column): Column =
     toColumn(TokenLcs(toExpr(a), toExpr(b)))
 
+  /** Clipped n-gram match count Σ min(count_cand, count_ref) over
+    * whitespace-token n-grams (the BLEU numerator — see
+    * [[TokenNgramClip]]).
+    */
+  def token_ngram_clip(cand: Column, ref: Column, n: Column): Column =
+    toColumn(TokenNgramClip(toExpr(cand), toExpr(ref), toExpr(n)))
+
   /** Register graft SQL functions on a session (idempotent), enabling
     * `SELECT porter_stem(col)` in `spark.sql`.
     */
@@ -64,6 +71,8 @@ package object functions {
       exprs => buildDamerauLevenshtein(exprs), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "token_lcs", exprs => buildTokenLcs(exprs), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "token_ngram_clip", exprs => buildTokenNgramClip(exprs), "scala_udf")
   }
 
   private[graft] def buildPorterStem(exprs: Seq[Expression]): PorterStem = {
@@ -108,5 +117,12 @@ package object functions {
     require(exprs.length == 2,
       s"token_lcs requires exactly 2 arguments, got ${exprs.length}")
     TokenLcs(exprs(0), exprs(1))
+  }
+
+  private[graft] def buildTokenNgramClip(
+      exprs: Seq[Expression]): TokenNgramClip = {
+    require(exprs.length == 3,
+      s"token_ngram_clip requires exactly 3 arguments, got ${exprs.length}")
+    TokenNgramClip(exprs(0), exprs(1), exprs(2))
   }
 }
