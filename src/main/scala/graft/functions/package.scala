@@ -52,6 +52,15 @@ package object functions {
   def token_ngram_clip(cand: Column, ref: Column, n: Column): Column =
     toColumn(TokenNgramClip(toExpr(cand), toExpr(ref), toExpr(n)))
 
+  /** Apply a trained BPE merge table to a word column (sequential
+    * greedy passes in table order — see [[BpeEncode]]). The table is a
+    * driver-side artifact, so this takes a Scala Seq, not a Column;
+    * no SQL registration (SQL has no clean spelling for the bounded
+    * tokenizer artifact — use the Column API).
+    */
+  def bpe_encode(word: Column, merges: Seq[(String, String)]): Column =
+    toColumn(BpeEncode(toExpr(word), merges))
+
   /** Register graft SQL functions on a session (idempotent), enabling
     * `SELECT porter_stem(col)` in `spark.sql`.
     */

@@ -720,9 +720,7 @@ object TextAnalysis {
     * table.
     */
   def bpeApply(word: Column, merges: Seq[(String, String)]): Column =
-    merges.foldLeft(charSyms(word)) {
-      case (syms, (a, b)) => mergeFold(syms, a, b)
-    }
+    graft.functions.bpe_encode(word, merges)
 
   /** Multinomial Naive Bayes over document tokens with Laplace
     * smoothing — the classic strong-baseline text classifier, trained

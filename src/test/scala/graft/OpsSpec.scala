@@ -1606,6 +1606,29 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(seg == naive, s"$seg vs $naive")
   }
 
+  test("bpeApply kernel: sequential table-order passes, NOT the GPT-2 " +
+      "rank-argmin loop; greedy left-to-right; skip-merges no-op") {
+    val s2 = spark; import s2.implicits._
+    def apply1(w: String, merges: Seq[(String, String)]): Seq[String] =
+      Seq(Tuple1(w)).toDF("w")
+        .select(TextAnalysis.bpeApply(col("w"), merges).as("syms"))
+        .first().getSeq[String](0)
+    // greedy left-to-right within one pass
+    assert(apply1("aaaa", Seq(("a", "a"))) == Seq("aa", "aa"))
+    assert(apply1("aaaaa", Seq(("a", "a"))) == Seq("aa", "aa", "a"))
+    // the adversarial table where rank-argmin diverges: merge 1 (x, ab)
+    // is absent during ITS pass and must never fire later, even though
+    // merge 2 creates the pair
+    assert(apply1("xab", Seq(("x", "ab"), ("a", "b"))) == Seq("x", "ab"))
+    // a merge result participates in LATER merges
+    assert(apply1("abc", Seq(("a", "b"), ("ab", "c"))) == Seq("abc"))
+    // single symbol / no applicable merges pass through
+    assert(apply1("q", Seq(("a", "b"))) == Seq("q"))
+    assert(apply1("xyz", Seq(("a", "b"))) == Seq("x", "y", "z"))
+    // multi-byte code points split like substring(w, i, 1)
+    assert(apply1("héé", Seq(("é", "é"))) == Seq("h", "éé"))
+  }
+
   test("driver-local bpe training equals the distributed merge loop") {
     val s2 = spark; import s2.implicits._
     val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
