@@ -679,4 +679,58 @@ object Curation {
         col("n_replacement") + col("n_c1") + col("n_double_utf8")
           + col("n_c0") > 0)
   }
+
+  /** GPT-style concat-and-chunk CONTEXT-WINDOW packing: lay the corpus
+    * out as one token stream in `(keyCol, idCol)` order (curriculum
+    * key first, unique id as the tiebreak) and cut it every
+    * `windowTokens` tokens — the standard pretraining batch assembly,
+    * where a document may straddle window boundaries and every window
+    * except the last is exactly full (zero padding waste, unlike
+    * first-fit bin packing, at the cost of split documents — the
+    * attention mask handles the boundary downstream).
+    *
+    * Returns ONE ROW PER (window, document-slice):
+    * `(window_id, id, doc_offset, win_offset, slice_len)` — document
+    * `id` contributes `slice_len` tokens starting at its own
+    * `doc_offset` into position `win_offset` of window `window_id`.
+    * Rows with `lenCol ≤ 0` (or null) contribute nothing and emit no
+    * slice.
+    *
+    * Shape at 100 TB: the stream positions come from
+    * [[graft.ops.Layout.globalCumsum]] (two collected partial-agg
+    * passes + a group-parallel window — never a single-partition
+    * scan), and the slice explosion is a narrow per-row
+    * `sequence(first_window, last_window)` expansion bounded by
+    * `1 + len/windowTokens` rows per document. Every output value is
+    * closed-form integer arithmetic over (start, len, W), so an
+    * oracle replays it exactly.
+    */
+  def contextWindows(docs: DataFrame, windowTokens: Long,
+      lenCol: String = "n_tokens", keyCol: String = "doc_id",
+      idCol: String = "doc_id"): DataFrame = {
+    require(windowTokens >= 1, s"windowTokens=$windowTokens must be >= 1")
+    val w = lit(windowTokens)
+    val len = col(lenCol).cast("long")
+    val withStart = graft.ops.Layout.globalCumsum(
+      docs.where(len > 0L), keyCol, idCol, lenCol, cumCol = "__cw_start")
+    withStart
+      .select(col(idCol).as("id"), len.as("__len"),
+        col("__cw_start").as("__start"))
+      .select(col("id"), col("__len"), col("__start"),
+        // integer `div`, never `/`: Spark's `/` on longs is double
+        // division, which mis-buckets past 2^53 and returns a double
+        explode(sequence(
+          expr(s"__start div $windowTokens"),
+          expr(s"(__start + __len - 1) div $windowTokens"))).as("window_id"))
+      .select(
+        col("window_id"),
+        col("id"),
+        (greatest(col("window_id") * w, col("__start")) - col("__start"))
+          .as("doc_offset"),
+        (greatest(col("window_id") * w, col("__start"))
+          - col("window_id") * w).as("win_offset"),
+        (least((col("window_id") + 1L) * w, col("__start") + col("__len"))
+          - greatest(col("window_id") * w, col("__start")))
+          .as("slice_len"))
+  }
 }

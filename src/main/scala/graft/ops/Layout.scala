@@ -184,6 +184,70 @@ object Layout {
       .drop("__grk_g")
   }
 
+  /** Exact EXCLUSIVE prefix sum of `valCol` over the global
+    * `(keyCol, idCol)` order — `cumCol` = the sum of every EARLIER
+    * row's value (0 for the first row), exactly SQL's
+    * `SUM(val) OVER (ORDER BY key, id ROWS UNBOUNDED PRECEDING) − val`
+    * — without the single-partition window, via [[globalRank]]'s
+    * bucket-offset machinery (same two collected passes, same skew
+    * refinement, same loud-failure contract; see [[globalRank]] for
+    * the determinism/non-null-key requirements): per-group SUMS
+    * replace per-group counts, offsets accumulate with
+    * `Math.addExact` so a 100 TB token total overflows loudly, and the
+    * per-group window computes the local running sum in parallel.
+    *
+    * The prefix sum is THE primitive corpus assembly needs: token-
+    * budget cuts ("the first N tokens in curriculum order"), GPT-style
+    * concat-and-chunk context packing
+    * ([[graft.ops.Curation.contextWindows]]), deterministic byte
+    * offsets for manifest/layout planning. Null values count as 0;
+    * `valCol` must cast to long.
+    */
+  def globalCumsum(df: DataFrame, keyCol: String, idCol: String,
+      valCol: String, cumCol: String = "cumsum", numBuckets: Int = 1024,
+      maxBucketRows: Long = 1L << 23): DataFrame = {
+    require(numBuckets >= 1, s"numBuckets=$numBuckets must be >= 1")
+    require(maxBucketRows >= 1, s"maxBucketRows=$maxBucketRows must be >= 1")
+    for (c <- Seq(cumCol, "__grk_g"))
+      require(!df.columns.contains(c),
+        s"globalCumsum: input already has a column named '$c' — rename " +
+          "it (the operator appends cumCol and uses __grk_g internally)")
+    val k = col(keyCol).cast("long")
+    val v = coalesce(col(valCol).cast("long"), lit(0L))
+    val bounds = df.agg(min(k).as("__mn"), max(k).as("__mx"),
+      sum(when(col(keyCol).isNull, 1L).otherwise(0L)).as("__nulls"))
+      .first()
+    if (!bounds.isNullAt(2) && bounds.getLong(2) > 0L)
+      throw new IllegalArgumentException(
+        s"globalCumsum: keyCol '$keyCol' has ${bounds.getLong(2)} null " +
+          "values — prefix order over nulls is undefined here; filter " +
+          "them or coalesce to a sentinel first")
+    if (bounds.isNullAt(0)) return df.withColumn(cumCol, lit(null))
+    val (groupExpr, groups) = rankGroups(df, keyCol, idCol,
+      numBuckets, maxBucketRows, bounds.getLong(0), bounds.getLong(1))
+    // ONE more partial-agg pass at the (converged) group grain: each
+    // group's value total, collected as ≤ |groups| longs
+    val sums = df.groupBy(groupExpr.as("__grk_g"))
+      .agg(sum(v).as("s")).collect()
+      .map(r => r.getInt(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
+      .toMap
+    var acc = 0L
+    val offsets = groups.map { g =>
+      val o = g.gid -> acc
+      acc = Math.addExact(acc, sums.getOrElse(g.gid, 0L))
+      o
+    }.toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__grk_g").orderBy(k.asc, col(idCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("__grk_g", groupExpr)
+      .withColumn(cumCol,
+        element_at(typedLit(offsets), col("__grk_g")) +
+          sum(v).over(w) - v)
+      .drop("__grk_g")
+  }
+
   /** One final rank group = one contiguous slab of the global
     * (key, id) order: either a key range, or (for a refined tie
     * group) a single key restricted to an id range. `path` is the

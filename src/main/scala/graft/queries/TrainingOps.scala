@@ -6691,6 +6691,53 @@ object TrainingOps {
               |  CAST(COALESCE(SUM(CASE WHEN c <= 4 THEN c * (c - 1) // 2
               |    ELSE 0 END), 0) AS BIGINT) AS n_pairs
               |FROM b ORDER BY n_pairs""".stripMargin)),
+
+    // Exact distributed prefix sum over the global (key, id) order -
+    // the bucket-offset two-pass (q260's machinery with per-group SUMS
+    // instead of counts), never a single-partition window. The oracle
+    // IS the naive global running sum.
+    QueryDef("q268_global_cumsum",
+      (s, d) => graft.ops.Layout.globalCumsum(
+          table(s, d, "documents").select(col("doc_id"), col("n_chars")),
+          "n_chars", "doc_id", "n_chars", cumCol = "start_pos",
+          numBuckets = 64)
+        .select(col("doc_id"), col("n_chars"), col("start_pos"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, n_chars,
+             |  CAST(SUM(n_chars) OVER (ORDER BY n_chars, doc_id
+             |    ROWS UNBOUNDED PRECEDING) - n_chars AS BIGINT)
+             |    AS start_pos
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // GPT-style concat-and-chunk context packing: the corpus as one
+    // token stream in doc_id order, cut every 256 tokens; one row per
+    // (window, document-slice) with closed-form integer offsets. The
+    // oracle replays the running sum + slice arithmetic exactly.
+    QueryDef("q269_context_windows",
+      (s, d) => graft.ops.Curation.contextWindows(
+          table(s, d, "documents").select(col("doc_id"),
+            size(filter(split(col("text"), " "),
+              x => length(x) > 0)).cast("long").as("n_tokens")),
+          windowTokens = 256L)
+        .orderBy("window_id", "id"),
+      Some("""WITH t AS (SELECT doc_id,
+             |    CAST(len(list_filter(string_split(text, ' '),
+             |      x -> len(x) > 0)) AS BIGINT) AS n
+             |  FROM documents),
+             |p AS (SELECT doc_id, n,
+             |    CAST(SUM(n) OVER (ORDER BY doc_id
+             |      ROWS UNBOUNDED PRECEDING) - n AS BIGINT) AS s
+             |  FROM t WHERE n > 0),
+             |e AS (SELECT doc_id, n, s, u.w
+             |  FROM p, UNNEST(generate_series(s // 256,
+             |    (s + n - 1) // 256)) u(w))
+             |SELECT CAST(w AS BIGINT) AS window_id, doc_id AS id,
+             |  CAST(GREATEST(w * 256, s) - s AS BIGINT) AS doc_offset,
+             |  CAST(GREATEST(w * 256, s) - w * 256 AS BIGINT)
+             |    AS win_offset,
+             |  CAST(LEAST((w + 1) * 256, s + n) - GREATEST(w * 256, s)
+             |    AS BIGINT) AS slice_len
+             |FROM e ORDER BY window_id, id""".stripMargin)),
   )
 
   /** DuckDB replay of [[graft.ops.TextAnalysis.tailRepetition]] over

@@ -4099,6 +4099,80 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
       const.withColumn("__grk_g", lit(1)), "k", "id"))
   }
 
+  test("global cumsum equals the single-partition running sum on any " +
+      "partitioning and bucket count; constant key refines safely") {
+    val s2 = spark; import s2.implicits._
+    val rnd = new scala.util.Random(23)
+    val fx = (1L to 400L).map(id =>
+      (id, rnd.nextInt(50).toLong, rnd.nextInt(100).toLong + 1L))
+      .toDF("id", "k", "v")
+    val naive = fx.withColumn("c",
+        sum(col("v")).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("k"), col("id"))
+          .rowsBetween(Long.MinValue, 0)) - col("v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    for (parts <- Seq(1, 7); buckets <- Seq(1, 4, 64)) {
+      val got = graft.ops.Layout.globalCumsum(fx.repartition(parts),
+          "k", "id", "v", numBuckets = buckets)
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      assert(got == naive, s"parts=$parts buckets=$buckets")
+    }
+    // constant key: the tie group refines by id range, cumsum exact
+    val const = (1L to 300L).map(id => (id, 5L, 2L)).toDF("id", "k", "v")
+    val gotC = graft.ops.Layout.globalCumsum(const, "k", "id", "v",
+        maxBucketRows = 40L)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert((1L to 300L).forall(id => gotC(id) == 2L * (id - 1)), "exact")
+    // null values count as 0
+    val withNullV = Seq((1L, 1L, Some(3L)), (2L, 2L, None),
+      (3L, 3L, Some(4L))).toDF("id", "k", "v")
+    val gotN = graft.ops.Layout.globalCumsum(withNullV, "k", "id", "v")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(gotN == Map(1L -> 0L, 2L -> 3L, 3L -> 3L), gotN.toString)
+  }
+
+  test("context windows: every window but the last exactly full, " +
+      "documents reassemble from contiguous slices, empties dropped") {
+    val s2 = spark; import s2.implicits._
+    val rnd = new scala.util.Random(29)
+    val docs = (1L to 200L).map(id =>
+      (id, if (id % 13 == 0) 0L else rnd.nextInt(700).toLong + 1L))
+      .toDF("doc_id", "n_tokens")
+    val w = 256L
+    val slices = graft.ops.Curation.contextWindows(docs, w).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val lens = docs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // documents reassemble: per doc, slice doc_offsets are contiguous
+    // from 0 and slice lengths sum to the doc length; empty docs absent
+    val byDoc = slices.groupBy(_._2)
+    assert(byDoc.keySet == lens.filter(_._2 > 0).keySet)
+    for ((id, ss) <- byDoc) {
+      val sorted = ss.sortBy(_._3)
+      assert(sorted.head._3 == 0L && sorted.map(_._5).sum == lens(id))
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a._3 + a._5 == b._3
+        case _ => true
+      }, s"doc $id slices not contiguous: ${sorted.toSeq}")
+    }
+    // windows: every window except the highest id holds exactly w
+    // tokens in contiguous win_offset order from 0
+    val byWin = slices.groupBy(_._1)
+    val lastWin = byWin.keys.max
+    for ((win, ss) <- byWin) {
+      val sorted = ss.sortBy(_._4)
+      assert(sorted.head._4 == 0L, s"window $win starts at offset 0")
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a._4 + a._5 == b._4
+        case _ => true
+      }, s"window $win not contiguous")
+      if (win != lastWin)
+        assert(sorted.map(_._5).sum == w, s"window $win not full")
+    }
+    // total conservation
+    assert(slices.map(_._5).sum == lens.values.sum)
+  }
+
   test("sorted-neighborhood pairs equal the naive rank-distance join; " +
       "candidate count bounded by n*(w-1)") {
     val s2 = spark; import s2.implicits._
