@@ -792,4 +792,24 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       .map { case (id, i) => (id, (i + 1).toLong) }
     assert(got.sameElements(naive), got.toSeq.toString)
   }
+
+  test("global cumsum / context windows / duplicated spans: every " +
+      "window is PARTITIONED (group- or doc-bounded), never global") {
+    def partitionedWindows(df: org.apache.spark.sql.DataFrame): Unit = {
+      val windows = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+      assert(windows.nonEmpty)
+      assert(windows.forall(_.partitionSpec.nonEmpty),
+        "an empty partitionSpec is the one-task global scan these ops " +
+          "exist to avoid")
+    }
+    val lens = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    partitionedWindows(Layout.globalCumsum(lens, "doc_id", "doc_id",
+      "n_tokens", numBuckets = 64))
+    partitionedWindows(graft.ops.Curation.contextWindows(lens, 256L))
+    partitionedWindows(graft.ops.Dedup.duplicatedSpans(docs, 8))
+    partitionedWindows(graft.ops.Dedup.exciseDuplicateSpans(docs, 8))
+  }
 }
