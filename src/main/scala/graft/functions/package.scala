@@ -61,6 +61,14 @@ package object functions {
   def bpe_encode(word: Column, merges: Seq[(String, String)]): Column =
     toColumn(BpeEncode(toExpr(word), merges))
 
+  /** Distinct 0-based indices of the blocklist `patterns` occurring as
+    * substrings of the text column, via one Aho–Corasick pass (see
+    * [[MultiMatch]]). The pattern list is a driver-side artifact, so
+    * this takes a Scala Seq, not a Column; no SQL registration.
+    */
+  def multi_match(text: Column, patterns: Seq[String]): Column =
+    toColumn(MultiMatch(toExpr(text), patterns))
+
   /** Register graft SQL functions on a session (idempotent), enabling
     * `SELECT porter_stem(col)` in `spark.sql`.
     */

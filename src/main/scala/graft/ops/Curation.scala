@@ -680,6 +680,30 @@ object Curation {
           + col("n_c0") > 0)
   }
 
+  /** Blocklist scan: which banned phrases each document contains, in
+    * ONE text pass regardless of blocklist size — the
+    * [[graft.functions.MultiMatch]] Aho–Corasick expression, narrow
+    * per-row, no shuffle, no UDF (the `contains OR contains OR …`
+    * spelling rescans the text once per phrase — at a 10k-phrase
+    * blocklist over 100 TB that is the difference between one corpus
+    * scan and ten thousand). Exact case-sensitive substring matching;
+    * normalize upstream (lower/NFC) when the policy is
+    * case-insensitive. Returns
+    * `(doc_id, n_matched, matched_ids, flagged)` with `matched_ids`
+    * the comma-joined ascending pattern indices (a scalar, so the
+    * relation composes with grouped audits and the driver's compare).
+    */
+  def blocklistScan(docs: DataFrame, patterns: Seq[String],
+      textCol: String = "text"): DataFrame = {
+    val m = graft.functions.multi_match(col(textCol), patterns)
+    docs.select(col("doc_id"), m.as("__m"))
+      .select(col("doc_id"),
+        size(col("__m")).cast("long").as("n_matched"),
+        array_join(transform(col("__m"), _.cast("string")), ",")
+          .as("matched_ids"),
+        (size(col("__m")) > 0).as("flagged"))
+  }
+
   /** GPT-style concat-and-chunk CONTEXT-WINDOW packing: lay the corpus
     * out as one token stream in `(keyCol, idCol)` order (curriculum
     * key first, unique id as the tiebreak) and cut it every

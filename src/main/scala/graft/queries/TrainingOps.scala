@@ -6817,7 +6817,41 @@ object TrainingOps {
              |LEFT JOIN rem r ON r.doc_id = t.doc_id
              |LEFT JOIN agg a ON a.doc_id = t.doc_id
              |ORDER BY id""".stripMargin)),
+
+    // Blocklist scan: one Aho-Corasick pass per document over a
+    // 12-phrase list with nested/overlapping entries ("table" inside
+    // "table part", "scan" inside "row scan slow") - the shape that
+    // exercises the automaton's fail links. The oracle replays each
+    // pattern with strpos over the same inline list.
+    QueryDef("q272_blocklist_scan",
+      (s, d) => graft.ops.Curation.blocklistScan(
+          table(s, d, "documents"), BlocklistPhrases)
+        .orderBy("doc_id"),
+      Some({
+        val lits = BlocklistPhrases
+          .map(p => "'" + p.replace("'", "''") + "'").mkString(", ")
+        s"""WITH p AS (SELECT [$lits] AS ps)
+           |SELECT doc_id,
+           |  CAST(len(hits) AS BIGINT) AS n_matched,
+           |  COALESCE(array_to_string(hits, ','), '') AS matched_ids,
+           |  len(hits) > 0 AS flagged
+           |FROM (SELECT doc_id,
+           |    [CAST(i - 1 AS VARCHAR)
+           |     FOR i IN generate_series(1, len(ps))
+           |     IF strpos(text, ps[i]) > 0] AS hits
+           |  FROM documents, p)
+           |ORDER BY doc_id""".stripMargin
+      })),
   )
+
+  /** q272's fixed blocklist: real corpus-vocabulary phrases with nested
+    * and overlapping entries, plus one absent phrase (index 11 never
+    * fires).
+    */
+  private def BlocklistPhrases: Seq[String] = Seq(
+    "table", "table part", "row scan slow", "scan", "fast merge",
+    "spark", "agg row", "window table", "a a the", "customer query",
+    "value fast", "entirely absent phrase")
 
   /** DuckDB replay of [[graft.ops.TextAnalysis.tailRepetition]] over
     * the q203 salted documents: per period p, the backward unit-match
