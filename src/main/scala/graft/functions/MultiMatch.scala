@@ -89,6 +89,104 @@ case class MultiMatch(child: Expression, patterns: Seq[String])
       newChild: Expression): MultiMatch = copy(child = newChild)
 }
 
+/** Redact every blocklisted phrase: LEFTMOST-LONGEST non-overlapping
+  * occurrences of any of `patterns` replaced by `token`, in one
+  * Aho–Corasick pass plus a greedy sweep — the enforcement half of
+  * [[MultiMatch]] (FlashText's semantics: at each leftmost matching
+  * position take the longest match there, resume after it; matches
+  * inside a replaced span are consumed with it). Scanning is exact
+  * UTF-8 byte matching, identical to character matching for well-formed
+  * UTF-8, and the greedy selection is a deterministic function of the
+  * match set — a SQL oracle replays it with an iterated
+  * find-min-position/max-length fold.
+  */
+case class MultiReplace(child: Expression, patterns: Seq[String],
+    token: String) extends UnaryExpression {
+
+  require(patterns.nonEmpty && patterns.forall(_.nonEmpty),
+    "multi_replace requires a non-empty pattern list of non-empty patterns")
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"multi_replace requires a string argument, got ${child.dataType}")
+
+  @transient private lazy val automaton: MultiMatch.Automaton =
+    MultiMatch.build(patterns)
+
+  @transient private lazy val patLens: Array[Int] =
+    patterns.map(_.getBytes("UTF-8").length).toArray
+
+  @transient private lazy val tokenBytes: Array[Byte] =
+    token.getBytes("UTF-8")
+
+  def replaceAll(text: UTF8String): UTF8String = {
+    val a = automaton
+    val bytes = text.getBytes
+    // collect every occurrence as (start, len): AC reports pattern ids
+    // at END positions; leftmost-longest needs them sorted by start
+    val starts = new java.util.ArrayList[Int]()
+    val lens = new java.util.ArrayList[Int]()
+    var state = 0
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xFF
+      while (state != 0 && a.goto(state)(b) == -1) state = a.fail(state)
+      val nxt = a.goto(state)(b)
+      if (nxt != -1) state = nxt
+      val ids = a.outs(state)
+      if (ids != null) {
+        var j = 0
+        while (j < ids.length) {
+          val len = patLens(ids(j))
+          starts.add(i - len + 1)
+          lens.add(len)
+          j += 1
+        }
+      }
+      i += 1
+    }
+    if (starts.isEmpty) return text
+    // greedy leftmost-longest sweep over (start asc, len desc)
+    val n = starts.size
+    val idx = (0 until n).toArray
+    val sArr = new Array[Int](n)
+    val lArr = new Array[Int](n)
+    var k = 0
+    while (k < n) { sArr(k) = starts.get(k); lArr(k) = lens.get(k); k += 1 }
+    val order = idx.sortBy(x => (sArr(x), -lArr(x)))
+    val out = new java.io.ByteArrayOutputStream(bytes.length)
+    var cursor = 0
+    var o = 0
+    while (o < order.length) {
+      val m = order(o)
+      if (sArr(m) >= cursor) {
+        out.write(bytes, cursor, sArr(m) - cursor)
+        out.write(tokenBytes, 0, tokenBytes.length)
+        cursor = sArr(m) + lArr(m)
+      }
+      o += 1
+    }
+    if (cursor < bytes.length) out.write(bytes, cursor, bytes.length - cursor)
+    UTF8String.fromBytes(out.toByteArray)
+  }
+
+  override def nullSafeEval(t: Any): Any =
+    replaceAll(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("multiReplace", this,
+      classOf[MultiReplace].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.replaceAll($c);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): MultiReplace = copy(child = newChild)
+}
+
 object MultiMatch {
 
   private[functions] final class Automaton(

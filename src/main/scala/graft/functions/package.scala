@@ -69,6 +69,14 @@ package object functions {
   def multi_match(text: Column, patterns: Seq[String]): Column =
     toColumn(MultiMatch(toExpr(text), patterns))
 
+  /** Replace every leftmost-longest non-overlapping blocklist
+    * occurrence with `token` in one Aho–Corasick pass (see
+    * [[MultiReplace]]).
+    */
+  def multi_replace(text: Column, patterns: Seq[String],
+      token: String): Column =
+    toColumn(MultiReplace(toExpr(text), patterns, token))
+
   /** Register graft SQL functions on a session (idempotent), enabling
     * `SELECT porter_stem(col)` in `spark.sql`.
     */

@@ -704,6 +704,31 @@ object Curation {
         (size(col("__m")) > 0).as("flagged"))
   }
 
+  /** The enforcement half of [[blocklistScan]]: replace every
+    * leftmost-longest non-overlapping blocklisted phrase with `token`
+    * (FlashText semantics) in ONE Aho–Corasick pass per document —
+    * [[graft.functions.MultiReplace]], narrow per-row, no UDF, cost
+    * independent of blocklist size. Returns
+    * `(doc_id, clean_text, n_redactions)`.
+    */
+  def redactBlocklist(docs: DataFrame, patterns: Seq[String],
+      token: String = "<BLOCKED>", textCol: String = "text"): DataFrame = {
+    require(token.nonEmpty, "token must be non-empty")
+    // exact redaction count as token-instance delta (instances already
+    // present in the source survive untouched and subtract out); a
+    // source where a replacement boundary completes a partial token
+    // string could over-count — pick a token absent from the corpus
+    def cnt(c: Column) =
+      ((length(c) - length(replace(c, lit(token), lit("")))) /
+        length(lit(token))).cast("long")
+    docs.select(col("doc_id"),
+        graft.functions.multi_replace(col(textCol), patterns, token)
+          .as("clean_text"),
+        cnt(col(textCol)).as("__pre"))
+      .select(col("doc_id"), col("clean_text"),
+        (cnt(col("clean_text")) - col("__pre")).as("n_redactions"))
+  }
+
   /** GPT-style concat-and-chunk CONTEXT-WINDOW packing: lay the corpus
     * out as one token stream in `(keyCol, idCol)` order (curriculum
     * key first, unique id as the tiebreak) and cut it every

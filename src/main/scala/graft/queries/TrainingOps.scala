@@ -6842,6 +6842,11 @@ object TrainingOps {
            |  FROM documents, p)
            |ORDER BY doc_id""".stripMargin
       })),
+
+    // The enforcement half of the blocklist scan: leftmost-longest
+    // non-overlapping redaction (FlashText semantics) in one automaton
+    // pass, replayed by the oracle as a recursive greedy fold.
+    redactEntry,
   )
 
   /** q272's fixed blocklist: real corpus-vocabulary phrases with nested
@@ -6852,6 +6857,45 @@ object TrainingOps {
     "table", "table part", "row scan slow", "scan", "fast merge",
     "spark", "agg row", "window table", "a a the", "customer query",
     "value fast", "entirely absent phrase")
+
+  /** q273: leftmost-longest blocklist redaction, oracle-replayed as a
+    * per-document recursive find-min-position / max-length fold. The
+    * inline list literal repeats inside the recursive term (DuckDB
+    * correlates lambdas over it cheaply; a CTE cross join in the
+    * recursive term would re-materialize per level).
+    */
+  private def redactEntry: QueryDef = {
+    val lits = BlocklistPhrases
+      .map(p => "'" + p.replace("'", "''") + "'").mkString(", ")
+    val mpos = s"list_min([strpos(rest, q) FOR q IN [$lits] " +
+      "IF strpos(rest, q) > 0])"
+    val mlen = s"list_max([len(q) FOR q IN [$lits] " +
+      s"IF strpos(rest, q) = $mpos])"
+    QueryDef("q273_redact_blocklist",
+      (s, d) => graft.ops.Curation.redactBlocklist(
+          table(s, d, "documents"), BlocklistPhrases, "<BLOCKED>")
+        .orderBy("doc_id"),
+      Some(s"""WITH RECURSIVE step AS (
+              |  SELECT doc_id, '' AS done, text AS rest FROM documents
+              |  UNION ALL
+              |  SELECT doc_id,
+              |    done || rest[1:$mpos - 1] || '<BLOCKED>' AS done,
+              |    rest[$mpos + $mlen:] AS rest
+              |  FROM step
+              |  WHERE $mpos IS NOT NULL),
+              |fin AS (SELECT doc_id, done || rest AS clean_text,
+              |    CAST((len(done || rest)
+              |      - len(replace(done || rest, '<BLOCKED>', '')))
+              |      // len('<BLOCKED>') AS BIGINT)
+              |    - CAST((SELECT (len(d0.text)
+              |        - len(replace(d0.text, '<BLOCKED>', '')))
+              |        // len('<BLOCKED>')
+              |      FROM documents d0 WHERE d0.doc_id = step.doc_id)
+              |      AS BIGINT) AS n_redactions
+              |  FROM step WHERE $mpos IS NULL)
+              |SELECT doc_id, clean_text, n_redactions
+              |FROM fin ORDER BY doc_id""".stripMargin))
+  }
 
   /** DuckDB replay of [[graft.ops.TextAnalysis.tailRepetition]] over
     * the q203 salted documents: per period p, the backward unit-match

@@ -48,6 +48,38 @@ class MultiMatchSpec extends org.scalatest.funsuite.AnyFunSuite
     }
   }
 
+  test("multi_replace: leftmost-longest non-overlapping redaction, " +
+      "consumed overlaps, preexisting-token arithmetic") {
+    def red(text: String, pats: Seq[String], tok: String = "<X>") =
+      graft.functions.MultiReplace(
+        org.apache.spark.sql.catalyst.expressions.Literal(text), pats, tok)
+        .replaceAll(UTF8String.fromString(text)).toString
+    // longest at the leftmost position wins
+    assert(red("table part x", Seq("table", "table part"))
+      == "<X> x")
+    // a later-starting longer match loses to the leftmost one
+    assert(red("ab bcd", Seq("ab", "b bcd")) == "<X> bcd")
+    // matches inside a replaced span are consumed
+    assert(red("abc", Seq("abc", "b")) == "<X>")
+    // non-overlapping repeats all replace; scan resumes after match
+    assert(red("aa aa aa", Seq("aa")) == "<X> <X> <X>")
+    assert(red("aaa", Seq("aa")) == "<X>a")
+    // untouched text returns as-is
+    assert(red("clean text", Seq("zz")) == "clean text")
+    // multi-byte patterns
+    assert(red("héllo wörld", Seq("éllo"), "#") == "h# wörld")
+    // count arithmetic survives preexisting tokens
+    val s2 = spark; import s2.implicits._
+    val fx = Seq((1L, "keep <X> and aa"), (2L, "aa aa"), (3L, "none"))
+      .toDF("doc_id", "text")
+    val got = graft.ops.Curation.redactBlocklist(fx, Seq("aa"), "<X>")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    assert(got(1L) == (("keep <X> and <X>", 1L)))
+    assert(got(2L) == (("<X> <X>", 2L)))
+    assert(got(3L) == (("none", 0L)))
+  }
+
   test("Column path through a real plan; null text propagates; empty " +
       "pattern lists rejected") {
     val s2 = spark; import s2.implicits._
