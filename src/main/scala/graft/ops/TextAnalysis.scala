@@ -407,6 +407,97 @@ object TextAnalysis {
         exp(-col("sum_logp") / col("n_tokens")).as("ppl"))
   }
 
+  /** Interpolated Kneser–Ney bigram perplexity — the industry-standard
+    * LM quality gate (what KenLM-based corpus filters score with) next
+    * to [[perplexity]]'s add-one baseline: absolute discounting with
+    * the CONTINUATION distribution as the lower order, so frequent-but-
+    * context-bound words ("Francisco") stop inflating the backoff the
+    * way raw unigram frequency does.
+    *
+    * Model (all choices pinned so a SQL oracle replays digit for
+    * digit):
+    *   - `p(wᵢ|wᵢ₋₁) = max(c₂−D, 0)/c₁(wᵢ₋₁) +
+    *     D·N₁₊(wᵢ₋₁•)/c₁(wᵢ₋₁) · p_cont(wᵢ)` for seen contexts;
+    *   - `p_cont(w) = (N₁₊(•w) + 1)/(B + V + 1)` — continuation counts
+    *     with an add-one OOV floor (B = distinct reference bigrams,
+    *     V = vocabulary), so out-of-vocabulary tokens score finite;
+    *   - unseen context (c₁(wᵢ₋₁) = 0) backs off to `p_cont(wᵢ)`;
+    *   - a seen context with NO surviving mass (its only reference
+    *     occurrences were document-final, so it has no outgoing
+    *     bigrams) also falls back to `p_cont` — the one corner where
+    *     the interpolation sums to zero;
+    *   - first token: `(c₁(w)+1)/(N+V)` ([[perplexity]]'s convention).
+    *
+    * Shape at 100 TB: identical to [[perplexity]] — the model is built
+    * from the bounded reference slice and broadcast (unigrams, bigram
+    * counts, per-context and per-word continuation type counts);
+    * scoring is one narrow pass with broadcast lookups and a per-doc
+    * position-ordered fold.
+    */
+  def perplexityKN(docs: DataFrame, refDocs: DataFrame,
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"discount=$discount must be in (0, 1)")
+    val uni = refDocs
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c1"))
+    val big = refDocs
+      .select(split(col("text"), " ").as("ts"))
+      .select(explode(expr(
+        "transform(sequence(2, size(ts)), i -> struct(" +
+          "element_at(ts, i - 1) AS prev, element_at(ts, i) AS cur))"))
+        .as("bg"))
+      .groupBy(col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+      .agg(count(lit(1)).as("c2"))
+    // continuation type counts: big is already one row per distinct pair
+    val fwd = big.groupBy("prev").agg(count(lit(1)).as("n1p_fwd"))
+    val bwd = big.groupBy("cur").agg(count(lit(1)).as("n1p_bwd"))
+    val refStats = uni.agg(
+        sum("c1").cast("double").as("ref_tokens"),
+        count(lit(1)).cast("double").as("vocab"))
+      .crossJoin(broadcast(
+        big.agg(count(lit(1)).cast("double").as("n_bigrams"))))
+    val toks = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .select(col("doc_id"), size(col("ts")).as("n_tokens"),
+        explode(expr(
+          "transform(sequence(1, size(ts)), i -> struct(i AS pos, " +
+            "CASE WHEN i = 1 THEN CAST(NULL AS STRING) " +
+            "ELSE element_at(ts, i - 1) END AS prev, " +
+            "element_at(ts, i) AS cur))")).as("t"))
+      .select(col("doc_id"), col("n_tokens"), col("t.pos").as("pos"),
+        col("t.prev").as("prev"), col("t.cur").as("cur"))
+    val d = lit(discount)
+    val pCont = (coalesce(col("n1p_bwd"), lit(0L)).cast("double") + 1.0) /
+      (col("n_bigrams") + col("vocab") + 1.0)
+    val interp =
+      greatest(coalesce(col("c2"), lit(0L)).cast("double") - d, lit(0.0)) /
+        col("c_prev") +
+        d * coalesce(col("n1p_fwd"), lit(0L)).cast("double") /
+          col("c_prev") * pCont
+    toks
+      .join(broadcast(big), Seq("prev", "cur"), "left")
+      .join(broadcast(uni.select(col("term").as("prev"),
+        col("c1").as("c_prev"))), Seq("prev"), "left")
+      .join(broadcast(uni.select(col("term").as("cur"),
+        col("c1").as("c_cur"))), Seq("cur"), "left")
+      .join(broadcast(fwd), Seq("prev"), "left")
+      .join(broadcast(bwd), Seq("cur"), "left")
+      .crossJoin(broadcast(refStats))
+      .withColumn("logp", when(col("pos") === 1,
+          log((coalesce(col("c_cur"), lit(0L)) + lit(1.0)) /
+            (col("ref_tokens") + col("vocab"))))
+        .otherwise(log(
+          when(col("c_prev").isNull, pCont)
+            .otherwise(when(interp > 0.0, interp).otherwise(pCont)))))
+      .groupBy("doc_id", "n_tokens")
+      .agg(expr("aggregate(transform(array_sort(collect_list(" +
+        "struct(pos, logp))), s -> s.logp), 0D, (a, v) -> a + v)")
+        .as("sum_logp"))
+      .select(col("doc_id"), col("n_tokens"),
+        exp(-col("sum_logp") / col("n_tokens")).as("ppl"))
+  }
+
   /** Dataset-card report: the per-(source, language) summary a corpus
     * release ships — document counts, token volume, and exact token-count
     * quantiles at every rollup grain (per source+lang, per source, and

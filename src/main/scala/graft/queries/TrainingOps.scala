@@ -6847,6 +6847,77 @@ object TrainingOps {
     // non-overlapping redaction (FlashText semantics) in one automaton
     // pass, replayed by the oracle as a recursive greedy fold.
     redactEntry,
+
+    // Interpolated Kneser-Ney bigram perplexity (the KenLM-filter
+    // standard) next to q117's add-one baseline: absolute discounting
+    // + continuation backoff, every convention pinned in the scaladoc
+    // and replayed formula-for-formula by the oracle.
+    QueryDef("q274_kn_perplexity",
+      (s, d) => TextAnalysis.perplexityKN(
+          table(s, d, "documents").where(col("doc_id") % 10 =!= 0),
+          table(s, d, "documents").where(col("doc_id") % 10 === 0))
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          round(col("ppl"), 5).as("ppl"))
+        .orderBy("doc_id"),
+      Some("""WITH refu AS MATERIALIZED (SELECT
+             |    UNNEST(string_split(text, ' ')) AS term
+             |  FROM documents WHERE doc_id % 10 = 0),
+             |uni AS MATERIALIZED (SELECT term,
+             |    CAST(COUNT(*) AS BIGINT) AS c1 FROM refu GROUP BY 1),
+             |refb AS (SELECT t[i] AS prev, t[i+1] AS cur
+             |  FROM (SELECT string_split(text, ' ') AS t FROM documents
+             |        WHERE doc_id % 10 = 0) s,
+             |       UNNEST(generate_series(1, len(t) - 1)) g(i)),
+             |big AS MATERIALIZED (SELECT prev, cur,
+             |    CAST(COUNT(*) AS BIGINT) AS c2 FROM refb GROUP BY 1, 2),
+             |fwd AS MATERIALIZED (SELECT prev,
+             |    CAST(COUNT(*) AS BIGINT) AS n1p_fwd FROM big GROUP BY 1),
+             |bwd AS MATERIALIZED (SELECT cur,
+             |    CAST(COUNT(*) AS BIGINT) AS n1p_bwd FROM big GROUP BY 1),
+             |stats AS (SELECT
+             |    (SELECT CAST(SUM(c1) AS DOUBLE) FROM uni) AS ref_tokens,
+             |    (SELECT CAST(COUNT(*) AS DOUBLE) FROM uni) AS vocab,
+             |    (SELECT CAST(COUNT(*) AS DOUBLE) FROM big) AS n_bigrams),
+             |toks AS MATERIALIZED (SELECT doc_id, len(t) AS n_tokens,
+             |    i AS pos, CASE WHEN i = 1 THEN NULL ELSE t[i-1] END AS prev,
+             |    t[i] AS cur
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS t
+             |        FROM documents WHERE doc_id % 10 <> 0) s,
+             |       UNNEST(generate_series(1, len(t))) g(i)),
+             |lp AS (SELECT t.doc_id, t.n_tokens, t.pos,
+             |    CASE WHEN t.pos = 1 THEN
+             |      ln((COALESCE(u2.c1, 0) + CAST(1 AS DOUBLE)) /
+             |         (s.ref_tokens + s.vocab))
+             |    ELSE ln(
+             |      CASE WHEN u1.c1 IS NULL THEN
+             |        (COALESCE(w.n1p_bwd, 0) + CAST(1 AS DOUBLE)) /
+             |          (s.n_bigrams + s.vocab + 1)
+             |      WHEN GREATEST(COALESCE(b.c2, 0) - 0.75, 0) / u1.c1
+             |          + 0.75 * COALESCE(f.n1p_fwd, 0) / u1.c1
+             |            * ((COALESCE(w.n1p_bwd, 0) + CAST(1 AS DOUBLE)) /
+             |               (s.n_bigrams + s.vocab + 1)) > 0 THEN
+             |        GREATEST(COALESCE(b.c2, 0) - 0.75, 0) / u1.c1
+             |          + 0.75 * COALESCE(f.n1p_fwd, 0) / u1.c1
+             |            * ((COALESCE(w.n1p_bwd, 0) + CAST(1 AS DOUBLE)) /
+             |               (s.n_bigrams + s.vocab + 1))
+             |      ELSE
+             |        (COALESCE(w.n1p_bwd, 0) + CAST(1 AS DOUBLE)) /
+             |          (s.n_bigrams + s.vocab + 1)
+             |      END) END AS logp
+             |  FROM toks t
+             |  LEFT JOIN big b ON t.prev = b.prev AND t.cur = b.cur
+             |  LEFT JOIN uni u1 ON t.prev = u1.term
+             |  LEFT JOIN uni u2 ON t.cur = u2.term
+             |  LEFT JOIN fwd f ON t.prev = f.prev
+             |  LEFT JOIN bwd w ON t.cur = w.cur
+             |  CROSS JOIN stats s),
+             |agg AS (SELECT doc_id, n_tokens,
+             |    list_reduce(list(logp ORDER BY pos), (a, b) -> a + b)
+             |      AS sum_logp
+             |  FROM lp GROUP BY 1, 2)
+             |SELECT doc_id, n_tokens,
+             |  ROUND(exp(-sum_logp / n_tokens), 5) AS ppl
+             |FROM agg ORDER BY doc_id""".stripMargin)),
   )
 
   /** q272's fixed blocklist: real corpus-vocabulary phrases with nested

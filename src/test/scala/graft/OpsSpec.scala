@@ -1773,6 +1773,34 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("Kneser-Ney perplexity: hand-computed tiny model, finite OOV, " +
+      "in-domain scores below junk") {
+    val s2 = spark; import s2.implicits._
+    val ref = Seq((100L, "a b a c"), (101L, "a b")).toDF("doc_id", "text")
+    // model by hand: uni a:3 b:2 c:1 (N=6, V=3); big (a,b):2 (b,a):1
+    // (a,c):1 (B=3); fwd a:2 b:1; bwd b:1 a:1 c:1
+    val docs = Seq((1L, "a b"), (2L, "z z")).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.perplexityKN(docs, ref)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val pCont = (1.0 + 1.0) / (3 + 3 + 1) // N1+(.b)=1
+    val p2 = (2 - 0.75) / 3 + 0.75 * 2 / 3 * pCont
+    val expected1 = math.exp(-(math.log(4.0 / 9) + math.log(p2)) / 2)
+    assert(math.abs(got(1L) - expected1) < 1e-12, s"${got(1L)} vs $expected1")
+    // OOV everywhere stays finite: p(z)=(0+1)/9, p(z|z)=p_cont(z)=1/7
+    val expected2 = math.exp(
+      -(math.log(1.0 / 9) + math.log(1.0 / 7)) / 2)
+    assert(math.abs(got(2L) - expected2) < 1e-12, s"${got(2L)} vs $expected2")
+    // discriminative at corpus scale: reference-like text below junk
+    val ref2 = (1L to 50L).map(i =>
+      (i + 1000L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val mix = Seq((1L, "the quick brown fox"), (2L, "dog fox zz qq"))
+      .toDF("doc_id", "text")
+    val pp = graft.ops.TextAnalysis.perplexityKN(mix, ref2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(pp(1L) < pp(2L), pp.toString)
+  }
+
   test("duplicated spans: shared passages merge to maximal spans, " +
       "within-doc repeats flag, excision removes exactly the spans") {
     val s2 = spark; import s2.implicits._
