@@ -244,11 +244,13 @@ object Dedup {
     *
     * Shape at 100 TB (all LINEAR, no pair expansion — the suffix-array
     * machinery of the paper re-expressed relationally): one positional
-    * n-gram explode (corpus-token-count rows), one gram-grain count,
-    * one semi-join back on the gram key, one per-DOC window merge
-    * (partitioned by id — never global). The gram relation is the same
-    * grain [[graft.ops.TextAnalysis.crossDocNgramOverlap]] profiles;
-    * this materializes the positions instead of the fraction.
+    * n-gram explode (corpus-token-count rows), ONE gram-keyed shuffle
+    * whose window count marks duplicated occurrences in place (no
+    * aggregate + join-back, which would evaluate the explode twice),
+    * one per-DOC window merge (partitioned by id — never global). The
+    * gram relation is the same grain
+    * [[graft.ops.TextAnalysis.crossDocNgramOverlap]] profiles; this
+    * materializes the positions instead of the fraction.
     */
   def duplicatedSpans(docs: DataFrame, n: Int, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
@@ -265,9 +267,15 @@ object Dedup {
           s"i -> struct(i - 1 AS p, concat_ws(' ', slice(t, i, $n)) " +
           "AS gram))")).as("pg"))
       .select(col("id"), col("pg.p").as("p"), col("pg.gram").as("gram"))
-    val dup = pos.groupBy("gram").agg(count(lit(1)).as("c"))
-      .where(col("c") > 1).select("gram")
-    val dupPos = pos.join(dup, "gram").select("id", "p")
+    // duplicated = gram occurs >1×: a gram-partitioned window count,
+    // NOT a count-aggregate + join-back — the join shape evaluates the
+    // positional explode twice (Spark does not reuse the exchange
+    // across self-join branches); the window shuffles the gram relation
+    // once and filters in place
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy("gram")
+    val dupPos = pos
+      .withColumn("__c", count(lit(1)).over(wg))
+      .where(col("__c") > 1).select("id", "p")
     // merge overlapping [p, p+n) windows into maximal spans: a window
     // starts a new span iff it begins past every earlier window's end
     val w = org.apache.spark.sql.expressions.Window
