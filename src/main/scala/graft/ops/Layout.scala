@@ -82,6 +82,75 @@ object Layout {
       .drop(cols.flatMap(c => Seq(s"__min_$c", s"__max_$c")): _*)
   }
 
+  /** File-skipping effectiveness AUDIT: for each probe range, how many
+    * of `numFiles` range-partitioned files a min/max-statistics reader
+    * must scan under (a) the Z-order layout and (b) a plain sort by
+    * each single clustered column — the measured form of the claim
+    * [[zValue]]'s scaladoc makes. Files are modeled as equal-VALUE-
+    * RANGE cuts of the layout key (range partitioning by value; closed
+    * integer arithmetic both engines replay — an equal-row-count model
+    * would need the rank machinery for no audit benefit), and a file
+    * is scanned iff its [min, max] of the probed column intersects the
+    * probe range — exactly the parquet row-group pruning rule.
+    *
+    * Returns one row per (layout, probe):
+    * `(layout, probe_col, lo, hi, files_nonempty, files_scanned,
+    * rows_scanned)` — a Z-layout should scan FEW files for probes on
+    * EVERY clustered column, where sort-by-c prunes only its own
+    * column. One narrow layouts×rows explode, one (layout, file)-grain
+    * agg, one broadcast probe join.
+    */
+  def zSkippingProfile(df: DataFrame, cols: Seq[String], bits: Int,
+      numFiles: Int, probes: Seq[(String, Long, Long)]): DataFrame = {
+    require(numFiles >= 1, s"numFiles=$numFiles must be >= 1")
+    require(probes.nonEmpty && probes.forall(p => cols.contains(p._1)),
+      s"every probe column must be clustered: $probes vs $cols")
+    val zv = zValue(df, cols, bits)
+    val boundAggs = Seq(min("zvalue").as("zmn"), max("zvalue").as("zmx")) ++
+      cols.flatMap(c => Seq(min(col(c)).cast("long").as(s"mn_$c"),
+        max(col(c)).cast("long").as(s"mx_$c")))
+    val bounds = zv.agg(boundAggs.head, boundAggs.tail: _*).first()
+    if (bounds.isNullAt(0))
+      return df.sparkSession.emptyDataFrame
+    def fileOf(c: Column, mn: Long, mx: Long): Column =
+      least(floor((c.cast("double") - mn.toDouble) * numFiles /
+          (mx.toDouble - mn.toDouble + 1.0)),
+        lit((numFiles - 1).toDouble)).cast("int")
+    def b(n: String): Long = bounds.getLong(bounds.fieldIndex(n))
+    val layouts: Seq[(String, Column)] =
+      ("zorder", fileOf(col("zvalue"), b("zmn"), b("zmx"))) +:
+        cols.map(c => (s"sort_$c",
+          fileOf(col(c).cast("long"), b(s"mn_$c"), b(s"mx_$c"))))
+    val explodedCols = explode(array(layouts.map { case (name, f) =>
+      struct(lit(name).as("layout"), f.as("file"))
+    }: _*)).as("lf") +: cols.map(col)
+    val exploded = zv.select(explodedCols: _*)
+    val stats = exploded.groupBy(col("lf.layout").as("layout"),
+        col("lf.file").as("file"))
+      .agg(count(lit(1)).as("n_rows"),
+        cols.flatMap(c => Seq(min(col(c)).cast("long").as(s"mn_$c"),
+          max(col(c)).cast("long").as(s"mx_$c"))): _*)
+    val probeDf = {
+      val s2 = df.sparkSession
+      import s2.implicits._
+      probes.toDF("probe_col", "lo", "hi")
+    }
+    // the probed column's file min/max, resolved by probe_col
+    val mnP = cols.tail.foldLeft(col(s"mn_${cols.head}")) { (acc, c) =>
+      when(col("probe_col") === c, col(s"mn_$c")).otherwise(acc)
+    }
+    val mxP = cols.tail.foldLeft(col(s"mx_${cols.head}")) { (acc, c) =>
+      when(col("probe_col") === c, col(s"mx_$c")).otherwise(acc)
+    }
+    val scanned = !(mxP < col("lo") || mnP > col("hi"))
+    stats.crossJoin(broadcast(probeDf))
+      .groupBy("layout", "probe_col", "lo", "hi")
+      .agg(count(lit(1)).as("files_nonempty"),
+        sum(when(scanned, 1L).otherwise(0L)).as("files_scanned"),
+        sum(when(scanned, col("n_rows")).otherwise(0L))
+          .as("rows_scanned"))
+  }
+
   /** Cluster the table for writing: range-partition on the Z-value and
     * sort within partitions — each output file then covers a small
     * hyper-rectangle of the clustered columns, which is what makes

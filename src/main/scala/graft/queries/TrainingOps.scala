@@ -6918,6 +6918,67 @@ object TrainingOps {
              |SELECT doc_id, n_tokens,
              |  ROUND(exp(-sum_logp / n_tokens), 5) AS ppl
              |FROM agg ORDER BY doc_id""".stripMargin)),
+
+    // The measured form of q97's layout claim: files a min/max reader
+    // scans per probe under the Z-order layout vs a plain sort by each
+    // single key (value-range file model, the parquet row-group pruning
+    // rule). The oracle replays zvalue + all three layouts + the
+    // pruning arithmetic with true integer division.
+    QueryDef("q275_zorder_skipping",
+      (s, d) => graft.ops.Layout.zSkippingProfile(
+          table(s, d, "lineitem"), Seq("l_partkey", "l_suppkey"),
+          bits = 8, numFiles = 64,
+          probes = Seq(("l_partkey", 100L, 150L), ("l_suppkey", 5L, 8L)))
+        .orderBy("layout", "probe_col"),
+      Some {
+        val terms = (0 until 8).flatMap(i => Seq(
+          s"(((np >> $i) & 1) << ${2 * i})",
+          s"(((ns >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
+        s"""WITH b AS (
+           |  SELECT MIN(l_partkey) pmin0, MAX(l_partkey) pmax0,
+           |         MIN(l_suppkey) smin0, MAX(l_suppkey) smax0
+           |  FROM lineitem),
+           |n AS (
+           |  SELECT l_partkey, l_suppkey, pmin0, pmax0, smin0, smax0,
+           |    (l_partkey - pmin0) * 256 // (pmax0 - pmin0 + 1) AS np,
+           |    (l_suppkey - smin0) * 256 // (smax0 - smin0 + 1) AS ns
+           |  FROM lineitem, b),
+           |z AS (SELECT *, $terms AS zvalue FROM n),
+           |zb AS (SELECT MIN(zvalue) zmn, MAX(zvalue) zmx FROM z),
+           |f AS (
+           |  SELECT 'zorder' AS layout, l_partkey, l_suppkey,
+           |    (zvalue - zmn) * 64 // (zmx - zmn + 1) AS file
+           |  FROM z, zb
+           |  UNION ALL
+           |  SELECT 'sort_l_partkey', l_partkey, l_suppkey,
+           |    (l_partkey - pmin0) * 64 // (pmax0 - pmin0 + 1)
+           |  FROM z
+           |  UNION ALL
+           |  SELECT 'sort_l_suppkey', l_partkey, l_suppkey,
+           |    (l_suppkey - smin0) * 64 // (smax0 - smin0 + 1)
+           |  FROM z),
+           |st AS (SELECT layout, file, COUNT(*) AS n_rows,
+           |    MIN(l_partkey) AS mn_p, MAX(l_partkey) AS mx_p,
+           |    MIN(l_suppkey) AS mn_s, MAX(l_suppkey) AS mx_s
+           |  FROM f GROUP BY 1, 2),
+           |pr AS (SELECT * FROM (VALUES
+           |    ('l_partkey', CAST(100 AS BIGINT), CAST(150 AS BIGINT)),
+           |    ('l_suppkey', CAST(5 AS BIGINT), CAST(8 AS BIGINT)))
+           |  p(probe_col, lo, hi)),
+           |j AS (SELECT st.*, pr.probe_col, pr.lo, pr.hi,
+           |    CASE WHEN pr.probe_col = 'l_suppkey'
+           |      THEN NOT (mx_s < lo OR mn_s > hi)
+           |      ELSE NOT (mx_p < lo OR mn_p > hi) END AS scanned
+           |  FROM st CROSS JOIN pr)
+           |SELECT layout, probe_col, lo, hi,
+           |  CAST(COUNT(*) AS BIGINT) AS files_nonempty,
+           |  CAST(SUM(CASE WHEN scanned THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS files_scanned,
+           |  CAST(SUM(CASE WHEN scanned THEN n_rows ELSE 0 END)
+           |    AS BIGINT) AS rows_scanned
+           |FROM j GROUP BY 1, 2, 3, 4
+           |ORDER BY layout, probe_col""".stripMargin
+      }),
   )
 
   /** q272's fixed blocklist: real corpus-vocabulary phrases with nested

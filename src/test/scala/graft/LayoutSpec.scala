@@ -110,4 +110,27 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
         Option(x.getMessage).toSeq ++ messages(x.getCause))
     assert(messages(e).exists(_.contains("range exceeds")), e.getMessage)
   }
+
+  test("skipping profile: the Z layout prunes probes on BOTH clustered " +
+      "columns; each single-key sort scans everything on the other") {
+    val s2 = spark; import s2.implicits._
+    // a dense 128x128 grid: every (x, y) combination, so value locality
+    // is entirely the layout's doing
+    val grid = (for (x <- 0L until 128L; y <- 0L until 128L)
+      yield (x, y)).toDF("x", "y")
+    val prof = graft.ops.Layout.zSkippingProfile(grid, Seq("x", "y"),
+        bits = 7, numFiles = 64,
+        probes = Seq(("x", 10L, 17L), ("y", 100L, 107L)))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(4), r.getLong(5))).toMap
+    // sort by x: perfect on x, useless on y (every file holds all y)
+    assert(prof(("sort_x", "x"))._2 <= 8)
+    assert(prof(("sort_x", "y"))._2 == prof(("sort_x", "y"))._1)
+    assert(prof(("sort_y", "x"))._2 == prof(("sort_y", "x"))._1)
+    // z-order: a 1/16th range probe on EITHER column scans a small
+    // fraction of the 64 files (8/64 on this grid), never all of them
+    assert(prof(("zorder", "x"))._2 <= 16, prof.toString)
+    assert(prof(("zorder", "y"))._2 <= 16, prof.toString)
+  }
 }
