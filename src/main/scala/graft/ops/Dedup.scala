@@ -224,116 +224,6 @@ object Dedup {
       .toDF("spilled_buckets", "spilled_ids", "max_bucket", "n_pairs")
   }
 
-  /** Exact duplicated-substring AUDIT (the ExactSubstr dedup of Lee et
-    * al. 2022, "Deduplicating Training Data Makes Language Models
-    * Better", at the token-n-gram grain): every MAXIMAL token span
-    * whose every length-`n` window occurs more than once in the corpus
-    * (across documents OR repeated within one). Memorized licenses,
-    * boilerplate headers, and templated passages show up here even
-    * when whole-document near-dup (MinHash) scores the documents as
-    * distinct — span-grain duplication is what actually trains into
-    * verbatim regurgitation.
-    *
-    * Returns `(id, span_start, span_end, span_len)` with 0-based token
-    * positions, `[span_start, span_end)` exclusive; overlapping
-    * duplicated windows are merged into maximal spans. Documents
-    * shorter than `n` tokens never flag. Pair with
-    * [[exciseDuplicateSpans]] to remove the spans, or apply a
-    * keep-one-occurrence policy downstream (the relation carries every
-    * occurrence, so the caller picks canonicals).
-    *
-    * Shape at 100 TB (all LINEAR, no pair expansion — the suffix-array
-    * machinery of the paper re-expressed relationally): one positional
-    * n-gram explode (corpus-token-count rows), ONE gram-keyed shuffle
-    * whose window count marks duplicated occurrences in place (no
-    * aggregate + join-back, which would evaluate the explode twice),
-    * one per-DOC window merge (partitioned by id — never global). The
-    * gram relation is the same grain
-    * [[graft.ops.TextAnalysis.crossDocNgramOverlap]] profiles; this
-    * materializes the positions instead of the fraction.
-    */
-  def duplicatedSpans(docs: DataFrame, n: Int, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    require(n >= 1, s"n=$n must be >= 1")
-    // positions index the EMPTY-FILTERED token sequence — the same
-    // sequence exciseDuplicateSpans rebuilds text from, so span offsets
-    // line up even on texts with doubled whitespace
-    val pos = docs
-      .select(col(idCol).as("id"),
-        filter(split(col(textCol), " "), t => length(t) > 0).as("t"))
-      .where(size(col("t")) >= n)
-      .select(col("id"), explode(expr(
-        s"transform(sequence(1, size(t) - ${n - 1}), " +
-          s"i -> struct(i - 1 AS p, concat_ws(' ', slice(t, i, $n)) " +
-          "AS gram))")).as("pg"))
-      .select(col("id"), col("pg.p").as("p"), col("pg.gram").as("gram"))
-    // duplicated = gram occurs >1×: a gram-partitioned window count,
-    // NOT a count-aggregate + join-back — the join shape evaluates the
-    // positional explode twice (Spark does not reuse the exchange
-    // across self-join branches); the window shuffles the gram relation
-    // once and filters in place
-    val wg = org.apache.spark.sql.expressions.Window.partitionBy("gram")
-    val dupPos = pos
-      .withColumn("__c", count(lit(1)).over(wg))
-      .where(col("__c") > 1).select("id", "p")
-    // merge overlapping [p, p+n) windows into maximal spans: a window
-    // starts a new span iff it begins past every earlier window's end
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("id").orderBy("p")
-    val prevEnd = max(col("p") + n).over(
-      w.rowsBetween(org.apache.spark.sql.expressions.Window
-        .unboundedPreceding, -1))
-    dupPos
-      .withColumn("new_span",
-        when(prevEnd.isNull || col("p") > prevEnd, 1L).otherwise(0L))
-      .withColumn("span_id", sum(col("new_span")).over(
-        w.rowsBetween(org.apache.spark.sql.expressions.Window
-          .unboundedPreceding, 0)))
-      .groupBy(col("id"), col("span_id"))
-      .agg(min(col("p")).cast("long").as("span_start"),
-        (max(col("p")) + n).cast("long").as("span_end"))
-      .select(col("id"), col("span_start"), col("span_end"),
-        (col("span_end") - col("span_start")).as("span_len"))
-  }
-
-  /** Remove every [[duplicatedSpans]] span from the corpus: the
-    * enforcement half of ExactSubstr dedup. ALL occurrences are excised
-    * (the simple conservative policy — the audit relation lets a caller
-    * implement keep-one instead); untouched documents pass through,
-    * including those shorter than `n` tokens. Returns
-    * `(id, n_tokens, n_removed, clean_text)`.
-    *
-    * Shape at 100 TB: [[duplicatedSpans]]'s linear passes, the merged
-    * spans collapsed to ONE array row per flagged doc (bounded by the
-    * doc's own span count), one equi-join back on the id, and a narrow
-    * positional filter `O(len · |spans|)` per row.
-    */
-  def exciseDuplicateSpans(docs: DataFrame, n: Int,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val spans = duplicatedSpans(docs, n, idCol, textCol)
-      .groupBy(col("id"))
-      .agg(sort_array(collect_list(struct(
-        col("span_start").as("s"), col("span_end").as("e")))).as("spans"))
-    docs
-      .select(col(idCol).as("id"),
-        filter(split(col(textCol), " "), t => length(t) > 0).as("t"))
-      .join(spans, Seq("id"), "left")
-      .select(col("id"),
-        size(col("t")).cast("long").as("n_tokens"),
-        coalesce(expr(
-          """aggregate(spans, CAST(0 AS BIGINT),
-            |  (acc, sp) -> acc + sp.e - sp.s)""".stripMargin), lit(0L))
-          .as("n_removed"),
-        when(col("spans").isNull, array_join(col("t"), " "))
-          .otherwise(array_join(expr(
-            """filter(transform(t, (tok, i) ->
-              |    CASE WHEN exists(spans,
-              |        sp -> i >= sp.s AND i < sp.e)
-              |      THEN CAST(NULL AS STRING) ELSE tok END),
-              |  x -> x IS NOT NULL)""".stripMargin), " "))
-          .as("clean_text"))
-  }
-
   /** Exact pairwise n-gram Jaccard similarity >= `minJaccard`.
     * Quadratic in co-shingle document pairs — the small-scale oracle for
     * [[minhashCandidates]]; at 100 TB run MinHash first and feed the
@@ -824,10 +714,17 @@ object Dedup {
           .stripMargin)).as("g"))
       .select(col("doc_id"), col("g.pos").cast("long").as("pos"),
         md5(col("g.gram")).as("gh"))
-    val dup = grams.groupBy("gh").agg(count(lit(1)).as("occ"))
-      .where(col("occ") >= dupThreshold)
+    // duplicated = gram occurs >= dupThreshold times: a gram-partitioned
+    // window count, NOT a count-aggregate + join-back — the join shape
+    // evaluates the positional explode twice (Spark does not reuse the
+    // exchange across self-join branches); the window shuffles the gram
+    // relation once and filters in place (round-10 fix: ~40% faster at
+    // 1x and 10x, hash-identical)
+    val wg = Window.partitionBy("gh")
     val w = Window.partitionBy("doc_id").orderBy("pos")
-    grams.join(dup, "gh")
+    grams
+      .withColumn("__occ", count(lit(1)).over(wg))
+      .where(col("__occ") >= dupThreshold)
       .withColumn("brk",
         when(col("pos") - lag("pos", 1).over(w) > k, 1).otherwise(0))
       .withColumn("island", sum("brk").over(w))

@@ -6739,84 +6739,31 @@ object TrainingOps {
              |    AS BIGINT) AS slice_len
              |FROM e ORDER BY window_id, id""".stripMargin)),
 
-    // ExactSubstr dedup audit (Lee et al. 2022): maximal token spans
-    // whose every 8-gram window occurs more than once in the corpus -
-    // positional gram explode, gram-grain count, semi-join back, per-
-    // doc window merge. The oracle replays the identical merge.
+    // The ExactSubstr AUDIT relation (Lee et al. 2022): q137 hash-checks
+    // the REMOVAL pass over Dedup.duplicateSpans at k=5; this entry
+    // exposes the span relation itself (1-based inclusive token spans,
+    // merged islands of duplicated 8-gram windows) so keep-one policies
+    // and duplication reports are driver-checked too.
     QueryDef("q270_duplicated_spans",
-      (s, d) => graft.ops.Dedup.duplicatedSpans(
-          table(s, d, "documents"), 8)
-        .orderBy("id", "span_start"),
-      Some("""WITH toks AS (SELECT doc_id,
-             |    list_filter(string_split(text, ' '), x -> len(x) > 0)
-             |      AS t FROM documents),
-             |pos AS (SELECT doc_id, i - 1 AS p,
-             |    array_to_string(t[i:i+7], ' ') AS gram
-             |  FROM toks, UNNEST(generate_series(1, len(t) - 7)) u(i)
-             |  WHERE len(t) >= 8),
-             |dup AS (SELECT gram FROM pos GROUP BY 1 HAVING COUNT(*) > 1),
-             |dp AS (SELECT doc_id, p FROM pos JOIN dup USING (gram)),
-             |m AS (SELECT doc_id, p,
-             |    CASE WHEN p > COALESCE(MAX(p + 8) OVER (
-             |        PARTITION BY doc_id ORDER BY p
-             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-             |      -1) THEN 1 ELSE 0 END AS ns
-             |  FROM dp),
-             |sp AS (SELECT doc_id, p, SUM(ns) OVER (PARTITION BY doc_id
-             |    ORDER BY p ROWS UNBOUNDED PRECEDING) AS span_id
-             |  FROM m)
-             |SELECT doc_id AS id, CAST(MIN(p) AS BIGINT) AS span_start,
-             |  CAST(MAX(p) + 8 AS BIGINT) AS span_end,
-             |  CAST(MAX(p) + 8 - MIN(p) AS BIGINT) AS span_len
-             |FROM sp GROUP BY doc_id, span_id
-             |ORDER BY id, span_start""".stripMargin)),
-
-    // The enforcement half: excise every duplicated span (all
-    // occurrences - the conservative policy; the q270 relation carries
-    // every occurrence for keep-one policies). Untouched docs pass
-    // through byte-identical on the filtered-token rendering.
-    QueryDef("q271_excise_duplicates",
-      (s, d) => graft.ops.Dedup.exciseDuplicateSpans(
-          table(s, d, "documents"), 8)
-        .orderBy("id"),
-      Some("""WITH toks AS (SELECT doc_id,
-             |    list_filter(string_split(text, ' '), x -> len(x) > 0)
-             |      AS t FROM documents),
-             |pos AS (SELECT doc_id, i - 1 AS p,
-             |    array_to_string(t[i:i+7], ' ') AS gram
-             |  FROM toks, UNNEST(generate_series(1, len(t) - 7)) u(i)
-             |  WHERE len(t) >= 8),
-             |dup AS (SELECT gram FROM pos GROUP BY 1 HAVING COUNT(*) > 1),
-             |dp AS (SELECT doc_id, p FROM pos JOIN dup USING (gram)),
-             |m AS (SELECT doc_id, p,
-             |    CASE WHEN p > COALESCE(MAX(p + 8) OVER (
-             |        PARTITION BY doc_id ORDER BY p
-             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-             |      -1) THEN 1 ELSE 0 END AS ns
-             |  FROM dp),
-             |sp AS (SELECT doc_id, p, SUM(ns) OVER (PARTITION BY doc_id
-             |    ORDER BY p ROWS UNBOUNDED PRECEDING) AS span_id
-             |  FROM m),
-             |spans AS (SELECT doc_id, MIN(p) AS s0, MAX(p) + 8 AS e0
-             |  FROM sp GROUP BY doc_id, span_id),
-             |cov AS (SELECT DISTINCT doc_id, u.q
-             |  FROM spans, UNNEST(generate_series(s0, e0 - 1)) u(q)),
-             |tokpos AS (SELECT doc_id, i - 1 AS q, t[i] AS tok
-             |  FROM toks, UNNEST(generate_series(1, len(t))) u(i)),
-             |kept AS (SELECT tp.doc_id, tp.q, tp.tok FROM tokpos tp
-             |  ANTI JOIN cov c ON c.doc_id = tp.doc_id AND c.q = tp.q),
-             |rem AS (SELECT doc_id, CAST(SUM(e0 - s0) AS BIGINT)
-             |    AS n_removed FROM spans GROUP BY 1),
-             |agg AS (SELECT doc_id,
-             |    string_agg(tok, ' ' ORDER BY q) AS clean_text
-             |  FROM kept GROUP BY 1)
-             |SELECT t.doc_id AS id, CAST(len(t.t) AS BIGINT) AS n_tokens,
-             |  COALESCE(r.n_removed, 0) AS n_removed,
-             |  COALESCE(a.clean_text, '') AS clean_text
-             |FROM toks t
-             |LEFT JOIN rem r ON r.doc_id = t.doc_id
-             |LEFT JOIN agg a ON a.doc_id = t.doc_id
-             |ORDER BY id""".stripMargin)),
+      (s, d) => Dedup.duplicateSpans(table(s, d, "documents"), k = 8)
+        .orderBy("doc_id", "start_tok"),
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+             |  FROM documents WHERE len(string_split(text, ' ')) >= 8),
+             |g AS (SELECT doc_id, i AS pos,
+             |    md5(array_to_string(t[i:i+7], ' ')) AS gh
+             |  FROM d, UNNEST(generate_series(1, len(t) - 7)) s(i)),
+             |c AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) >= 2),
+             |m AS (SELECT doc_id, pos FROM g JOIN c USING (gh)),
+             |b AS (SELECT doc_id, pos, CASE WHEN pos - LAG(pos) OVER (
+             |    PARTITION BY doc_id ORDER BY pos) > 8 THEN 1 ELSE 0 END
+             |    AS brk FROM m),
+             |i AS (SELECT doc_id, pos, SUM(brk) OVER (
+             |    PARTITION BY doc_id ORDER BY pos) AS island FROM b)
+             |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS start_tok,
+             |  CAST(MAX(pos) + 7 AS BIGINT) AS end_tok,
+             |  CAST(COUNT(*) AS BIGINT) AS n_dup_grams
+             |FROM i GROUP BY doc_id, island
+             |ORDER BY doc_id, start_tok""".stripMargin)),
 
     // Blocklist scan: one Aho-Corasick pass per document over a
     // 12-phrase list with nested/overlapping entries ("table" inside

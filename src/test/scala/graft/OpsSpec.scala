@@ -1801,39 +1801,40 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(pp(1L) < pp(2L), pp.toString)
   }
 
-  test("duplicated spans: shared passages merge to maximal spans, " +
-      "within-doc repeats flag, excision removes exactly the spans") {
+  test("duplicate spans: shared passages merge to maximal islands, " +
+      "within-doc repeats flag, removal excises exactly the spans") {
     val s2 = spark; import s2.implicits._
-    val shared = "s1 s2 s3 s4 s5" // 5 tokens; with n=3, windows overlap
+    val shared = "s1 s2 s3 s4 s5" // 5 tokens; with k=3, windows overlap
     val docs = Seq(
       (1L, s"a1 a2 $shared a3 a4"),
       (2L, s"b1 $shared b2 b3 b4"),
       (3L, "c1 c2 c3 c4 c5 c6 c7"), // unique content
       (4L, "d1 d2 r1 r2 r3 d3 r1 r2 r3 d4"), // within-doc repeat
-      (5L, "e1 e2")) // shorter than n
+      (5L, "e1 e2")) // shorter than k
       .toDF("doc_id", "text")
-    val spans = graft.ops.Dedup.duplicatedSpans(docs, 3)
+    val spans = graft.ops.Dedup.duplicateSpans(docs, 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .toSet
-    // doc 1: shared passage at tokens 2..6 -> one merged span [2, 7)
-    // doc 2: at tokens 1..5 -> [1, 6)
-    // doc 4: r1 r2 r3 at [2, 5) and [6, 9)
-    assert(spans == Set((1L, 2L, 7L), (2L, 1L, 6L),
-      (4L, 2L, 5L), (4L, 6L, 9L)), spans.toString)
-    val cleaned = graft.ops.Dedup.exciseDuplicateSpans(docs, 3)
+    // 1-based inclusive: doc 1's shared core is tokens 3..7, doc 2's
+    // 2..6; doc 4's repeated trigram flags two islands 3..5 and 7..9
+    assert(spans == Set((1L, 3L, 7L), (2L, 2L, 6L),
+      (4L, 3L, 5L), (4L, 7L, 9L)), spans.toString)
+    val cleaned = graft.ops.Dedup.removeDuplicateSpans(docs, 3)
+      .select("doc_id", "n_removed_tokens", "clean_text")
       .collect()
-      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
       .toMap
-    assert(cleaned(1L) == ((9L, 5L, "a1 a2 a3 a4")))
-    assert(cleaned(2L) == ((9L, 5L, "b1 b2 b3 b4")))
-    assert(cleaned(3L) == ((7L, 0L, "c1 c2 c3 c4 c5 c6 c7")))
-    assert(cleaned(4L) == ((10L, 6L, "d1 d2 d3 d4")))
-    assert(cleaned(5L) == ((2L, 0L, "e1 e2")))
-    // a fully-duplicated doc excises to the empty string
+    assert(cleaned(1L) == ((5L, "a1 a2 a3 a4")))
+    assert(cleaned(2L) == ((5L, "b1 b2 b3 b4")))
+    assert(cleaned(3L) == ((0L, "c1 c2 c3 c4 c5 c6 c7")))
+    assert(cleaned(4L) == ((6L, "d1 d2 d3 d4")))
+    assert(cleaned(5L) == ((0L, "e1 e2")))
+    // a fully-duplicated doc cleans to the empty string
     val twins = Seq((1L, "x1 x2 x3 x4"), (2L, "x1 x2 x3 x4"))
       .toDF("doc_id", "text")
-    val ct = graft.ops.Dedup.exciseDuplicateSpans(twins, 3)
-      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    val ct = graft.ops.Dedup.removeDuplicateSpans(twins, 3)
+      .collect().map(r => r.getLong(0) ->
+        r.getString(r.fieldIndex("clean_text"))).toMap
     assert(ct == Map(1L -> "", 2L -> ""))
   }
 

@@ -809,7 +809,7 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     partitionedWindows(Layout.globalCumsum(lens, "doc_id", "doc_id",
       "n_tokens", numBuckets = 64))
     partitionedWindows(graft.ops.Curation.contextWindows(lens, 256L))
-    partitionedWindows(graft.ops.Dedup.duplicatedSpans(docs, 8))
-    partitionedWindows(graft.ops.Dedup.exciseDuplicateSpans(docs, 8))
+    partitionedWindows(graft.ops.Dedup.duplicateSpans(docs, 8))
+    partitionedWindows(graft.ops.Dedup.removeDuplicateSpans(docs, 8))
   }
 }
