@@ -200,7 +200,11 @@ object Classify {
     * Binomial(n, 1/folds) share, which at corpus scale is equal to
     * rounding error; on tiny inputs prefer [[stratifiedFolds]]'
     * round-robin. md5-prefix arithmetic (not xxhash64) so the DuckDB
-    * oracle replays it digit for digit.
+    * oracle replays it digit for digit. The k-FOLD sibling of
+    * [[graft.ops.Sampling.contentSplit]]'s weighted named splits (same
+    * hash-the-row discipline; that one draws a unit from the TEXT
+    * content for leakage-safe train/test cuts, this one deals equal
+    * folds from the id for cross-validation).
     */
   def hashFolds(df: DataFrame, idCols: Seq[String], folds: Int,
       seed: Long = 42L, foldCol: String = "fold"): DataFrame = {

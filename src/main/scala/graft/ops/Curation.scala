@@ -738,6 +738,17 @@ object Curation {
     * first-fit bin packing, at the cost of split documents — the
     * attention mask handles the boundary downstream).
     *
+    * TIER NOTE: this is the EXACT-GLOBAL tier of
+    * [[graft.ops.Sampling.packExamples]] (q157), which cuts per-hash-
+    * bucket streams — one partial example per bucket, no cross-bucket
+    * order. The global tier became possible once
+    * [[graft.ops.Layout.globalCumsum]] made the exact distributed
+    * prefix sum cheap: exactly ONE partial window corpus-wide and a
+    * caller-chosen curriculum order, for the same one-shuffle cost
+    * class. Use packExamples when bucket-local order suffices and the
+    * per-bucket waste is acceptable; use this when the stream order is
+    * part of the training recipe.
+    *
     * Returns ONE ROW PER (window, document-slice):
     * `(window_id, id, doc_offset, win_offset, slice_len)` — document
     * `id` contributes `slice_len` tokens starting at its own
