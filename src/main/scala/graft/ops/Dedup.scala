@@ -968,8 +968,12 @@ object Dedup {
       .withColumn("blk", (length(col(rightKey)) / w).cast("long"))
     l.join(r, "blk")
       .where(abs(length(col(leftKey)) - length(col(rightKey))) <= maxDist)
-      .withColumn("dist", levenshtein(col(leftKey), col(rightKey)))
-      .where(col("dist") <= maxDist)
+      // thresholded levenshtein early-exits outside the ±maxDist band
+      // (O(maxDist·min) per pair, -1 past the threshold) — the same
+      // kernel the q223/q257 call sites already use; kept pairs carry
+      // the exact distance either way
+      .withColumn("dist", levenshtein(col(leftKey), col(rightKey), maxDist))
+      .where(col("dist") >= 0 && col("dist") <= maxDist)
       .drop("blk")
   }
 }
