@@ -181,6 +181,62 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("token_ngram_clip kernel: symmetric (Σ min is), identity = own " +
+      "gram count, bounded by both sides") {
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    val stream = Gen.chooseNum(0, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" ")))
+    check(forAll(stream, stream) { (c, r) =>
+      for (n <- 1 to 3) {
+        val cr = graft.functions.TokenNgramClip.clip(u(c), u(r), n)
+        val rc = graft.functions.TokenNgramClip.clip(u(r), u(c), n)
+        assert(cr == rc, s"symmetry n=$n '$c' '$r'")
+        def g(s: String) =
+          math.max(0, s.split(" ").count(_.nonEmpty) - n + 1)
+        assert(cr <= math.min(g(c), g(r)))
+        assert(graft.functions.TokenNgramClip.clip(u(c), u(c), n) == g(c))
+      }
+    })
+  }
+
+  test("BpeEncode kernel: the encoded symbols always reassemble the " +
+      "word, for ANY merge table") {
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    val word = Gen.chooseNum(0, 16).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.mkString))
+    val table = Gen.chooseNum(0, 8).flatMap(n => Gen.listOfN(n, for {
+      a <- Gen.oneOf("a", "b", "c", "ab", "bc", "abc")
+      b <- Gen.oneOf("a", "b", "c", "ab", "ca")
+    } yield (a, b)))
+    check(forAll(word, table) { (w, merges) =>
+      if (merges.nonEmpty) {
+        val enc = graft.functions.BpeEncode(
+          org.apache.spark.sql.catalyst.expressions.Literal(w), merges)
+        val syms = enc.encode(u(w)).toArray[AnyRef](
+          org.apache.spark.sql.types.StringType).map(_.toString)
+        assert(syms.mkString == w, s"'$w' via $merges -> ${syms.toSeq}")
+        assert(syms.forall(_.nonEmpty))
+      }
+    })
+  }
+
+  test("MultiReplace kernel: with a token outside the pattern alphabet, " +
+      "no pattern survives the redaction, and the pass is idempotent") {
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    val text = Gen.chooseNum(0, 50).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val pats = Gen.chooseNum(1, 6).flatMap(n => Gen.listOfN(n,
+      Gen.chooseNum(1, 3).flatMap(m =>
+        Gen.listOfN(m, Gen.oneOf('a', 'b', 'c')).map(_.mkString))))
+    check(forAll(text, pats) { (t, ps) =>
+      val e = graft.functions.MultiReplace(
+        org.apache.spark.sql.catalyst.expressions.Literal(t), ps, "§")
+      val once = e.replaceAll(u(t)).toString
+      assert(!ps.exists(once.contains), s"'$t' $ps -> '$once'")
+      assert(e.replaceAll(u(once)).toString == once, "idempotent")
+    })
+  }
+
   test("gold parser keeps exactly 3-field lines, label case-insensitively") {
     check(forAll(Gen.listOf(Gen.oneOf(
       Gen.const("alpha beta True"), Gen.const("a  b FALSE"),
