@@ -812,4 +812,26 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     partitionedWindows(graft.ops.Dedup.duplicateSpans(docs, 8))
     partitionedWindows(graft.ops.Dedup.removeDuplicateSpans(docs, 8))
   }
+
+  test("blocklist scan and redaction are purely narrow: zero Exchange") {
+    val pats = Seq("table", "fast merge", "scan")
+    for (df <- Seq(graft.ops.Curation.blocklistScan(docs, pats),
+        graft.ops.Curation.redactBlocklist(docs, pats))) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        s"blocklist ops must not shuffle:\n$p")
+    }
+  }
+
+  test("KN perplexity: every model relation joins broadcast, no " +
+      "SortMergeJoin touches the scoring pass") {
+    val ref = docs.where(col("doc_id") % 10 === 0)
+    val score = docs.where(col("doc_id") % 10 =!= 0)
+    val p = graft.ops.TextAnalysis.perplexityKN(score, ref)
+      .queryExecution.executedPlan.toString
+    assert("(?i)broadcasthashjoin".r.findAllIn(p).size >= 5,
+      s"five model lookups must broadcast:\n${p.take(2000)}")
+    assert(!"(?i)sortmergejoin".r.findAllIn(p).hasNext,
+      "no sort-merge join on the scoring pass")
+  }
 }
