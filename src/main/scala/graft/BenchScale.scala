@@ -55,7 +55,15 @@ object BenchScale {
     // physical shape), sorted-neighborhood blocking over it, and the
     // narrow per-pair text metrics
     "q260_global_rank", "q261_sorted_neighbors", "q262_rouge_l",
-    "q263_bleu")
+    "q263_bleu",
+    // round-10 additions: the ML algebra trio, the spill certificate,
+    // the prefix-sum/packing pair, the span-dedup audit, the blocklist
+    // pair, KN perplexity, and the Z-order skipping audit
+    "q264_ml_fold_assignment", "q265_ml_report_algebra", "q266_hash_folds",
+    "q267_spill_certificate", "q268_global_cumsum",
+    "q269_context_windows", "q270_duplicated_spans",
+    "q272_blocklist_scan", "q273_redact_blocklist", "q274_kn_perplexity",
+    "q275_zorder_skipping")
 
   private def loadavg: String =
     try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
