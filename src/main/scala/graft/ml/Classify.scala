@@ -124,7 +124,6 @@ object Classify {
         // serialization through no fault of its own (ClassifySpec pins
         // the interaction)
         rf.copy(org.apache.spark.ml.param.ParamMap.empty).fit(train)
-          .copy(org.apache.spark.ml.param.ParamMap.empty)
           .transform(test)
           .select(col("label"), col("prediction"),
             when(size(arr) === 2, element_at(arr, 2))
