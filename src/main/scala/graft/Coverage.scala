@@ -67,7 +67,7 @@ object Coverage {
           val id =
             if (idPat.findFirstIn(cells.head).isDefined && cells.head != "—"
               && cells.head != "-") cells.head
-            else s"${section.takeWhile(_ != ' ')}:${cells.head.take(40)}"
+            else s"${section.takeWhile(_ != ' ')}:${cells.head}"
           rows += OpRow(section, id, cells, header, refs(line))
         }
       }

@@ -187,13 +187,16 @@ object Dedup {
     * a non-zero count quantifies exactly how much pathological bucket
     * volume was refused, next to the `n_pairs` that were produced.
     *
-    * The certificate action runs with AQE OFF (restored after): AQE's
-    * empty-relation propagation can prune the already-executed metric
-    * stage out of the final plan when the pair output is empty, which
-    * would leave the Observation forever unfilled (the read-side corner
-    * documented on [[bucketPairsOf]]). An audit query pays that plan
-    * tax; the production path never reads the metric synchronously and
-    * keeps AQE.
+    * The certificate action is a `count()` and RIDES AQE as-is (the
+    * round-10 AQE toggle is gone): a global count's partial aggregate
+    * emits one row per task even over an empty pair stream, so the
+    * stage containing the metric never materializes empty and AQE's
+    * empty-relation propagation has nothing to prune — unlike the
+    * `collect()` shape, where an all-spill run empties the final plan
+    * and drops the CollectMetrics node (the read-side corner documented
+    * on [[bucketPairsOf]], still real for that shape). OpsSpec pins the
+    * certificate under `spark.sql.adaptive.enabled=true` in both the
+    * zero-spill and all-spill fixtures.
     */
   def spillCertificate(docs: DataFrame, n: Int,
       maxBucket: Int = DefaultMaxBucket, idCol: String = "doc_id",
@@ -203,15 +206,7 @@ object Dedup {
       s"graft_spill_cert_${spillSeq.incrementAndGet()}")
     val pairs = bucketPairsOf(shingles(docs, n, idCol, textCol),
       Seq("shingle"), col("id"), maxBucket, Some(obs))
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val prev = spark.conf.getOption(aqeKey)
-    spark.conf.set(aqeKey, "false")
-    val nPairs =
-      try pairs.count()
-      finally prev match {
-        case Some(v) => spark.conf.set(aqeKey, v)
-        case None => spark.conf.unset(aqeKey)
-      }
+    val nPairs = pairs.count()
     val m = obs.get
     def asLong(k: String): Long = m.get(k) match {
       case Some(v: Long) => v

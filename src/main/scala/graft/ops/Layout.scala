@@ -163,80 +163,82 @@ object Layout {
       .repartitionByRange(numPartitions, col("zvalue"))
       .sortWithinPartitions("zvalue")
 
+
   /** Dense 1-based GLOBAL rank over `(keyCol, idCol)` — exactly SQL's
     * `ROW_NUMBER() OVER (ORDER BY key, id)` — WITHOUT the
     * single-partition window that makes the naive spelling a driver-
     * sized bottleneck (Spark executes an unpartitioned window on ONE
-    * task; at 100 TB that task never finishes). The classic two-pass
-    * distributed ranking, plus automatic skew refinement:
+    * task; at 100 TB that task never finishes). The classic
+    * distributed ranking, made single-execution-safe in round 11:
     *
-    *  1. order-preserving bucketing: `bucket = ⌊(key − min) · B /
-    *     span⌋` (clamped to B−1) over one min/max aggregate. The
-    *     boundaries need not be EXACT — any monotone bucket function
-    *     yields exact ranks because the offsets come from the actual
-    *     counts — they only need to be deterministic, which closed
-    *     arithmetic over the two aggregate scalars is (no sampled
-    *     range partitioner, whose cuts are run-dependent);
-    *  2. per-bucket counts (ONE partial-agg shuffle) → cumulative
-    *     offsets, collected as ≤ `numBuckets` rows (a documented
-    *     B-bounded collect) and rebroadcast as a plan-literal map;
-    *  3. `rank = offset(bucket) + row_number` within the bucket — the
-    *     window is PARTITIONED by bucket, so the sort parallelizes B
-    *     ways and no task ever sees more than one bucket.
-    *
-    * SKEW GUARD: a bucket holding more than `maxBucketRows` rows (a
-    * constant or low-cardinality key concentrates everything in one
-    * bucket, degenerating step 3 to one sort task) is REFINED before
-    * ranking: a multi-key bucket re-buckets by key range within its
-    * own [min, max]; a single-key bucket (pure ties) sub-buckets by
-    * ID range — monotone in `id`, and ranks among equal keys are
-    * id-ordered, so the refinement is exact, not approximate. Up to
-    * three refinement rounds (each costs one more partial-agg counts
-    * pass at the refined group grain); residual pathology past that
-    * — or a tie group whose ids don't cast to long, which id-range
-    * refinement needs — FAILS LOUDLY rather than silently producing
-    * a task that never finishes. Every refinement is a deterministic
-    * function of collected aggregates, so reruns bucket identically;
-    * output ranks are IDENTICAL with or without refinement (the
-    * grouping only changes the plan, never the ROW_NUMBER semantics).
+    *  0. the input plan executes exactly ONCE: `localCheckpoint`
+    *     materializes the rows up front and every later pass — group
+    *     stats, refinement, the final ranked plan — reads the
+    *     materialized blocks. A non-deterministic source (sampling,
+    *     `rand`, a table mutating between actions) therefore CANNOT
+    *     desync the collected offsets from the final pass, which was
+    *     the documented caller-beware footgun before this round.
+    *     Lineage is truncated, so a lost block fails the job loudly
+    *     instead of silently recomputing different rows.
+    *     `materializeInput = false` opts out for callers whose input
+    *     is a deterministic scan and who prefer re-execution to one
+    *     materialization;
+    *  1. order-preserving COARSE bucketing `bucket = (key >> s) +
+    *     2^(b−1)` (arithmetic shift; b = ⌈log₂ numBuckets⌉ capped at
+    *     20) needs NO bounds pre-pass, so global key bounds AND
+    *     per-bucket counts land in ONE partial-agg aggregation. Any
+    *     monotone bucket function yields exact ranks because the
+    *     offsets come from actual counts — the boundaries only need
+    *     to be deterministic, which a closed shift is. Coarse
+    *     imbalance (real keys usually occupy a narrow slice of the
+    *     long range) is repaired by the refinement rounds below;
+    *  2. groups holding more rows than the BALANCE TARGET
+    *     `min(maxBucketRows, ⌈total/numBuckets⌉)` are refined: a
+    *     multi-key group re-buckets by key range within its own
+    *     [min, max] (collected in the same stats pass), a pure-tie
+    *     group sub-buckets by ID range — monotone in `id`, and ranks
+    *     among equal keys are id-ordered, so the refinement is
+    *     exact, not approximate. Up to three refinement rounds (each
+    *     one more partial-agg pass over the checkpointed rows at the
+    *     refined grain); residual imbalance past that is ACCEPTED if
+    *     every group fits `maxBucketRows` (the correctness/memory
+    *     cap) and fails loudly otherwise — as does a tie group over
+    *     the cap whose ids don't cast to long, which id-range
+    *     refinement needs. Group assignment is expressed as one
+    *     projected column per round (each referencing the previous
+    *     round's column, never inlining it), so the plan grows
+    *     linearly in refined groups, not exponentially;
+    *  3. cumulative offsets are collected as ≤ |groups| rows (a
+    *     documented group-bounded collect), rebroadcast as a
+    *     plan-literal map, and `rank = offset(group) + row_number`
+    *     within the group — the window is PARTITIONED by group, so
+    *     the sort parallelizes |groups| ways and no task ever sees
+    *     more than one group.
     *
     * Requirements (violations fail loudly, never corrupt ranks):
     *  - `keyCol` must be integral (cast to long) and NON-NULL — a SQL
     *    window would sort nulls first; this operator refuses them;
     *  - `(key, id)` must be unique or ranks are nondeterministic
-    *    among ties;
-    *  - `df` must be DETERMINISTIC under re-evaluation: the plan
-    *    executes once per pass (bounds, counts, final rank), and a
-    *    source whose rows change between actions desynchronizes the
-    *    collected offsets from the final pass (gaps/duplicate ranks).
-    *    Non-deterministic upstream (sampling, `rand`, a mutating
-    *    table) must be checkpointed/cached by the caller first.
+    *    among ties.
     *
-    * Appends `rankCol`; `rankCol` and the internal `__grk_g` must not
-    * collide with existing columns.
+    * Appends `rankCol`; `rankCol` and the internal `__grk_*` names
+    * must not collide with existing columns.
     */
   def globalRank(df: DataFrame, keyCol: String, idCol: String,
       rankCol: String = "rk", numBuckets: Int = 1024,
-      maxBucketRows: Long = 1L << 23): DataFrame = {
+      maxBucketRows: Long = 1L << 23,
+      materializeInput: Boolean = true): DataFrame = {
     require(numBuckets >= 1, s"numBuckets=$numBuckets must be >= 1")
     require(maxBucketRows >= 1, s"maxBucketRows=$maxBucketRows must be >= 1")
-    for (c <- Seq(rankCol, "__grk_g"))
-      require(!df.columns.contains(c),
+    for (c <- df.columns)
+      require(c != rankCol && !c.startsWith("__grk_"),
         s"globalRank: input already has a column named '$c' — rename it " +
-          "(the operator appends rankCol and uses __grk_g internally)")
+          "(the operator appends rankCol and uses __grk_* internally)")
+    val base = if (materializeInput) df.localCheckpoint() else df
     val k = col(keyCol).cast("long")
-    val idL = col(idCol).cast("long")
-    val bounds = df.agg(min(k).as("__mn"), max(k).as("__mx"),
-      sum(when(col(keyCol).isNull, 1L).otherwise(0L)).as("__nulls"))
-      .first()
-    if (!bounds.isNullAt(2) && bounds.getLong(2) > 0L)
-      throw new IllegalArgumentException(
-        s"globalRank: keyCol '$keyCol' has ${bounds.getLong(2)} null " +
-          "values — rank order over nulls is undefined here; filter them " +
-          "or coalesce to a sentinel first")
-    if (bounds.isNullAt(0)) return df.withColumn(rankCol, lit(null))
-    val (groupExpr, groups) = rankGroups(df, keyCol, idCol,
-      numBuckets, maxBucketRows, bounds.getLong(0), bounds.getLong(1))
+    val (addGroup, groups, _) = rankGroups(base, keyCol, idCol,
+      numBuckets, maxBucketRows, valCol = None)
+    if (groups.isEmpty) return base.withColumn(rankCol, lit(null))
     // offsets in GLOBAL rank order = lexicographic refinement-path order
     var acc = 0L
     val offsets = groups.map { g =>
@@ -246,7 +248,7 @@ object Layout {
     }.toMap
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("__grk_g").orderBy(k.asc, col(idCol).asc)
-    df.withColumn("__grk_g", groupExpr)
+    addGroup(base)
       .withColumn(rankCol,
         element_at(typedLit(offsets), col("__grk_g")) +
           row_number().over(w))
@@ -258,12 +260,12 @@ object Layout {
     * row's value (0 for the first row), exactly SQL's
     * `SUM(val) OVER (ORDER BY key, id ROWS UNBOUNDED PRECEDING) − val`
     * — without the single-partition window, via [[globalRank]]'s
-    * bucket-offset machinery (same two collected passes, same skew
-    * refinement, same loud-failure contract; see [[globalRank]] for
-    * the determinism/non-null-key requirements): per-group SUMS
-    * replace per-group counts, offsets accumulate with
-    * `Math.addExact` so a 100 TB token total overflows loudly, and the
-    * per-group window computes the local running sum in parallel.
+    * bucket-offset machinery (same single input execution, same skew
+    * refinement, same loud-failure contract): per-group value SUMS
+    * piggyback on the SAME stats pass that counts rows (zero extra
+    * jobs vs rank), offsets accumulate with `Math.addExact` so a
+    * 100 TB token total overflows loudly, and the per-group window
+    * computes the local running sum in parallel.
     *
     * The prefix sum is THE primitive corpus assembly needs: token-
     * budget cuts ("the first N tokens in curriculum order"), GPT-style
@@ -274,32 +276,20 @@ object Layout {
     */
   def globalCumsum(df: DataFrame, keyCol: String, idCol: String,
       valCol: String, cumCol: String = "cumsum", numBuckets: Int = 1024,
-      maxBucketRows: Long = 1L << 23): DataFrame = {
+      maxBucketRows: Long = 1L << 23,
+      materializeInput: Boolean = true): DataFrame = {
     require(numBuckets >= 1, s"numBuckets=$numBuckets must be >= 1")
     require(maxBucketRows >= 1, s"maxBucketRows=$maxBucketRows must be >= 1")
-    for (c <- Seq(cumCol, "__grk_g"))
-      require(!df.columns.contains(c),
+    for (c <- df.columns)
+      require(c != cumCol && !c.startsWith("__grk_"),
         s"globalCumsum: input already has a column named '$c' — rename " +
-          "it (the operator appends cumCol and uses __grk_g internally)")
+          "it (the operator appends cumCol and uses __grk_* internally)")
+    val base = if (materializeInput) df.localCheckpoint() else df
     val k = col(keyCol).cast("long")
     val v = coalesce(col(valCol).cast("long"), lit(0L))
-    val bounds = df.agg(min(k).as("__mn"), max(k).as("__mx"),
-      sum(when(col(keyCol).isNull, 1L).otherwise(0L)).as("__nulls"))
-      .first()
-    if (!bounds.isNullAt(2) && bounds.getLong(2) > 0L)
-      throw new IllegalArgumentException(
-        s"globalCumsum: keyCol '$keyCol' has ${bounds.getLong(2)} null " +
-          "values — prefix order over nulls is undefined here; filter " +
-          "them or coalesce to a sentinel first")
-    if (bounds.isNullAt(0)) return df.withColumn(cumCol, lit(null))
-    val (groupExpr, groups) = rankGroups(df, keyCol, idCol,
-      numBuckets, maxBucketRows, bounds.getLong(0), bounds.getLong(1))
-    // ONE more partial-agg pass at the (converged) group grain: each
-    // group's value total, collected as ≤ |groups| longs
-    val sums = df.groupBy(groupExpr.as("__grk_g"))
-      .agg(sum(v).as("s")).collect()
-      .map(r => r.getInt(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
-      .toMap
+    val (addGroup, groups, sums) = rankGroups(base, keyCol, idCol,
+      numBuckets, maxBucketRows, valCol = Some(v))
+    if (groups.isEmpty) return base.withColumn(cumCol, lit(null))
     var acc = 0L
     val offsets = groups.map { g =>
       val o = g.gid -> acc
@@ -310,7 +300,7 @@ object Layout {
       .partitionBy("__grk_g").orderBy(k.asc, col(idCol).asc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    df.withColumn("__grk_g", groupExpr)
+    addGroup(base)
       .withColumn(cumCol,
         element_at(typedLit(offsets), col("__grk_g")) +
           sum(v).over(w) - v)
@@ -326,20 +316,38 @@ object Layout {
   private[graft] final case class RankGroup(gid: Int, path: Vector[Int],
       rows: Long)
 
-  /** [[globalRank]]'s group assignment: the (group-id expression,
-    * final groups in global rank order) pair, with every group's row
-    * count ≤ `maxBucketRows` (the skew refinement loop's exit
-    * condition) or a loud failure.
+  /** Balance-split floor: groups at or under this many rows are never
+    * refined for parallelism alone (the hard `maxBucketRows` cap still
+    * applies above it).
+    */
+  private val minSplitTarget = 1024L
+
+  /** [[globalRank]]'s group assignment: returns (a function appending
+    * the final group id as `__grk_g`, the final groups in global rank
+    * order with exact row counts, and — when `valCol` is given — each
+    * final group's value sum, collected from the SAME stats pass).
+    * Every group's row count respects the balance target
+    * `min(maxBucketRows, ⌈total/numBuckets⌉)` after ≤ 3 refinement
+    * rounds, or at worst `maxBucketRows` (the hard cap — a loud
+    * failure past it). Group-id assignment is built as a CHAIN of
+    * projected columns (`__grk_l0`, `__grk_l1`, …), one per round,
+    * each referencing the previous round's COLUMN — never inlining
+    * its expression — so plan size stays linear in refined groups.
+    *
+    * Empty input returns no groups. Null keys are refused here (they
+    * surface as a null group id in the first stats pass).
     */
   private[graft] def rankGroups(df: DataFrame, keyCol: String,
       idCol: String, numBuckets: Int, maxBucketRows: Long,
-      mn: Long, mx: Long): (Column, Seq[RankGroup]) = {
+      valCol: Option[Column])
+      : (DataFrame => DataFrame, Seq[RankGroup], Map[Int, Long]) = {
     val k = col(keyCol).cast("long")
     // try_cast, not cast: under ANSI a non-integral id must surface as
     // the driver's actionable "cannot range-refine this tie group"
     // error (and only when refinement actually needs ids), never as a
     // task-level CAST_INVALID_INPUT from the stats pass
     val idL = expr(s"try_cast(`$idCol` as bigint)")
+    val v = valCol.getOrElse(lit(0L))
 
     // Range-normalized sub-bucket of `c` within [lo, hi] to `parts`
     // cells: subtract in DOUBLE (a long c − lo could overflow for a
@@ -351,39 +359,96 @@ object Layout {
           (hi.toDouble - lo.toDouble + 1.0)),
         lit((parts - 1).toDouble)).cast("int")
 
-    // lexicographic path order IS global rank order, because every
-    // split is monotone in the (key, id) order within its parent
-    var groups: Seq[RankGroup] = (0 until numBuckets).map(b =>
-      RankGroup(b, Vector(b), 0L))
-    var nextGid = numBuckets
-    var groupExpr: Column = rangeBucket(k, mn, mx, numBuckets)
+    // coarse bucket: (key >> s) + 2^(b-1) — monotone, deterministic,
+    // bounds-free; null keys stay null so the stats pass can refuse
+    // them with a count
+    val b = if (numBuckets <= 1) 0
+      else math.min(20,
+        64 - java.lang.Long.numberOfLeadingZeros(numBuckets.toLong - 1L))
+    val coarse: Column =
+      if (b == 0) when(k.isNull, lit(null).cast("int")).otherwise(lit(0))
+      else (shiftright(k, 64 - b) + lit(1L << (b - 1))).cast("int")
+
+    def lvl(i: Int) = s"__grk_l$i"
+    // one projected column per round; level i references col(lvl(i-1))
+    var levels: Vector[Column] = Vector(coarse)
+    def addGroup(d: DataFrame): DataFrame = {
+      val withLevels = levels.zipWithIndex.foldLeft(d) {
+        case (acc, (e, i)) => acc.withColumn(lvl(i), e)
+      }
+      withLevels
+        .withColumn("__grk_g", col(lvl(levels.size - 1)))
+        .drop(levels.indices.map(lvl): _*)
+    }
+
+    var groups: Seq[RankGroup] = Nil
+    var sums = Map.empty[Int, Long]
+    var nextGid = if (b == 0) 1 else 1 << b
+    var total = 0L
     var round = 0
     var done = false
     while (!done) {
-      // per-group stats in ONE partial-agg shuffle: row count plus the
-      // key/id bounds a refinement of this group would need
-      val stats = df.groupBy(groupExpr.as("__grk_g"))
+      // per-group stats in ONE partial-agg shuffle over the
+      // checkpointed rows: row count, the key/id bounds a refinement
+      // of this group would need, and (for globalCumsum) the value sum
+      val stats = addGroup(df).groupBy(col("__grk_g"))
         .agg(count(lit(1)).as("n"), min(k).as("kmn"), max(k).as("kmx"),
           min(idL).as("imn"), max(idL).as("imx"),
-          sum(when(idL.isNull, 1L).otherwise(0L)).as("inull"))
+          sum(when(idL.isNull, 1L).otherwise(0L)).as("inull"),
+          sum(v).as("vsum"))
         .collect()
-        .map(r => r.getInt(0) -> r).toMap
+      val nullKeyRows = stats.filter(_.isNullAt(0)).map(_.getLong(1)).sum
+      if (nullKeyRows > 0L)
+        throw new IllegalArgumentException(
+          s"globalRank: keyCol '$keyCol' has $nullKeyRows null values — " +
+            "rank order over nulls is undefined here; filter them or " +
+            "coalesce to a sentinel first")
+      val byGid = stats.map(r => r.getInt(0) -> r).toMap
+      if (round == 0) {
+        // groups discovered from the coarse pass, in gid (= key) order
+        groups = byGid.keys.toSeq.sorted.map(g =>
+          RankGroup(g, Vector(g), 0L))
+        total = stats.map(_.getLong(1)).sum
+      }
       groups = groups.map(g => g.copy(rows =
-        stats.get(g.gid).map(_.getLong(1)).getOrElse(0L)))
-      val oversized = groups.filter(_.rows > maxBucketRows)
+        byGid.get(g.gid).map(_.getLong(1)).getOrElse(0L)))
+      sums = groups.map(g => g.gid ->
+        byGid.get(g.gid).map(r =>
+          if (r.isNullAt(7)) 0L else r.getLong(7)).getOrElse(0L)).toMap
+      // balance target: ~numBuckets groups for sort parallelism,
+      // hard-capped at maxBucketRows for correctness/memory, floored
+      // at minSplitTarget (a sort task under a few thousand rows is
+      // trivially cheap — splitting further would just burn refinement
+      // passes on small inputs). A tie group whose ids don't cast to
+      // long can't be id-split, so only the HARD cap applies to it
+      // (balance alone never fails loudly).
+      val splitLimit = math.min(maxBucketRows, math.max(minSplitTarget,
+        (total + numBuckets - 1L) / numBuckets.toLong))
+      def limitFor(r: org.apache.spark.sql.Row): Long = {
+        val pureTie = !r.isNullAt(2) && r.getLong(2) == r.getLong(3)
+        val idsOk = r.getLong(6) == 0L && !r.isNullAt(4)
+        if (pureTie && !idsOk) maxBucketRows else splitLimit
+      }
+      val oversized = groups.filter(g =>
+        byGid.get(g.gid).exists(r => g.rows > limitFor(r)))
       if (oversized.isEmpty) done = true
-      else {
-        if (round >= 3) throw new IllegalStateException(
-          s"globalRank: ${oversized.size} bucket(s) still exceed " +
+      else if (round >= 3) {
+        val hard = groups.filter(_.rows > maxBucketRows)
+        if (hard.nonEmpty) throw new IllegalStateException(
+          s"globalRank: ${hard.size} bucket(s) still exceed " +
             s"maxBucketRows=$maxBucketRows after $round refinement " +
-            s"rounds (worst: ${oversized.map(_.rows).max} rows) " +
+            s"rounds (worst: ${hard.map(_.rows).max} rows) " +
             "— raise maxBucketRows or pre-aggregate the key")
+        done = true // residual imbalance within the hard cap: accept
+      } else {
         round += 1
+        val prev = col(lvl(round - 1))
+        var level: Column = prev
         val refined = oversized.flatMap { g =>
-          val r = stats(g.gid)
+          val r = byGid(g.gid)
           val (kmn, kmx) = (r.getLong(2), r.getLong(3))
           val parts = math.min(4096L, math.max(2L,
-            2L * ((g.rows + maxBucketRows - 1) / maxBucketRows))).toInt
+            2L * ((g.rows + splitLimit - 1L) / splitLimit))).toInt
           val sub: Column =
             if (kmn < kmx) rangeBucket(k, kmn, kmx, parts) // split keys
             else { // pure tie group: split the ids (monotone in id)
@@ -396,27 +461,22 @@ object Layout {
                     "raise maxBucketRows")
               rangeBucket(idL, r.getLong(4), r.getLong(5), parts)
             }
-          val children = (0 until parts).map { i =>
-            val child = RankGroup(nextGid, g.path :+ i, 0L)
-            nextGid += 1
-            child
-          }
-          // rewrite the group expr: rows of g land in g's children
-          val childGid = children.foldLeft(lit(children.head.gid)) {
-            (acc, c) => when(sub === (c.path.last), lit(c.gid)).otherwise(acc)
-          }
-          groupExpr = when(groupExpr === g.gid, childGid).otherwise(groupExpr)
-          children
+          val baseGid = nextGid
+          nextGid += parts
+          // rows of g land in g's children [baseGid, baseGid + parts)
+          level = when(prev === g.gid, lit(baseGid) + sub).otherwise(level)
+          (0 until parts).map(i => RankGroup(baseGid + i, g.path :+ i, 0L))
         }
+        levels = levels :+ level
         val dead = oversized.map(_.gid).toSet
         groups = groups.filterNot(g => dead(g.gid)) ++ refined
       }
     }
-    val ordered = groups.sortWith((a, b) => {
-      val cmp = a.path.zip(b.path).find { case (x, y) => x != y }
+    val ordered = groups.sortWith((a, b2) => {
+      val cmp = a.path.zip(b2.path).find { case (x, y) => x != y }
       cmp.map { case (x, y) => x < y }
-        .getOrElse(a.path.length < b.path.length)
+        .getOrElse(a.path.length < b2.path.length)
     })
-    (groupExpr, ordered)
+    (addGroup, ordered, sums)
   }
 }

@@ -133,4 +133,61 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
     assert(prof(("zorder", "x"))._2 <= 16, prof.toString)
     assert(prof(("zorder", "y"))._2 <= 16, prof.toString)
   }
+
+  test("global rank executes its input plan exactly ONCE, even across " +
+      "refinement rounds (accumulator-counted)") {
+    val s2 = spark; import s2.implicits._
+    val acc = spark.sparkContext.longAccumulator("grk_evals")
+    val src = spark.range(0, 500, 1, 8)
+      .map { i => acc.add(1); (i.toLong, 7L) }.toDF("id", "k")
+    // constant key + tiny cap forces tie refinement: >= 2 stats passes
+    // plus the final ranked pass. Pre-round-11 each pass re-ran the map.
+    val got = Layout.globalRank(src, "k", "id", maxBucketRows = 40L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert((1L to 500L).forall(id => got(id - 1) == id), got.toString)
+    assert(acc.value == 500L,
+      s"input plan executed ${acc.value / 500.0} times, expected once")
+  }
+
+  test("global rank survives a source whose rows CHANGE between " +
+      "evaluations: offsets stay consistent with the final pass") {
+    val s2 = spark; import s2.implicits._
+    LayoutSpec.mutatingKey.set(0L)
+    // every evaluation of this plan yields DIFFERENT keys (a static
+    // counter keeps advancing): the round-10 contract pushed this onto
+    // the caller; round 11 materializes the input once instead
+    val src = spark.range(0, 400, 1, 8)
+      .map { i => (i.toLong, LayoutSpec.mutatingKey.getAndIncrement()) }
+      .toDF("id", "k")
+    val got = Layout.globalRank(src, "k", "id", maxBucketRows = 30L)
+      .collect()
+    // sorting the RESULT by (k, id) must walk ranks 1..n exactly — a
+    // desync between collected offsets and the final pass would show
+    // as gaps or duplicates
+    val ranks = got.sortBy(r => (r.getLong(1), r.getLong(0)))
+      .map(_.getLong(2)).toSeq
+    assert(ranks == (1L to 400L), ranks.take(20).toString)
+  }
+
+  test("global cumsum piggybacks value sums on the rank stats pass: " +
+      "one input execution, exact running totals under refinement") {
+    val s2 = spark; import s2.implicits._
+    val acc = spark.sparkContext.longAccumulator("gcs_evals")
+    val src = spark.range(0, 300, 1, 8)
+      .map { i => acc.add(1); (i.toLong, 5L, 2L) }.toDF("id", "k", "v")
+    val got = Layout.globalCumsum(src, "k", "id", "v",
+        maxBucketRows = 40L)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert((0L until 300L).forall(id => got(id) == 2L * id), got.toString)
+    assert(acc.value == 300L,
+      s"input plan executed ${acc.value / 300.0} times, expected once")
+  }
+}
+
+/** Static key source for the mutating-source fixture: survives closure
+  * serialization per-JVM, so each EVALUATION of the plan draws fresh
+  * keys — the desync trap [[graft.ops.Layout.globalRank]] must absorb.
+  */
+object LayoutSpec {
+  val mutatingKey = new java.util.concurrent.atomic.AtomicLong(0L)
 }

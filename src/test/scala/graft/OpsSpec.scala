@@ -1860,8 +1860,12 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("spillCertificate: the driver-visible certificate matches the " +
-      "bucket-size distribution; zero spill certifies the full pair set") {
+      "bucket-size distribution; zero spill certifies the full pair set; " +
+      "correct UNDER AQE in both the zero-spill and all-spill fixtures") {
     val s2 = spark; import s2.implicits._
+    // the certificate must not need the round-10 AQE toggle: its count()
+    // action keeps the metric stage alive even when every bucket spills
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
     val dense = (1L to 60L).map(id =>
       (id, s"c1 c2 c3 c4 c5 tail$id")).toDF("doc_id", "text")
     // open cap: zero spill, n_pairs == all C(60,2) pairs per core bucket
@@ -4114,9 +4118,9 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     // constant key, 500 rows, cap 40: without the guard this is ONE
     // 500-row sort task; the guard must split the tie group by id range
     val const = (1L to 500L).map(id => (id, 7L)).toDF("id", "k")
-    val (_, groupsC) = graft.ops.Layout.rankGroups(
+    val (_, groupsC, _) = graft.ops.Layout.rankGroups(
       const, "k", "id", numBuckets = 8, maxBucketRows = 40L,
-      mn = 7L, mx = 7L)
+      valCol = None)
     assert(groupsC.map(_.rows).sum == 500L)
     assert(groupsC.forall(_.rows <= 40L),
       s"unbounded group survived: ${groupsC.filter(_.rows > 40L)}")
@@ -4135,9 +4139,9 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
         org.apache.spark.sql.expressions.Window
           .orderBy(col("k"), col("id"))))
       .collect().map(r => r.getLong(0) -> r.getInt(2).toLong).toMap
-    val (_, groupsH) = graft.ops.Layout.rankGroups(
+    val (_, groupsH, _) = graft.ops.Layout.rankGroups(
       hot, "k", "id", numBuckets = 8, maxBucketRows = 50L,
-      mn = 0L, mx = 999L)
+      valCol = None)
     assert(groupsH.forall(_.rows <= 50L),
       s"unbounded group survived: ${groupsH.filter(_.rows > 50L)}")
     val gotH = graft.ops.Layout.globalRank(hot, "k", "id",
