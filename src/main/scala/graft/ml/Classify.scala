@@ -116,14 +116,17 @@ object Classify {
         // a fold trained on a single class yields a 1-element probability
         // vector; recover P(similar) from the lone class's probability
         val arr = org.apache.spark.ml.functions.vector_to_array(col("probability"))
-        // model.copy drops the trainingSummary before the model rides the
-        // prediction closure: the summary pins the SparkSession, and a
-        // session whose ObservationManager has been initialized (ANY
-        // Observation user in the process, e.g. Dedup.spillCertificate)
+        // the MODEL copy drops the trainingSummary before the model rides
+        // the prediction closure: the summary pins the SparkSession, and
+        // a session whose ObservationManager has been initialized (ANY
+        // Observation user in the process, e.g. Dedup.spillCertificate —
+        // since round 11 the AQE observation path initializes it too)
         // is no longer java-serializable — the fit would then fail task
         // serialization through no fault of its own (ClassifySpec pins
-        // the interaction)
+        // the interaction). The ESTIMATOR copy before it keeps parallel
+        // fold fits from sharing one mutable estimator.
         rf.copy(org.apache.spark.ml.param.ParamMap.empty).fit(train)
+          .copy(org.apache.spark.ml.param.ParamMap.empty)
           .transform(test)
           .select(col("label"), col("prediction"),
             when(size(arr) === 2, element_at(arr, 2))

@@ -189,4 +189,67 @@ class ClassifySpec extends AnyFunSuite with SparkTestBase {
     assert(report.nInstances == 4)
     assert(report.tp + report.fn == 1) // one related pair (about, us)
   }
+
+  test("CV quality band: accuracy and P/R/F1 pinned NUMERICALLY on a " +
+      "deterministic overlapping fixture, not just structurally (the " +
+      "fixture-scale analog of BASELINE.md:28-33's 93.4% / 0.950 / " +
+      "0.300 acceptance run)") {
+    // the reference's acceptance numbers come from its proprietary-scale
+    // corpus; this pins OUR M2-M4 chain (seeded 10-fold stratified CV ->
+    // RF fit -> report algebra) on a fixed synthetic task with genuine
+    // class OVERLAP (hash-derived noise at ~the class-mean separation),
+    // so an RF or fold regression moves a NUMBER instead of sliding
+    // under a learnability floor. Tolerances: +/-0.05 absolute around
+    // the pinned values measured on this fixture (seeded CV is
+    // bit-reproducible in one environment — ClassifySpec pins that —
+    // but RF tie-breaks may drift across Spark/JVM upgrades; 0.05 is
+    // far tighter than any real fit/fold defect, which moves these by
+    // 0.2+ toward the 0.67 majority floor).
+    val report = Classify.evaluate(
+      Classify.crossValPredictions(noisyVectors(1200), folds = 10,
+        seed = 42L, numTrees = 40),
+      folds = 10)
+    assert(report.nInstances == 1200L)
+    println(s"BAND acc=${report.accuracy} p=${report.precisionSimilar} " +
+      s"r=${report.recallSimilar} f1=${report.f1Similar} " +
+      s"kappa=${report.kappa} auc=${report.aucSimilar}")
+    val pinned = Seq(
+      ("accuracy", report.accuracy, PIN_ACC),
+      ("precision_similar", report.precisionSimilar, PIN_P),
+      ("recall_similar", report.recallSimilar, PIN_R),
+      ("f1_similar", report.f1Similar, PIN_F1))
+    for ((name, got, want) <- pinned)
+      assert(math.abs(got - want) <= 0.05,
+        s"$name drifted: got $got, pinned $want (+/-0.05)\n${report.render}")
+    // and the fit must be doing real work on the overlapping task:
+    // strictly better than the majority class, strictly below perfect
+    assert(report.accuracy > 0.70 && report.accuracy < 1.0, report.render)
+  }
+
+  /** Deterministic OVERLAPPING 24-dim vectors: class means one noise-
+    * width apart with hash-derived uniform noise, so the CV lands at a
+    * stable high-90s accuracy — a number a regression can move.
+    */
+  private def noisyVectors(n: Int) = {
+    val base = spark.range(n.toLong).toDF("id")
+      .withColumn("related", col("id") % 3 === 0)
+    PairVectors.vectorColumns.zipWithIndex.foldLeft(
+      base.withColumn("w1", concat(lit("a"), col("id")))
+        .withColumn("w2", concat(lit("b"), col("id")))) {
+      case (df, (c, i)) =>
+        val u = pmod(xxhash64(col("id"), lit(i)), lit(100000L))
+          .cast("double") / 100000.0
+        val sim = c.endsWith("cosine") || c.endsWith("jaccard") ||
+          c.endsWith("dice")
+        val mean = when(col("related"), lit(if (sim) 0.6 else 8.0))
+          .otherwise(lit(if (sim) 0.4 else 12.0))
+        df.withColumn(c, mean + (u - 0.5) * (if (sim) 1.0 else 20.0))
+    }
+  }
+  // pinned from the fixture's measured CV report (this spec, local[4],
+  // Spark 4.1.2, seed 42): acc 0.9883, P 0.9849, R 0.9800, F1 0.9825
+  private val PIN_ACC = 0.9883
+  private val PIN_P = 0.9849
+  private val PIN_R = 0.9800
+  private val PIN_F1 = 0.9825
 }
