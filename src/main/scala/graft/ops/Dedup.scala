@@ -971,4 +971,68 @@ object Dedup {
       .where(col("dist") >= 0 && col("dist") <= maxDist)
       .drop("blk")
   }
+
+  /** MinHash-LSH banding PLANNER — the closed-form design table a team
+    * consults BEFORE spending a 100 TB pass on [[minhashCandidates]]:
+    * for every (bands b, rows-per-band r) factorization of `numHashes`
+    * and every similarity s on a fixed grid, the collision probability
+    * `p = 1 − (1 − s^r)^b` and the plan's threshold `t* = (1/b)^(1/r)`
+    * (the s where p crosses ~0.5 — pairs above t* are probably caught,
+    * below probably skipped). Pick the row whose t* brackets your
+    * target J and read the false-negative risk straight off the curve.
+    * Pure arithmetic — runs in milliseconds, replayed exactly by any
+    * engine; floats rounded to 6 dp.
+    */
+  def lshPlan(numHashes: Int, gridStep: Double = 0.05): DataFrame = {
+    require(numHashes >= 1, s"numHashes=$numHashes must be >= 1")
+    require(gridStep > 0 && gridStep < 1, s"bad gridStep=$gridStep")
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
+    val plans = (1 to numHashes)
+      .filter(numHashes % _ == 0)
+      .map(b => (b, numHashes / b))
+    val nGrid = math.floor((1.0 - 1e-9) / gridStep).toInt
+    plans.toDF("bands", "rows_per_band")
+      .crossJoin(
+        (1 to nGrid).map(i => i * gridStep).toDF("s"))
+      .select(col("bands"), col("rows_per_band"),
+        round(pow(lit(1.0) / col("bands"),
+          lit(1.0) / col("rows_per_band")), 6).as("t_star"),
+        round(col("s"), 6).as("s"),
+        round(lit(1.0) - pow(lit(1.0) -
+          pow(col("s"), col("rows_per_band")), col("bands")), 6)
+          .as("p_collide"))
+  }
+
+  /** Measured RECALL of the MinHash-LSH candidate tier against the
+    * exact n-gram Jaccard truth on the SAME corpus — the audit that
+    * turns [[lshPlan]]'s theoretical S-curve into a number for THIS
+    * data: `(n_true, n_candidates, n_hits, recall, candidate_precision)`
+    * where `n_true` counts exact pairs with J ≥ `minJaccard`, `n_hits`
+    * how many of them the banding surfaced, and `candidate_precision`
+    * the fraction of candidates that verify (the cost side: every
+    * non-verifying candidate is a wasted exact rescore downstream).
+    *
+    * One row out. Run it on a fixture-scale sample BEFORE trusting a
+    * banding at 100 TB — the exact tier is quadratic in co-shingle
+    * pairs and is the reason this is an audit, not a production path.
+    */
+  def lshRecallAudit(docs: DataFrame, n: Int, numHashes: Int,
+      rowsPerBand: Int, minJaccard: Double,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val truth = jaccardPairs(docs, n, minJaccard, maxBucket)
+      .select(col("id1"), col("id2"))
+    val cands = minhashCandidates(docs, n, numHashes, rowsPerBand,
+      maxBucket)
+    val hits = truth.join(cands, Seq("id1", "id2"), "left_semi")
+    truth.agg(count(lit(1)).as("n_true"))
+      .crossJoin(cands.agg(count(lit(1)).as("n_candidates")))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+      .select(col("n_true"), col("n_candidates"), col("n_hits"),
+        round(when(col("n_true") > 0,
+          col("n_hits").cast("double") / col("n_true")), 6).as("recall"),
+        round(when(col("n_candidates") > 0,
+          col("n_hits").cast("double") / col("n_candidates")), 6)
+          .as("candidate_precision"))
+  }
 }

@@ -391,6 +391,67 @@ object Multimodal {
       })
   }
 
+
+  final case class ResampledBlock(doc_id: Long, block: Int,
+      n_samples: Int, energy_scaled: Long)
+
+  /** Rational PCM resampling (up `L` / down `M`) by linear
+    * interpolation over REAL decoded WAV samples, with per-block energy
+    * of the resampled stream — the rate-normalization pass an audio
+    * corpus runs before fingerprinting or feature extraction, since
+    * energy/ZCR features only compare across clips at one rate.
+    *
+    * All arithmetic is EXACT integer: output sample j sits at source
+    * position j·M/L, i.e. `i0 = (j·M) div L` with remainder `rem`, and
+    * the sample SCALED BY L is `s[i0]·(L − rem) + s[i0+1]·rem` — no
+    * float ever, so any engine replays it bit-for-bit from the same
+    * bytes. `energy_scaled` is Σ (u_scaled − 128·L)² over the block
+    * (the [[audioBlockFeatures]] energy, in the ×L domain). Output
+    * length is `(n−1)·L div M + 1`; undecodable media yields no rows.
+    *
+    * Shape at 100 TB: partition-batched narrow decode → 1→N block
+    * rows; no shuffle, no UDF registry, integers end to end.
+    */
+  def audioResampleBlocks(media: DataFrame, up: Int, down: Int,
+      blockLen: Int): Dataset[ResampledBlock] = {
+    require(up >= 1 && down >= 1, s"bad rational rate $up/$down")
+    require(blockLen >= 2, s"blockLen=$blockLen must be >= 2")
+    val s2 = media.sparkSession; import s2.implicits._
+    media.select(col("doc_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        wavSamplesU8(bytes).toSeq.flatMap { u =>
+          if (u.length < 2) Seq.empty
+          else {
+            val nOut = ((u.length - 1).toLong * up / down).toInt + 1
+            val mid = 128L * up
+            val out = new Array[Long](nOut)
+            var j = 0
+            while (j < nOut) {
+              val num = j.toLong * down
+              val i0 = (num / up).toInt
+              val rem = num % up
+              val s0 = u(i0).toLong
+              out(j) =
+                if (rem == 0L || i0 + 1 >= u.length) s0 * up
+                else s0 * (up - rem) + u(i0 + 1) * rem
+              j += 1
+            }
+            out.grouped(blockLen).zipWithIndex.map { case (blk, bi) =>
+              var energy = 0L
+              var i = 0
+              while (i < blk.length) {
+                val d = blk(i) - mid
+                energy += d * d
+                i += 1
+              }
+              ResampledBlock(id, bi, blk.length, energy)
+            }.toSeq
+          }
+        }
+      })
+  }
+
   /** The unsigned high-order byte of every PCM sample in a WAV —
     * [[decodeWav]]'s sample walk, returned raw for feature extraction.
     */

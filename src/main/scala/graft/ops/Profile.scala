@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1421,5 +1421,117 @@ object Profile {
         round(col("ysum") / col("n"), 6).as("accuracy"),
         round((col("ysum") - col("ssum")) / col("n"), 6).as("gap"),
         col("ece"), col("brier"))
+  }
+
+  /** Zipf-law fit of the corpus unigram distribution — ordinary least
+    * squares of ln(freq) on ln(rank): `freq(r) ~ C · r^slope`, the
+    * canonical corpus-health fingerprint (natural language sits near
+    * slope −1; a slope collapsing toward 0 means boilerplate/duplication
+    * flattened the distribution, a cliff past the head means template
+    * spam). Returns ONE row: `(n_vocab, n_tokens, slope, intercept, r2)`
+    * (intercept = ln C; r2 of the log-log fit), floats rounded to 6 dp.
+    *
+    * Ranks come from [[graft.ops.Layout.globalRank]] on (−freq,
+    * xxhash64(term)) — no single-partition window at any vocabulary
+    * size. Rank assignment within a frequency tie is arbitrary, and
+    * that is EXACT, not approximate: equal-freq terms occupy a
+    * contiguous rank block, so every OLS sum (Σln r, Σ(ln r)²,
+    * Σln r·ln f, …) is invariant under permutations within the block —
+    * any engine may break ties its own way and reach identical sums.
+    *
+    * Shape at 100 TB: one token-grain partial-agg shuffle to the vocab
+    * grain, then the rank machinery's two vocab-grain passes; OLS is
+    * one global aggregate. Nothing driver-side beyond rank offsets.
+    */
+  def zipfFit(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val freqs = docs
+      .select(explode(split(col(textCol), " ")).as("term"))
+      .where(length(col("term")) > 0)
+      .groupBy("term").agg(count(lit(1)).as("c"))
+    val ranked = graft.ops.Layout.globalRank(
+      freqs.select(col("term"), col("c"), (-col("c")).as("negc"),
+        xxhash64(col("term")).as("tid")),
+      "negc", "tid", rankCol = "r")
+    val x = log(col("r").cast("double"))
+    val y = log(col("c").cast("double"))
+    ranked
+      .agg(count(lit(1)).as("n_vocab"), sum("c").as("n_tokens"),
+        sum(x).as("sx"), sum(y).as("sy"), sum(x * x).as("sxx"),
+        sum(y * y).as("syy"), sum(x * y).as("sxy"))
+      .select(Seq(col("n_vocab"), col("n_tokens")) ++
+        olsCols(col("n_vocab"), col("sx"), col("sy"), col("sxx"),
+          col("syy"), col("sxy")): _*)
+  }
+
+  /** Heaps-law fit of vocabulary growth — OLS of ln V(N) on ln N over
+    * per-document checkpoints, where V(N) is the EXACT number of
+    * distinct terms among the first N tokens of the corpus in
+    * (`doc_id`) order: `V(N) ~ k · N^beta` (English corpora sit near
+    * beta 0.4–0.6; beta ≈ 0 is a closed vocabulary, beta ≈ 1 means
+    * near-every token novel — an id/hash column masquerading as text).
+    * Returns ONE row: `(n_docs, n_tokens, n_vocab, slope, intercept,
+    * r2)` — slope is beta, intercept ln k.
+    *
+    * Exact and fully distributed via this round's prefix-sum
+    * machinery: document token-start offsets are one
+    * [[graft.ops.Layout.globalCumsum]]; each term's FIRST occurrence
+    * (the min global token position) pins the document where it
+    * debuts; V at each checkpoint is a second cumsum of the per-doc
+    * new-term counts. No single-partition window at any corpus size.
+    */
+  def heapsFit(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val lens = docs.select(col(idCol).as("doc_id"),
+      filter(split(col(textCol), " "), w => length(w) > 0).as("ws"))
+      .select(col("doc_id"), col("ws"),
+        size(col("ws")).cast("long").as("n_tokens"))
+      .where(col("n_tokens") > 0)
+    val starts = graft.ops.Layout.globalCumsum(lens, "doc_id", "doc_id",
+      "n_tokens", cumCol = "start")
+    // each term's first global occurrence -> the doc where it debuts
+    val firstDebut = starts
+      .select(col("doc_id"), col("start"),
+        posexplode(col("ws")).as(Seq("p", "term")))
+      .select(col("term"),
+        struct((col("start") + col("p")).as("gp"), col("doc_id")).as("o"))
+      .groupBy("term").agg(min(col("o")).as("o"))
+      .groupBy(col("o.doc_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_new"))
+    // V at each doc checkpoint = inclusive cumsum of per-doc new terms
+    val checkpoints = starts.select(col("doc_id"), col("start"),
+        col("n_tokens"))
+      .join(firstDebut, Seq("doc_id"), "left")
+      .select(col("doc_id"), (col("start") + col("n_tokens")).as("bign"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+    val vAt = graft.ops.Layout.globalCumsum(checkpoints, "doc_id",
+        "doc_id", "n_new", cumCol = "vprev")
+      .select(col("doc_id"), col("bign"),
+        (col("vprev") + col("n_new")).as("v"))
+    val x = log(col("bign").cast("double"))
+    val y = log(col("v").cast("double"))
+    vAt
+      .agg(count(lit(1)).as("n_docs"), max("bign").as("n_tokens"),
+        max("v").as("n_vocab"), sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(x * y).as("sxy"))
+      .select(Seq(col("n_docs"), col("n_tokens"), col("n_vocab")) ++
+        olsCols(col("n_docs"), col("sx"), col("sy"), col("sxx"),
+          col("syy"), col("sxy")): _*)
+  }
+
+  /** Shared closed-form OLS columns from the five power sums:
+    * slope, intercept, r² (NULL when the x-variance denominator is 0 —
+    * a one-point or constant-x fit has no line), rounded to 6 dp.
+    */
+  private def olsCols(n: Column, sx: Column, sy: Column, sxx: Column,
+      syy: Column, sxy: Column): Seq[Column] = {
+    val nd = n.cast("double")
+    val dxx = nd * sxx - sx * sx
+    val dyy = nd * syy - sy * sy
+    val dxy = nd * sxy - sx * sy
+    val slope = when(dxx > 0, dxy / dxx)
+    val r2 = when(dxx > 0 && dyy > 0, (dxy * dxy) / (dxx * dyy))
+    Seq(round(slope, 6).as("slope"),
+      round((sy - slope * sx) / nd, 6).as("intercept"),
+      round(r2, 6).as("r2"))
   }
 }

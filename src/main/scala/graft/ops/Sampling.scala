@@ -81,6 +81,37 @@ object Sampling {
       .drop("__csid", "__cluster")
   }
 
+
+  /** Rendezvous (highest-random-weight) shard assignment — the routing
+    * discipline that keeps a 100 TB corpus STABLE under topology change:
+    * each row goes to the shard with the highest content-derived weight
+    * `hashUnit(id ++ shard)`, so adding a shard moves ONLY the rows the
+    * new shard now wins (~1/(S+1) of them) and removing one moves only
+    * its own rows — no mod-S reshuffle of everything (PropertySpec pins
+    * the minimal-movement invariant). Ties (astronomically rare with a
+    * 16-bit draw, but deterministic engines must define them) break to
+    * the lexicographically smallest shard name.
+    *
+    * Pure narrow projection — |shards| hash evaluations per row, no
+    * shuffle, no driver state; the oracle replays the md5 arithmetic.
+    */
+  def rendezvousAssign(df: DataFrame, shards: Seq[String],
+      idCol: String = "doc_id"): DataFrame = {
+    require(shards.nonEmpty, "need at least one shard")
+    require(shards.distinct.size == shards.size, s"duplicate shards: $shards")
+    // array_max compares struct fields in order: weight first, then a
+    // DESCENDING name rank, so equal weights resolve to the smallest
+    // shard name (max rank), deterministically on any engine
+    val sortedSh = shards.sorted
+    val weighted = sortedSh.zipWithIndex.map { case (sh, i) =>
+      struct(hashUnit(concat(col(idCol).cast("string"), lit(":" + sh)),
+        "rdv:").as("w"), lit(sortedSh.size - i).as("tb"),
+        lit(sh).as("shard"))
+    }
+    val pick = array_max(array(weighted: _*))
+    df.withColumn("shard", pick.getField("shard"))
+  }
+
   /** Keep each row with probability `rates(stratum)` (default
     * `defaultRate`), decided by its content hash — a deterministic
     * stratified sample, e.g. down-weighting over-represented languages in

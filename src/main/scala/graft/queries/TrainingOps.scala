@@ -6926,7 +6926,232 @@ object TrainingOps {
            |FROM j GROUP BY 1, 2, 3, 4
            |ORDER BY layout, probe_col""".stripMargin
       }),
+
+    // Zipf-law fit of the corpus unigram distribution, on the q213
+    // bigram-token corpus (the raw 31-word synthetic vocabulary is too
+    // small to profile; bigrams give ~10^3 terms with a real rank
+    // curve). Ranks come from the bucket-offset global rank — no
+    // single-partition window at any vocabulary size; OLS sums are
+    // permutation-invariant within frequency ties, so the oracle may
+    // break ties its own way and reach identical numbers.
+    QueryDef("q276_zipf_fit",
+      (s, d) => graft.ops.Profile.zipfFit(bigramDocs(table(s, d,
+        "documents"))),
+      Some(s"""WITH $bigramTermsSql,
+              |f AS (SELECT term, COUNT(*) AS c FROM w GROUP BY 1),
+              |r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC) AS r
+              |  FROM f),
+              |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              |    CAST(SUM(c) AS BIGINT) AS ntok,
+              |    SUM(ln(r)) AS sx, SUM(ln(c)) AS sy,
+              |    SUM(ln(r) * ln(r)) AS sxx, SUM(ln(c) * ln(c)) AS syy,
+              |    SUM(ln(r) * ln(c)) AS sxy
+              |  FROM r)
+              |SELECT n AS n_vocab, ntok AS n_tokens,
+              |  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+              |    AS slope,
+              |  ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+              |    * sx) / n, 6) AS intercept,
+              |  ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+              |    ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+              |FROM a""".stripMargin)),
+
+    // Heaps-law fit of vocabulary growth over per-document checkpoints
+    // (same bigram corpus). V(N) is EXACT at every checkpoint via two
+    // global prefix sums (doc token starts; cumulative new-term
+    // counts) — the q268 machinery composed at a second grain.
+    QueryDef("q277_heaps_law",
+      (s, d) => graft.ops.Profile.heapsFit(bigramDocs(table(s, d,
+        "documents"))),
+      Some(s"""WITH $bigramDocsSql,
+              |lens AS (SELECT doc_id, len(bl) AS n,
+              |    SUM(len(bl)) OVER (ORDER BY doc_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |      - len(bl) AS start
+              |  FROM bd WHERE len(bl) > 0),
+              |tok AS (SELECT l.doc_id, l.start + t.i - 1 AS gp,
+              |    bd.bl[t.i] AS term
+              |  FROM lens l JOIN bd USING (doc_id),
+              |    UNNEST(generate_series(1, l.n)) t(i)),
+              |fd AS (SELECT term, arg_min(doc_id, gp) AS fdoc
+              |  FROM tok GROUP BY 1),
+              |nn AS (SELECT fdoc AS doc_id, COUNT(*) AS n_new
+              |  FROM fd GROUP BY 1),
+              |chk AS (SELECT l.doc_id, l.start + l.n AS bign,
+              |    SUM(COALESCE(nn.n_new, 0)) OVER (ORDER BY l.doc_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |      AS v
+              |  FROM lens l LEFT JOIN nn USING (doc_id)),
+              |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              |    CAST(MAX(bign) AS BIGINT) AS ntok,
+              |    CAST(MAX(v) AS BIGINT) AS nvoc,
+              |    SUM(ln(bign)) AS sx, SUM(ln(v)) AS sy,
+              |    SUM(ln(bign) * ln(bign)) AS sxx,
+              |    SUM(ln(v) * ln(v)) AS syy,
+              |    SUM(ln(bign) * ln(v)) AS sxy
+              |  FROM chk)
+              |SELECT n AS n_docs, ntok AS n_tokens, nvoc AS n_vocab,
+              |  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+              |    AS slope,
+              |  ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+              |    * sx) / n, 6) AS intercept,
+              |  ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+              |    ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+              |FROM a""".stripMargin)),
+
+    // MinHash-LSH banding planner: the closed-form S-curve table for
+    // every factorization of 12 hashes — pure arithmetic both engines
+    // replay; the design tool in front of q42's production banding.
+    QueryDef("q278_lsh_plan",
+      (s, _) => {
+        org.apache.spark.sql.SparkSession.setActiveSession(s)
+        graft.ops.Dedup.lshPlan(12).orderBy("bands", "s")
+      },
+      Some("""WITH p AS (SELECT b, 12 // b AS r
+             |  FROM UNNEST([1, 2, 3, 4, 6, 12]) t(b)),
+             |g AS (SELECT i * 0.05 AS s
+             |  FROM UNNEST(generate_series(1, 19)) t(i))
+             |SELECT b AS bands, r AS rows_per_band,
+             |  ROUND(pow(1.0 / b, 1.0 / r), 6) AS t_star,
+             |  ROUND(s, 6) AS s,
+             |  ROUND(1.0 - pow(1.0 - pow(s, r), b), 6) AS p_collide
+             |FROM p, g ORDER BY bands, s""".stripMargin)),
+
+    // Rational 2/3 PCM resampling by EXACT-integer linear interpolation
+    // over real decoded WAV samples (the q251 fabrication), per-block
+    // energy in the x2 scaled domain — rate normalization before audio
+    // fingerprinting. 192 samples -> 128, two full 64-sample blocks.
+    QueryDef("q279_audio_resample",
+      (s, d) => {
+        val s2 = s; import s2.implicits._
+        val media = table(s, d, "documents")
+          .where(expr("octet_length(text) = length(text)"))
+          .select(col("doc_id"),
+            rpad(substring(col("text"), 1, 192), 192, "x").as("px"))
+          .as[(Long, String)]
+          .map { case (id, px) =>
+            (id, graft.ops.Multimodal.encodePcmWav(
+              px.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1),
+              8000))
+          }
+          .toDF("doc_id", "media")
+        graft.ops.Multimodal
+          .audioResampleBlocks(media, up = 2, down = 3, blockLen = 64)
+          .toDF().orderBy("doc_id", "block")
+      },
+      Some("""WITH p AS (SELECT doc_id,
+             |    rpad(substr(text, 1, 192), 192, 'x') AS px
+             |  FROM documents WHERE strlen(text) = length(text)),
+             |res AS (SELECT doc_id, j, CAST(j // 64 AS INT) AS block,
+             |    CASE WHEN (j * 3) % 2 = 0
+             |      THEN ascii(substr(px, CAST((j * 3) // 2 AS INT) + 1,
+             |        1)) * 2
+             |      ELSE ascii(substr(px, CAST((j * 3) // 2 AS INT) + 1,
+             |          1))
+             |        + ascii(substr(px, CAST((j * 3) // 2 AS INT) + 2,
+             |          1)) END AS u
+             |  FROM p, UNNEST(generate_series(0, 127)) t(j))
+             |SELECT doc_id, block, CAST(COUNT(*) AS INT) AS n_samples,
+             |  CAST(SUM((u - 256) * (u - 256)) AS BIGINT)
+             |    AS energy_scaled
+             |FROM res GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Rendezvous (highest-random-weight) shard routing: stable under
+    // topology change (PropertySpec pins minimal movement); ties break
+    // to the smallest shard name, deterministically on both engines.
+    QueryDef("q280_rendezvous_sharding",
+      (s, d) => graft.ops.Sampling.rendezvousAssign(
+          table(s, d, "documents").select("doc_id"),
+          (0 until 8).map(i => s"s$i"))
+        .orderBy("doc_id"),
+      Some {
+        s"""WITH sh AS (SELECT UNNEST([${(0 until 8)
+              .map(i => s"'s$i'").mkString(", ")}]) AS shard),
+           |w AS (SELECT doc_id, shard,
+           |    ${drawSqlOn("rdv:", "CAST(doc_id AS VARCHAR) || ':' || shard")} AS w
+           |  FROM documents, sh),
+           |r AS (SELECT doc_id, shard, ROW_NUMBER() OVER (
+           |    PARTITION BY doc_id ORDER BY w DESC, shard) AS rn
+           |  FROM w)
+           |SELECT doc_id, shard FROM r WHERE rn = 1
+           |ORDER BY doc_id""".stripMargin
+      }),
+
+    // Measured recall/precision of the q42 banding against the q41
+    // exact tier on the SAME (SF-gated) corpus — the audit that turns
+    // q278's theoretical S-curve into numbers for this data.
+    QueryDef("q281_lsh_recall_audit",
+      (s, d) => graft.ops.Dedup.lshRecallAudit(
+        table(s, d, "documents").where(col("doc_id") < 6000),
+        n = 3, numHashes = 8, rowsPerBand = 2, minJaccard = 0.5),
+      Some(s"""WITH ${shinglesSql("doc_id < 6000")},
+              |sizes AS (SELECT id, COUNT(*) n_sh FROM sh GROUP BY 1),
+              |inter AS (SELECT a.id id1, b.id id2, COUNT(*) n_common
+              |  FROM sh a JOIN sh b
+              |    ON a.shingle = b.shingle AND a.id < b.id
+              |  GROUP BY 1, 2),
+              |truth AS (SELECT id1, id2 FROM inter
+              |  JOIN sizes na ON na.id = id1 JOIN sizes nb ON nb.id = id2
+              |  WHERE CAST(n_common AS DOUBLE)
+              |    / (na.n_sh + nb.n_sh - n_common) >= 0.5),
+              |sigs AS (SELECT id, h,
+              |    MIN(md5(CAST(h AS VARCHAR) || ':' || shingle)) AS mh
+              |  FROM sh, UNNEST(generate_series(0, 7)) t(h) GROUP BY 1, 2),
+              |bands AS (SELECT id, h // 2 AS band,
+              |    md5(array_to_string(list_sort(
+              |      list(lpad(CAST(h AS VARCHAR), 2, '0') || '=' || mh)),
+              |      '|')) AS band_key
+              |  FROM sigs GROUP BY 1, 2),
+              |cand AS (SELECT DISTINCT a.id AS id1, b.id AS id2
+              |  FROM bands a JOIN bands b ON a.band = b.band
+              |    AND a.band_key = b.band_key AND a.id < b.id),
+              |hits AS (SELECT t.* FROM truth t
+              |  JOIN cand c ON t.id1 = c.id1 AND t.id2 = c.id2),
+              |c AS (SELECT
+              |    (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true,
+              |    (SELECT CAST(COUNT(*) AS BIGINT) FROM cand)
+              |      AS n_candidates,
+              |    (SELECT CAST(COUNT(*) AS BIGINT) FROM hits) AS n_hits)
+              |SELECT n_true, n_candidates, n_hits,
+              |  ROUND(CASE WHEN n_true > 0
+              |    THEN CAST(n_hits AS DOUBLE) / n_true END, 6) AS recall,
+              |  ROUND(CASE WHEN n_candidates > 0
+              |    THEN CAST(n_hits AS DOUBLE) / n_candidates END, 6)
+              |    AS candidate_precision
+              |FROM c""".stripMargin)),
   )
+
+  /** The q213/q276/q277 bigram-token corpus: adjacent-word pairs joined
+    * with '_' — turns the 31-word synthetic vocabulary into ~10^3
+    * terms with a real rank-frequency curve.
+    */
+  private def bigramDocs(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"), filter(split(col("text"), " "),
+        x => length(x) > 0).as("l"))
+      .where(size(col("l")) >= 2)
+      .select(col("doc_id"), array_join(expr(
+        "transform(sequence(1, size(l) - 1), i -> " +
+          "concat(element_at(l, i), '_', element_at(l, i + 1)))"),
+        " ").as("text"))
+
+  /** DuckDB mirrors of [[bigramDocs]]: `bd(doc_id, bl)` (the bigram
+    * token list per doc) and `w(term)` (the flattened term stream).
+    */
+  private def bigramDocsSql: String =
+    """bd AS (SELECT doc_id,
+      |    [l[i] || '_' || l[i + 1]
+      |     FOR i IN generate_series(1, len(l) - 1)] AS bl
+      |  FROM (SELECT doc_id,
+      |      list_filter(string_split(text, ' '), x -> len(x) > 0) AS l
+      |    FROM documents) s0
+      |  WHERE len(l) >= 2)""".stripMargin
+
+  private def bigramTermsSql: String = bigramDocsSql +
+    """,
+      |w AS (SELECT UNNEST(bl) AS term FROM bd)""".stripMargin
+
 
   /** q272's fixed blocklist: real corpus-vocabulary phrases with nested
     * and overlapping entries, plus one absent phrase (index 11 never

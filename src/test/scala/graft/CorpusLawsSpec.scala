@@ -1,0 +1,161 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Dedup, Multimodal, Profile, Sampling}
+
+/** Round-11 additions: corpus-law fits (Zipf/Heaps), the LSH banding
+  * planner + measured recall audit, rendezvous shard routing, and
+  * exact-integer PCM resampling.
+  */
+class CorpusLawsSpec extends AnyFunSuite with SparkTestBase {
+
+  test("zipfFit: exact OLS on a hand-computed rank/frequency fixture; " +
+      "tie permutations cannot move the sums") {
+    val s2 = spark; import s2.implicits._
+    // freqs 8,4,2,1 at ranks 1..4: perfect power law f = 8 * r^-1.5
+    // would need fractional counts; instead pin the closed-form OLS of
+    // the actual points
+    val docs = Seq(
+      (1L, Seq.fill(8)("a").mkString(" ")),
+      (2L, Seq.fill(4)("b").mkString(" ") + " " +
+        Seq.fill(2)("c").mkString(" ") + " d"))
+      .toDF("doc_id", "text")
+    val r = Profile.zipfFit(docs).head()
+    assert(r.getAs[Long]("n_vocab") == 4L)
+    assert(r.getAs[Long]("n_tokens") == 15L)
+    val xs = Seq(1.0, 2.0, 3.0, 4.0).map(math.log)
+    val ys = Seq(8.0, 4.0, 2.0, 1.0).map(math.log)
+    val n = 4.0
+    val (sx, sy) = (xs.sum, ys.sum)
+    val (sxx, syy) = (xs.map(x => x * x).sum, ys.map(y => y * y).sum)
+    val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(math.abs(r.getAs[Double]("slope") - slope) < 1e-5,
+      s"${r.getAs[Double]("slope")} vs $slope")
+    // ties: two terms with equal freq — any rank order, same sums
+    val tied = Seq((1L, "x x y y z")).toDF("doc_id", "text")
+    val t1 = Profile.zipfFit(tied).head()
+    assert(t1.getAs[Long]("n_vocab") == 3L && !t1.isNullAt(2))
+  }
+
+  test("heapsFit: exact V(N) checkpoints on a hand fixture — first " +
+      "occurrences pin the debut doc, cumulative counts are exact") {
+    val s2 = spark; import s2.implicits._
+    // doc1: a b a (N=3, V=2); doc2: b c (N=5, V=3); doc3: d d (N=7, V=4)
+    val docs = Seq((1L, "a b a"), (2L, "b c"), (3L, "d d"))
+      .toDF("doc_id", "text")
+    val r = Profile.heapsFit(docs).head()
+    assert(r.getAs[Long]("n_docs") == 3L)
+    assert(r.getAs[Long]("n_tokens") == 7L)
+    assert(r.getAs[Long]("n_vocab") == 4L)
+    val xs = Seq(3.0, 5.0, 7.0).map(math.log)
+    val ys = Seq(2.0, 3.0, 4.0).map(math.log)
+    val n = 3.0
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxx = xs.map(x => x * x).sum
+    val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(math.abs(r.getAs[Double]("slope") - slope) < 1e-5,
+      s"${r.getAs[Double]("slope")} vs $slope")
+  }
+
+  test("lshPlan: the S-curve is monotone in s for every plan, t_star " +
+      "is the ~0.5-collision similarity, more rows per band = sharper") {
+    val plan = Dedup.lshPlan(12).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getAs[Double]("t_star"),
+        r.getAs[Double]("s"), r.getAs[Double]("p_collide")))
+    assert(plan.map(p => (p._1, p._2)).distinct.length == 6) // divisors
+    for (((b, rr), rows) <- plan.groupBy(p => (p._1, p._2))) {
+      val byS = rows.sortBy(_._4)
+      assert(byS.zip(byS.tail).forall { case (lo, hi) => lo._5 <= hi._5 },
+        s"p not monotone for ($b, $rr)")
+      // p at the closest grid point to t_star is near 0.5 (within the
+      // grid's coarseness)
+      val t = byS.head._3
+      val atT = byS.minBy(r => math.abs(r._4 - t))._5
+      assert(atT > 0.2 && atT < 0.8, s"p(t*)=$atT for ($b, $rr)")
+    }
+  }
+
+  test("lshRecallAudit: exact duplicates are ALWAYS candidates — " +
+      "recall 1 on a twin corpus; bounds hold on a mixed corpus") {
+    val s2 = spark; import s2.implicits._
+    val twins = (1L to 30L).flatMap(i => Seq(
+      (i * 2, s"w${i} x${i} y${i} z${i} q${i}"),
+      (i * 2 + 1, s"w${i} x${i} y${i} z${i} q${i}")))
+      .toDF("doc_id", "text")
+    val r = Dedup.lshRecallAudit(twins, n = 3, numHashes = 8,
+      rowsPerBand = 2, minJaccard = 0.99).head()
+    assert(r.getAs[Long]("n_true") == 30L)
+    assert(r.getAs[Double]("recall") == 1.0, r.toString)
+    val rnd = new scala.util.Random(5)
+    val mixed = (1L to 60L).map(i => (i,
+      (0 until 12).map(j => s"t${rnd.nextInt(30)}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val m = Dedup.lshRecallAudit(mixed, 3, 8, 2, 0.3).head()
+    val rec = Option(m.getAs[java.lang.Double]("recall")).map(_.toDouble)
+    assert(rec.forall(v => v >= 0.0 && v <= 1.0))
+    assert(m.getAs[Long]("n_hits") <= m.getAs[Long]("n_true"))
+    assert(m.getAs[Long]("n_hits") <= m.getAs[Long]("n_candidates"))
+  }
+
+  test("rendezvousAssign: deterministic, and MINIMAL MOVEMENT — adding " +
+      "a shard moves only rows won by the new shard; removing one moves " +
+      "only its own rows") {
+    val s2 = spark; import s2.implicits._
+    val ids = spark.range(0, 400).toDF("doc_id")
+    val s8 = (0 until 8).map(i => s"s$i")
+    val a = Sampling.rendezvousAssign(ids, s8)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // deterministic on re-run
+    val a2 = Sampling.rendezvousAssign(ids, s8)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == a2)
+    // balanced-ish: every shard wins something at n=400
+    assert(a.values.toSet == s8.toSet)
+    // ADD s8: every reassigned row must now be on the NEW shard
+    val grown = Sampling.rendezvousAssign(ids, s8 :+ "s8")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val movedIn = grown.filter { case (id, sh) => a(id) != sh }
+    assert(movedIn.values.toSet == Set("s8"),
+      s"a grow moved rows between OLD shards: ${movedIn.take(5)}")
+    assert(movedIn.nonEmpty && movedIn.size < 400 / 4,
+      s"~1/9 expected, got ${movedIn.size}/400")
+    // REMOVE s0: only s0's rows move
+    val shrunk = Sampling.rendezvousAssign(ids, s8.tail)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val movedOut = shrunk.filter { case (id, sh) => a(id) != sh }
+    assert(movedOut.keySet == a.filter(_._2 == "s0").keySet,
+      "a shrink must move exactly the removed shard's rows")
+  }
+
+  test("audioResampleBlocks: up=1/down=1 is the identity (x1 energies " +
+      "equal audioBlockFeatures); a hand-computed 2/3 resample is exact") {
+    val s2 = spark; import s2.implicits._
+    val samples = (0 until 128).map(i =>
+      (128 + 100 * math.sin(i / 5.0)).toInt.toByte).toArray
+    val media = Seq((1L, Multimodal.encodePcmWav(samples, 8000)))
+      .toDF("doc_id", "media")
+    val ident = Multimodal.audioResampleBlocks(media, 1, 1, 64)
+      .collect().map(b => b.block -> b.energy_scaled).toMap
+    val base = Multimodal.audioBlockFeatures(media, 64)
+      .collect().map(b => b.block -> b.energy).toMap
+    assert(ident == base, s"$ident vs $base")
+    // hand case: samples 0,2,4,...: 2/3 resample j -> position 3j/2:
+    // even j: s[3j/2]*2; odd j: s[(3j-1)/2] + s[(3j+1)/2]
+    val ramp = Array.tabulate(8)(i => (i * 2).toByte)
+    val m2 = Seq((2L, Multimodal.encodePcmWav(ramp, 8000)))
+      .toDF("doc_id", "media")
+    val got = Multimodal.audioResampleBlocks(m2, 2, 3, 64)
+      .collect().head
+    // n=8 -> nOut = (7*2)/3 + 1 = 5; u_scaled[j] for j=0..4:
+    // j=0: s0*2=0; j=1: s1+s2=2+4=6; j=2: s3*2=12; j=3: s4+s5=8+10=18;
+    // j=4: s6*2=24. energy = sum (u - 256)^2
+    val exp = Seq(0L, 6L, 12L, 18L, 24L)
+      .map(u => (u - 256L) * (u - 256L)).sum
+    assert(got.n_samples == 5 && got.energy_scaled == exp,
+      s"${got.n_samples} samples, ${got.energy_scaled} vs $exp")
+  }
+}
