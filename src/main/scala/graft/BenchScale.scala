@@ -63,7 +63,13 @@ object BenchScale {
     "q267_spill_certificate", "q268_global_cumsum",
     "q269_context_windows", "q270_duplicated_spans",
     "q272_blocklist_scan", "q273_redact_blocklist", "q274_kn_perplexity",
-    "q275_zorder_skipping")
+    "q275_zorder_skipping",
+    // round-11 additions: the corpus-law fits (rank machinery at the
+    // vocab grain), the recall audit (exact + banded tiers composed),
+    // rendezvous routing, and the resampler
+    "q276_zipf_fit", "q277_heaps_law", "q278_lsh_plan",
+    "q279_audio_resample", "q280_rendezvous_sharding",
+    "q281_lsh_recall_audit")
 
   private def loadavg: String =
     try scala.io.Source.fromFile("/proc/loadavg").mkString.trim

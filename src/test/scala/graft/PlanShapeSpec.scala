@@ -834,4 +834,26 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(!"(?i)sortmergejoin".r.findAllIn(p).hasNext,
       "no sort-merge join on the scoring pass")
   }
+
+  test("round-11 shapes: corpus-law fits keep every window bucket-" +
+      "partitioned; rendezvous routing is a zero-Exchange projection") {
+    val bigrams = docs
+      .select(col("doc_id"), filter(split(col("text"), " "),
+        x => length(x) > 0).as("l"))
+      .where(size(col("l")) >= 2)
+      .select(col("doc_id"), array_join(expr(
+        "transform(sequence(1, size(l) - 1), i -> " +
+          "concat(element_at(l, i), '_', element_at(l, i + 1)))"),
+        " ").as("text"))
+    for (df <- Seq(Profile.zipfFit(bigrams), Profile.heapsFit(bigrams))) {
+      val ws = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+      assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty),
+        "the fit's rank/cumsum windows must stay bucket-partitioned")
+    }
+    assert(exchanges(Sampling.rendezvousAssign(docs.select("doc_id"),
+      (0 until 8).map(i => s"s$i"))) == 0,
+      "rendezvous assignment must be a pure narrow projection")
+  }
 }
