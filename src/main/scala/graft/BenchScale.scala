@@ -69,7 +69,7 @@ object BenchScale {
     // rendezvous routing, and the resampler
     "q276_zipf_fit", "q277_heaps_law", "q278_lsh_plan",
     "q279_audio_resample", "q280_rendezvous_sharding",
-    "q281_lsh_recall_audit")
+    "q281_lsh_recall_audit", "q282_hilbert_skipping")
 
   private def loadavg: String =
     try scala.io.Source.fromFile("/proc/loadavg").mkString.trim

@@ -52,6 +52,13 @@ package object functions {
   def token_ngram_clip(cand: Column, ref: Column, n: Column): Column =
     toColumn(TokenNgramClip(toExpr(cand), toExpr(ref), toExpr(n)))
 
+  /** 2-D Hilbert curve index of two already-normalized long columns in
+    * [0, 2^bits) (the locality-superior clustering key — see
+    * [[HilbertIndex]]).
+    */
+  def hilbert_index(x: Column, y: Column, bits: Int): Column =
+    toColumn(HilbertIndex(toExpr(x), toExpr(y), bits))
+
   /** Apply a trained BPE merge table to a word column (sequential
     * greedy passes in table order — see [[BpeEncode]]). The table is a
     * driver-side artifact, so this takes a Scala Seq, not a Column;
@@ -98,6 +105,22 @@ package object functions {
       "token_lcs", exprs => buildTokenLcs(exprs), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "token_ngram_clip", exprs => buildTokenNgramClip(exprs), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hilbert_index", exprs => buildHilbertIndex(exprs), "scala_udf")
+  }
+
+  private[graft] def buildHilbertIndex(
+      exprs: Seq[Expression]): HilbertIndex = {
+    require(exprs.length == 3,
+      s"hilbert_index requires exactly 3 arguments, got ${exprs.length}")
+    val bits = exprs(2) match {
+      case e if e.foldable &&
+          e.dataType == org.apache.spark.sql.types.IntegerType =>
+        e.eval().asInstanceOf[Int]
+      case e => throw new IllegalArgumentException(
+        s"hilbert_index: bits must be an int literal, got $e")
+    }
+    HilbertIndex(exprs(0), exprs(1), bits)
   }
 
   private[graft] def buildPorterStem(exprs: Seq[Expression]): PorterStem = {

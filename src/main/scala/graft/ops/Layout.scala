@@ -101,15 +101,41 @@ object Layout {
     * agg, one broadcast probe join.
     */
   def zSkippingProfile(df: DataFrame, cols: Seq[String], bits: Int,
-      numFiles: Int, probes: Seq[(String, Long, Long)]): DataFrame = {
+      numFiles: Int, probes: Seq[(String, Long, Long)]): DataFrame =
+    skippingProfileFrom(zValue(df, cols, bits),
+      Seq(("zorder", "zvalue")), cols, numFiles, probes)
+
+  /** [[zSkippingProfile]] with the HILBERT layout in the comparison —
+    * `(layout ∈ {hilbert, zorder, sort_<c>}, probe)` rows from one
+    * audit. The Hilbert curve's selling point over Z-order is
+    * LOCALITY: every contiguous index range is one connected region
+    * (no Z-shaped jumps across the grid), so equal-value file cuts
+    * bound both dimensions at least as tightly — this audit MEASURES
+    * that on real data before a 100 TB rewrite commits to either.
+    */
+  def curveSkippingProfile(df: DataFrame, cols: Seq[String], bits: Int,
+      numFiles: Int, probes: Seq[(String, Long, Long)]): DataFrame =
+    skippingProfileFrom(hilbertValue(zValue(df, cols, bits), cols, bits),
+      Seq(("hilbert", "hvalue"), ("zorder", "zvalue")), cols, numFiles,
+      probes)
+
+  /** Shared file-model audit: `valued` carries one value column per
+    * curve layout; files are equal-VALUE-RANGE cuts of each layout key
+    * and a file is scanned iff its [min, max] of the probed column
+    * intersects the probe — the parquet row-group pruning rule.
+    */
+  private def skippingProfileFrom(valued: DataFrame,
+      curves: Seq[(String, String)], cols: Seq[String], numFiles: Int,
+      probes: Seq[(String, Long, Long)]): DataFrame = {
     require(numFiles >= 1, s"numFiles=$numFiles must be >= 1")
     require(probes.nonEmpty && probes.forall(p => cols.contains(p._1)),
       s"every probe column must be clustered: $probes vs $cols")
-    val zv = zValue(df, cols, bits)
-    val boundAggs = Seq(min("zvalue").as("zmn"), max("zvalue").as("zmx")) ++
+    val df = valued
+    val boundAggs = curves.flatMap { case (_, v) =>
+      Seq(min(v).as(s"mn__$v"), max(v).as(s"mx__$v")) } ++
       cols.flatMap(c => Seq(min(col(c)).cast("long").as(s"mn_$c"),
         max(col(c)).cast("long").as(s"mx_$c")))
-    val bounds = zv.agg(boundAggs.head, boundAggs.tail: _*).first()
+    val bounds = df.agg(boundAggs.head, boundAggs.tail: _*).first()
     if (bounds.isNullAt(0))
       return df.sparkSession.emptyDataFrame
     def fileOf(c: Column, mn: Long, mx: Long): Column =
@@ -118,13 +144,14 @@ object Layout {
         lit((numFiles - 1).toDouble)).cast("int")
     def b(n: String): Long = bounds.getLong(bounds.fieldIndex(n))
     val layouts: Seq[(String, Column)] =
-      ("zorder", fileOf(col("zvalue"), b("zmn"), b("zmx"))) +:
+      curves.map { case (name, v) =>
+        (name, fileOf(col(v), b(s"mn__$v"), b(s"mx__$v"))) } ++
         cols.map(c => (s"sort_$c",
           fileOf(col(c).cast("long"), b(s"mn_$c"), b(s"mx_$c"))))
     val explodedCols = explode(array(layouts.map { case (name, f) =>
       struct(lit(name).as("layout"), f.as("file"))
     }: _*)).as("lf") +: cols.map(col)
-    val exploded = zv.select(explodedCols: _*)
+    val exploded = df.select(explodedCols: _*)
     val stats = exploded.groupBy(col("lf.layout").as("layout"),
         col("lf.file").as("file"))
       .agg(count(lit(1)).as("n_rows"),
@@ -150,6 +177,77 @@ object Layout {
         sum(when(scanned, col("n_rows")).otherwise(0L))
           .as("rows_scanned"))
   }
+
+
+  /** Append `hvalue`: the 2-D HILBERT index of `cols` (integer-typed),
+    * each min/max-normalized to `bits` bits — the locality-superior
+    * alternative to [[zValue]] for two-column clustering: every
+    * contiguous Hilbert range is one CONNECTED region of the grid
+    * (Z-order ranges jump between quadrant corners), so equal-range
+    * file cuts have tighter per-file bounding boxes on both columns.
+    *
+    * The index is the standard per-level quadrant walk (Hilbert 1891;
+    * the iterative xy→d form): at each level `s = 2^k .. 1` the
+    * quadrant `(3·rx) xor ry` contributes `s²` steps, then the
+    * coordinates flip/swap into the sub-quadrant's frame. All integer
+    * (div/mod arithmetic, no bitwise ops), values reduced mod `s`
+    * every level so every intermediate stays in [0, s) — the exact
+    * arithmetic any engine replays. Built as ONE chained projection
+    * per level, so plan size is linear in `bits`.
+    *
+    * Input pre-normalized columns come from [[zValue]]'s bounds pass
+    * when called via [[curveSkippingProfile]]; calling directly, the
+    * method normalizes like [[zValue]] (one tiny bounds aggregate,
+    * same exactness guard). Exactly 2 clustered columns (the common
+    * lakehouse case); [[zValue]] handles higher arity.
+    */
+  def hilbertValue(df: DataFrame, cols: Seq[String],
+      bits: Int): DataFrame = {
+    require(cols.size == 2,
+      s"hilbertValue is 2-D (got ${cols.size} cols); zValue handles higher arity")
+    require(bits > 0 && 2 * bits < 63, s"need 0 < 2*bits < 63, got $bits")
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"__hmin_$c"), max(col(c)).as(s"__hmax_$c")))
+    val bounds = df.agg(aggs.head, aggs.tail: _*)
+    val rangeCap = if (bits > 53) 0L else 1L << (53 - bits)
+    val rangesExact = cols.map { c =>
+      val range = try_add(try_subtract(
+        col(s"__hmax_$c").cast("long"), col(s"__hmin_$c").cast("long")),
+        lit(1L))
+      range.isNotNull && range >= 1L && range <= rangeCap
+    }.reduce(_ && _)
+    val withNorm = df.crossJoin(broadcast(bounds))
+      .withColumn("__hx", when(rangesExact, normalize(col(cols.head),
+        col(s"__hmin_${cols.head}"), col(s"__hmax_${cols.head}"), bits))
+        .otherwise(raise_error(lit(
+          s"hilbertValue: a clustered column's range exceeds " +
+            s"2^${53 - bits} — reduce bits or pre-bucket the column"))))
+      .withColumn("__hy", normalize(col(cols(1)),
+        col(s"__hmin_${cols(1)}"), col(s"__hmax_${cols(1)}"), bits))
+      .drop(cols.flatMap(c => Seq(s"__hmin_$c", s"__hmax_$c")): _*)
+    appendHilbertOf(withNorm, "__hx", "__hy", bits)
+      .drop("__hx", "__hy")
+  }
+
+  /** Appends `hvalue` over ALREADY-normalized coordinates `xCol`/`yCol`
+    * ∈ [0, 2^bits) via the native codegen'd [[graft.functions.HilbertIndex]]
+    * kernel (one narrow expression; the 5·bits-column projection-chain
+    * spelling this replaces fell out of whole-stage codegen and cost
+    * 11 s at sf0.1).
+    */
+  private[graft] def appendHilbertOf(df: DataFrame, xCol: String,
+      yCol: String, bits: Int): DataFrame =
+    df.withColumn("hvalue", graft.functions.hilbert_index(
+      col(xCol).cast("long"), col(yCol).cast("long"), bits))
+
+  /** Cluster for writing on the HILBERT index — [[clusterByZ]] with the
+    * locality-superior curve; same ONE-shuffle cost.
+    */
+  def clusterByHilbert(df: DataFrame, cols: Seq[String], bits: Int,
+      numPartitions: Int): DataFrame =
+    hilbertValue(df, cols, bits)
+      .repartitionByRange(numPartitions, col("hvalue"))
+      .sortWithinPartitions("hvalue")
 
   /** Cluster the table for writing: range-partition on the Z-value and
     * sort within partitions — each output file then covers a small

@@ -6927,6 +6927,20 @@ object TrainingOps {
            |ORDER BY layout, probe_col""".stripMargin
       }),
 
+
+    // Hilbert vs Z-order skipping audit: the MEASURED comparison of the
+    // two clustering curves (plus each single-key sort) on real data —
+    // the decision input before a 100 TB layout rewrite commits to a
+    // curve. The oracle replays the per-level quadrant walk with pure
+    // integer div/mod arithmetic.
+    QueryDef("q282_hilbert_skipping",
+      (s, d) => graft.ops.Layout.curveSkippingProfile(
+          table(s, d, "lineitem"), Seq("l_partkey", "l_suppkey"),
+          bits = 8, numFiles = 64,
+          probes = Seq(("l_partkey", 100L, 150L), ("l_suppkey", 5L, 8L)))
+        .orderBy("layout", "probe_col"),
+      Some(hilbertSkippingOracleSql(8, 64))),
+
     // Zipf-law fit of the corpus unigram distribution, on the q213
     // bigram-token corpus (the raw 31-word synthetic vocabulary is too
     // small to profile; bigrams give ~10^3 terms with a real rank
@@ -7120,6 +7134,86 @@ object TrainingOps {
               |    AS candidate_precision
               |FROM c""".stripMargin)),
   )
+
+
+  /** q282's oracle: q275's integer file model with the Hilbert chain —
+    * one CTE per level computing (hx, hy, hd) by div/mod arithmetic.
+    */
+  private def hilbertSkippingOracleSql(bits: Int, numFiles: Int): String = {
+    val zterms = (0 until bits).flatMap(i => Seq(
+      s"(((np >> $i) & 1) << ${2 * i})",
+      s"(((ns >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
+    val side = 1L << bits
+    val levels = ((bits - 1) to 0 by -1).zipWithIndex.map {
+      case (k, li) =>
+        val sL = 1L << k
+        val prev = if (li == 0) "g0" else s"g$li"
+        s"""g${li + 1} AS (SELECT l_partkey, l_suppkey, np, ns, zvalue,
+           |    CASE WHEN hy // $sL = 0 THEN (CASE WHEN hx // $sL = 1
+           |      THEN $sL - 1 - (hy % $sL) ELSE hy % $sL END)
+           |      ELSE hx % $sL END AS hx,
+           |    CASE WHEN hy // $sL = 0 THEN (CASE WHEN hx // $sL = 1
+           |      THEN $sL - 1 - (hx % $sL) ELSE hx % $sL END)
+           |      ELSE hy % $sL END AS hy,
+           |    hd + ${sL * sL} * (CASE WHEN hx // $sL = 0
+           |      THEN hy // $sL ELSE 3 - (hy // $sL) END) AS hd
+           |  FROM $prev)""".stripMargin
+    }.mkString(",\n")
+    val gN = s"g$bits"
+    s"""WITH b AS (
+       |  SELECT MIN(l_partkey) pmin0, MAX(l_partkey) pmax0,
+       |         MIN(l_suppkey) smin0, MAX(l_suppkey) smax0
+       |  FROM lineitem),
+       |n AS (
+       |  SELECT l_partkey, l_suppkey, pmin0, pmax0, smin0, smax0,
+       |    (l_partkey - pmin0) * $side // (pmax0 - pmin0 + 1) AS np,
+       |    (l_suppkey - smin0) * $side // (smax0 - smin0 + 1) AS ns
+       |  FROM lineitem, b),
+       |z AS (SELECT *, $zterms AS zvalue FROM n),
+       |g0 AS (SELECT l_partkey, l_suppkey, np, ns, zvalue,
+       |    np AS hx, ns AS hy, CAST(0 AS BIGINT) AS hd FROM z),
+       |$levels,
+       |hb AS (SELECT MIN(hd) hmn, MAX(hd) hmx,
+       |    MIN(zvalue) zmn, MAX(zvalue) zmx FROM $gN),
+       |bb AS (SELECT pmin0, pmax0, smin0, smax0 FROM b),
+       |f AS (
+       |  SELECT 'hilbert' AS layout, l_partkey, l_suppkey,
+       |    (hd - hmn) * $numFiles // (hmx - hmn + 1) AS file
+       |  FROM $gN, hb
+       |  UNION ALL
+       |  SELECT 'zorder', l_partkey, l_suppkey,
+       |    (zvalue - zmn) * $numFiles // (zmx - zmn + 1)
+       |  FROM $gN, hb
+       |  UNION ALL
+       |  SELECT 'sort_l_partkey', l_partkey, l_suppkey,
+       |    (l_partkey - pmin0) * $numFiles // (pmax0 - pmin0 + 1)
+       |  FROM $gN, bb
+       |  UNION ALL
+       |  SELECT 'sort_l_suppkey', l_partkey, l_suppkey,
+       |    (l_suppkey - smin0) * $numFiles // (smax0 - smin0 + 1)
+       |  FROM $gN, bb),
+       |st AS (SELECT layout, file, COUNT(*) AS n_rows,
+       |    MIN(l_partkey) AS mn_p, MAX(l_partkey) AS mx_p,
+       |    MIN(l_suppkey) AS mn_s, MAX(l_suppkey) AS mx_s
+       |  FROM f GROUP BY 1, 2),
+       |pr AS (SELECT * FROM (VALUES
+       |    ('l_partkey', CAST(100 AS BIGINT), CAST(150 AS BIGINT)),
+       |    ('l_suppkey', CAST(5 AS BIGINT), CAST(8 AS BIGINT)))
+       |  p(probe_col, lo, hi)),
+       |j AS (SELECT st.*, pr.probe_col, pr.lo, pr.hi,
+       |    CASE WHEN pr.probe_col = 'l_suppkey'
+       |      THEN NOT (mx_s < lo OR mn_s > hi)
+       |      ELSE NOT (mx_p < lo OR mn_p > hi) END AS scanned
+       |  FROM st CROSS JOIN pr)
+       |SELECT layout, probe_col, lo, hi,
+       |  CAST(COUNT(*) AS BIGINT) AS files_nonempty,
+       |  CAST(SUM(CASE WHEN scanned THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS files_scanned,
+       |  CAST(SUM(CASE WHEN scanned THEN n_rows ELSE 0 END)
+       |    AS BIGINT) AS rows_scanned
+       |FROM j GROUP BY 1, 2, 3, 4
+       |ORDER BY layout, probe_col""".stripMargin
+  }
 
   /** The q213/q276/q277 bigram-token corpus: adjacent-word pairs joined
     * with '_' — turns the 31-word synthetic vocabulary into ~10^3

@@ -182,7 +182,65 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
     assert(acc.value == 300L,
       s"input plan executed ${acc.value / 300.0} times, expected once")
   }
+
+  test("hilbert index: bijection onto [0, n^2) and UNIT-STEP adjacency " +
+      "— consecutive indices are grid neighbors (the locality property " +
+      "Z-order lacks)") {
+    val s2 = spark; import s2.implicits._
+    for (bits <- Seq(2, 3)) {
+      val n = 1 << bits
+      val grid = (for (x <- 0 until n; y <- 0 until n) yield (x, y))
+        .toDF("x", "y")
+      val d2xy = Layout.appendHilbertOf(grid, "x", "y", bits)
+        .collect().map(r => r.getLong(2) -> (r.getInt(0), r.getInt(1)))
+        .toMap
+      assert(d2xy.keySet == (0L until (n.toLong * n)).toSet,
+        s"bits=$bits: hvalue must be a bijection onto [0, n^2)")
+      for (d <- 0L until (n.toLong * n - 1)) {
+        val (x1, y1) = d2xy(d)
+        val (x2, y2) = d2xy(d + 1)
+        assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+          s"bits=$bits: steps d=$d ($x1,$y1)->($x2,$y2) must be adjacent")
+      }
+    }
+  }
+
+  test("hilbert chunks bound BOTH dimensions tighter than or equal to " +
+      "z-order on the dense grid; curveSkippingProfile measures it") {
+    val s2 = spark; import s2.implicits._
+    val grid = (for (x <- 0L until 64L; y <- 0L until 64L)
+      yield (x, y)).toDF("x", "y")
+    val prof = Layout.curveSkippingProfile(grid, Seq("x", "y"),
+        bits = 6, numFiles = 64,
+        probes = Seq(("x", 10L, 13L), ("y", 50L, 53L)))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(5)).toMap
+    // both curves prune on BOTH dims; each sort fails on the other dim
+    for (c <- Seq("x", "y"); curve <- Seq("hilbert", "zorder"))
+      assert(prof((curve, c)) <= 16, s"$curve/$c: ${prof((curve, c))}")
+    assert(prof(("sort_x", "y")) == 64 && prof(("sort_y", "x")) == 64)
+    // the locality claim, MEASURED: hilbert scans no more files than
+    // z-order for either probe on the dense grid
+    for (c <- Seq("x", "y"))
+      assert(prof(("hilbert", c)) <= prof(("zorder", c)),
+        s"$c: hilbert ${prof(("hilbert", c))} vs zorder ${prof(("zorder", c))}")
+  }
+
+  test("zSkippingProfile is unchanged by the audit refactor (q275 " +
+      "fixture shape): zorder + per-column sorts, same columns") {
+    val s2 = spark; import s2.implicits._
+    val grid = (for (x <- 0L until 32L; y <- 0L until 32L)
+      yield (x, y)).toDF("x", "y")
+    val rows = Layout.zSkippingProfile(grid, Seq("x", "y"), bits = 5,
+      numFiles = 16, probes = Seq(("x", 1L, 2L)))
+    assert(rows.columns.toSeq == Seq("layout", "probe_col", "lo", "hi",
+      "files_nonempty", "files_scanned", "rows_scanned"))
+    val layouts = rows.select("layout").distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(layouts == Set("zorder", "sort_x", "sort_y"))
+  }
 }
+
 
 /** Static key source for the mutating-source fixture: survives closure
   * serialization per-JVM, so each EVALUATION of the plan draws fresh
