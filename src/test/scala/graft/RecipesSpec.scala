@@ -169,21 +169,24 @@ class RecipesSpec extends AnyFunSuite with SparkTestBase {
       "NDCG must be in (0, 1] with dcg <= idcg")
   }
 
-  test("recipe 4: layout planning — the measured skipping audit proves " +
-      "the Z-layout prunes BOTH clustered columns before any rewrite") {
+  test("recipe 4: layout planning — the measured curve audit proves " +
+      "BOTH curve layouts prune BOTH clustered columns before any " +
+      "rewrite; single sorts do not") {
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
       .select(col("l_partkey"), col("l_suppkey"))
-    val prof = Layout.zSkippingProfile(li, Seq("l_partkey", "l_suppkey"),
+    val prof = Layout.curveSkippingProfile(li,
+        Seq("l_partkey", "l_suppkey"),
         bits = 8, numFiles = 64,
         probes = Seq(("l_partkey", 1L, 20L), ("l_suppkey", 1L, 5L)))
       .collect()
       .map(r => (r.getString(0), r.getString(1)) ->
         (r.getLong(4), r.getLong(5))).toMap
-    // the Z layout scans a strict subset of files for probes on EITHER
+    // either curve scans a strict subset of files for probes on EITHER
     // column; each single-key sort scans everything on the other
-    for (c <- Seq("l_partkey", "l_suppkey")) {
-      val (nz, sz) = prof(("zorder", c))
-      assert(sz < nz, s"zorder must prune on $c: $sz/$nz")
+    for (curve <- Seq("hilbert", "zorder");
+        c <- Seq("l_partkey", "l_suppkey")) {
+      val (nz, sz) = prof((curve, c))
+      assert(sz < nz, s"$curve must prune on $c: $sz/$nz")
     }
     val (na, sa) = prof(("sort_l_partkey", "l_suppkey"))
     assert(sa == na, "a partkey sort prunes nothing on suppkey")
