@@ -69,7 +69,8 @@ object BenchScale {
     // rendezvous routing, and the resampler
     "q276_zipf_fit", "q277_heaps_law", "q278_lsh_plan",
     "q279_audio_resample", "q280_rendezvous_sharding",
-    "q281_lsh_recall_audit", "q282_hilbert_skipping")
+    "q281_lsh_recall_audit", "q282_hilbert_skipping",
+    "q283_epoch_shuffle")
 
   private def loadavg: String =
     try scala.io.Source.fromFile("/proc/loadavg").mkString.trim

@@ -82,6 +82,33 @@ object Sampling {
   }
 
 
+
+  /** Deterministic EPOCH SHUFFLE — the data-loading order a training run
+    * actually consumes: a reproducible pseudo-random permutation of the
+    * corpus per epoch, as a dense 1-based `epoch_pos`. Order is
+    * (md5-derived 32-bit draw salted by the epoch, then `idCol`), so
+    *   - the same epoch always replays the same order on any cluster
+    *     (restart-safe, resumable from a position);
+    *   - different epochs are independent permutations (no fixed
+    *     inter-document adjacency across epochs);
+    *   - no `rand()`, no `shuffle`-by-sort of raw data: positions come
+    *     from [[graft.ops.Layout.globalRank]]'s bucket-offset machinery
+    *     — no single-partition window at any corpus size.
+    *
+    * Feed `epoch_pos` to [[graft.ops.Curation.contextWindows]] as the
+    * curriculum key to pack the epoch stream, or range-write by it for
+    * sequential-read training shards.
+    */
+  def epochShuffle(df: DataFrame, epoch: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    // 8 hex digits = 32-bit draw: collisions are rare and break by id
+    val draw = conv(substring(md5(concat(lit(s"epoch:$epoch:"),
+      col(idCol).cast("string"))), 1, 8), 16, 10).cast("long")
+    graft.ops.Layout.globalRank(df.withColumn("__es_draw", draw),
+        "__es_draw", idCol, rankCol = "epoch_pos")
+      .drop("__es_draw")
+  }
+
   /** Rendezvous (highest-random-weight) shard assignment — the routing
     * discipline that keeps a 100 TB corpus STABLE under topology change:
     * each row goes to the shard with the highest content-derived weight

@@ -6941,6 +6941,26 @@ object TrainingOps {
         .orderBy("layout", "probe_col"),
       Some(hilbertSkippingOracleSql(8, 64))),
 
+
+    // Deterministic epoch shuffle: the reproducible per-epoch
+    // pseudo-random permutation a training loader consumes, as dense
+    // 1-based positions from the bucket-offset rank machinery — no
+    // rand(), no single-partition window. The oracle replays the
+    // md5-draw + ROW_NUMBER ordering digit for digit.
+    QueryDef("q283_epoch_shuffle",
+      (s, d) => graft.ops.Sampling.epochShuffle(
+          table(s, d, "documents").select("doc_id"), epoch = 1)
+        .orderBy("doc_id"),
+      Some {
+        val draw = (1 to 8)
+          .map(i => "(strpos('0123456789abcdef', substr(" +
+            s"md5('epoch:1:' || CAST(doc_id AS VARCHAR)), $i, 1)) - 1)")
+          .reduceLeft((a, b) => s"($a * 16 + $b)")
+        s"""SELECT doc_id, ROW_NUMBER() OVER (ORDER BY $draw, doc_id)
+           |  AS epoch_pos
+           |FROM documents ORDER BY doc_id""".stripMargin
+      }),
+
     // Zipf-law fit of the corpus unigram distribution, on the q213
     // bigram-token corpus (the raw 31-word synthetic vocabulary is too
     // small to profile; bigrams give ~10^3 terms with a real rank

