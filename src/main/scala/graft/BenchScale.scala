@@ -70,7 +70,8 @@ object BenchScale {
     "q276_zipf_fit", "q277_heaps_law", "q278_lsh_plan",
     "q279_audio_resample", "q280_rendezvous_sharding",
     "q281_lsh_recall_audit", "q282_hilbert_skipping",
-    "q283_epoch_shuffle")
+    "q283_epoch_shuffle", "q284_intrinsic_dimension",
+    "q285_energy_distance")
 
   private def loadavg: String =
     try scala.io.Source.fromFile("/proc/loadavg").mkString.trim

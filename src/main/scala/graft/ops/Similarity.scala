@@ -1140,4 +1140,106 @@ object Similarity {
       .withColumn("noise_score",
         col("n_disagree").cast("double") / col("k_eff"))
   }
+
+  /** TwoNN intrinsic-dimension estimate of an embedding corpus (Facco
+    * et al. 2017): for each point, the ratio of its SECOND-nearest to
+    * nearest squared euclidean distance carries the local dimension;
+    * the MLE over the corpus is `d = 2n / Σ ln(d²₂/d²₁)` (the factor 2
+    * because squared distances double the log-ratio). The signal a
+    * curation team reads BEFORE trusting cosine thresholds or PQ
+    * codebook sizes: a 768-dim embedding column whose intrinsic
+    * dimension is 11 clusters, quantizes, and near-dups like an
+    * 11-dim space, not a 768-dim one.
+    *
+    * Points with an EXACT duplicate (d²₁ = 0) carry no scale
+    * information and are excluded (their count is reported). Returns
+    * ONE row `(n_points, n_zero_r1, id_mle)`.
+    *
+    * Shape: all-pairs — the AUDIT tier, like [[nearDupPairs]]: run it
+    * on a gated sample (the estimator converges fast in n); at 100 TB
+    * feed LSH/IVF candidate neighbors instead of the full cross.
+    */
+  def twoNN(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val a = emb.select(col(idCol).as("i"), col(vecCol).as("va"))
+      .withColumn("na", dot(col("va"), col("va")))
+    val b = emb.select(col(idCol).as("j"), col(vecCol).as("vb"))
+      .withColumn("nb", dot(col("vb"), col("vb")))
+    val pairs = a.join(b, col("i") =!= col("j"))
+      .select(col("i"), col("j"),
+        (col("na") + col("nb") - lit(2.0) * dot(col("va"), col("vb")))
+          .as("d2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("i").orderBy(col("d2").asc, col("j").asc)
+    val top2 = pairs.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 2)
+      .groupBy("i")
+      .agg(min(when(col("rk") === 1, col("d2"))).as("r1"),
+        min(when(col("rk") === 2, col("d2"))).as("r2"))
+    top2.agg(
+      sum(when(col("r1") > 0, 1L).otherwise(0L)).as("n_points"),
+      sum(when(col("r1") <= 0, 1L).otherwise(0L)).as("n_zero_r1"),
+      (lit(2.0) * sum(when(col("r1") > 0, 1L).otherwise(0L)) /
+        sum(when(col("r1") > 0, log(col("r2") / col("r1")))))
+        .as("id_mle"))
+  }
+
+  /** Energy distance between every pair of label groups — the
+    * bandwidth-free two-sample statistic for embedding-distribution
+    * drift (Székely & Rizzo): `E(A,B) = 2·E‖x−y‖ − E‖x−x′‖ − E‖y−y′‖`,
+    * zero (in population) iff the distributions coincide — the SAMPLE
+    * statistic fluctuates around 0 for same-distribution groups and
+    * may dip slightly negative. The distribution-shift gate
+    * an embedding corpus runs between snapshots, sources, or
+    * augmentation arms — no kernel bandwidth to tune (the MMD
+    * pitfall). Returns `(label_a, label_b, n_a, n_b, energy)` per
+    * unordered label pair; within-group means use distinct pairs
+    * (i < j, the unbiased form).
+    *
+    * Shape: one all-pairs frame feeds BOTH the cross and within sums —
+    * the audit tier ([[nearDupPairs]] note applies: gate or sample at
+    * 100 TB).
+    */
+  def energyDistance(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val a = emb.select(col(idCol).as("i"), col(vecCol).as("va"),
+      col(labelCol).as("la"))
+      .withColumn("na", dot(col("va"), col("va")))
+    val b = emb.select(col(idCol).as("j"), col(vecCol).as("vb"),
+      col(labelCol).as("lb"))
+      .withColumn("nb", dot(col("vb"), col("vb")))
+    // per-pair distances QUANTIZED to nanos before summing (the
+    // engine's decimal discipline): group sums become exact integers,
+    // so Spark's partition-order float summation and any oracle's
+    // scan-order summation agree bit for bit
+    val pairs = a.join(b, col("i") < col("j"))
+      .select(col("la"), col("lb"),
+        round(sqrt(greatest(col("na") + col("nb") -
+          lit(2.0) * dot(col("va"), col("vb")), lit(0.0))) * 1e9, 0)
+          .cast("long").as("d"))
+    val sums = pairs
+      .select(least(col("la"), col("lb")).as("ga"),
+        greatest(col("la"), col("lb")).as("gb"), col("d"))
+      .groupBy("ga", "gb").agg(sum("d").as("sd"), count(lit(1)).as("np"))
+    val counts = emb.groupBy(col(labelCol).as("g"))
+      .agg(count(lit(1)).as("n"))
+    sums.where(col("ga") =!= col("gb"))
+      .join(counts.select(col("g").as("ga"), col("n").as("n_a")), "ga")
+      .join(counts.select(col("g").as("gb"), col("n").as("n_b")), "gb")
+      .join(sums.where(col("ga") === col("gb"))
+        .select(col("ga").as("wa"), col("sd").as("saa")),
+        col("ga") === col("wa"), "left")
+      .join(sums.where(col("ga") === col("gb"))
+        .select(col("gb").as("wb"), col("sd").as("sbb")),
+        col("gb") === col("wb"), "left")
+      .select(col("ga").as("label_a"), col("gb").as("label_b"),
+        col("n_a"), col("n_b"),
+        ((lit(2.0) * col("sd") / (col("n_a") * col("n_b"))
+          - coalesce(lit(2.0) * col("saa") /
+              (col("n_a") * (col("n_a") - 1L)), lit(0.0))
+          - coalesce(lit(2.0) * col("sbb") /
+              (col("n_b") * (col("n_b") - 1L)), lit(0.0))) / 1e9)
+          .as("energy"))
+  }
 }

@@ -6942,6 +6942,72 @@ object TrainingOps {
       Some(hilbertSkippingOracleSql(8, 64))),
 
 
+
+    // TwoNN intrinsic dimension (Facco et al. 2017) over the gated
+    // embedding sample: the MLE 2n / sum ln(d2_2/d2_1) — the signal
+    // that tells a curation team how the space REALLY behaves before
+    // trusting cosine thresholds or PQ codebook sizes. Audit tier
+    // (all-pairs, SF-gated); distances ride the native float_dot.
+    QueryDef("q284_intrinsic_dimension",
+      (s, d) => graft.ops.Similarity.twoNN(
+          table(s, d, "embeddings").where(col("vec_id") < 1500))
+        .select(col("n_points"), col("n_zero_r1"),
+          round(col("id_mle"), 6).as("id_mle")),
+      Some(s"""WITH e AS (SELECT * FROM embeddings WHERE vec_id < 1500),
+              |p AS (SELECT a.vec_id i, b.vec_id j,
+              |    (${norm2("a")} + ${norm2("b")}
+              |      - 2 * ${dot64.format("a", "b")}) AS d2
+              |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+              |r AS (SELECT i, d2, ROW_NUMBER() OVER (
+              |    PARTITION BY i ORDER BY d2, j) AS rk FROM p),
+              |t AS (SELECT i,
+              |    MIN(CASE WHEN rk = 1 THEN d2 END) AS r1,
+              |    MIN(CASE WHEN rk = 2 THEN d2 END) AS r2
+              |  FROM r WHERE rk <= 2 GROUP BY 1)
+              |SELECT
+              |  CAST(SUM(CASE WHEN r1 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n_points,
+              |  CAST(SUM(CASE WHEN r1 <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n_zero_r1,
+              |  ROUND(2.0 * SUM(CASE WHEN r1 > 0 THEN 1 ELSE 0 END)
+              |    / SUM(CASE WHEN r1 > 0 THEN ln(r2 / r1) END), 6)
+              |    AS id_mle
+              |FROM t""".stripMargin)),
+
+    // Energy distance between every label-group pair (Szekely-Rizzo):
+    // the bandwidth-free two-sample drift statistic for embedding
+    // distributions; per-pair distances quantized to nanos so group
+    // sums are exact integers on any engine. Audit tier (SF-gated).
+    QueryDef("q285_energy_distance",
+      (s, d) => graft.ops.Similarity.energyDistance(
+          table(s, d, "embeddings").where(col("vec_id") < 1500))
+        .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+          round(col("energy"), 6).as("energy"))
+        .orderBy("label_a", "label_b"),
+      Some(s"""WITH e AS (SELECT * FROM embeddings WHERE vec_id < 1500),
+              |p AS (SELECT
+              |    LEAST(a.label, b.label) AS ga,
+              |    GREATEST(a.label, b.label) AS gb,
+              |    CAST(ROUND(SQRT(GREATEST(${norm2("a")} + ${norm2("b")}
+              |      - 2 * ${dot64.format("a", "b")}, 0)) * 1e9, 0)
+              |      AS BIGINT) AS d
+              |  FROM e a JOIN e b ON a.vec_id < b.vec_id),
+              |sums AS (SELECT ga, gb, SUM(d) AS sd FROM p GROUP BY 1, 2),
+              |c AS (SELECT label AS g, CAST(COUNT(*) AS BIGINT) AS n
+              |  FROM e GROUP BY 1)
+              |SELECT s.ga AS label_a, s.gb AS label_b,
+              |  ca.n AS n_a, cb.n AS n_b,
+              |  ROUND((2.0 * s.sd / (ca.n * cb.n)
+              |    - COALESCE(2.0 * saa.sd / (ca.n * (ca.n - 1)), 0)
+              |    - COALESCE(2.0 * sbb.sd / (cb.n * (cb.n - 1)), 0))
+              |    / 1e9, 6) AS energy
+              |FROM sums s
+              |JOIN c ca ON ca.g = s.ga JOIN c cb ON cb.g = s.gb
+              |LEFT JOIN sums saa ON saa.ga = s.ga AND saa.gb = s.ga
+              |LEFT JOIN sums sbb ON sbb.ga = s.gb AND sbb.gb = s.gb
+              |WHERE s.ga <> s.gb
+              |ORDER BY 1, 2""".stripMargin)),
+
     // Deterministic epoch shuffle: the reproducible per-epoch
     // pseudo-random permutation a training loader consumes, as dense
     // 1-based positions from the bucket-offset rank machinery — no

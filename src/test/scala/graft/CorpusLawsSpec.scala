@@ -175,4 +175,62 @@ class CorpusLawsSpec extends AnyFunSuite with SparkTestBase {
     // not the identity and not a simple rotation: the head scatters
     assert(e1.take(10) != (0L until 10L).toSeq)
   }
+
+  test("twoNN: exact closed-form MLE on a 3-point fixture; ~1 on a " +
+      "jittered 1-D manifold in 8-D ambient; exact duplicates excluded") {
+    val s2 = spark; import s2.implicits._
+    def vec(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    // A=0, B=1, C=3 on a line: ratios 9, 4, 9/4 ->
+    // id = 6 / (ln 9 + ln 4 + ln 2.25)
+    val tri = Seq((1L, vec(0), 0), (2L, vec(1), 0), (3L, vec(3), 0))
+      .toDF("vec_id", "embedding", "label")
+    val r = graft.ops.Similarity.twoNN(tri).head()
+    val want = 6.0 / (math.log(9) + math.log(4) + math.log(2.25))
+    assert(r.getAs[Long]("n_points") == 3L)
+    assert(math.abs(r.getAs[Double]("id_mle") - want) < 1e-9)
+    // 150 points along a jittered line embedded in 8 dims: intrinsic
+    // dimension ~1 despite the ambient 8
+    val line = (1L to 150L).map { i =>
+      val t = i.toDouble + 0.3 * math.sin(i * 2.39)
+      (i, vec(t, 2 * t, -t, 0.5 * t, t, 0, 0, 0), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val idL = graft.ops.Similarity.twoNN(line).head()
+      .getAs[Double]("id_mle")
+    assert(idL > 0.6 && idL < 1.5, s"line manifold: $idL")
+    // duplicates carry no scale: excluded and counted
+    val dup = Seq((1L, vec(0), 0), (2L, vec(0), 0), (3L, vec(1), 0),
+      (4L, vec(3), 0)).toDF("vec_id", "embedding", "label")
+    val rd = graft.ops.Similarity.twoNN(dup).head()
+    assert(rd.getAs[Long]("n_zero_r1") == 2L)
+  }
+
+  test("energyDistance: exactly 2*||p-q|| between two point masses; " +
+      "0 for identical groups; nonnegative on mixed fixtures") {
+    val s2 = spark; import s2.implicits._
+    def vec(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val masses = ((1L to 10L).map(i => (i, vec(0, 0), 0)) ++
+      (11L to 25L).map(i => (i, vec(3, 4), 1)))
+      .toDF("vec_id", "embedding", "label")
+    val e = graft.ops.Similarity.energyDistance(masses).head()
+    assert(e.getAs[Int]("label_a") == 0 && e.getAs[Int]("label_b") == 1)
+    assert(math.abs(e.getAs[Double]("energy") - 10.0) < 1e-6,
+      s"2*dist(0,0 -> 3,4) = 10: ${e.getAs[Double]("energy")}")
+    // identical groups: zero
+    val same = ((1L to 8L).map(i => (i, vec(1, 2), 0)) ++
+      (9L to 16L).map(i => (i, vec(1, 2), 1)))
+      .toDF("vec_id", "embedding", "label")
+    assert(math.abs(graft.ops.Similarity.energyDistance(same).head()
+      .getAs[Double]("energy")) < 1e-9)
+    // three groups drawn from ONE distribution: the population energy
+    // is 0 and the sample statistic fluctuates around it (it may dip
+    // slightly negative — that is the estimator, not a bug); all three
+    // pair values must sit near zero, far below a real separation
+    val rnd = new scala.util.Random(11)
+    val mixed = (1L to 60L).map(i => (i,
+      vec(rnd.nextDouble(), rnd.nextDouble()), (i % 3).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val all = graft.ops.Similarity.energyDistance(mixed).collect()
+    assert(all.length == 3 &&
+      all.forall(r => math.abs(r.getAs[Double]("energy")) < 0.1))
+  }
 }
