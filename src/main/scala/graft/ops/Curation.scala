@@ -757,7 +757,8 @@ object Curation {
     * slice.
     *
     * Shape at 100 TB: the stream positions come from
-    * [[graft.ops.Layout.globalCumsum]] (two collected partial-agg
+    * [[graft.ops.Layout.globalCumsum]] (checkpointed single input
+    * execution, collected partial-agg
     * passes + a group-parallel window — never a single-partition
     * scan), and the slice explosion is a narrow per-row
     * `sequence(first_window, last_window)` expansion bounded by

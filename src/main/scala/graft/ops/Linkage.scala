@@ -283,8 +283,9 @@ object Linkage {
     * blow up, which is the property neither LSH nor key blocking can
     * promise.
     *
-    * Shape at 100 TB: [[graft.ops.Layout.globalRank]]'s two-pass
-    * distributed rank (never a single-partition sort), then each rank
+    * Shape at 100 TB: [[graft.ops.Layout.globalRank]]'s bucket-offset
+    * distributed rank (single input execution since round 11; never a
+    * single-partition sort), then each rank
     * lands in TWO width-`2·window` bands offset by `window` — any two
     * ranks closer than `window` share at least one band (the shifted-
     * band cover), so pair generation is [[graft.ops.Dedup]]'s capped
