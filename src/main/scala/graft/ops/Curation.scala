@@ -729,6 +729,52 @@ object Curation {
         (cnt(col("clean_text")) - col("__pre")).as("n_redactions"))
   }
 
+
+  /** Confusable characters folded by [[foldConfusables]]: a curated
+    * Latin-script subset of Unicode TR39's confusables table — the
+    * Cyrillic and Greek letters that RENDER like Latin ones (the
+    * classic dedup-evasion / spam-cloaking trick), folded to their
+    * Latin skeleton after lowercasing. Single-codepoint mappings only,
+    * so one `translate` applies them on any engine.
+    */
+  private[ops] val ConfusableFrom: String =
+    "\u0430\u0435\u043e\u0440\u0441\u0445\u0443\u0456\u0455\u0458\u04bb" + // cyrillic a e o p c x y i s j h
+      "\u03bf\u03b1\u03bd\u03b9\u03ba\u03c1\u03c5\u03c7" // greek o a v i k r u x
+  private[ops] val ConfusableTo: String = "aeopcxyisjh" + "oavikrux"
+
+  /** Zero-width / invisible code points an evader splits tokens with:
+    * ZWSP, ZWNJ, ZWJ, word joiner, BOM/ZWNBSP, soft hyphen.
+    */
+  private[ops] val ZeroWidthClass: String =
+    "[\u200b\u200c\u200d\u2060\ufeff\u00ad]"
+
+  /** The confusable-resistant text skeleton: NFC-compose, lowercase,
+    * strip zero-width/invisible code points, fold the TR39 Latin
+    * confusable subset — the canonical form under which the re-hosted
+    * copy that swapped Latin 'a' for Cyrillic '\u0430' and split words
+    * with zero-width spaces hashes IDENTICALLY to its source.
+    * Idempotent; pure narrow column expression every engine replays
+    * (`nfc_normalize` + `lower` + one regexp + one translate).
+    */
+  def foldConfusables(text: Column): Column =
+    translate(
+      regexp_replace(lower(graft.functions.nfc_normalize(text)),
+        ZeroWidthClass, ""),
+      ConfusableFrom, ConfusableTo)
+
+  /** Exact duplicate groups under the confusable skeleton —
+    * [[graft.ops.Dedup.normalizedGroups]]'s shape (ONE partial-agg
+    * shuffle on a 16-byte hash) with [[foldConfusables]] as the
+    * canonicalization: catches the homoglyph/zero-width evasion that
+    * plain normalization misses entirely (a single swapped Cyrillic
+    * letter defeats an md5 of the lowercased text).
+    */
+  def confusableGroups(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.groupBy(md5(foldConfusables(col(textCol))).as("fold_hash"))
+      .agg(min(col(idCol)).as("canonical_id"),
+        count(lit(1)).as("n_copies"))
+
   /** GPT-style concat-and-chunk CONTEXT-WINDOW packing: lay the corpus
     * out as one token stream in `(keyCol, idCol)` order (curriculum
     * key first, unique id as the tiebreak) and cut it every

@@ -6943,6 +6943,42 @@ object TrainingOps {
 
 
 
+
+    // Confusable-resistant dedup: homoglyph twins (Cyrillic aeo swapped
+    // in, a zero-width space planted) are invisible to plain
+    // normalization but MUST collapse onto their source under the TR39
+    // fold — both engines construct the same adversarial twins and
+    // replay the same skeleton (nfc + lower + zero-width strip + one
+    // translate).
+    QueryDef("q286_confusable_dedup",
+      (s, d) => {
+        val docs = table(s, d, "documents").select("doc_id", "text")
+        val twins = docs.where(col("doc_id") % 2 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(substring(col("text"), 1, 1), lit("\u200b"),
+              translate(expr("substr(text, 2)"),
+                "aeo", "\u0430\u0435\u043e")).as("text"))
+        graft.ops.Curation.confusableGroups(docs.unionByName(twins))
+          .orderBy("canonical_id")
+      },
+      Some(s"""WITH twins AS (SELECT doc_id + 1000000 AS doc_id,
+              |    substr(text, 1, 1) || '\u200b' ||
+              |      translate(substr(text, 2), 'aeo',
+              |        '\u0430\u0435\u043e') AS text
+              |  FROM documents WHERE doc_id % 2 = 0),
+              |ad AS (SELECT doc_id, text FROM documents
+              |  UNION ALL SELECT doc_id, text FROM twins),
+              |f AS (SELECT doc_id,
+              |    translate(regexp_replace(lower(nfc_normalize(text)),
+              |      '[\u200b\u200c\u200d\u2060\ufeff\u00ad]', '', 'g'),
+              |      '\u0430\u0435\u043e\u0440\u0441\u0445\u0443\u0456\u0455\u0458\u04bb\u03bf\u03b1\u03bd\u03b9\u03ba\u03c1\u03c5\u03c7',
+              |      'aeopcxyisjhoavikrux') AS fold
+              |  FROM ad)
+              |SELECT md5(fold) AS fold_hash,
+              |  MIN(doc_id) AS canonical_id,
+              |  CAST(COUNT(*) AS BIGINT) AS n_copies
+              |FROM f GROUP BY 1 ORDER BY canonical_id""".stripMargin)),
+
     // TwoNN intrinsic dimension (Facco et al. 2017) over the gated
     // embedding sample: the MLE 2n / sum ln(d2_2/d2_1) — the signal
     // that tells a curation team how the space REALLY behaves before

@@ -233,4 +233,38 @@ class CorpusLawsSpec extends AnyFunSuite with SparkTestBase {
     assert(all.length == 3 &&
       all.forall(r => math.abs(r.getAs[Double]("energy")) < 0.1))
   }
+
+  test("foldConfusables: homoglyph and zero-width evasions collapse " +
+      "onto the Latin skeleton; fold is idempotent; honest Cyrillic " +
+      "text keeps its non-confusable letters") {
+    val s2 = spark; import s2.implicits._
+    val fx = Seq(
+      // Cyrillic a/e/o/c lookalikes swapped into a Latin word
+      (1L, "p\u0430p\u0435r s\u043eur\u0441e"),
+      (2L, "paper source"),
+      // zero-width split + Greek omicron
+      (3L, "pa\u200bper s\u03bfur\u200dce"),
+      // genuinely different text must NOT collapse
+      (4L, "papers sourced"),
+      // honest Cyrillic word: д/ж have no Latin lookalike and survive
+      (5L, "\u0434\u0436a"))
+      .toDF("doc_id", "text")
+    val folded = fx.select(col("doc_id"),
+      graft.ops.Curation.foldConfusables(col("text")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(folded(1L) == "paper source", folded(1L))
+    assert(folded(2L) == "paper source")
+    assert(folded(3L) == "paper source")
+    assert(folded(4L) == "papers sourced")
+    assert(folded(5L) == "\u0434\u0436a")
+    // idempotent
+    val twice = fx.select(graft.ops.Curation.foldConfusables(
+      graft.ops.Curation.foldConfusables(col("text"))).as("f"))
+      .collect().map(_.getString(0)).toSet
+    assert(twice == folded.values.toSet)
+    // grouping: 1, 2, 3 collapse to one canonical; 4 and 5 stand alone
+    val groups = graft.ops.Curation.confusableGroups(fx)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(groups == Map(1L -> 3L, 4L -> 1L, 5L -> 1L), groups.toString)
+  }
 }
