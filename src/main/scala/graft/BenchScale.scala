@@ -71,7 +71,7 @@ object BenchScale {
     "q279_audio_resample", "q280_rendezvous_sharding",
     "q281_lsh_recall_audit", "q282_hilbert_skipping",
     "q283_epoch_shuffle", "q284_intrinsic_dimension",
-    "q285_energy_distance", "q286_confusable_dedup")
+    "q285_energy_distance", "q286_confusable_dedup", "q287_low_quality_spans")
 
   private def loadavg: String =
     try scala.io.Source.fromFile("/proc/loadavg").mkString.trim

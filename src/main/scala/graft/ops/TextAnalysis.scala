@@ -407,6 +407,72 @@ object TextAnalysis {
         exp(-col("sum_logp") / col("n_tokens")).as("ppl"))
   }
 
+
+  /** Low-quality SPAN detection — span-level quality filtering, the
+    * finer-grained sibling of document-level perplexity gates: a mostly
+    * good document with one garbled/boilerplate stretch should lose the
+    * STRETCH, not the document. Every `window`-token window's average
+    * unigram NLL (add-one model from `refDocs`, the q117 convention) is
+    * scored; windows above `maxAvgNll` flag every token they cover, and
+    * maximal runs of flagged tokens merge into spans — returns
+    * `(doc_id, span_start, span_end)`, 1-based inclusive token
+    * positions (the [[graft.ops.Dedup.duplicateSpans]] output
+    * convention, so the same excision machinery consumes either).
+    *
+    * Shape at 100 TB: the model is a broadcast-gated join (vocab-
+    * bounded); scoring, window averages, coverage, and the
+    * gaps-and-islands merge are all doc-PARTITIONED windows — never a
+    * global sort, no pair expansion. Documents shorter than `window`
+    * score their (single, shorter) prefix window.
+    */
+  def lowQualitySpans(docs: DataFrame, refDocs: DataFrame, window: Int,
+      maxAvgNll: Double): DataFrame = {
+    require(window >= 1, s"window=$window must be >= 1")
+    val model = refDocs
+      .select(explode(split(col("text"), " ")).as("term"))
+      .where(length(col("term")) > 0)
+      .groupBy("term").agg(count(lit(1)).as("c"))
+    val tot = model.agg(sum("c").as("n"), count(lit(1)).as("v"))
+    val toks = docs
+      .select(col("doc_id"), posexplode(filter(split(col("text"), " "),
+        w => length(w) > 0)).as(Seq("p0", "term")))
+      .select(col("doc_id"), (col("p0") + 1).as("p"), col("term"))
+    val scored = toks
+      .join(broadcast(model), Seq("term"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("p"),
+        (-log((coalesce(col("c"), lit(0L)) + lit(1.0)) /
+          (col("n") + col("v")))).as("nll"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("p")
+    // avg NLL of the window STARTING here (shorter at the tail: only
+    // starts with a full window score, except docs shorter than w)
+    val fwd = byDoc.rowsBetween(0, window - 1)
+    val nToks = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+    val flagged = scored
+      .withColumn("wn", count(lit(1)).over(fwd))
+      .withColumn("wavg", avg(col("nll")).over(fwd))
+      .withColumn("nd", count(lit(1)).over(nToks))
+      .withColumn("full", col("wn") === window ||
+        (col("nd") < window && col("p") === 1))
+      .withColumn("bad_start",
+        when(col("full") && col("wavg") > maxAvgNll, 1).otherwise(0))
+    // a token is covered iff ANY flagged window start lies within the
+    // previous window-1 positions (the q270 window-count trick)
+    val back = byDoc.rowsBetween(-(window - 1), 0)
+    val covered = flagged
+      .withColumn("cov", max(col("bad_start")).over(back))
+      .where(col("cov") === 1)
+    // gaps-and-islands: consecutive covered positions share p - rn
+    val islands = covered
+      .withColumn("rn", row_number().over(byDoc))
+      .groupBy(col("doc_id"), (col("p") - col("rn")).as("__g"))
+      .agg(min("p").as("span_start"), max("p").as("span_end"))
+    islands.select(col("doc_id"), col("span_start").cast("long"),
+      col("span_end").cast("long"))
+  }
+
   /** Interpolated Kneser–Ney bigram perplexity — the industry-standard
     * LM quality gate (what KenLM-based corpus filters score with) next
     * to [[perplexity]]'s add-one baseline: absolute discounting with

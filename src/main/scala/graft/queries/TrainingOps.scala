@@ -6944,6 +6944,58 @@ object TrainingOps {
 
 
 
+
+    // Span-level quality filtering: windows of high average unigram
+    // NLL flag the tokens they cover; maximal flagged runs merge to
+    // spans (the q270 island convention, so the same excision machinery
+    // consumes either). Model from the q117 held-out split; w=8,
+    // threshold 3.55 sits at ~p90 of this corpus's NLL.
+    QueryDef("q287_low_quality_spans",
+      (s, d) => TextAnalysis.lowQualitySpans(
+          table(s, d, "documents").where(col("doc_id") % 10 =!= 0),
+          table(s, d, "documents").where(col("doc_id") % 10 === 0),
+          window = 8, maxAvgNll = 3.55)
+        .orderBy("doc_id", "span_start"),
+      Some("""WITH ref AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+             |u AS (SELECT UNNEST(string_split(text, ' ')) AS term
+             |  FROM ref),
+             |m AS (SELECT term, COUNT(*) AS c FROM u
+             |  WHERE len(term) > 0 GROUP BY 1),
+             |tot AS (SELECT SUM(c) AS n, COUNT(*) AS v FROM m),
+             |tok AS (SELECT doc_id, t.i AS p, ws[t.i] AS term
+             |  FROM (SELECT doc_id,
+             |      list_filter(string_split(text, ' '),
+             |        x -> len(x) > 0) AS ws
+             |    FROM documents WHERE doc_id % 10 <> 0) dd,
+             |    UNNEST(generate_series(1, len(ws))) t(i)),
+             |sc AS (SELECT doc_id, p,
+             |    -ln((COALESCE(m.c, 0) + 1.0) / (tot.n + tot.v)) AS nll
+             |  FROM tok LEFT JOIN m USING (term), tot),
+             |fl AS (SELECT doc_id, p,
+             |    COUNT(*) OVER w8 AS wn,
+             |    AVG(nll) OVER w8 AS wavg,
+             |    COUNT(*) OVER (PARTITION BY doc_id) AS nd
+             |  FROM sc
+             |  WINDOW w8 AS (PARTITION BY doc_id ORDER BY p
+             |    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING)),
+             |bs AS (SELECT doc_id, p,
+             |    CASE WHEN (wn = 8 OR (nd < 8 AND p = 1))
+             |      AND wavg > 3.55 THEN 1 ELSE 0 END AS bad_start
+             |  FROM fl),
+             |cov AS (SELECT doc_id, p FROM (
+             |    SELECT doc_id, p, MAX(bad_start) OVER (
+             |      PARTITION BY doc_id ORDER BY p
+             |      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS cv
+             |    FROM bs) WHERE cv = 1),
+             |isl AS (SELECT doc_id,
+             |    p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p)
+             |      AS g, p
+             |  FROM cov)
+             |SELECT doc_id, CAST(MIN(p) AS BIGINT) AS span_start,
+             |  CAST(MAX(p) AS BIGINT) AS span_end
+             |FROM isl GROUP BY doc_id, g
+             |ORDER BY doc_id, span_start""".stripMargin)),
+
     // Confusable-resistant dedup: homoglyph twins (Cyrillic aeo swapped
     // in, a zero-width space planted) are invisible to plain
     // normalization but MUST collapse onto their source under the TR39

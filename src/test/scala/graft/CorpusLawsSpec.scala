@@ -267,4 +267,26 @@ class CorpusLawsSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
     assert(groups == Map(1L -> 3L, 4L -> 1L, 5L -> 1L), groups.toString)
   }
+
+  test("lowQualitySpans: a planted OOV junk run flags exactly the " +
+      "window-smeared island; clean docs flag nothing; short all-junk " +
+      "docs flag their prefix window") {
+    val s2 = spark; import s2.implicits._
+    // model: a/b/c with freq 4 -> in-vocab NLL ln 3 ~ 1.10, OOV ln 15
+    // ~ 2.71. w=4, t=2.0: a window flags iff it holds >= 3 junk tokens.
+    val ref = Seq((100L, "a b c a b c a b c a b c")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a b c a b c j1 j2 j3 j4 j5 j6 j7 j8 a b c a b c"),
+      (2L, "a b c a b c a b"), // clean: nothing flags
+      (3L, "z1 z2")) // shorter than w: the prefix window scores
+      .toDF("doc_id", "text")
+    val spans = graft.ops.TextAnalysis
+      .lowQualitySpans(docs, ref, window = 4, maxAvgNll = 2.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    // junk sits at tokens 7..14; bad starts are 6..12 (>= 3 junk in
+    // [s, s+3]), coverage smears one window width: island [6, 15] —
+    // the inherent +-(w-1) smear of windowed flagging, documented
+    assert(spans == Set((1L, 6L, 15L), (3L, 1L, 2L)), spans.toString)
+  }
 }
