@@ -23,12 +23,15 @@ class RecipesSpec extends AnyFunSuite with SparkTestBase {
     val s2 = spark; import s2.implicits._
     val nDocs = docs.count()
 
-    // 1. exact dedup (one shuffle): groups partition the corpus [q40/q146]
-    val exact = Dedup.normalizedGroups(docs)
-    val g = exact.agg(sum("n_copies"), count(lit(1))).head()
-    assert(g.getLong(0) == nDocs, "groups must partition the corpus")
-    assert(exact.select("canonical_id").distinct().count() ==
-      g.getLong(1), "one canonical per group")
+    // 1. exact + confusable-resistant dedup (one shuffle each):
+    //    groups partition the corpus under BOTH skeletons [q40, q286]
+    for (groups <- Seq(Dedup.normalizedGroups(docs),
+        Curation.confusableGroups(docs))) {
+      val g = groups.agg(sum("n_copies"), count(lit(1))).head()
+      assert(g.getLong(0) == nDocs, "groups must partition the corpus")
+      assert(groups.select("canonical_id").distinct().count() ==
+        g.getLong(1), "one canonical per group")
+    }
 
     // 2. near-dup candidates + the exactness certificate [q42, q267]
     val cands = Dedup.minhashCandidates(docs, n = 3, numHashes = 16,
@@ -58,6 +61,14 @@ class RecipesSpec extends AnyFunSuite with SparkTestBase {
     val pp = scored.agg(min("ppl"), max("ppl")).head()
     assert(pp.getDouble(0) > 0 && !pp.getDouble(1).isInfinite,
       "perplexity finite and positive for every doc")
+    // span-level repair: every flagged span sits inside its document
+    val spanBounds = graft.ops.TextAnalysis.lowQualitySpans(
+        docs, ref, window = 8, maxAvgNll = 3.55)
+      .join(docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("nt")), "doc_id")
+      .where(col("span_start") < 1 || col("span_end") > col("nt") ||
+        col("span_start") > col("span_end"))
+    assert(spanBounds.isEmpty, "span bounds must be valid positions")
 
     // 5. policy: PII redaction then blocklist redaction [q88, q273]
     val banned = Seq("table scan", "merge")
