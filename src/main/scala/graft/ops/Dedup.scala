@@ -1016,14 +1016,35 @@ object Dedup {
     * One row out. Run it on a fixture-scale sample BEFORE trusting a
     * banding at 100 TB — the exact tier is quadratic in co-shingle
     * pairs and is the reason this is an audit, not a production path.
+    *
+    * The audit runs both tiers in STRICT spill mode: an oversized
+    * bucket FAILS the job loudly instead of being silently skipped —
+    * a truth tier that quietly under-counted could certify recall=1.0
+    * for a banding that actually missed real pairs, the exact inverse
+    * of what this audit exists to establish. Raise `maxBucket` (or
+    * pre-dedup the degenerate key) and re-run; never audit on
+    * truncated truth. Both tiers are localCheckpointed, so each
+    * quadratic pass executes ONCE, not once per consuming aggregate.
     */
   def lshRecallAudit(docs: DataFrame, n: Int, numHashes: Int,
       rowsPerBand: Int, minJaccard: Double,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val truth = jaccardPairs(docs, n, minJaccard, maxBucket)
-      .select(col("id1"), col("id2"))
-    val cands = minhashCandidates(docs, n, numHashes, rowsPerBand,
-      maxBucket)
+    val spark = docs.sparkSession
+    val strictKey = "spark.graft.dedup.failOnSpill"
+    val prev = spark.conf.getOption(strictKey)
+    // the strict gate is baked into the PLAN at build time; restore the
+    // session conf immediately after building
+    spark.conf.set(strictKey, "true")
+    val (truth, cands) =
+      try {
+        (jaccardPairs(docs, n, minJaccard, maxBucket)
+           .select(col("id1"), col("id2")).localCheckpoint(),
+         minhashCandidates(docs, n, numHashes, rowsPerBand, maxBucket)
+           .localCheckpoint())
+      } finally prev match {
+        case Some(v) => spark.conf.set(strictKey, v)
+        case None => spark.conf.unset(strictKey)
+      }
     val hits = truth.join(cands, Seq("id1", "id2"), "left_semi")
     truth.agg(count(lit(1)).as("n_true"))
       .crossJoin(cands.agg(count(lit(1)).as("n_candidates")))

@@ -115,9 +115,45 @@ object Layout {
     */
   def curveSkippingProfile(df: DataFrame, cols: Seq[String], bits: Int,
       numFiles: Int, probes: Seq[(String, Long, Long)]): DataFrame =
-    skippingProfileFrom(hilbertValue(zValue(df, cols, bits), cols, bits),
+    skippingProfileFrom(bothCurveValues(df, cols, bits),
       Seq(("hilbert", "hvalue"), ("zorder", "zvalue")), cols, numFiles,
       probes)
+
+  /** `zvalue` AND `hvalue` from ONE bounds aggregate and one shared
+    * normalization (calling [[zValue]] then [[hilbertValue]] would scan
+    * the clustered columns for bounds twice — a redundant full-table
+    * pass per audit at the 100 TB positioning). Values are identical
+    * to the standalone operators' (same normalize, same guards).
+    */
+  private def bothCurveValues(df: DataFrame, cols: Seq[String],
+      bits: Int): DataFrame = {
+    require(cols.size == 2,
+      s"curve comparison is 2-D (got ${cols.size} cols)")
+    require(bits > 0 && 2 * bits < 63, s"need 0 < 2*bits < 63, got $bits")
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c")))
+    val bounds = df.agg(aggs.head, aggs.tail: _*)
+    val rangeCap = if (bits > 53) 0L else 1L << (53 - bits)
+    val rangesExact = cols.map { c =>
+      val range = try_add(try_subtract(
+        col(s"__max_$c").cast("long"), col(s"__min_$c").cast("long")),
+        lit(1L))
+      range.isNotNull && range >= 1L && range <= rangeCap
+    }.reduce(_ && _)
+    val normalized = cols.map(c => normalize(col(c),
+      col(s"__min_$c"), col(s"__max_$c"), bits))
+    val zv = when(rangesExact, interleave(normalized, bits))
+      .otherwise(raise_error(lit(
+        s"curveSkippingProfile: a clustered column's range exceeds " +
+          s"2^${53 - bits} — reduce bits or pre-bucket the column")))
+    val withCoords = df.crossJoin(broadcast(bounds))
+      .withColumn("zvalue", zv)
+      .withColumn("__cx", normalized.head)
+      .withColumn("__cy", normalized(1))
+      .drop(cols.flatMap(c => Seq(s"__min_$c", s"__max_$c")): _*)
+    appendHilbertOf(withCoords, "__cx", "__cy", bits)
+      .drop("__cx", "__cy")
+  }
 
   /** Shared file-model audit: `valued` carries one value column per
     * curve layout; files are equal-VALUE-RANGE cuts of each layout key
@@ -192,14 +228,14 @@ object Layout {
     * coordinates flip/swap into the sub-quadrant's frame. All integer
     * (div/mod arithmetic, no bitwise ops), values reduced mod `s`
     * every level so every intermediate stays in [0, s) — the exact
-    * arithmetic any engine replays. Built as ONE chained projection
-    * per level, so plan size is linear in `bits`.
+    * arithmetic any engine replays, computed by the native codegen'd
+    * [[graft.functions.HilbertIndex]] kernel.
     *
-    * Input pre-normalized columns come from [[zValue]]'s bounds pass
-    * when called via [[curveSkippingProfile]]; calling directly, the
-    * method normalizes like [[zValue]] (one tiny bounds aggregate,
-    * same exactness guard). Exactly 2 clustered columns (the common
-    * lakehouse case); [[zValue]] handles higher arity.
+    * Normalizes like [[zValue]] (one tiny bounds aggregate, same
+    * exactness guard); [[curveSkippingProfile]] fuses this bounds pass
+    * with Z-order's instead of calling both operators. Exactly 2
+    * clustered columns (the common lakehouse case); [[zValue]] handles
+    * higher arity.
     */
   def hilbertValue(df: DataFrame, cols: Seq[String],
       bits: Int): DataFrame = {

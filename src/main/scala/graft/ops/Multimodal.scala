@@ -423,7 +423,13 @@ object Multimodal {
         wavSamplesU8(bytes).toSeq.flatMap { u =>
           if (u.length < 2) Seq.empty
           else {
-            val nOut = ((u.length - 1).toLong * up / down).toInt + 1
+            val nOutL = (u.length - 1).toLong * up / down + 1L
+            if (nOutL > Int.MaxValue)
+              throw new IllegalArgumentException(
+                s"audioResampleBlocks: $nOutL output samples from " +
+                  s"${u.length} at $up/$down overflows an array — " +
+                  "chunk the media first")
+            val nOut = nOutL.toInt
             val mid = 128L * up
             val out = new Array[Long](nOut)
             var j = 0

@@ -115,9 +115,11 @@ object Sampling {
     * `hashUnit(id ++ shard)`, so adding a shard moves ONLY the rows the
     * new shard now wins (~1/(S+1) of them) and removing one moves only
     * its own rows — no mod-S reshuffle of everything (PropertySpec pins
-    * the minimal-movement invariant). Ties (astronomically rare with a
-    * 16-bit draw, but deterministic engines must define them) break to
-    * the lexicographically smallest shard name.
+    * the minimal-movement invariant). The weight is a 32-bit md5 draw
+    * (with 8 shards a 16-bit draw would tie some shard pair on ~1 in
+    * 2300 rows — a measurable systematic skew toward low-named shards,
+    * not an astronomical rarity); residual ties break to the
+    * lexicographically smallest shard name, deterministically.
     *
     * Pure narrow projection — |shards| hash evaluations per row, no
     * shuffle, no driver state; the oracle replays the md5 arithmetic.
@@ -131,8 +133,9 @@ object Sampling {
     // shard name (max rank), deterministically on any engine
     val sortedSh = shards.sorted
     val weighted = sortedSh.zipWithIndex.map { case (sh, i) =>
-      struct(hashUnit(concat(col(idCol).cast("string"), lit(":" + sh)),
-        "rdv:").as("w"), lit(sortedSh.size - i).as("tb"),
+      struct(conv(substring(md5(concat(lit("rdv:"),
+        col(idCol).cast("string"), lit(":" + sh))), 1, 8), 16, 10)
+        .cast("long").as("w"), lit(sortedSh.size - i).as("tb"),
         lit(sh).as("shard"))
     }
     val pick = array_max(array(weighted: _*))

@@ -1235,11 +1235,16 @@ object Similarity {
         col("gb") === col("wb"), "left")
       .select(col("ga").as("label_a"), col("gb").as("label_b"),
         col("n_a"), col("n_b"),
-        ((lit(2.0) * col("sd") / (col("n_a") * col("n_b"))
-          - coalesce(lit(2.0) * col("saa") /
-              (col("n_a") * (col("n_a") - 1L)), lit(0.0))
-          - coalesce(lit(2.0) * col("sbb") /
-              (col("n_b") * (col("n_b") - 1L)), lit(0.0))) / 1e9)
+        // a singleton group has NO within-group pairs: its spread term
+        // is unknowable, so the statistic is NULL (the olsCols
+        // degenerate-case convention), never a silently inflated
+        // cross-term pseudo-value
+        (when(col("n_a") >= 2L && col("n_b") >= 2L,
+          (lit(2.0) * col("sd") / (col("n_a") * col("n_b"))
+            - lit(2.0) * col("saa") /
+                (col("n_a") * (col("n_a") - 1L))
+            - lit(2.0) * col("sbb") /
+                (col("n_b") * (col("n_b") - 1L))) / 1e9))
           .as("energy"))
   }
 }

@@ -7085,10 +7085,11 @@ object TrainingOps {
               |  FROM e GROUP BY 1)
               |SELECT s.ga AS label_a, s.gb AS label_b,
               |  ca.n AS n_a, cb.n AS n_b,
-              |  ROUND((2.0 * s.sd / (ca.n * cb.n)
-              |    - COALESCE(2.0 * saa.sd / (ca.n * (ca.n - 1)), 0)
-              |    - COALESCE(2.0 * sbb.sd / (cb.n * (cb.n - 1)), 0))
-              |    / 1e9, 6) AS energy
+              |  ROUND(CASE WHEN ca.n >= 2 AND cb.n >= 2 THEN
+              |    (2.0 * s.sd / (ca.n * cb.n)
+              |      - 2.0 * saa.sd / (ca.n * (ca.n - 1))
+              |      - 2.0 * sbb.sd / (cb.n * (cb.n - 1)))
+              |      / 1e9 END, 6) AS energy
               |FROM sums s
               |JOIN c ca ON ca.g = s.ga JOIN c cb ON cb.g = s.gb
               |LEFT JOIN sums saa ON saa.ga = s.ga AND saa.gb = s.ga
@@ -7253,10 +7254,14 @@ object TrainingOps {
           (0 until 8).map(i => s"s$i"))
         .orderBy("doc_id"),
       Some {
+        val draw = (1 to 8)
+          .map(i => "(strpos('0123456789abcdef', substr(" +
+            s"md5('rdv:' || CAST(doc_id AS VARCHAR) || ':' || shard), " +
+            s"$i, 1)) - 1)")
+          .reduceLeft((a, b) => s"($a * 16 + $b)")
         s"""WITH sh AS (SELECT UNNEST([${(0 until 8)
               .map(i => s"'s$i'").mkString(", ")}]) AS shard),
-           |w AS (SELECT doc_id, shard,
-           |    ${drawSqlOn("rdv:", "CAST(doc_id AS VARCHAR) || ':' || shard")} AS w
+           |w AS (SELECT doc_id, shard, $draw AS w
            |  FROM documents, sh),
            |r AS (SELECT doc_id, shard, ROW_NUMBER() OVER (
            |    PARTITION BY doc_id ORDER BY w DESC, shard) AS rn

@@ -99,6 +99,20 @@ class CorpusLawsSpec extends AnyFunSuite with SparkTestBase {
     assert(rec.forall(v => v >= 0.0 && v <= 1.0))
     assert(m.getAs[Long]("n_hits") <= m.getAs[Long]("n_true"))
     assert(m.getAs[Long]("n_hits") <= m.getAs[Long]("n_candidates"))
+    // a spilled bucket must FAIL the audit loudly — a silently
+    // truncated truth tier could certify recall 1.0 for a banding that
+    // actually missed pairs (round-11 review finding)
+    val dense = (1L to 40L).map(id =>
+      (id, s"c1 c2 c3 c4 c5 tail$id")).toDF("doc_id", "text")
+    val e = intercept[Exception](
+      Dedup.lshRecallAudit(dense, 3, 8, 2, 0.1, maxBucket = 8).head())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else String.valueOf(t.getMessage) +: msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("failOnSpill")), msgs(e).toString)
+    // and the strict conf is RESTORED after the audit builds its plans
+    assert(!spark.conf.getOption("spark.graft.dedup.failOnSpill")
+      .exists(_.toBoolean))
   }
 
   test("rendezvousAssign: deterministic, and MINIMAL MOVEMENT — adding " +
@@ -221,6 +235,12 @@ class CorpusLawsSpec extends AnyFunSuite with SparkTestBase {
       .toDF("vec_id", "embedding", "label")
     assert(math.abs(graft.ops.Similarity.energyDistance(same).head()
       .getAs[Double]("energy")) < 1e-9)
+    // a SINGLETON group has no within-group spread: the statistic is
+    // NULL, never an inflated cross-term (round-11 review finding)
+    val single = ((1L to 6L).map(i => (i, vec(0, 0), 0)) :+
+      (7L, vec(3, 4), 1)).toDF("vec_id", "embedding", "label")
+    assert(graft.ops.Similarity.energyDistance(single).head()
+      .isNullAt(4), "singleton group energy must be NULL")
     // three groups drawn from ONE distribution: the population energy
     // is 0 and the sample statistic fluctuates around it (it may dip
     // slightly negative — that is the estimator, not a bug); all three
