@@ -95,8 +95,9 @@ object Dedup {
     * yield no pairs and surface in the observed spill metric.
     */
   private def bucketPairs(keyed: DataFrame, keys: Seq[String],
-      maxBucket: Int = DefaultMaxBucket): DataFrame =
-    bucketPairsOf(keyed, keys, col("id"), maxBucket)
+      maxBucket: Int = DefaultMaxBucket,
+      strict: Option[Boolean] = None): DataFrame =
+    bucketPairsOf(keyed, keys, col("id"), maxBucket, strict = strict)
       .select(col("a").as("id1"), col("b").as("id2"))
 
   /** Generalized single-branch pair expansion: all ordered payload pairs
@@ -134,18 +135,22 @@ object Dedup {
     * single stop-gram bucket should cost recall on one pathological
     * key, not the whole nightly run, and `spilled_buckets == 0` is
     * the machine-checkable exactness certificate either way.
+    * `strict = Some(_)` overrides the session conf PER PLAN — the
+    * audit path uses it so building a strict plan never mutates
+    * session state a concurrently-built plan could inherit.
     */
   private[ops] def bucketPairsOf(keyed: DataFrame, keys: Seq[String],
       payload: Column, maxBucket: Int = DefaultMaxBucket,
-      obs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+      obs: Option[org.apache.spark.sql.Observation] = None,
+      strict: Option[Boolean] = None): DataFrame = {
     require(maxBucket >= 2, s"maxBucket=$maxBucket must be >= 2")
-    val failOnSpill = keyed.sparkSession.conf
-      .getOption("spark.graft.dedup.failOnSpill").exists(_.toBoolean)
+    val failOnSpill = strict.getOrElse(keyed.sparkSession.conf
+      .getOption("spark.graft.dedup.failOnSpill").exists(_.toBoolean))
     val sizeGate =
       if (failOnSpill)
         when(size(col("ms")) > maxBucket, raise_error(format_string(
           "bucketPairsOf: bucket of %d ids exceeds maxBucket=" +
-            s"$maxBucket and spark.graft.dedup.failOnSpill=true — " +
+            s"$maxBucket in strict spill mode (failOnSpill) — " +
             "remove the degenerate key (stop-gram / exact-duplicate " +
             "prefix) or raise maxBucket", size(col("ms")))))
           .otherwise(lit(true))
@@ -225,10 +230,11 @@ object Dedup {
     * candidate pairs through this for exact re-scoring.
     */
   def jaccardPairs(docs: DataFrame, n: Int, minJaccard: Double,
-      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+      maxBucket: Int = DefaultMaxBucket,
+      strict: Option[Boolean] = None): DataFrame = {
     val sh = shingles(docs, n)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val inter = bucketPairs(sh, Seq("shingle"), maxBucket)
+    val inter = bucketPairs(sh, Seq("shingle"), maxBucket, strict)
       .groupBy("id1", "id2")
       .agg(count(lit(1)).as("n_common"))
     inter
@@ -328,9 +334,10 @@ object Dedup {
     * near-dup detection feasible at 100 TB.
     */
   def minhashCandidates(docs: DataFrame, n: Int, numHashes: Int,
-      rowsPerBand: Int, maxBucket: Int = DefaultMaxBucket): DataFrame =
+      rowsPerBand: Int, maxBucket: Int = DefaultMaxBucket,
+      strict: Option[Boolean] = None): DataFrame =
     bucketPairs(minhashBandKeys(docs, n, numHashes, rowsPerBand),
-      Seq("band", "band_key"), maxBucket).distinct()
+      Seq("band", "band_key"), maxBucket, strict).distinct()
 
   /** Candidate-then-verify near-dup pairs: [[minhashCandidates]]
     * re-scored with BOUNDED edit distance — the two-tier discipline of
@@ -1023,28 +1030,21 @@ object Dedup {
     * for a banding that actually missed real pairs, the exact inverse
     * of what this audit exists to establish. Raise `maxBucket` (or
     * pre-dedup the degenerate key) and re-run; never audit on
-    * truncated truth. Both tiers are localCheckpointed, so each
-    * quadratic pass executes ONCE, not once per consuming aggregate.
+    * truncated truth. Strictness is threaded per-plan (never a session
+    * conf round-trip, so a concurrently-built dedup plan on the same
+    * session can't inherit it). Both tiers are localCheckpointed, so
+    * each quadratic pass executes ONCE, not once per consuming
+    * aggregate.
     */
   def lshRecallAudit(docs: DataFrame, n: Int, numHashes: Int,
       rowsPerBand: Int, minJaccard: Double,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val spark = docs.sparkSession
-    val strictKey = "spark.graft.dedup.failOnSpill"
-    val prev = spark.conf.getOption(strictKey)
-    // the strict gate is baked into the PLAN at build time; restore the
-    // session conf immediately after building
-    spark.conf.set(strictKey, "true")
-    val (truth, cands) =
-      try {
-        (jaccardPairs(docs, n, minJaccard, maxBucket)
-           .select(col("id1"), col("id2")).localCheckpoint(),
-         minhashCandidates(docs, n, numHashes, rowsPerBand, maxBucket)
-           .localCheckpoint())
-      } finally prev match {
-        case Some(v) => spark.conf.set(strictKey, v)
-        case None => spark.conf.unset(strictKey)
-      }
+    val truth = jaccardPairs(docs, n, minJaccard, maxBucket,
+        strict = Some(true))
+      .select(col("id1"), col("id2")).localCheckpoint()
+    val cands = minhashCandidates(docs, n, numHashes, rowsPerBand,
+        maxBucket, strict = Some(true))
+      .localCheckpoint()
     val hits = truth.join(cands, Seq("id1", "id2"), "left_semi")
     truth.agg(count(lit(1)).as("n_true"))
       .crossJoin(cands.agg(count(lit(1)).as("n_candidates")))

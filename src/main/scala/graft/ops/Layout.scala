@@ -422,7 +422,7 @@ object Layout {
     val k = col(keyCol).cast("long")
     val v = coalesce(col(valCol).cast("long"), lit(0L))
     val (addGroup, groups, sums) = rankGroups(base, keyCol, idCol,
-      numBuckets, maxBucketRows, valCol = Some(v))
+      numBuckets, maxBucketRows, valCol = Some(v), caller = "globalCumsum")
     if (groups.isEmpty) return base.withColumn(cumCol, lit(null))
     var acc = 0L
     val offsets = groups.map { g =>
@@ -473,7 +473,7 @@ object Layout {
     */
   private[graft] def rankGroups(df: DataFrame, keyCol: String,
       idCol: String, numBuckets: Int, maxBucketRows: Long,
-      valCol: Option[Column])
+      valCol: Option[Column], caller: String = "globalRank")
       : (DataFrame => DataFrame, Seq[RankGroup], Map[Int, Long]) = {
     val k = col(keyCol).cast("long")
     // try_cast, not cast: under ANSI a non-integral id must surface as
@@ -534,7 +534,7 @@ object Layout {
       val nullKeyRows = stats.filter(_.isNullAt(0)).map(_.getLong(1)).sum
       if (nullKeyRows > 0L)
         throw new IllegalArgumentException(
-          s"globalRank: keyCol '$keyCol' has $nullKeyRows null values — " +
+          s"$caller: keyCol '$keyCol' has $nullKeyRows null values — " +
             "rank order over nulls is undefined here; filter them or " +
             "coalesce to a sentinel first")
       val byGid = stats.map(r => r.getInt(0) -> r).toMap
@@ -569,7 +569,7 @@ object Layout {
       else if (round >= 3) {
         val hard = groups.filter(_.rows > maxBucketRows)
         if (hard.nonEmpty) throw new IllegalStateException(
-          s"globalRank: ${hard.size} bucket(s) still exceed " +
+          s"$caller: ${hard.size} bucket(s) still exceed " +
             s"maxBucketRows=$maxBucketRows after $round refinement " +
             s"rounds (worst: ${hard.map(_.rows).max} rows) " +
             "— raise maxBucketRows or pre-aggregate the key")
@@ -588,7 +588,7 @@ object Layout {
             else { // pure tie group: split the ids (monotone in id)
               if (r.getLong(6) > 0L || r.isNullAt(4))
                 throw new IllegalStateException(
-                  s"globalRank: key=$kmn is a tie group of ${g.rows} " +
+                  s"$caller: key=$kmn is a tie group of ${g.rows} " +
                     s"rows (> maxBucketRows=$maxBucketRows) and idCol " +
                     s"'$idCol' does not cast to long, so the tie group " +
                     "cannot be range-refined — use an integral id or " +

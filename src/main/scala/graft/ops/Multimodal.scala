@@ -406,7 +406,9 @@ object Multimodal {
     * the sample SCALED BY L is `s[i0]·(L − rem) + s[i0+1]·rem` — no
     * float ever, so any engine replays it bit-for-bit from the same
     * bytes. `energy_scaled` is Σ (u_scaled − 128·L)² over the block
-    * (the [[audioBlockFeatures]] energy, in the ×L domain). Output
+    * (the [[audioBlockFeatures]] energy, in the ×L domain), summed with
+    * `Math.addExact`/`multiplyExact` so a rate large enough to overflow
+    * the ×L energy domain fails loudly instead of wrapping. Output
     * length is `(n−1)·L div M + 1`; undecodable media yields no rows.
     *
     * Shape at 100 TB: partition-batched narrow decode → 1→N block
@@ -444,11 +446,15 @@ object Multimodal {
               j += 1
             }
             out.grouped(blockLen).zipWithIndex.map { case (blk, bi) =>
+              // exact arithmetic is the operator's contract, so the
+              // energy sum must fail loudly, not wrap: |d| <= 127·up,
+              // so d² alone overflows past up ≈ 2.4e7 and a long block
+              // can push the sum over 2^63 well before that
               var energy = 0L
               var i = 0
               while (i < blk.length) {
                 val d = blk(i) - mid
-                energy += d * d
+                energy = Math.addExact(energy, Math.multiplyExact(d, d))
                 i += 1
               }
               ResampledBlock(id, bi, blk.length, energy)

@@ -86,7 +86,7 @@ object Sampling {
   /** Deterministic EPOCH SHUFFLE — the data-loading order a training run
     * actually consumes: a reproducible pseudo-random permutation of the
     * corpus per epoch, as a dense 1-based `epoch_pos`. Order is
-    * (md5-derived 32-bit draw salted by the epoch, then `idCol`), so
+    * (md5-derived 60-bit draw salted by the epoch, then `idCol`), so
     *   - the same epoch always replays the same order on any cluster
     *     (restart-safe, resumable from a position);
     *   - different epochs are independent permutations (no fixed
@@ -101,9 +101,14 @@ object Sampling {
     */
   def epochShuffle(df: DataFrame, epoch: Int,
       idCol: String = "doc_id"): DataFrame = {
-    // 8 hex digits = 32-bit draw: collisions are rare and break by id
+    // 15 hex digits (< 2^60, the engine's hex15 convention): a 32-bit
+    // draw would collide past ~10^5 rows (birthday bound) and colliding
+    // docs would ride in ascending-id runs EVERY epoch — a small but
+    // systematic non-randomness at corpus scale. At 60 bits the first
+    // collision is expected past ~10^9 rows; residual ties still break
+    // by id, deterministically.
     val draw = conv(substring(md5(concat(lit(s"epoch:$epoch:"),
-      col(idCol).cast("string"))), 1, 8), 16, 10).cast("long")
+      col(idCol).cast("string"))), 1, 15), 16, 10).cast("long")
     graft.ops.Layout.globalRank(df.withColumn("__es_draw", draw),
         "__es_draw", idCol, rankCol = "epoch_pos")
       .drop("__es_draw")

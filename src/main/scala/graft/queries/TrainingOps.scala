@@ -7107,7 +7107,7 @@ object TrainingOps {
           table(s, d, "documents").select("doc_id"), epoch = 1)
         .orderBy("doc_id"),
       Some {
-        val draw = (1 to 8)
+        val draw = (1 to 15)
           .map(i => "(strpos('0123456789abcdef', substr(" +
             s"md5('epoch:1:' || CAST(doc_id AS VARCHAR)), $i, 1)) - 1)")
           .reduceLeft((a, b) => s"($a * 16 + $b)")
