@@ -48,11 +48,17 @@ object Dedup {
   /** Distinct word n-gram shingles per document (narrow stage, no UDF).
     * `dedup = false` skips the distinct (a full shuffle of the shingle
     * stream) for consumers whose downstream aggregation is idempotent
-    * under duplicates — min-wise hashing is.
+    * under duplicates — min-wise hashing is. `tokenizer =
+    * [[Tokenize.ScriptAware]]` makes the shingle stream meaningful on
+    * CJK/Thai text (whitespace splitting sees a whole CJK line as ONE
+    * token, so near-dup detection silently degrades to exact-dedup on
+    * those scripts).
     */
   def shingles(docs: DataFrame, n: Int, idCol: String = "doc_id",
-      textCol: String = "text", dedup: Boolean = true): DataFrame = {
-    val raw = docs.select(col(idCol).as("id"), split(col(textCol), " ").as("l"))
+      textCol: String = "text", dedup: Boolean = true,
+      tokenizer: Tokenize.Mode = Tokenize.Whitespace): DataFrame = {
+    val raw = docs.select(col(idCol).as("id"),
+        Tokenize.tokens(col(textCol), tokenizer).as("l"))
       .where(size(col("l")) >= n)
       .select(col("id"), explode(expr(
         s"transform(sequence(1, size(l) - ${n - 1}), i -> concat_ws(' ', slice(l, i, $n)))"))
@@ -231,8 +237,9 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, n: Int, minJaccard: Double,
       maxBucket: Int = DefaultMaxBucket,
-      strict: Option[Boolean] = None): DataFrame = {
-    val sh = shingles(docs, n)
+      strict: Option[Boolean] = None,
+      tokenizer: Tokenize.Mode = Tokenize.Whitespace): DataFrame = {
+    val sh = shingles(docs, n, tokenizer = tokenizer)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val inter = bucketPairs(sh, Seq("shingle"), maxBucket, strict)
       .groupBy("id1", "id2")
@@ -315,11 +322,12 @@ object Dedup {
     * shingle stream `numHashes`×) and no shingle-dedup shuffle (`min` is
     * idempotent under duplicates).
     */
-  def minhashSignatures(docs: DataFrame, n: Int, numHashes: Int): DataFrame = {
+  def minhashSignatures(docs: DataFrame, n: Int, numHashes: Int,
+      tokenizer: Tokenize.Mode = Tokenize.Whitespace): DataFrame = {
     val mins = (0 until numHashes).map { h =>
       min(md5(concat(lit(s"$h:"), col("shingle")))).as(s"mh_$h")
     }
-    shingles(docs, n, dedup = false)
+    shingles(docs, n, dedup = false, tokenizer = tokenizer)
       .groupBy("id").agg(mins.head, mins.tail: _*)
   }
 
@@ -335,8 +343,9 @@ object Dedup {
     */
   def minhashCandidates(docs: DataFrame, n: Int, numHashes: Int,
       rowsPerBand: Int, maxBucket: Int = DefaultMaxBucket,
-      strict: Option[Boolean] = None): DataFrame =
-    bucketPairs(minhashBandKeys(docs, n, numHashes, rowsPerBand),
+      strict: Option[Boolean] = None,
+      tokenizer: Tokenize.Mode = Tokenize.Whitespace): DataFrame =
+    bucketPairs(minhashBandKeys(docs, n, numHashes, rowsPerBand, tokenizer),
       Seq("band", "band_key"), maxBucket, strict).distinct()
 
   /** Candidate-then-verify near-dup pairs: [[minhashCandidates]]
@@ -367,7 +376,8 @@ object Dedup {
     * "hh=minhash" parts.
     */
   private def minhashBandKeys(docs: DataFrame, n: Int, numHashes: Int,
-      rowsPerBand: Int): DataFrame = {
+      rowsPerBand: Int,
+      tokenizer: Tokenize.Mode = Tokenize.Whitespace): DataFrame = {
     val numBands = (numHashes + rowsPerBand - 1) / rowsPerBand
     val bandCols = (0 until numBands).map { b =>
       val parts = (b * rowsPerBand until
@@ -376,7 +386,7 @@ object Dedup {
       }
       struct(lit(b).as("band"), md5(concat_ws("|", parts: _*)).as("band_key"))
     }
-    minhashSignatures(docs, n, numHashes)
+    minhashSignatures(docs, n, numHashes, tokenizer)
       .select(col("id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"),
         col("bk.band_key").as("band_key"))

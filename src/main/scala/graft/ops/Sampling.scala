@@ -262,13 +262,15 @@ object Sampling {
     */
   def packShards(df: DataFrame, budgetTokens: Long, numBuckets: Int,
       textCol: String = "text",
-      orderCols: Seq[String] = Seq("doc_id")): DataFrame = {
+      orderCols: Seq[String] = Seq("doc_id"),
+      tokenizer: Tokenize.Mode = Tokenize.Whitespace): DataFrame = {
     require(budgetTokens > 0 && numBuckets > 0,
       s"budgetTokens=$budgetTokens and numBuckets=$numBuckets must be positive")
     require(orderCols.nonEmpty, "orderCols must be non-empty")
     val w = Window.partitionBy("bucket").orderBy(orderCols.map(col): _*)
     df
-      .withColumn("n_tokens", size(split(col(textCol), " ")).cast("long"))
+      .withColumn("n_tokens",
+        size(Tokenize.tokens(col(textCol), tokenizer)).cast("long"))
       .withColumn("bucket",
         floor(hashUnit(col(textCol), "shard:") * numBuckets).cast("int"))
       .withColumn("shard", concat_ws("-", col("bucket"),

@@ -84,15 +84,22 @@ object TextAnalysis {
       .select(col("doc_id") +: keep.map(col) :++ qualityColumns.map(col): _*)
 
   /** Token counting: whitespace tokens plus a BPE-ish regex segmentation
-    * (letter runs | digit runs | single other non-space).
+    * (letter runs | digit runs | single other non-space). `tokenizer =
+    * [[Tokenize.ScriptAware]]` counts CJK/Thai codepoints as tokens
+    * instead of treating a whole unspaced line as one (`ws_tokens` /
+    * `uniq_tokens` then mean "tokens under the script-aware rule";
+    * `re_tokens` is unchanged by design — it is a separate estimator).
     */
-  def tokenStats(docs: DataFrame): DataFrame =
+  def tokenStats(docs: DataFrame,
+      tokenizer: Tokenize.Mode = Tokenize.Whitespace): DataFrame = {
+    val t = Tokenize.tokens(col("text"), tokenizer)
     docs.select(
       col("doc_id"),
-      size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+      size(t).cast("long").as("ws_tokens"),
       size(regexp_extract_all(col("text"),
         lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long").as("re_tokens"),
-      size(array_distinct(split(col("text"), " "))).cast("long").as("uniq_tokens"))
+      size(array_distinct(t)).cast("long").as("uniq_tokens"))
+  }
 
   /** Content fingerprint: md5 of the sorted distinct token set — an
     * order-insensitive document identity for fuzzy grouping (a rolling
@@ -217,13 +224,15 @@ object TextAnalysis {
     * uses pure integer arithmetic, so any engine replays the boundaries.
     */
   def chunk(docs: DataFrame, chunkTokens: Int, overlap: Int,
-      keep: Seq[String] = Nil): DataFrame = {
+      keep: Seq[String] = Nil,
+      tokenizer: Tokenize.Mode = Tokenize.Whitespace): DataFrame = {
     require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
       s"need 0 <= overlap < chunkTokens, got $overlap / $chunkTokens")
     val stride = chunkTokens - overlap
     val kept = keep.map(col)
     docs
-      .select(col("doc_id") +: kept :+ split(col("text"), " ").as("t"): _*)
+      .select(col("doc_id") +: kept :+
+        Tokenize.tokens(col("text"), tokenizer).as("t"): _*)
       // integer ceil((n - overlap) / stride), at least 1
       .withColumn("n_chunks", greatest(lit(1L),
         floor((size(col("t")) - overlap + (stride - 1)).cast("double") /

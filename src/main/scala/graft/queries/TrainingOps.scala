@@ -22,6 +22,22 @@ object TrainingOps {
     s"(SELECT SUM(CAST(x.v AS DOUBLE) * CAST(x.v AS DOUBLE)) " +
       s"FROM (SELECT UNNEST($t.embedding) v) x)"
 
+  /** The [[graft.ops.Tokenize.NoSpaceScriptClass]] codepoint-range
+    * class, verbatim — `\\x{...}` spelling is valid in BOTH Java regex
+    * and RE2, so the oracle's segmentation is character-for-character
+    * the engine's.
+    */
+  private def scriptClassSql: String =
+    graft.ops.Tokenize.NoSpaceScriptClass
+
+  /** 26 Han ideographs standing in for a–z in the CJK fixtures (all
+    * BMP, so per-char translate agrees across engines).
+    */
+  private def cjkAlphabet: String =
+    "\u5b89\u6ce2\u8349\u5730\u8863\u98a8\u8c37\u706b\u77f3\u4eba" +
+      "\u91d1\u6728\u6797\u9593\u6771\u5357\u897f\u5317\u6c34\u5ddd" +
+      "\u5c71\u6708\u65e5\u661f\u96f2\u6d77"
+
   private def simhashSigSql(cond: String = "TRUE") =
     s"""toks AS (SELECT doc_id id, UNNEST(string_split(text, ' ')) tok
       |         FROM documents WHERE $cond),
@@ -7312,6 +7328,93 @@ object TrainingOps {
               |    THEN CAST(n_hits AS DOUBLE) / n_candidates END, 6)
               |    AS candidate_precision
               |FROM c""".stripMargin)),
+
+    // Script-aware tokenization on a MIXED-script corpus: every third
+    // document gets a twin with vowels transliterated into Han
+    // ideographs (mixed Latin+CJK words — the web-corpus shape that
+    // breaks whitespace tokenization), and tokenStats runs under
+    // Tokenize.ScriptAware: each whitespace-free-script codepoint is
+    // its own token, Latin words stay words. The oracle replays the
+    // byte-identical codepoint-range segmentation in RE2.
+    QueryDef("q288_script_tokens",
+      (s, d) => {
+        val docs = table(s, d, "documents").select("doc_id", "text")
+        val twins = docs.where(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            translate(col("text"), "aeiou",
+              "\u5b89\u8863\u5b87\u6c5f\u65bc").as("text"))
+        TextAnalysis.tokenStats(docs.unionByName(twins),
+            tokenizer = graft.ops.Tokenize.ScriptAware)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH twins AS (SELECT doc_id + 2000000 AS doc_id,
+              |    translate(text, 'aeiou',
+              |      '\u5b89\u8863\u5b87\u6c5f\u65bc') AS text
+              |  FROM documents WHERE doc_id % 3 = 0),
+              |ad AS (SELECT doc_id, text FROM documents
+              |  UNION ALL SELECT doc_id, text FROM twins),
+              |tk AS (SELECT doc_id,
+              |    list_filter(regexp_split_to_array(
+              |      regexp_replace(text, '($scriptClassSql)', ' \\1 ',
+              |        'g'), ' '), x -> x <> '') AS t,
+              |    regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')
+              |      AS re
+              |  FROM ad)
+              |SELECT doc_id, CAST(len(t) AS BIGINT) AS ws_tokens,
+              |  CAST(len(re) AS BIGINT) AS re_tokens,
+              |  CAST(len(list_distinct(t)) AS BIGINT) AS uniq_tokens
+              |FROM tk ORDER BY doc_id""".stripMargin)),
+
+    // CJK near-dup dedup end-to-end: an UNSPACED ideographic corpus
+    // (every letter transliterated to Han, spaces stripped — whitespace
+    // tokenization sees ONE token per document and the shingle stream
+    // is empty, so plain MinHash is structurally blind here) with a
+    // near-identical twin per document (first codepoint dropped).
+    // minhashCandidates under Tokenize.ScriptAware shingles character
+    // tokens and catches every twin; the oracle replays segmentation,
+    // signatures, and banding digit for digit. SF-gated like q41.
+    QueryDef("q289_cjk_neardup",
+      (s, d) => {
+        val cjk = table(s, d, "documents")
+          .where(col("doc_id") % 5 === 0 && col("doc_id") < 2000)
+          .select(col("doc_id"),
+            regexp_replace(translate(col("text"),
+              "abcdefghijklmnopqrstuvwxyz", cjkAlphabet), " ", "")
+              .as("text"))
+        val twins = cjk.select((col("doc_id") + 3000000L).as("doc_id"),
+          expr("substr(text, 2)").as("text"))
+        Dedup.minhashCandidates(cjk.unionByName(twins), 3, 8, 2,
+            tokenizer = graft.ops.Tokenize.ScriptAware)
+          .orderBy("id1", "id2")
+      },
+      Some(s"""WITH cjk AS (SELECT doc_id,
+              |    replace(translate(text, 'abcdefghijklmnopqrstuvwxyz',
+              |      '$cjkAlphabet'), ' ', '') AS text
+              |  FROM documents WHERE doc_id % 5 = 0 AND doc_id < 2000),
+              |ad AS (SELECT doc_id, text FROM cjk
+              |  UNION ALL SELECT doc_id + 3000000, substr(text, 2)
+              |  FROM cjk),
+              |toks AS (SELECT doc_id id,
+              |    list_filter(regexp_split_to_array(
+              |      regexp_replace(text, '($scriptClassSql)', ' \\1 ',
+              |        'g'), ' '), x -> x <> '') AS l
+              |  FROM ad),
+              |t3 AS (SELECT id, l FROM toks WHERE len(l) >= 3),
+              |sh AS (SELECT DISTINCT id,
+              |    array_to_string(l[i:i+2], ' ') AS shingle
+              |  FROM t3, UNNEST(generate_series(1, len(l) - 2)) t(i)),
+              |sigs AS (SELECT id, h,
+              |    MIN(md5(CAST(h AS VARCHAR) || ':' || shingle)) AS mh
+              |  FROM sh, UNNEST(generate_series(0, 7)) t(h) GROUP BY 1, 2),
+              |bands AS (SELECT id, h // 2 AS band,
+              |    md5(array_to_string(list_sort(
+              |      list(lpad(CAST(h AS VARCHAR), 2, '0') || '=' || mh)),
+              |      '|')) AS band_key
+              |  FROM sigs GROUP BY 1, 2)
+              |SELECT DISTINCT a.id AS id1, b.id AS id2
+              |FROM bands a JOIN bands b ON a.band = b.band
+              |  AND a.band_key = b.band_key AND a.id < b.id
+              |ORDER BY 1, 2""".stripMargin)),
   )
 
 

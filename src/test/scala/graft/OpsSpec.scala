@@ -4291,4 +4291,79 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got(4L) == ((0.0, 0.0, 0.0, 0.0)))
   }
 
+  test("Tokenize.ScriptAware isolates whitespace-free-script codepoints " +
+      "as tokens, keeps Latin words whole, and agrees with Whitespace on " +
+      "single-spaced Latin text") {
+    val s2 = spark; import s2.implicits._
+    val fx = Seq(
+      (1L, "hello 世界abc ทด x"),
+      (2L, "plain latin words only"),
+      (3L, "東京タワー")) // unspaced CJK run
+      .toDF("doc_id", "text")
+    def toksOf(m: Tokenize.Mode): Map[Long, Seq[String]] = fx
+      .select(col("doc_id"), Tokenize.tokens(col("text"), m).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val sa = toksOf(Tokenize.ScriptAware)
+    assert(sa(1L) == Seq("hello", "世", "界", "abc",
+      "ท", "ด", "x"), sa(1L).toString)
+    // U+30FC (prolonged sound mark) is inside the Katakana block range,
+    // so the fixed-range class isolates it — deterministically, on both
+    // engines, independent of Unicode script-assignment versions
+    assert(sa(3L) == Seq("東", "京", "タ", "ワ",
+      "ー"), sa(3L).toString)
+    val ws = toksOf(Tokenize.Whitespace)
+    assert(sa(2L) == ws(2L) && ws(2L) == Seq("plain", "latin", "words",
+      "only"))
+    assert(ws(3L) == Seq("東京タワー"),
+      "whitespace mode must keep the unspaced run as one token")
+  }
+
+  test("CJK near-duplicates: minhashCandidates is structurally blind " +
+      "under whitespace tokenization (empty shingle stream) and catches " +
+      "every planted twin under ScriptAware") {
+    val s2 = spark; import s2.implicits._
+    // unspaced ideographic docs + a twin with the first codepoint
+    // dropped — the q289 fixture shape at spec scale
+    val han = "安波草地衣風谷火石" +
+      "人金木林間東南西北水" +
+      "川山月日星雲海"
+    val rnd = new scala.util.Random(7)
+    val base = (1L to 30L).map { id =>
+      (id, (0 until 40).map(_ => han(rnd.nextInt(han.length))).mkString)
+    }
+    val fx = (base ++ base.map { case (id, t) => (id + 100L, t.drop(1)) })
+      .toDF("doc_id", "text")
+    val blind = Dedup.minhashCandidates(fx, 3, 8, 2).count()
+    assert(blind == 0L,
+      s"whitespace mode must produce no candidates on unspaced CJK, got $blind")
+    val caught = Dedup.minhashCandidates(fx, 3, 8, 2,
+        tokenizer = Tokenize.ScriptAware)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val twins = (1L to 30L).map(id => (id, id + 100L)).toSet
+    assert(twins.subsetOf(caught), s"missed twins: ${twins -- caught}")
+  }
+
+  test("chunk and packShards under ScriptAware: codepoint-grain token " +
+      "accounting on unspaced text") {
+    val s2 = spark; import s2.implicits._
+    val fx = Seq((1L, "東京南北水火山" +
+      "川月日")).toDF("doc_id", "text") // 10 codepoints
+    val chunks = graft.ops.TextAnalysis.chunk(fx, 4, 0,
+        tokenizer = Tokenize.ScriptAware)
+      .orderBy("chunk_id")
+      .collect().map(r => (r.getAs[Long]("n_chunk_tokens"),
+        r.getAs[String]("chunk")))
+    assert(chunks.map(_._1).toSeq == Seq(4L, 4L, 2L), chunks.toSeq.toString)
+    assert(chunks.head._2 == "東 京 南 北")
+    // whitespace mode would call this ONE token
+    val nt = Sampling.packShards(fx, 5L, 1,
+        tokenizer = Tokenize.ScriptAware)
+      .select("n_tokens").head().getLong(0)
+    assert(nt == 10L, s"packShards must count 10 codepoint tokens, got $nt")
+    val stats = graft.ops.TextAnalysis.tokenStats(fx,
+        tokenizer = Tokenize.ScriptAware).head()
+    assert(stats.getAs[Long]("ws_tokens") == 10L &&
+      stats.getAs[Long]("uniq_tokens") == 10L)
+  }
+
 }
