@@ -114,6 +114,98 @@ object Sampling {
       .drop("__es_draw")
   }
 
+  /** [[epochShuffle]] for a WHOLE TRAINING RUN in one pass: the
+    * per-epoch positions for every epoch in `epochs` at once, as
+    * `(epoch, epoch_pos)` rows — an E-epoch loader would otherwise pay
+    * E full rank passes over the same corpus. Per-epoch output is
+    * bit-identical to `epochShuffle(df, e)` (same 60-bit salted draw,
+    * same (draw, id) order, same dense 1-based positions): callers can
+    * mix the two freely and a resumed run can re-derive any single
+    * epoch cheaply.
+    *
+    * Why this doesn't need [[graft.ops.Layout.globalRank]]'s refinement
+    * machinery: the rank key HERE is an md5 draw — uniform on [0, 2^60)
+    * by construction — so a fixed monotone bucket split (top `b` bits
+    * of the draw) is balanced within noise and per-(epoch, bucket)
+    * counts from ONE partial-agg pass give exact offsets directly; the
+    * general operator must refine because real keys are arbitrarily
+    * skewed. Shape: one narrow epoch-explode over the checkpointed
+    * input (rows ×E), one partial-agg stats pass, one window
+    * partitioned by (epoch, bucket) — never a global sort, no driver
+    * state beyond E·numBuckets offsets. The loud-failure contract
+    * matches globalRank: null ids are refused, and a bucket past
+    * `maxBucketRows` fails with the count (only reachable when
+    * corpus/numBuckets genuinely exceeds the cap — raise numBuckets).
+    */
+  def epochStreams(df: DataFrame, epochs: Seq[Int],
+      idCol: String = "doc_id", numBuckets: Int = 1024,
+      maxBucketRows: Long = 1L << 23): DataFrame = {
+    require(epochs.nonEmpty, "epochs must be non-empty")
+    require(epochs.distinct.size == epochs.size,
+      s"duplicate epochs: $epochs")
+    require(numBuckets >= 1 && numBuckets <= (1 << 20),
+      s"numBuckets=$numBuckets must be in [1, 2^20]")
+    require(maxBucketRows >= 1, s"maxBucketRows=$maxBucketRows must be >= 1")
+    for (c <- df.columns)
+      require(c != "epoch" && c != "epoch_pos" && !c.startsWith("__es_"),
+        s"epochStreams: input already has a column named '$c' — rename " +
+          "it (the operator appends epoch/epoch_pos and uses __es_* " +
+          "internally)")
+    // same single-execution contract as globalRank: offsets and the
+    // final ranked plan must see the SAME rows
+    val base = df.localCheckpoint()
+    val b = if (numBuckets <= 1) 0
+      else 64 - java.lang.Long.numberOfLeadingZeros(numBuckets.toLong - 1L)
+    val draw = conv(substring(md5(concat(lit("epoch:"),
+      col("epoch").cast("string"), lit(":"),
+      col(idCol).cast("string"))), 1, 15), 16, 10).cast("long")
+    val exploded = base
+      .withColumn("epoch", explode(typedLit(epochs)))
+      .withColumn("__es_draw", draw)
+      .withColumn("__es_b",
+        if (b == 0) lit(0) else shiftright(col("__es_draw"), 60 - b)
+          .cast("int"))
+    val stats = exploded
+      .groupBy(col("epoch"), col("__es_b"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__es_draw").isNull, 1L).otherwise(0L)).as("nnull"))
+      .collect()
+    val nulls = stats.map(_.getLong(3)).sum
+    if (nulls > 0L)
+      throw new IllegalArgumentException(
+        s"epochStreams: idCol '$idCol' has null values in $nulls " +
+          "(epoch, row) pairs — positions over nulls are undefined; " +
+          "filter them first")
+    val worst = if (stats.isEmpty) 0L else stats.map(_.getLong(2)).max
+    if (worst > maxBucketRows)
+      throw new IllegalStateException(
+        s"epochStreams: a draw bucket holds $worst rows " +
+          s"(> maxBucketRows=$maxBucketRows) — raise numBuckets; the " +
+          "draw is md5-uniform, so this only happens when " +
+          "corpus/numBuckets exceeds the cap")
+    // exclusive per-epoch prefix sums over buckets in draw order; keys
+    // flattened to one long so the broadcast literal is a plain map
+    val offsets: Map[Long, Long] = stats
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1)
+      .flatMap { case (epoch, rows) =>
+        var acc = 0L
+        rows.sortBy(_._2).map { case (_, bucket, n) =>
+          val o = (epoch.toLong << 21) + bucket -> acc
+          acc = Math.addExact(acc, n)
+          o
+        }
+      }
+    val w = Window.partitionBy(col("epoch"), col("__es_b"))
+      .orderBy(col("__es_draw").asc, col(idCol).asc)
+    exploded
+      .withColumn("epoch_pos",
+        element_at(typedLit(offsets),
+          (col("epoch").cast("long") * lit(1L << 21)) + col("__es_b")) +
+          row_number().over(w))
+      .drop("__es_draw", "__es_b")
+  }
+
   /** Rendezvous (highest-random-weight) shard assignment — the routing
     * discipline that keeps a 100 TB corpus STABLE under topology change:
     * each row goes to the shard with the highest content-derived weight

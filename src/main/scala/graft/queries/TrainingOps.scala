@@ -7415,6 +7415,26 @@ object TrainingOps {
               |FROM bands a JOIN bands b ON a.band = b.band
               |  AND a.band_key = b.band_key AND a.id < b.id
               |ORDER BY 1, 2""".stripMargin)),
+
+    // Whole-training-run epoch streams: four epochs' loading orders in
+    // ONE pass (one epoch-explode, one stats agg, one partitioned
+    // window) instead of four rank passes; per-epoch output is
+    // bit-identical to q283's single-epoch operator, and the oracle
+    // replays the 15-hex draw + per-epoch ROW_NUMBER digit for digit.
+    QueryDef("q290_epoch_streams",
+      (s, d) => graft.ops.Sampling.epochStreams(
+          table(s, d, "documents").select("doc_id"), epochs = Seq(1, 2, 3, 4))
+        .orderBy("epoch", "doc_id"),
+      Some {
+        val draw = hex15Sql(
+          "md5('epoch:' || CAST(epoch AS VARCHAR) || ':' || " +
+            "CAST(doc_id AS VARCHAR))")
+        s"""WITH ep AS (SELECT d.doc_id, e.epoch FROM documents d
+           |  CROSS JOIN (VALUES (1), (2), (3), (4)) e(epoch))
+           |SELECT doc_id, epoch, ROW_NUMBER() OVER (PARTITION BY epoch
+           |    ORDER BY $draw, doc_id) AS epoch_pos
+           |FROM ep ORDER BY epoch, doc_id""".stripMargin
+      }),
   )
 
 

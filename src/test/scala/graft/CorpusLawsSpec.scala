@@ -190,6 +190,30 @@ class CorpusLawsSpec extends AnyFunSuite with SparkTestBase {
     assert(e1.take(10) != (0L until 10L).toSeq)
   }
 
+  test("epochStreams: one pass over E epochs, per-epoch BIT-IDENTICAL " +
+      "to epochShuffle; loud on null ids") {
+    val s2 = spark; import s2.implicits._
+    val ids = spark.range(0, 500).toDF("doc_id")
+    val all = Sampling.epochStreams(ids, epochs = Seq(1, 3, 7))
+      .collect()
+      .map(r => (r.getAs[Int]("epoch"), r.getAs[Long]("doc_id")) ->
+        r.getAs[Long]("epoch_pos")).toMap
+    assert(all.size == 1500)
+    for (e <- Seq(1, 3, 7)) {
+      val single = Sampling.epochShuffle(ids, e).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      (0L until 500L).foreach { id =>
+        assert(all((e, id)) == single(id),
+          s"epoch $e doc $id: ${all((e, id))} vs ${single(id)}")
+      }
+    }
+    // null ids are refused, not silently mis-ranked
+    val withNull = Seq(Some(1L), None, Some(3L)).toDF("doc_id")
+    val err = intercept[Exception](
+      Sampling.epochStreams(withNull, Seq(1)).collect())
+    assert(err.getMessage.contains("null"), err.getMessage)
+  }
+
   test("twoNN: exact closed-form MLE on a 3-point fixture; ~1 on a " +
       "jittered 1-D manifold in 8-D ambient; exact duplicates excluded") {
     val s2 = spark; import s2.implicits._
