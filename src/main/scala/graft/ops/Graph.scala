@@ -39,18 +39,23 @@ object Graph {
     var ranks = nodes.withColumn("rank", lit(1.0) / n)
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
+      // dangling mass rides the round's plan as a broadcast one-row
+      // aggregate instead of a driver `.head` action: one Spark job per
+      // round (the checkpoint materialization), not two — the scalar's
+      // value and the IEEE arithmetic consuming it are unchanged
       val dangling = ranks.where(col("deg") === 0)
-        .agg(coalesce(sum("rank"), lit(0.0))).head.getDouble(0)
+        .agg(coalesce(sum("rank"), lit(0.0)).as("__dang"))
       val contribs = uniq
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(col("rank") / col("deg")).as("contrib"))
       val next = nodes
         .join(contribs, Seq("node"), "left")
+        .crossJoin(broadcast(dangling))
         .select(col("node"), col("deg"),
           (lit((1.0 - damping) / n) +
             lit(damping) * (coalesce(col("contrib"), lit(0.0)) +
-              lit(dangling / n))).as("rank"))
+              col("__dang") / lit(n))).as("rank"))
         .localCheckpoint(true)
       ckptStorage(ranks).foreach(_.unpersist(blocking = false))
       ranks = next
@@ -93,10 +98,14 @@ object Graph {
           .select(col("node").as("src"), col("label").as("cand")), "src")
         .groupBy(col("dst").as("node"), col("cand"))
         .agg(count(lit(1)).as("votes"))
-      val win = Window.partitionBy("node")
-        .orderBy(col("votes").desc, col("cand").asc)
-      val best = votes.withColumn("rk", row_number().over(win))
-        .where(col("rk") === 1).select(col("node"), col("cand"))
+      // argmax by (votes desc, cand asc) as ONE struct-max partial
+      // aggregation (the naiveBayes argmax trick) instead of a
+      // row_number window — same winner, but the exchange carries
+      // map-side-combined maxima and no per-partition sort runs
+      val best = votes
+        .groupBy("node")
+        .agg(max(struct(col("votes"), (-col("cand")).as("nc"))).as("m"))
+        .select(col("node"), (-col("m.nc")).as("cand"))
       val next = labels.join(best, Seq("node"), "left")
         .select(col("node"), col("seed_label"),
           coalesce(col("seed_label"), col("cand"), col("label"))
@@ -240,18 +249,20 @@ object Graph {
     var ranks = nodes.withColumn("rank", col("s"))
       .select("node", "deg", "s", "rank").localCheckpoint(true)
     for (_ <- 1 to iters) {
+      // in-plan broadcast dangling scalar — see [[pageRank]]'s round loop
       val dangling = ranks.where(col("deg") === 0)
-        .agg(coalesce(sum("rank"), lit(0.0))).head.getDouble(0)
+        .agg(coalesce(sum("rank"), lit(0.0)).as("__dang"))
       val contribs = uniq
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(col("rank") / col("deg")).as("contrib"))
       val next = nodes
         .join(contribs, Seq("node"), "left")
+        .crossJoin(broadcast(dangling))
         .select(col("node"), col("deg"), col("s"),
           (lit(1.0 - damping) * col("s") +
             lit(damping) * (coalesce(col("contrib"), lit(0.0)) +
-              lit(dangling) * col("s"))).as("rank"))
+              col("__dang") * col("s"))).as("rank"))
         .localCheckpoint(true)
       ckptStorage(ranks).foreach(_.unpersist(blocking = false))
       ranks = next

@@ -1481,19 +1481,29 @@ object Profile {
     */
   def heapsFit(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    // the token ARRAYS deliberately ride globalCumsum's checkpoint: the
-    // materialization doubles as a cache of the (expensive) upstream
-    // tokenization, which BOTH consumers (the starts and the first-
-    // occurrence pass) then read once. Measured at sf0.1..sf1: 4.7 s /
-    // 38 s this shape vs 8.4 s / 72 s with a narrow checkpoint + re-
-    // derived tokens (the tokenization recomputes twice and dominates)
-    val lens = docs.select(col(idCol).as("doc_id"),
+    // the token ARRAYS are materialized ONCE, in a single-projection
+    // checkpoint: the materialization doubles as a cache of the
+    // (expensive) upstream tokenization, which BOTH consumers (the
+    // starts and the first-occurrence pass) then read. Measured at
+    // sf0.1..sf1: 4.7 s / 38 s this shape vs 8.4 s / 72 s with a
+    // narrow checkpoint + re-derived tokens. Round-12 refinement: the
+    // checkpoint is the BARE (doc_id, ws) projection — when `textCol`
+    // is itself an expensive derived column (q277 feeds a synthesized
+    // bigram corpus), the old shape inlined that expression into ws,
+    // n_tokens, AND the pushed-down length filter, evaluating it ~3×
+    // per row before anything was cached (measured 6.4 s → 2.1 s at
+    // sf0.1); length/filtering now derive from the materialized arrays
+    val toks = docs.select(col(idCol).as("doc_id"),
       filter(split(col(textCol), " "), w => length(w) > 0).as("ws"))
+      .localCheckpoint(true)
+    val lens = toks
       .select(col("doc_id"), col("ws"),
         size(col("ws")).cast("long").as("n_tokens"))
       .where(col("n_tokens") > 0)
+    // lens derives deterministically from the checkpoint above, so the
+    // rank machinery can safely skip its own (second) materialization
     val starts = graft.ops.Layout.globalCumsum(lens, "doc_id", "doc_id",
-      "n_tokens", cumCol = "start")
+      "n_tokens", cumCol = "start", materializeInput = false)
     // each term's first global occurrence -> the doc where it debuts
     val firstDebut = starts
       .select(col("doc_id"), col("start"),

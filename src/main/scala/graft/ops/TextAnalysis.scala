@@ -313,18 +313,39 @@ object TextAnalysis {
     * doc_id).
     */
   def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val tf = docs
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25FromTf(bm25Tf(docs).localCheckpoint(true), queries, k, k1, b)
+
+  /** The corpus's (doc, doc-length, term, term-frequency) relation —
+    * [[bm25TopK]]'s single tokenization pass, factored out so composite
+    * retrievers ([[hybridTopK]], the q243 NDCG chain) can build it ONCE
+    * and feed every ranker from the materialized relation instead of
+    * re-tokenizing the corpus per ranker.
+    */
+  private[ops] def bm25Tf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("ts"))
       .select(col("doc_id"), size(col("ts")).cast("double").as("dl"),
         explode(col("ts")).as("term"))
       .groupBy("doc_id", "dl", "term")
       .agg(count(lit(1)).cast("double").as("tf"))
+
+  /** [[bm25TopK]] over an already-materialized [[bm25Tf]] relation.
+    * Corpus statistics (N, avgdl) derive from the tf relation's
+    * (doc_id, dl) grain — `split` emits at least one token for any
+    * string, so every input document is present and the stats are
+    * exactly the direct scan's (doc ids are unique by the battery's
+    * input contract). The corpus is therefore scanned ONCE per retrieval
+    * call (the tf build), not once more for stats (guide §2.4).
+    */
+  private def bm25FromTf(tf: DataFrame, queries: DataFrame, k: Int,
+      k1: Double, b: Double): DataFrame = {
     val qterms = queries
       .select(col("query_id"),
         explode(array_distinct(split(col("text"), " "))).as("term"))
-    val stats = docs.agg(count(lit(1)).cast("double").as("n_docs"),
-      avg(size(split(col("text"), " "))).as("avgdl"))
+    val stats = tf.select("doc_id", "dl").distinct()
+      .agg(count(lit(1)).cast("double").as("n_docs"),
+        avg(col("dl")).as("avgdl"))
     val posts = tf
       .join(broadcast(qterms.select("term").distinct()), Seq("term"),
         "left_semi")
@@ -605,17 +626,24 @@ object TextAnalysis {
     * oracle replays both rankings and the fusion exactly.
     *
     * Shape at 100 TB: both rankers share the gating discipline — corpus
-    * tokenization is one scan each, candidate scoring is confined to
+    * tokenization is ONE scan total (both rankers and the corpus stats
+    * read the same materialized [[bm25Tf]] relation), candidate scoring
+    * is confined to
     * query-term matches via broadcast semi-joins, and the fusion itself
     * is a full-outer join of two ≤(|Q|·`kInner`)-row relations: driver-
     * bounded, never corpus-bounded.
     */
   def hybridTopK(docs: DataFrame, queries: DataFrame, k: Int,
       kInner: Int = 20, rrfK: Int = 60): DataFrame = {
-    val bm = bm25TopK(docs, queries, kInner)
+    // ONE corpus tokenization feeds both rankers: the BM25 side reads
+    // the materialized tf relation, and the Jaccard side's distinct
+    // (doc, term) projection IS tf's grain (one row per (doc, term) by
+    // construction) — previously each ranker re-tokenized the corpus
+    // (guide §2.4: two full scans plus a third for corpus stats → one).
+    val tf = bm25Tf(docs).localCheckpoint(true)
+    val bm = bm25FromTf(tf, queries, kInner, k1 = 1.2, b = 0.75)
       .select(col("query_id"), col("doc_id"), col("rk").as("rk_bm25"))
-    val dterms = docs.select(col("doc_id"),
-      explode(array_distinct(split(col("text"), " "))).as("term"))
+    val dterms = tf.select(col("doc_id"), col("term"))
     val qterms = queries.select(col("query_id"),
       explode(array_distinct(split(col("text"), " "))).as("term"))
     val dsize = dterms.groupBy("doc_id").agg(count(lit(1)).as("d_n"))
@@ -809,28 +837,73 @@ object TextAnalysis {
       }
       out.toArray
     }
-    var vocab = vocab0.map { case (w, f) => (codepoints(w), f) }
+    val vocab = vocab0.map { case (w, f) => (codepoints(w), f) }
     val merges =
       scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    // Incremental pair-count maintenance (the standard BPE-trainer
+    // structure): a merge of (a, b) only rewrites words that CONTAIN
+    // the adjacent pair, so instead of re-counting every adjacent pair
+    // of every word per step — O(numMerges · Σ|syms|), the dominant
+    // cost of this loop at production merge counts — `counts` and a
+    // pair → word-index posting map are updated only for the affected
+    // words. The counts map after every step is EXACTLY the full
+    // recount (each word's old pairs retracted, new pairs added), so
+    // the argmax sequence — and therefore the merge table — is
+    // bit-identical to the rescan form (OpsSpec pins local-vs-
+    // distributed equivalence; the q213 oracle replays every step).
+    val counts = scala.collection.mutable.HashMap[(String, String), Long]()
+    val index =
+      scala.collection.mutable.HashMap[(String, String),
+        scala.collection.mutable.Set[Int]]()
+    def retract(wi: Int, syms: Array[String], f: Long): Unit = {
+      var i = 0
+      while (i < syms.length - 1) {
+        val k = (syms(i), syms(i + 1))
+        val c = counts(k) - f
+        if (c == 0L) counts.remove(k) else counts(k) = c
+        index.get(k).foreach { s => s -= wi; if (s.isEmpty) index.remove(k) }
+        i += 1
+      }
+    }
+    def admit(wi: Int, syms: Array[String], f: Long): Unit = {
+      var i = 0
+      while (i < syms.length - 1) {
+        val k = (syms(i), syms(i + 1))
+        counts(k) = counts.getOrElse(k, 0L) + f
+        index.getOrElseUpdate(k,
+          scala.collection.mutable.Set.empty[Int]) += wi
+        i += 1
+      }
+    }
+    vocab.indices.foreach { wi =>
+      val (syms, f) = vocab(wi); admit(wi, syms, f)
+    }
     var step = 1
     var exhausted = false
     while (step <= numMerges && !exhausted) {
-      val counts =
-        scala.collection.mutable.HashMap[(String, String), Long]()
-      vocab.foreach { case (syms, f) =>
-        var i = 0
-        while (i < syms.length - 1) {
-          val k = (syms(i), syms(i + 1))
-          counts(k) = counts.getOrElse(k, 0L) + f
-          i += 1
-        }
-      }
       if (counts.isEmpty) exhausted = true
       else {
-        val ((a, b), cnt) = counts
-          .minBy { case ((a, b), c) => (-c, a, b) }
-        merges += ((step, a, b, cnt))
-        vocab = vocab.map { case (syms, f) => (applyMerge(syms, a, b), f) }
+        // allocation-free argmax by (count desc, a asc, b asc) — the
+        // rescan form's minBy((-c, a, b)) total order, so hash-map
+        // iteration order can never influence the pick
+        var bestA: String = null; var bestB: String = null
+        var bestC = Long.MinValue
+        counts.foreach { case ((x, y), c) =>
+          if (c > bestC || (c == bestC && (bestA == null ||
+              x < bestA || (x == bestA && y < bestB)))) {
+            bestA = x; bestB = y; bestC = c
+          }
+        }
+        merges += ((step, bestA, bestB, bestC))
+        val affected = index.get((bestA, bestB))
+          .map(_.toArray.sorted).getOrElse(Array.empty[Int])
+        affected.foreach { wi =>
+          val (syms, f) = vocab(wi)
+          retract(wi, syms, f)
+          val ns = applyMerge(syms, bestA, bestB)
+          vocab(wi) = (ns, f)
+          admit(wi, ns, f)
+        }
         step += 1
       }
     }
@@ -906,8 +979,26 @@ object TextAnalysis {
     * classes×vocab is small) and folds per (doc, class) in term order.
     * Train and apply read the corpus once each.
     */
-  def naiveBayes(docs: DataFrame, classCol: String): DataFrame =
-    naiveBayesScore(naiveBayesTrain(docs, classCol), docs, classCol)
+  def naiveBayes(docs: DataFrame, classCol: String): DataFrame = {
+    // train and score run over the SAME corpus here, and both phases
+    // start from the identical (doc, class, dl, term, tf) relation —
+    // build it once and feed both (guide §2.4: two tokenize+aggregate
+    // passes → one; output is unchanged because each phase consumed
+    // exactly this relation before)
+    val tf = nbTf(docs, classCol).localCheckpoint(true)
+    naiveBayesScoreFromTf(naiveBayesTrainFromTf(tf), tf)
+  }
+
+  /** The (doc, class, doc-length, term, tf) relation both Naive Bayes
+    * phases consume — one tokenize + one aggregation over the corpus.
+    */
+  private def nbTf(docs: DataFrame, classCol: String): DataFrame =
+    docs.select(col("doc_id"), col(classCol).as("cls"),
+        split(col("text"), " ").as("t"))
+      .select(col("doc_id"), col("cls"), size(col("t")).as("dl"),
+        explode(col("t")).as("term"))
+      .groupBy("doc_id", "cls", "dl", "term")
+      .agg(count(lit(1)).as("tf"))
 
   /** A trained multinomial Naive Bayes model ([[naiveBayesTrain]]): all
     * relations are on the (class) or (class × vocab) grain — broadcast
@@ -924,18 +1015,15 @@ object TextAnalysis {
     * [[naiveBayesScore]] (the real quality-gate pattern: label-noise
     * triage and source classification score docs the model never saw).
     */
-  def naiveBayesTrain(docs: DataFrame, classCol: String): NBModel = {
-    val toks = docs.select(col("doc_id"), col(classCol).as("cls"),
-        split(col("text"), " ").as("t"))
-      .select(col("doc_id"), col("cls"), size(col("t")).as("dl"),
-        explode(col("t")).as("term"))
+  def naiveBayesTrain(docs: DataFrame, classCol: String): NBModel =
     // tf feeds the cell aggregation AND the doc-grain priors —
     // materialize once (localCheckpoint: eager, lineage-truncating,
     // blocks reclaimed by the context cleaner) instead of paying the
     // tokenize+aggregate twice
-    val tf = toks.groupBy("doc_id", "cls", "dl", "term")
-      .agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true)
+    naiveBayesTrainFromTf(nbTf(docs, classCol).localCheckpoint(true))
+
+  /** [[naiveBayesTrain]] over an already-materialized [[nbTf]] relation. */
+  private def naiveBayesTrainFromTf(tf: DataFrame): NBModel = {
     // model: per-(class, term) token counts — the (class × vocab) grain
     // is tiny, and THREE derivations read it (log-probs, class totals,
     // vocab size), so it checkpoints too; everything model-sized below
@@ -980,15 +1068,12 @@ object TextAnalysis {
     * per-doc folds — every model-side relation is broadcast.
     */
   def naiveBayesScore(m: NBModel, docs: DataFrame,
-      classCol: String): DataFrame = {
-    val toks = docs.select(col("doc_id"), col(classCol).as("cls"),
-        split(col("text"), " ").as("t"))
-      .select(col("doc_id"), col("cls"), size(col("t")).as("dl"),
-        explode(col("t")).as("term"))
+      classCol: String): DataFrame =
     // tf feeds the scoring join AND the doc grid — materialize once
-    val tf = toks.groupBy("doc_id", "cls", "dl", "term")
-      .agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true)
+    naiveBayesScoreFromTf(m, nbTf(docs, classCol).localCheckpoint(true))
+
+  /** [[naiveBayesScore]] over an already-materialized [[nbTf]] relation. */
+  private def naiveBayesScoreFromTf(m: NBModel, tf: DataFrame): DataFrame = {
     val docsOnly = tf.select("doc_id", "cls", "dl").distinct()
     // seen-term contribution per (doc, class), folded in term order; a
     // (doc, class) pair sharing NO terms still needs a score (all-floor

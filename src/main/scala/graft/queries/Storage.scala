@@ -34,17 +34,25 @@ object Storage {
     // map-side-combined aggregation instead of q25's full sort. Validated
     // against the exact percentiles, which the oracle recomputes.
     QueryDef("q99_approx_quantiles",
+      // one ARRAY-quantile buffer per family instead of one buffer per
+      // quantile: the scalar spelling built two full per-group value
+      // buffers (exact tier) and two identical KLL sketches (approx
+      // tier); the array forms sort/sketch once and read both points —
+      // same values, half the aggregation state (guide §1.2 per-task
+      // work; the ok-flags recompute from the extracted columns)
       (s, d) => table(s, d, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("exact_p50"),
-          round(expr("percentile(l_extendedprice, 0.99)"), 4).as("exact_p99"),
-          (abs(expr("approx_percentile(l_extendedprice, 0.5, 1000)") -
-            expr("percentile(l_extendedprice, 0.5)")) <=
-            expr("percentile(l_extendedprice, 0.5)") * 0.01).as("p50_ok"),
-          (abs(expr("approx_percentile(l_extendedprice, 0.99, 1000)") -
-            expr("percentile(l_extendedprice, 0.99)")) <=
-            expr("percentile(l_extendedprice, 0.99)") * 0.01).as("p99_ok"))
+          expr("percentile(l_extendedprice, array(0.5D, 0.99D))").as("ep"),
+          expr("approx_percentile(l_extendedprice, array(0.5D, 0.99D), " +
+            "1000)").as("ap"))
+        .select(col("l_returnflag"),
+          round(element_at(col("ep"), 1), 4).as("exact_p50"),
+          round(element_at(col("ep"), 2), 4).as("exact_p99"),
+          (abs(element_at(col("ap"), 1) - element_at(col("ep"), 1)) <=
+            element_at(col("ep"), 1) * 0.01).as("p50_ok"),
+          (abs(element_at(col("ap"), 2) - element_at(col("ep"), 2)) <=
+            element_at(col("ep"), 2) * 0.01).as("p99_ok"))
         .orderBy("l_returnflag"),
       Some("""SELECT l_returnflag,
              |  ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,

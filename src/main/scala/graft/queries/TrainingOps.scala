@@ -5020,6 +5020,14 @@ object TrainingOps {
             "transform(sequence(1, size(l) - 1), i -> " +
               "concat(element_at(l, i), '_', element_at(l, i + 1)))"),
             " ").as("text"))
+          // text is an EXPENSIVE DERIVED column here: left lazy, the
+          // trainer's md5 sample gate pushes below the projection and
+          // the bigram-construction chain re-evaluates per consumer
+          // (measured 3.7 s vs 0.6 s for one evaluation at sf0.1) —
+          // materialize the synthesized corpus once (guide §7.2:
+          // duplicated subtrees; computed from parquet every run, so
+          // nothing persists across bench/oracle invocations)
+          .localCheckpoint(true)
         TextAnalysis.bpeTrainLocal(docsB, 1000, sampleFraction = 0.5,
           maxVocab = 20000)
       },
