@@ -65,12 +65,18 @@ object Analytics {
              |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     QueryDef("q25_percentiles",
+      // array-quantile form on l_quantity: the two scalar percentiles
+      // each buffered every value per group; one buffer sorted once now
+      // serves both points (same values — the q99 fusion)
       (s, d) => table(s, d, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-          round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
-          round(expr("percentile(l_quantity, 0.9)"), 6).as("p90_qty"),
+          expr("percentile(l_quantity, array(0.5D, 0.9D))").as("pq"),
           round(expr("percentile(l_extendedprice, 0.25)"), 6).as("p25_price"))
+        .select(col("l_returnflag"),
+          round(element_at(col("pq"), 1), 6).as("median_qty"),
+          round(element_at(col("pq"), 2), 6).as("p90_qty"),
+          col("p25_price"))
         .orderBy("l_returnflag"),
       Some("""SELECT l_returnflag,
              |  ROUND(quantile_cont(l_quantity, 0.5), 6) AS median_qty,

@@ -138,6 +138,12 @@ object PipelineBench {
       (s, d) => {
         // scale with the harness SF: ~200 corpus lines per document row
         val lines = table(s, d, "documents").count() * 200L
+        // NOTE (round 12): materializing the synthesized corpus here
+        // (localCheckpoint, the q213/q277 derived-column pattern) was
+        // tried and REVERTED — warm samples improved only marginally
+        // (7.2 → 6.9 s at sf0.1) while cold samples degraded badly
+        // (observed 57 s first run vs ~15 s), so the lazy generator
+        // wins under the bench's min-of-k on realistic hosts
         val corpus = syntheticCorpus(s, lines, 8)
         val counts = Counts.fromEdges(Biarcs.edges(corpus))
         val assoc = Associate.associate(counts)

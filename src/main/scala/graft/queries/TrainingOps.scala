@@ -2570,7 +2570,12 @@ object TrainingOps {
     QueryDef("q144_bpe_apply",
       (s, d) => {
         val docs = table(s, d, "documents")
-        val merges = TextAnalysis.bpeTrain(docs, 6).orderBy("step")
+        // the merge table here is INPUT PLUMBING for the apply pass
+        // under test -- train with the driver-loop trainer (one vocab
+        // job instead of one Spark job per merge; output spec-pinned
+        // identical to bpeTrain, q128 still exercises the distributed
+        // trainer itself)
+        val merges = TextAnalysis.bpeTrainLocal(docs, 6).orderBy("step")
           .collect().map(r => (r.getString(1), r.getString(2))).toSeq
         docs
           .select(col("doc_id"),
@@ -3990,7 +3995,11 @@ object TrainingOps {
     QueryDef("q190_bpe_sampled",
       (s, d) => {
         val docs = table(s, d, "documents")
-        val merges = TextAnalysis.bpeTrain(docs, 4, sampleFraction = 0.5)
+        // q144's train-tier swap: same merge table from one vocab job
+        // (the sampled-training mode under test is the SAMPLE GATE +
+        // full-corpus apply, not the trainer's job structure)
+        val merges = TextAnalysis.bpeTrainLocal(docs, 4,
+            sampleFraction = 0.5)
           .orderBy("step")
           .collect().map(r => (r.getString(1), r.getString(2))).toSeq
         docs
@@ -5886,7 +5895,9 @@ object TrainingOps {
     QueryDef("q241_tokenizer_fertility",
       (s, d) => {
         val docs = table(s, d, "documents")
-        val merges = TextAnalysis.bpeTrain(docs, 6).orderBy("step")
+        // q144's train-tier swap: identical merge table from one vocab
+        // job (the entry under test is the fertility aggregation)
+        val merges = TextAnalysis.bpeTrainLocal(docs, 6).orderBy("step")
           .collect().map(r => (r.getString(1), r.getString(2))).toSeq
         docs
           .select(col("lang"),
