@@ -255,12 +255,17 @@ object TextAnalysis {
     * across engines. Two aggregations + one equi-join on the bigram key.
     */
   def bigramNovelty(docs: DataFrame): DataFrame = {
+    // two differently-keyed consumers of the raw bigram stream (the
+    // crossDocNgramOverlap pattern — ReuseExchange can't dedupe an
+    // agg-bearing exchange against the join's plain one): materialize
+    // the tokenize + explode once
     val bigrams = docs
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .where(size(col("t")) >= 2)
       .select(col("doc_id"), explode(expr(
         "array_distinct(transform(sequence(1, size(t) - 1)," +
           " i -> concat_ws(' ', slice(t, i, 2))))")).as("bg"))
+      .localCheckpoint(true)
     val docFreq = bigrams.groupBy("bg")
       .agg(count(lit(1)).as("n_docs_with"))
     bigrams.join(docFreq, "bg")
@@ -1229,12 +1234,17 @@ object TextAnalysis {
     */
   def crossDocNgramOverlap(docs: DataFrame, n: Int = 5): DataFrame = {
     require(n >= 1, s"n=$n must be >= 1")
+    // the gram relation feeds TWO differently-keyed consumers (the df
+    // aggregation's gram exchange carries a partial agg, the join's
+    // does not, so ReuseExchange cannot dedupe them) — left lazy the
+    // tokenize + n-gram explode runs twice; materialize once
     val grams = docs
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .where(size(col("t")) >= n)
       .select(col("doc_id"), explode(expr(
         s"array_distinct(transform(sequence(1, size(t) - ${n - 1}), " +
           s"i -> concat_ws(' ', slice(t, i, $n))))")).as("gram"))
+      .localCheckpoint(true)
     val df = grams.groupBy("gram").agg(count(lit(1)).as("df"))
     grams.join(df, "gram")
       .groupBy("doc_id")
