@@ -351,9 +351,14 @@ object TextAnalysis {
     val stats = tf.select("doc_id", "dl").distinct()
       .agg(count(lit(1)).cast("double").as("n_docs"),
         avg(col("dl")).as("avgdl"))
+    // posts feeds the df aggregation AND the scoring join — from the
+    // checkpointed tf each use re-probes the broadcast semi-join over
+    // the full tf relation; the match set is query-vocabulary-gated
+    // (small by construction), so materializing it once is cheaper
     val posts = tf
       .join(broadcast(qterms.select("term").distinct()), Seq("term"),
         "left_semi")
+      .localCheckpoint(true)
     val df = posts.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
     posts
       .join(broadcast(df), "term")
